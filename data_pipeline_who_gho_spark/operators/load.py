@@ -1,0 +1,109 @@
+"""L1-L3: warehouse load — idempotent keyed UPSERT + append-only reject sink.
+
+The reference's load is a single multi-row
+``INSERT ... ON CONFLICT (key) DO UPDATE SET <non-key cols>``
+(``etl/load.py:30-52``): updates win on shared keys, union otherwise, and
+re-loading the same batch is a no-op.
+
+Spark-first design: the MERGE is a **broadcast-able left-anti join +
+unionByName** over parquet-at-rest, committed with a write-temp /
+atomic-swap protocol (parquet has no transactions; the swap directory
+rename gives us all-or-nothing visibility, the closest parity to the
+reference's one-transaction upsert). On a Delta/Iceberg-backed catalog the
+same function maps 1:1 onto ``MERGE INTO`` — the call-site contract is
+identical, so swapping the table format is a one-line change here.
+
+Scale notes: the anti-join shuffles on the upsert key unless the update
+batch is small enough to broadcast — the common case for dimension upserts
+(dims are tiny; Catalyst broadcasts automatically under the threshold).
+Like Delta MERGE, duplicate keys *within one batch* are an error upstream;
+callers dedup first (T6/T8), which the pipeline driver does.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class UpsertKeyError(ValueError):
+    """Update batch contains duplicate upsert keys (reference: Postgres
+    raises CardinalityViolation; Delta MERGE raises — we match)."""
+
+
+def _table_path(warehouse_dir: str, table: str) -> str:
+    return os.path.join(warehouse_dir, table)
+
+
+def read_table(spark: SparkSession, warehouse_dir: str, table: str) -> DataFrame | None:
+    path = _table_path(warehouse_dir, table)
+    if not os.path.exists(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def merge_upsert(target: DataFrame | None, updates: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Pure-plan MERGE: updates win on shared keys, union otherwise.
+
+    Exposed separately from the sink so the semantics are SQL-checkable
+    (oracle: anti-join + UNION ALL) and reusable in-plan without I/O.
+
+    Broadcast decision is left to Catalyst/AQE: update batches small enough
+    (the dimension-upsert common case) broadcast automatically; large fact
+    batches fall back to a shuffled anti-join on the key, which AQE can
+    re-plan at runtime using observed sizes.
+    """
+    if target is None:
+        return updates
+    kept = target.join(updates.select(*keys), on=list(keys), how="left_anti")
+    return kept.unionByName(updates)
+
+
+def upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    warehouse_dir: str,
+    table: str,
+    keys: Sequence[str],
+) -> None:
+    """L2: idempotent keyed upsert into a parquet warehouse table.
+
+    Protocol: (1) assert batch keys unique, (2) plan merge vs current
+    table, (3) write to a fresh temp dir, (4) atomic directory swap.
+    Re-running the same batch yields a byte-identical table (idempotency —
+    the reference's core guarantee, etl/load.py:45-48).
+    """
+    dup = (
+        updates.groupBy(*[F.col(k) for k in keys])
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise UpsertKeyError(f"duplicate keys in update batch for {table} on {list(keys)}")
+
+    target = read_table(spark, warehouse_dir, table)
+    merged = merge_upsert(target, updates, keys)
+
+    path = _table_path(warehouse_dir, table)
+    tmp = path + ".tmp-" + uuid.uuid4().hex[:8]
+    merged.write.mode("overwrite").parquet(tmp)
+    old = path + ".old-" + uuid.uuid4().hex[:8]
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def append_rejects(rejected: DataFrame, warehouse_dir: str, table: str = "rejected_record") -> None:
+    """L3: append-only reject sink (etl/load.py:55-71). No-op on empty input."""
+    if rejected.isEmpty():
+        return
+    rejected.write.mode("append").parquet(_table_path(warehouse_dir, table))

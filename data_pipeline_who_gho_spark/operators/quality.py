@@ -1,0 +1,49 @@
+"""Q1/Q2: post-load data-quality gate.
+
+Mirrors the DAG's two inline SQL assertions
+(``dags/who_gho_etl_dag.py:194-206``): table non-empty, and zero nulls in
+the declared key columns. Raising fails the run — same observable contract
+as the reference's task failure + alert email.
+
+Both checks are single aggregations; Spark plans them as partial+final
+count with no data movement beyond one scalar per partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class DataQualityError(AssertionError):
+    """A DQ constraint was violated (reference: raise → task fail → email)."""
+
+
+def check_not_empty(df: DataFrame, name: str = "table") -> int:
+    """Q1: SELECT COUNT(*) must be > 0 (who_gho_etl_dag.py:194-198)."""
+    n = df.count()
+    if n == 0:
+        raise DataQualityError(f"DQ failed: {name} is empty")
+    return n
+
+
+def check_no_null_keys(df: DataFrame, keys: Sequence[str], name: str = "table") -> int:
+    """Q2: zero rows with null in any key column (who_gho_etl_dag.py:200-206).
+
+    Single pass: conditional count instead of a filter+count re-scan.
+    """
+    cond = None
+    for k in keys:
+        c = F.col(k).isNull()
+        cond = c if cond is None else (cond | c)
+    bad = df.select(F.count(F.when(cond, F.lit(1))).alias("bad")).first()["bad"]
+    if bad:
+        raise DataQualityError(f"DQ failed: {name} has {bad} rows with null keys {list(keys)}")
+    return int(bad)
+
+
+def run_dq_checks(df: DataFrame, keys: Sequence[str], name: str = "fact_observation") -> dict:
+    """The reference's full DQ task: both checks, fail-fast."""
+    return {"row_count": check_not_empty(df, name), "null_key_rows": check_no_null_keys(df, keys, name)}

@@ -1,0 +1,60 @@
+"""Upsert semantics: B2 wins on shared keys, union otherwise; idempotent.
+
+Mirrors the FIXTURES.md §4 contract (reference: etl/load.py:30-52), tested
+against a real parquet warehouse instead of the reference's mocks.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_who_gho_spark.operators.load import (
+    UpsertKeyError,
+    merge_upsert,
+    read_table,
+    upsert,
+    append_rejects,
+)
+
+
+def rows(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+def test_merge_updates_win(spark):
+    target = spark.createDataFrame([("a", 1), ("b", 2)], "k STRING, v INT")
+    updates = spark.createDataFrame([("b", 20), ("c", 30)], "k STRING, v INT")
+    out = merge_upsert(target, updates, ["k"])
+    assert rows(out) == [("a", 1), ("b", 20), ("c", 30)]
+
+
+def test_merge_no_target(spark):
+    updates = spark.createDataFrame([("a", 1)], "k STRING, v INT")
+    assert rows(merge_upsert(None, updates, ["k"])) == [("a", 1)]
+
+
+def test_upsert_idempotent(spark, tmp_path):
+    wh = str(tmp_path)
+    b1 = spark.createDataFrame([("a", 1), ("b", 2)], "k STRING, v INT")
+    upsert(spark, b1, wh, "t", ["k"])
+    upsert(spark, b1, wh, "t", ["k"])  # same batch twice -> no-op
+    assert rows(read_table(spark, wh, "t")) == [("a", 1), ("b", 2)]
+
+    b2 = spark.createDataFrame([("b", 20), ("c", 30)], "k STRING, v INT")
+    upsert(spark, b2, wh, "t", ["k"])
+    assert rows(read_table(spark, wh, "t")) == [("a", 1), ("b", 20), ("c", 30)]
+
+
+def test_upsert_duplicate_batch_keys_raises(spark, tmp_path):
+    bad = spark.createDataFrame([("a", 1), ("a", 2)], "k STRING, v INT")
+    with pytest.raises(UpsertKeyError):
+        upsert(spark, bad, str(tmp_path), "t", ["k"])
+
+
+def test_append_rejects(spark, tmp_path):
+    wh = str(tmp_path)
+    rej = spark.createDataFrame([("{}", "err")], "record_data STRING, error_details STRING")
+    append_rejects(rej, wh)
+    append_rejects(spark.createDataFrame([], "record_data STRING, error_details STRING"), wh)
+    append_rejects(rej, wh)
+    assert read_table(spark, wh, "rejected_record").count() == 2
