@@ -1,0 +1,314 @@
+"""ETL-operator queries: SURVEY §2a semantics (T1-T8, V1-V2, L2, Q1-Q2)
+exercised end-to-end over the fixture tables, each with a DuckDB oracle.
+
+The reference's ETL operates on WHO API records; here we derive an
+API-shaped ``raw_observations`` stream deterministically from ``orders``
+(same edge cases as the reference's test corpus: duplicate Ids, null key
+columns, unparseable numerics, range years — FIXTURES.md §1) and run the
+*library* operators over it, so the correctness gate covers the real
+implementation, not a re-typed query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.load import merge_upsert
+from ..operators.transform import clean_observations, dedup_keep_first, ensure_columns
+from ..operators.validate import observation_rules, validate_split
+from ..sources.catalog import load_table
+
+# Lower-cased warehouse-style output names (V1 renames, etl/validate.py:6-29).
+_OBS_RENAMES = {
+    "Id": "observation_id",
+    "IndicatorCode": "indicator_code",
+    "SpatialDim": "spatial_dim",
+    "SpatialDimType": "spatial_dim_type",
+    "TimeDim": "time_dim",
+    "TimeDimType": "time_dim_type",
+    "NumericValue": "numeric_value",
+    "Value": "value",
+}
+
+
+def _raw_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive an API-shaped observation feed from orders, with the
+    reference fixture's edge cases injected deterministically:
+    - every orderkey % 50 == 0 row appears twice (duplicate Id)
+    - every orderkey % 89 == 0 row has a null key column
+    - every orderkey % 97 == 0 row has an unparseable NumericValue
+    - TimeDim arrives as a '1996-1996' range-year string
+    """
+    o = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate").cast("string")
+    base = o.select(
+        F.col("o_orderkey").cast("string").alias("Id"),
+        F.when(F.col("o_orderkey") % 89 == 0, F.lit(None)).otherwise(F.col("o_orderpriority")).alias("IndicatorCode"),
+        F.col("o_orderstatus").alias("SpatialDim"),
+        F.lit("COUNTRY").alias("SpatialDimType"),
+        F.concat(yr, F.lit("-"), yr).alias("TimeDim"),
+        F.lit("YEAR").alias("TimeDimType"),
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("abc"))
+        .otherwise(F.col("o_totalprice").cast("decimal(12,2)").cast("string"))
+        .alias("NumericValue"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias("Value"),
+        F.col("o_orderkey").alias("__k"),
+    )
+    raw = base.unionByName(base.filter(F.col("__k") % 50 == 0))
+    return raw.drop("__k")
+
+
+_RAW_SQL = """
+  SELECT * FROM (
+    SELECT CAST(o_orderkey AS VARCHAR) AS Id,
+           CASE WHEN o_orderkey % 89 = 0 THEN NULL ELSE o_orderpriority END AS IndicatorCode,
+           o_orderstatus AS SpatialDim,
+           'COUNTRY' AS SpatialDimType,
+           concat(CAST(year(o_orderdate) AS VARCHAR), '-', CAST(year(o_orderdate) AS VARCHAR)) AS TimeDim,
+           'YEAR' AS TimeDimType,
+           CASE WHEN o_orderkey % 97 = 0 THEN 'abc'
+                ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) END AS NumericValue,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS Value,
+           o_orderkey AS __k
+    FROM orders
+  ) b
+  UNION ALL
+  SELECT * FROM (
+    SELECT CAST(o_orderkey AS VARCHAR) AS Id,
+           CASE WHEN o_orderkey % 89 = 0 THEN NULL ELSE o_orderpriority END AS IndicatorCode,
+           o_orderstatus AS SpatialDim,
+           'COUNTRY' AS SpatialDimType,
+           concat(CAST(year(o_orderdate) AS VARCHAR), '-', CAST(year(o_orderdate) AS VARCHAR)) AS TimeDim,
+           'YEAR' AS TimeDimType,
+           CASE WHEN o_orderkey % 97 = 0 THEN 'abc'
+                ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) END AS NumericValue,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS Value,
+           o_orderkey AS __k
+    FROM orders
+  ) d WHERE __k % 50 = 0
+"""
+
+
+def etl_clean_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1-T6 composed: the reference's full observation transform
+    (etl/transform.py:18-59) over the derived raw feed, renamed to
+    warehouse columns (V1)."""
+    out = clean_observations(_raw_observations(spark, sf_dir))
+    return out.select(*[F.col(a).alias(b) for a, b in _OBS_RENAMES.items()])
+
+
+ETL_CLEAN_SQL = f"""
+WITH raw AS ({_RAW_SQL}),
+cast_ AS (
+  SELECT Id, IndicatorCode, SpatialDim, SpatialDimType,
+         CAST(split_part(TimeDim, '-', 1) AS INT) AS TimeDim,
+         TimeDimType,
+         TRY_CAST(NumericValue AS DOUBLE) AS NumericValue, Value
+  FROM raw
+  WHERE IndicatorCode IS NOT NULL AND SpatialDim IS NOT NULL AND TimeDim IS NOT NULL
+),
+dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY Id ORDER BY IndicatorCode, SpatialDim, TimeDim) AS rn
+  FROM cast_
+)
+SELECT Id AS observation_id, IndicatorCode AS indicator_code, SpatialDim AS spatial_dim,
+       SpatialDimType AS spatial_dim_type, TimeDim AS time_dim, TimeDimType AS time_dim_type,
+       NumericValue AS numeric_value, Value AS value
+FROM dedup WHERE rn = 1
+"""
+
+
+def etl_validate_good(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 validated stream: rows passing all Pydantic-parity rules."""
+    res = validate_split(_raw_observations(spark, sf_dir), observation_rules())
+    return res.validated.select(*[F.col(a).alias(b) for a, b in _OBS_RENAMES.items()])
+
+
+ETL_VALIDATE_GOOD_SQL = f"""
+WITH raw AS ({_RAW_SQL})
+SELECT Id AS observation_id, IndicatorCode AS indicator_code, SpatialDim AS spatial_dim,
+       SpatialDimType AS spatial_dim_type, TimeDim AS time_dim, TimeDimType AS time_dim_type,
+       NumericValue AS numeric_value, Value AS value
+FROM raw
+WHERE IndicatorCode IS NOT NULL AND SpatialDim IS NOT NULL AND SpatialDimType IS NOT NULL
+  AND TimeDim IS NOT NULL AND TimeDimType IS NOT NULL
+  AND (NumericValue IS NULL OR TRY_CAST(NumericValue AS DOUBLE) IS NOT NULL)
+  AND (TimeDim IS NULL OR TRY_CAST(split_part(TimeDim, '-', 1) AS INT) IS NOT NULL)
+"""
+
+
+def etl_validate_rejected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 rejected stream: failed rows with concatenated error details
+    (the rejected_record side channel, etl/load.py:55-71)."""
+    raw = _raw_observations(spark, sf_dir)
+    res = validate_split(raw, observation_rules())
+    # record_data JSON layout is engine-specific; the oracle-checked surface
+    # is the error description + the failing row's identity.
+    rej = res.rejected.withColumn(
+        "observation_id", F.get_json_object("record_data", "$.Id")
+    )
+    return rej.select("observation_id", "error_details")
+
+
+ETL_VALIDATE_REJECTED_SQL = f"""
+WITH raw AS ({_RAW_SQL})
+SELECT Id AS observation_id,
+       concat_ws('; ',
+         CASE WHEN IndicatorCode IS NULL THEN 'IndicatorCode is required' END,
+         CASE WHEN SpatialDim IS NULL THEN 'SpatialDim is required' END,
+         CASE WHEN SpatialDimType IS NULL THEN 'SpatialDimType is required' END,
+         CASE WHEN TimeDim IS NULL THEN 'TimeDim is required' END,
+         CASE WHEN TimeDimType IS NULL THEN 'TimeDimType is required' END,
+         CASE WHEN NOT (NumericValue IS NULL OR TRY_CAST(NumericValue AS DOUBLE) IS NOT NULL)
+              THEN 'NumericValue must be double' END,
+         CASE WHEN NOT (TimeDim IS NULL OR TRY_CAST(split_part(TimeDim, '-', 1) AS INT) IS NOT NULL)
+              THEN 'TimeDim must be a year' END
+       ) AS error_details
+FROM raw
+WHERE NOT (IndicatorCode IS NOT NULL AND SpatialDim IS NOT NULL AND SpatialDimType IS NOT NULL
+  AND TimeDim IS NOT NULL AND TimeDimType IS NOT NULL
+  AND (NumericValue IS NULL OR TRY_CAST(NumericValue AS DOUBLE) IS NOT NULL)
+  AND (TimeDim IS NULL OR TRY_CAST(split_part(TimeDim, '-', 1) AS INT) IS NOT NULL))
+"""
+
+
+def etl_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6/T8 focused: deterministic keep-first dedup of lineitem onto one
+    row per orderkey (order by linenumber — pandas keep-first parity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # (orderkey, linenumber) is NOT unique in the fixture data — the full
+    # (linenumber, partkey, suppkey) tiebreak makes keep-first total.
+    out = dedup_keep_first(
+        li, ["l_orderkey"], order_by=["l_linenumber", "l_partkey", "l_suppkey"]
+    )
+    return out.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.col("l_partkey").alias("partkey"),
+    )
+
+
+ETL_DEDUP_SQL = """
+SELECT l_orderkey AS orderkey, l_linenumber AS linenumber, l_partkey AS partkey
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+def etl_null_default_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 focused: missing columns injected as typed nulls
+    (etl/transform.py:30-32)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = ensure_columns(docs, ["doc_id", "lang", "category", "rating"], dtype="string")
+    return out.select(
+        "doc_id", "lang", "category", F.col("rating").cast("double").alias("rating")
+    )
+
+
+ETL_NULL_DEFAULT_SQL = """
+SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS category, CAST(NULL AS DOUBLE) AS rating
+FROM documents
+"""
+
+
+def etl_safe_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 focused: coerce-to-null casting (pd.to_numeric errors='coerce')."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring("source", 4, 100).try_cast("int").alias("source_num"),
+        F.col("lang").try_cast("double").alias("lang_as_num"),
+    )
+
+
+ETL_SAFE_CAST_SQL = """
+SELECT doc_id, TRY_CAST(substr(source, 4, 100) AS INT) AS source_num,
+       TRY_CAST(lang AS DOUBLE) AS lang_as_num
+FROM documents
+"""
+
+
+def etl_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 semantics as a pure plan: target = pre-1997 orders, updates =
+    1996+ orders repriced ×1.1 (decimal-exact); updates win on shared
+    keys, union otherwise (etl/load.py:30-52 / Delta MERGE parity)."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    target = o.filter(F.year("o_orderdate") <= 1996).select(
+        F.col("o_orderkey").alias("orderkey"),
+        price.alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    updates = o.filter(F.year("o_orderdate") >= 1996).select(
+        F.col("o_orderkey").alias("orderkey"),
+        (price * F.lit(1.1).cast("decimal(2,1)")).cast("decimal(14,3)").alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    merged = merge_upsert(target, updates, ["orderkey"])
+    return merged.select("orderkey", F.col("totalprice").cast("double").alias("totalprice"), "status")
+
+
+ETL_UPSERT_SQL = """
+WITH target AS (
+  SELECT o_orderkey AS orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice, o_orderstatus AS status
+  FROM orders WHERE year(o_orderdate) <= 1996
+), updates AS (
+  SELECT o_orderkey AS orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(14,3)) AS totalprice,
+         o_orderstatus AS status
+  FROM orders WHERE year(o_orderdate) >= 1996
+)
+SELECT orderkey, CAST(CAST(totalprice AS VARCHAR) AS DOUBLE) AS totalprice, status FROM (
+  SELECT * FROM target WHERE orderkey NOT IN (SELECT orderkey FROM updates)
+  UNION ALL
+  SELECT * FROM updates
+)
+"""
+
+
+def etl_dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1+Q2 as one metrics row over the derived raw feed: total rows and
+    rows violating the key-null constraint (who_gho_etl_dag.py:189-206)."""
+    raw = _raw_observations(spark, sf_dir)
+    keys = ["IndicatorCode", "SpatialDim", "TimeDim"]
+    cond = F.col(keys[0]).isNull()
+    for k in keys[1:]:
+        cond = cond | F.col(k).isNull()
+    return raw.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.count(F.when(cond, F.lit(1))).alias("null_key_rows"),
+    )
+
+
+ETL_DQ_SQL = f"""
+WITH raw AS ({_RAW_SQL})
+SELECT COUNT(*) AS row_count,
+       COUNT(CASE WHEN IndicatorCode IS NULL OR SpatialDim IS NULL OR TimeDim IS NULL THEN 1 END) AS null_key_rows
+FROM raw
+"""
+
+
+ETL_QUERIES = {
+    "etl_clean_observations": etl_clean_observations,
+    "etl_validate_good": etl_validate_good,
+    "etl_validate_rejected": etl_validate_rejected,
+    "etl_dedup_keyed": etl_dedup_keyed,
+    "etl_null_default_projection": etl_null_default_projection,
+    "etl_safe_cast": etl_safe_cast,
+    "etl_upsert_merge": etl_upsert_merge,
+    "etl_dq_summary": etl_dq_summary,
+}
+
+ETL_ORACLE_SQL = {
+    "etl_clean_observations": ETL_CLEAN_SQL,
+    "etl_validate_good": ETL_VALIDATE_GOOD_SQL,
+    "etl_validate_rejected": ETL_VALIDATE_REJECTED_SQL,
+    "etl_dedup_keyed": ETL_DEDUP_SQL,
+    "etl_null_default_projection": ETL_NULL_DEFAULT_SQL,
+    "etl_safe_cast": ETL_SAFE_CAST_SQL,
+    "etl_upsert_merge": ETL_UPSERT_SQL,
+    "etl_dq_summary": ETL_DQ_SQL,
+}

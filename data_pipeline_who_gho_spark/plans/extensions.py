@@ -1,0 +1,421 @@
+"""North-star extension operators (BASELINE.json): dedup (exact, n-gram
+Jaccard, MinHash-LSH, SimHash), embedding similarity search, and text
+analysis — each designed for 100 TB scale and, where SQL-expressible,
+oracle-checked against DuckDB.
+
+Scale design notes
+------------------
+- Exact dedup: hash-groupBy on the fingerprint — one shuffle, partial agg.
+- N-gram Jaccard: inverted-index candidate join (explode shingles, join on
+  shingle) — the standard all-pairs similarity plan; candidate volume is
+  bounded by shingle document frequency, not |docs|².
+- MinHash-LSH: per-row signatures via higher-order functions (no UDF, no
+  shuffle), banding → bucket join (shuffle on band key only), then exact
+  verification on the candidates. At 100 TB the bucket join replaces the
+  inverted index when shingle DF is too high.
+- SimHash: per-row 64-bit fingerprint, band-bucket candidates (no oracle:
+  xxhash64 is Spark-specific).
+- ANN: brute-force cosine against a broadcast query set (exact baseline);
+  LSH bucketing is the scale path for query sets too big to broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions import vectors as VEC
+from ..sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Shared corpus: documents with deterministic near/exact duplicates injected
+# (doc_id % 7 == 0 re-appears under doc_id + 1000000), so dedup queries have
+# non-trivial answers on the driver's all-distinct fixture.
+# ---------------------------------------------------------------------------
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(dups)
+
+
+_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+"""
+
+SHINGLE_K = 5
+JACCARD_THRESHOLD = 0.6
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token count, quality score, heuristic language-ID per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.quality_score("text", "n_chars").alias("quality"),
+        TX.lang_id("text").alias("lang_guess"),
+    )
+
+
+def _sql_tokens(col: str = "text") -> str:
+    return f"regexp_split_to_array(trim(lower({col})), '\\s+')"
+
+
+def _sql_hits(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in TX.STOPWORDS[lang])
+    return f"len(list_filter({_sql_tokens()}, t -> t IN ({words})))"
+
+
+def _sql_lang_id() -> str:
+    hits = {lang: _sql_hits(lang) for lang in TX.LANG_ORDER}
+    best = "greatest(" + ",".join(hits[lang] for lang in TX.LANG_ORDER) + ")"
+    whens = " ".join(
+        f"WHEN {hits[lang]} > 0 AND {hits[lang]} = {best} THEN '{lang}'"
+        for lang in TX.LANG_ORDER
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_tokens()}) END AS n_tokens,
+       least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_tokens()}) END AS DOUBLE) / 100.0, 1.0) * 0.4
+       + (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_tokens()}) END) > 0
+               THEN CAST({_sql_hits('en')} AS DOUBLE)
+                    / CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_tokens()}) END AS DOUBLE)
+               ELSE 0.0 END) * 0.3
+       + least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.3 AS quality,
+       {_sql_lang_id()} AS lang_guess
+FROM documents
+"""
+
+
+def text_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate: heuristic guess vs labeled lang (confusion counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("lang_guess", TX.lang_id("text"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+TEXT_LANG_SUMMARY_SQL = f"""
+SELECT lang, {_sql_lang_id()} AS lang_guess, COUNT(*) AS n_docs
+FROM documents GROUP BY lang, {_sql_lang_id()}
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by md5 fingerprint: keep the smallest doc_id per
+    distinct text (hash-groupBy — one shuffle, map-side partial agg)."""
+    corpus = _corpus(spark, sf_dir)
+    return (
+        corpus.withColumn("fingerprint", TX.fingerprint_md5("text"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+WITH corpus AS ({_CORPUS_SQL})
+SELECT md5(text) AS fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM corpus GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dedup (exact, inverted-index plan)
+# ---------------------------------------------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with word-5-gram Jaccard ≥ 0.6, via inverted-index
+    candidate generation (join on shared shingle), exact set arithmetic.
+
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) — integer inputs, one double
+    division → bit-identical across engines.
+    """
+    corpus = _corpus(spark, sf_dir).withColumn(
+        "shingles", TX.word_shingles("text", SHINGLE_K)
+    )
+    sizes = corpus.select("doc_id", F.size("shingles").alias("n_sh"))
+    inv = corpus.select("doc_id", F.explode("shingles").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return jac.select("doc_a", "doc_b", "jaccard")
+
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(w) - {SHINGLE_K} + 2, 1)),
+           i -> array_to_string(w[i:i+{SHINGLE_K - 1}], ' '))) AS shingles
+  FROM (SELECT doc_id, {_sql_tokens()} AS w FROM corpus)
+  WHERE len(w) >= {SHINGLE_K}
+"""
+
+DEDUP_NGRAM_SQL = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+sh AS ({_SHINGLES_SQL}),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+
+NUM_HASHES = 96
+LSH_BANDS = 32          # 32 bands × 3 rows: P(miss | j=0.6) ≈ 4e-4
+LSH_ROWS = NUM_HASHES // LSH_BANDS
+# Mersenne-31 keeps a·h + b inside int64 (a,h < 2^31 ⇒ product < 2^62).
+_MERSENNE_P = (1 << 31) - 1
+# Fixed affine hash parameters (deterministic, no runtime randomness).
+_HASH_A = [((2 * i + 1) * 2654435761 % _MERSENNE_P) or 1 for i in range(1, NUM_HASHES + 1)]
+_HASH_B = [(i * 40503 * 65537 + 11) % _MERSENNE_P for i in range(1, NUM_HASHES + 1)]
+
+
+def _minhash_sig(shingles: Column) -> Column:
+    """96-element MinHash signature computed per-row with higher-order
+    functions: sig[i] = min over shingles of (a_i·h(s) + b_i) mod M31,
+    h = murmur3 (F.hash) widened to unsigned 32-bit. JVM-side, no UDF."""
+    def one(i: int) -> Column:
+        a, b = F.lit(_HASH_A[i]), F.lit(_HASH_B[i])
+        return F.array_min(
+            F.transform(
+                shingles,
+                lambda s: (a * (F.hash(s).cast("long").bitwiseAND(F.lit(2147483647))) + b)
+                % F.lit(_MERSENNE_P),
+            )
+        )
+    return F.array(*[one(i) for i in range(NUM_HASHES)])
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate generation + exact Jaccard verification.
+
+    Plan: signature (map-only) → band keys (map-only) → explode bands →
+    self-join on (band, key) = the only shuffle → exact verify via
+    array_intersect on the candidates only. With 32×3 banding, recall at
+    j≥0.6 is ≈ 99.96%, and verification makes precision exact, so the
+    DuckDB oracle is the exact-Jaccard pair set.
+    """
+    corpus = _corpus(spark, sf_dir).withColumn(
+        "shingles", TX.word_shingles("text", SHINGLE_K)
+    ).filter(F.size("shingles") > 0)
+    sig = corpus.withColumn("sig", _minhash_sig(F.col("shingles")))
+    bands = sig.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.concat_ws("_", F.slice(F.col("sig"), bi * LSH_ROWS + 1, LSH_ROWS)).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "shingles", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# Oracle: the exact pair set (LSH verified-candidates ⊆ exact; banding
+# params sized so recall misses are ~4e-4 at the threshold — and the
+# injected duplicates are identical (j=1.0), where recall is certain).
+DEDUP_MINHASH_SQL = DEDUP_NGRAM_SQL
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (rows-only check: xxhash64
+    is Spark-specific, not reproducible in the oracle).
+
+    bit j of simhash = sign of Σ_tokens (±1 per token's xxhash64 bit j).
+    """
+    corpus = _corpus(spark, sf_dir)
+    toks = F.array_distinct(TX.tokens(F.col("text")))
+
+    def bit(j: int) -> Column:
+        votes = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        return F.when(votes > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+    fp = F.lit(0).cast("long")
+    for j in range(64):
+        fp = fp + F.shiftleft(bit(j), j)
+    return corpus.select("doc_id", fp.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+N_QUERY_VECTORS = 10
+TOP_K = 5
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k: first 10 vectors as queries vs the
+    full table. The query side broadcasts (BroadcastNestedLoopJoin); the
+    big side streams — the correct exact-kNN plan when |Q| is small.
+    Cosine rounded to 6 dp for cross-engine float stability; ranking uses
+    the raw value with doc-id tiebreak.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VEC.as_double("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    joined = F.broadcast(q).join(emb, F.col("query_id") != F.col("vec_id"))
+    cos = VEC.cosine(F.col("qv"), F.col("v"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        joined.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+ANN_COSINE_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERY_VECTORS}),
+scored AS (
+  SELECT query_id, vec_id,
+         list_sum(list_transform(list_zip(qv, v), x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+            * sqrt(list_sum(list_transform(v, x -> x * x)))) AS cos
+  FROM q JOIN e ON query_id <> vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id AS neighbor_id, rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for ANN: random-hyperplane LSH bucketing (16-bit codes
+    from fixed pseudo-hyperplanes). Rows-only check (hyperplanes derive
+    from xxhash64). At 100 TB: bucket join replaces the broadcast NLJ."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VEC.as_double("embedding").alias("v")
+    )
+
+    def plane_bit(j: int) -> Column:
+        # deterministic ±1 hyperplane: sign of xxhash64(j, dim index)
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.sequence(F.lit(0), F.size("v") - 1),
+                lambda x, i: F.when(
+                    F.xxhash64(F.lit(j), i).bitwiseAND(F.lit(1)) == 1, x
+                ).otherwise(-x),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
+
+    code = F.lit(0)
+    for j in range(16):
+        code = code + F.shiftleft(plane_bit(j).cast("long"), j)
+    bucketed = emb.withColumn("bucket", code)
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+
+
+EXTENSION_QUERIES = {
+    "text_stats": text_stats,
+    "text_lang_summary": text_lang_summary,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_buckets": ann_lsh_buckets,
+}
+
+EXTENSION_ORACLE_SQL = {
+    "text_stats": TEXT_STATS_SQL,
+    "text_lang_summary": TEXT_LANG_SUMMARY_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    # dedup_simhash, ann_lsh_buckets: rows-only (engine-specific hashes)
+    "ann_cosine_topk": ANN_COSINE_SQL,
+}
