@@ -52,6 +52,34 @@ SHINGLE_K = 5
 JACCARD_THRESHOLD = 0.6
 
 
+def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-5-gram shingles as ROWS: (doc_id, shingle, n_sh).
+
+    Tokenize once per document (posexplode), then assemble shingles with
+    window ``lead`` — ~5× cheaper than nested array transforms, which
+    re-evaluate the tokenizer per shingle index. Row form is also the
+    100 TB shape: shuffles carry (doc_id, shingle) pairs, never whole
+    shingle arrays.
+    """
+    corpus = _corpus(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, SHINGLE_K)]
+    sh = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"),
+            leads[-1].isNotNull().alias("__complete"),
+        )
+        .filter(F.col("__complete"))
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    return sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -145,29 +173,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) — integer inputs, one double
     division → bit-identical across engines.
     """
-    corpus = _corpus(spark, sf_dir).withColumn(
-        "shingles", TX.word_shingles("text", SHINGLE_K)
-    )
-    sizes = corpus.select("doc_id", F.size("shingles").alias("n_sh"))
-    inv = corpus.select("doc_id", F.explode("shingles").alias("shingle"))
-    a, b = inv.alias("a"), inv.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+    sh = _shingle_table(spark, sf_dir)
+    a, b = sh.alias("a"), sh.alias("b")
+    # size-compatibility prune: jaccard ≥ t forces t ≤ |A|/|B| ≤ 1/t, so
+    # incompatible pairs drop inside the join, before the pair-count shuffle
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n_sh") * F.lit(JACCARD_THRESHOLD) <= F.col("a.n_sh"))
+            & (F.col("a.n_sh") * F.lit(JACCARD_THRESHOLD) <= F.col("b.n_sh")),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.max("a.n_sh").alias("n_a"),  # constant per doc: max = the value
+            F.max("b.n_sh").alias("n_b"),
+        )
     )
-    return jac.select("doc_a", "doc_b", "jaccard")
+    return _jaccard_filtered(pairs)
+
+
+def _jaccard_filtered(pairs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_inter, n_a, n_b) → pairs over the threshold.
+    Integer inputs, one double division → bit-identical across engines."""
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 _SHINGLES_SQL = f"""
@@ -211,20 +249,20 @@ _HASH_A = [((2 * i + 1) * 2654435761 % _MERSENNE_P) or 1 for i in range(1, NUM_H
 _HASH_B = [(i * 40503 * 65537 + 11) % _MERSENNE_P for i in range(1, NUM_HASHES + 1)]
 
 
-def _minhash_sig(shingles: Column) -> Column:
-    """96-element MinHash signature computed per-row with higher-order
-    functions: sig[i] = min over shingles of (a_i·h(s) + b_i) mod M31,
-    h = murmur3 (F.hash) widened to unsigned 32-bit. JVM-side, no UDF."""
-    def one(i: int) -> Column:
-        a, b = F.lit(_HASH_A[i]), F.lit(_HASH_B[i])
-        return F.array_min(
-            F.transform(
-                shingles,
-                lambda s: (a * (F.hash(s).cast("long").bitwiseAND(F.lit(2147483647))) + b)
-                % F.lit(_MERSENNE_P),
-            )
-        )
-    return F.array(*[one(i) for i in range(NUM_HASHES)])
+def _minhash_signatures(sh: DataFrame) -> DataFrame:
+    """MinHash signatures from the shingle ROW table: hash each shingle
+    once (murmur3 folded into [0, 2^31)), then 96 partial-aggregated MINs
+    — sig_i = min (a_i·h + b_i) mod M31. The map-side combine means the
+    shuffle moves 96 longs per doc, independent of document length."""
+    h = F.hash("shingle").cast("long").bitwiseAND(F.lit(2147483647))
+    mins = [
+        F.min((F.lit(_HASH_A[i]) * h + F.lit(_HASH_B[i])) % F.lit(_MERSENNE_P)).alias(f"m{i}")
+        for i in range(NUM_HASHES)
+    ]
+    agg = sh.groupBy("doc_id").agg(F.max("n_sh").alias("n_sh"), *mins)
+    return agg.select(
+        "doc_id", "n_sh", F.array(*[F.col(f"m{i}") for i in range(NUM_HASHES)]).alias("sig")
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,23 +274,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     j≥0.6 is ≈ 99.96%, and verification makes precision exact, so the
     DuckDB oracle is the exact-Jaccard pair set.
     """
-    corpus = _corpus(spark, sf_dir).withColumn(
-        "shingles", TX.word_shingles("text", SHINGLE_K)
-    ).filter(F.size("shingles") > 0)
-    sig = corpus.withColumn("sig", _minhash_sig(F.col("shingles")))
+    sh = _shingle_table(spark, sf_dir)
+    sig = _minhash_signatures(sh)
+
+    # Band keys WITHOUT any shingle payload: the self-join shuffles only
+    # (band, key-hash, doc_id) — at 100 TB carrying shingle data through
+    # the candidate exchange would dominate the job.
     bands = sig.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
                 lambda bi: F.struct(
                     bi.alias("band"),
-                    F.concat_ws("_", F.slice(F.col("sig"), bi * LSH_ROWS + 1, LSH_ROWS)).alias("key"),
+                    F.xxhash64(
+                        bi, F.concat_ws("_", F.slice(F.col("sig"), bi * LSH_ROWS + 1, LSH_ROWS))
+                    ).alias("key"),
                 ),
             )
         ).alias("bk"),
-    ).select("doc_id", "shingles", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -262,21 +303,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        cand.withColumn("jaccard", inter.cast("double") / union.cast("double"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
+
+    # Exact verification on candidates only: count shared shingles via the
+    # row table (no arrays through the join).
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    sb = sh.select(F.col("doc_id").alias("__b_id"), F.col("shingle").alias("sh_b"), F.col("n_sh").alias("n_b"))
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("__b_id")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
     )
+    return _jaccard_filtered(pairs)
 
 
 # Oracle: the exact pair set (LSH verified-candidates ⊆ exact; banding
