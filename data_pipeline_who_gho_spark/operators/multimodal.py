@@ -1,0 +1,92 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata (north-star extension).
+
+Design per the brief: the *Spark-side* mechanics — BinaryType columns,
+schema, Arrow-batched ``mapInPandas`` with correct batch shapes, partition
+sizing — are real and tested; the actual media decoding is stubbed behind
+``NotImplementedError`` (no image/audio libs in this container) with a
+deterministic fake used by tests and fixtures.
+
+Scale notes: binary payloads ride the normal columnar path (parquet
+BYTE_ARRAY); metadata extraction is a map-only Arrow pipeline. Partition
+sizing matters more than usual — size spark.sql.files.maxPartitionBytes
+so a partition of payloads fits executor memory (SURVEY §7 posture).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "doc_id BIGINT, n_bytes INT, magic STRING, media_type STRING, sha256 STRING"
+)
+
+# magic-byte prefixes → media type (the sniffing is real; decoding is not)
+_MAGIC = {
+    b"\x89PNG": "image/png",
+    b"\xff\xd8\xff": "image/jpeg",
+    b"RIFF": "audio/wav",
+    b"ID3": "audio/mp3",
+    b"\x00\x00\x00\x18ftyp": "video/mp4",
+    b"\x00\x00\x00\x20ftyp": "video/mp4",
+}
+
+
+def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic fake payload: utf-8 bytes of the text column. Stands
+    in for real media bytes so the binary-column plumbing is exercised
+    end-to-end (schema, parquet round-trip, Arrow transfer)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
+
+
+def sniff_media_type(payload: bytes | None) -> str:
+    if not payload:
+        return "empty"
+    for magic, mtype in _MAGIC.items():
+        if payload.startswith(magic):
+            return mtype
+    return "application/octet-stream"
+
+
+def decode_media(payload: bytes, media_type: str):  # pragma: no cover - stub
+    """STUB: real decode (PIL/librosa/ffmpeg) is unavailable in this
+    container. The Spark-side contract (signature, batching) is final;
+    swap this body for the real decoder on a cluster with media libs."""
+    raise NotImplementedError(
+        f"media decoding for {media_type} requires image/audio libraries "
+        "not present in this environment"
+    )
+
+
+def extract_media_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched metadata extraction over binary payloads.
+
+    mapInPandas (not a scalar UDF) because real decoders want whole
+    batches and per-batch library state; the fake path computes byte
+    length, magic sniff and sha256 — all deterministic.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0).astype("int32"),
+                    "magic": payloads.map(
+                        lambda b: (b[:4].hex() if b else "")
+                    ),
+                    "media_type": payloads.map(sniff_media_type),
+                    "sha256": payloads.map(
+                        lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
+                    ),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, MEDIA_META_SCHEMA)

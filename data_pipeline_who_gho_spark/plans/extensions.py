@@ -444,6 +444,29 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing end-to-end: attach a (fake) binary payload,
+    extract typed metadata via the Arrow mapInPandas path
+    (operators/multimodal.py). Oracle checks length + md5 of the payload
+    bytes — the deterministic part of the media pipeline."""
+    from ..operators.multimodal import attach_binary, extract_media_meta
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    meta = extract_media_meta(attach_binary(docs))
+    payload_md5 = docs.select("doc_id", F.md5(F.encode("text", "utf-8")).alias("payload_md5"))
+    return meta.join(payload_md5, "doc_id").select(
+        "doc_id", "n_bytes", "media_type", "payload_md5"
+    )
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       'application/octet-stream' AS media_type,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
 EXTENSION_QUERIES = {
     "text_stats": text_stats,
     "text_lang_summary": text_lang_summary,
@@ -453,6 +476,7 @@ EXTENSION_QUERIES = {
     "dedup_simhash": dedup_simhash,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
+    "multimodal_meta": multimodal_meta,
 }
 
 EXTENSION_ORACLE_SQL = {
@@ -463,4 +487,5 @@ EXTENSION_ORACLE_SQL = {
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     # dedup_simhash, ann_lsh_buckets: rows-only (engine-specific hashes)
     "ann_cosine_topk": ANN_COSINE_SQL,
+    "multimodal_meta": MULTIMODAL_META_SQL,
 }

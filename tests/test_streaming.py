@@ -1,0 +1,88 @@
+"""Structured Streaming paths driven with the file source + availableNow
+trigger into a memory sink (no external broker needed)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipeline_who_gho_spark.streaming import (
+    stream_event_counts,
+    stream_session_windows,
+    stream_validated_split,
+)
+
+
+@pytest.fixture()
+def event_stream(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        (2, "2024-01-01 10:10:00", 1, "click", 2.0),
+        (3, "2024-01-01 11:05:00", 2, "view", 3.0),
+        (4, "2024-01-01 11:20:00", 2, "view", -1.0),
+        (5, "2024-01-01 12:30:00", 1, "click", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.parquet(src)
+    return (
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+        ).parquet(src)
+    )
+
+
+def _run_to_memory(sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if sdf.isStreaming and name == "split" else "complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/ckpt-{name}-{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_event_counts(spark, event_stream):
+    out = stream_event_counts(event_stream, window="1 hour")
+    _run_to_memory(out, "counts")
+    rows = {(r["window_start"].hour, r["event_type"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM counts").collect()}
+    assert rows[(10, "click")] == 2
+    assert rows[(11, "view")] == 2
+    assert rows[(12, "click")] == 1
+
+
+def test_stream_session_windows(spark, event_stream):
+    out = stream_session_windows(event_stream, gap="30 minutes")
+    _run_to_memory(out, "sessions")
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r["n_events"])
+    # user 1: events at 10:00+10:10 (one session), 12:30 (another)
+    assert sorted(by_user[1]) == [1, 2]
+    # user 2: 11:05+11:20 within one 30-min gap session
+    assert by_user[2] == [2]
+
+
+def test_stream_validated_split(spark, event_stream):
+    out = stream_validated_split(event_stream)
+    q = (
+        out.writeStream.format("memory").queryName("split")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/ckpt-split-{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM split").collect()
+    bad = [r for r in rows if not r["is_valid"]]
+    assert len(rows) == 5 and len(bad) == 1
+    assert bad[0]["event_id"] == 4 and "value" in bad[0]["error_details"]
