@@ -18,6 +18,10 @@ from data_pipeline_who_gho_spark.plans.analytics import (  # noqa: E402
     ANALYTICS_ORACLE_SQL,
     ANALYTICS_QUERIES,
 )
+from data_pipeline_who_gho_spark.plans.analytics2 import (  # noqa: E402
+    ANALYTICS2_ORACLE_SQL,
+    ANALYTICS2_QUERIES,
+)
 from data_pipeline_who_gho_spark.plans.etl_ops import (  # noqa: E402
     ETL_ORACLE_SQL,
     ETL_QUERIES,
@@ -37,6 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(ANALYTICS_QUERIES)
+    out.update(ANALYTICS2_QUERIES)
     out.update(ETL_QUERIES)
     out.update(EXTENSION_QUERIES)
     return out
@@ -45,6 +50,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted ⇒ rows-only)."""
     out: dict[str, str] = {}
-    for d in (ANALYTICS_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL):
+    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL):
         out.update({k: v for k, v in d.items() if v})
     return out
