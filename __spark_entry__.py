@@ -30,6 +30,10 @@ from data_pipeline_who_gho_spark.plans.extensions import (  # noqa: E402
     EXTENSION_ORACLE_SQL,
     EXTENSION_QUERIES,
 )
+from data_pipeline_who_gho_spark.plans.extras import (  # noqa: E402
+    EXTRAS_ORACLE_SQL,
+    EXTRAS_QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -44,12 +48,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ANALYTICS2_QUERIES)
     out.update(ETL_QUERIES)
     out.update(EXTENSION_QUERIES)
+    out.update(EXTRAS_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted ⇒ rows-only)."""
     out: dict[str, str] = {}
-    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL):
+    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL, EXTRAS_ORACLE_SQL):
         out.update({k: v for k, v in d.items() if v})
     return out

@@ -1,0 +1,179 @@
+"""Extras batch: time-series as-of join, embedding near-dup pairs,
+rolling-hash fingerprints, BPE-ish token counts, and a TPC-H Q3-shaped
+join+agg+top-k — all oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import vectors as VEC
+from ..operators.asof import asof_join
+from ..sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# As-of join (operators/asof.py) vs DuckDB's native ASOF JOIN
+# ---------------------------------------------------------------------------
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click event annotated with the user's most recent prior
+    purchase value (backward as-of). Our composed window plan must match
+    DuckDB's built-in ASOF JOIN exactly."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(clicks, purchases, on=["user_id"], ts="ts", value_cols=["value"])
+    return out.select("event_id", "user_id", F.col("value_asof").alias("last_purchase_value"))
+
+
+ASOF_SQL = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     purchases AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, p.value AS last_purchase_value
+FROM clicks c
+ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup pairs (cosine >= threshold) with injected duplicates
+# ---------------------------------------------------------------------------
+
+NEARDUP_COS = 0.95
+
+
+def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vector pairs with cosine ≥ 0.95. Corpus = embeddings plus
+    deterministic duplicates (vec_id % 11 == 0 re-appears under
+    vec_id+1000000), mirroring the document-dedup fixtures.
+
+    Exact all-pairs here (the verification baseline); ann_lsh_buckets is
+    the candidate-generation scale path for the same operator.
+    """
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", VEC.as_double("embedding").alias("v"))
+    dup = emb.filter(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "v"
+    )
+    corpus = emb.unionByName(dup)
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = VEC.cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= NEARDUP_COS)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
+EMBED_NEARDUP_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+corpus AS (
+  SELECT vec_id, v FROM e
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, v FROM e WHERE vec_id % 11 = 0
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos, 6) AS cosine FROM pairs WHERE cos >= {NEARDUP_COS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash document fingerprint (cross-engine deterministic)
+# ---------------------------------------------------------------------------
+
+def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over characters: h = (h·31 + ascii(c)) mod
+    M31 — built from higher-order functions only, so the identical integer
+    recurrence runs in both engines (unlike murmur3/xxhash64)."""
+    docs = _t(spark, sf_dir, "documents")
+    # lookahead split yields a trailing "" in Spark — strip it
+    chars = F.array_remove(F.split(F.col("text"), "(?!^)"), "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(2147483647),
+    )
+    return docs.select("doc_id", fp.alias("rolling_hash"))
+
+
+ROLLING_HASH_SQL = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(text) + 1),
+                          i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 2147483647
+       ) AS rolling_hash
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: join + agg + deterministic top-k
+# ---------------------------------------------------------------------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unshipped-revenue top-10 (TPC-H Q3 shape): 3-way join, decimal
+    revenue agg, TakeOrdered top-k with unique tiebreak."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = "1996-03-15"
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    )
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy(F.col("o_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey AS orderkey, o_orderdate AS orderdate,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15'
+  AND l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+"""
+
+
+EXTRAS_QUERIES = {
+    "asof_join_events": asof_join_events,
+    "embed_neardup_pairs": embed_neardup_pairs,
+    "rolling_hash_fingerprint": rolling_hash_fingerprint,
+    "q3_shipping_priority": q3_shipping_priority,
+}
+
+EXTRAS_ORACLE_SQL = {
+    "asof_join_events": ASOF_SQL,
+    "embed_neardup_pairs": EMBED_NEARDUP_SQL,
+    "rolling_hash_fingerprint": ROLLING_HASH_SQL,
+    "q3_shipping_priority": Q3_SQL,
+}

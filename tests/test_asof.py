@@ -1,0 +1,46 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_who_gho_spark.operators.asof import asof_join
+
+
+def _ts(df, col="ts"):
+    return df.withColumn(col, F.col(col).cast("timestamp"))
+
+
+def test_asof_backward_basic(spark):
+    left = _ts(spark.createDataFrame(
+        [(1, "u1", "2024-01-01 10:00:00"),
+         (2, "u1", "2024-01-01 12:00:00"),
+         (3, "u2", "2024-01-01 09:00:00")],
+        "id INT, user STRING, ts STRING"))
+    right = _ts(spark.createDataFrame(
+        [("u1", "2024-01-01 09:30:00", 10.0),
+         ("u1", "2024-01-01 11:00:00", 20.0),
+         ("u2", "2024-01-01 09:30:00", 99.0)],
+        "user STRING, ts STRING, price DOUBLE"))
+    out = {r["id"]: r["price_asof"] for r in
+           asof_join(left, right, on=["user"], ts="ts").collect()}
+    assert out == {1: 10.0, 2: 20.0, 3: None}  # u2's only price is later
+
+
+def test_asof_tie_takes_equal_ts(spark):
+    left = _ts(spark.createDataFrame([(1, "u", "2024-01-01 10:00:00")],
+                                     "id INT, user STRING, ts STRING"))
+    right = _ts(spark.createDataFrame([("u", "2024-01-01 10:00:00", 5.0)],
+                                      "user STRING, ts STRING, price DOUBLE"))
+    out = asof_join(left, right, on=["user"], ts="ts").first()
+    assert out["price_asof"] == 5.0  # <= semantics: equal ts matches
+
+
+def test_asof_keeps_left_columns_and_count(spark):
+    left = _ts(spark.createDataFrame(
+        [(i, "u", f"2024-01-01 10:{i:02d}:00") for i in range(10)],
+        "id INT, user STRING, ts STRING"))
+    right = _ts(spark.createDataFrame([("u", "2024-01-01 10:05:30", 1.0)],
+                                      "user STRING, ts STRING, price DOUBLE"))
+    out = asof_join(left, right, on=["user"], ts="ts")
+    assert out.count() == 10  # left-preserving
+    vals = {r["id"]: r["price_asof"] for r in out.collect()}
+    assert vals[5] is None and vals[6] == 1.0
