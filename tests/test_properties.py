@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis): operator invariants that must hold
+for arbitrary inputs — the reference's tests only pin single fixtures."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from data_pipeline_who_gho_spark.operators.load import merge_upsert
+from data_pipeline_who_gho_spark.operators.transform import dedup_keep_first, normalize_year
+
+_slow = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+keys = st.text(alphabet="abc", min_size=1, max_size=2)
+rows = st.lists(st.tuples(keys, st.integers(0, 99)), min_size=0, max_size=30)
+
+
+@_slow
+@given(data=rows)
+def test_dedup_idempotent_and_minimal(spark, data):
+    if not data:
+        return
+    df = spark.createDataFrame(data, "k STRING, v INT")
+    out = dedup_keep_first(df, ["k"], order_by=["v"])
+    got = {(r["k"], r["v"]) for r in out.collect()}
+    # exactly one row per key, and it's the minimum-v row (keep-first parity)
+    expect = {}
+    for k, v in data:
+        expect[k] = min(expect.get(k, v), v)
+    assert got == set(expect.items())
+
+
+@_slow
+@given(t=rows, u=rows)
+def test_merge_upsert_properties(spark, t, u):
+    # dedup inputs per key first (upsert contract requires unique keys)
+    def uniq(d):
+        m = {}
+        for k, v in d:
+            m[k] = v
+        return list(m.items())
+
+    t, u = uniq(t), uniq(u)
+    target = spark.createDataFrame(t, "k STRING, v INT") if t else None
+    updates = spark.createDataFrame(u, "k STRING, v INT") if u else None
+    if updates is None:
+        return
+    out = {(r["k"], r["v"]) for r in merge_upsert(target, updates, ["k"]).collect()}
+    expect = dict(t)
+    expect.update(dict(u))  # updates win
+    assert out == set(expect.items())
+
+
+year_strings = st.one_of(
+    st.integers(1000, 2100).map(str),
+    st.tuples(st.integers(1000, 2100), st.integers(1000, 2100)).map(
+        lambda p: f"{p[0]}-{p[1]}"
+    ),
+    st.just("garbage"),
+    st.none(),
+)
+
+
+@_slow
+@given(ys=st.lists(year_strings, min_size=1, max_size=20))
+def test_normalize_year_first_segment(spark, ys):
+    df = spark.createDataFrame([(y,) for y in ys], "y STRING")
+    out = [r["n"] for r in df.select(normalize_year("y").alias("n")).collect()]
+    for y, n in zip(ys, out):
+        if y is None or y == "garbage":
+            assert n is None
+        else:
+            assert n == int(y.split("-")[0])
