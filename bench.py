@@ -32,6 +32,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_stats",
     "ann_cosine_topk",
+    "q3_shipping_priority",
+    "asof_join_events",
 ]
 
 

@@ -37,6 +37,17 @@ def token_count(c: Column | str) -> Column:
     return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(F.size(tokens(col)))
 
 
+# BPE-ish tokenization: alphanumeric runs OR single non-space symbols —
+# the regex shape of byte-pair pretokenizers (GPT-2-style split) without
+# a vocab. Counts are deterministic and cheap (one regexp pass).
+BPE_TOKEN_RE = "[a-z0-9]+|[^a-z0-9\\s]"
+
+
+def bpe_token_count(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
 def stopword_hits(c: Column | str, lang: str) -> Column:
     """Number of tokens that are stopwords of ``lang``."""
     words = STOPWORDS[lang]

@@ -90,6 +90,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         TX.token_count("text").alias("n_tokens"),
+        TX.bpe_token_count("text").alias("n_tokens_bpe"),
         TX.quality_score("text", "n_chars").alias("quality"),
         TX.lang_id("text").alias("lang_guess"),
     )
@@ -117,6 +118,7 @@ def _sql_lang_id() -> str:
 TEXT_STATS_SQL = f"""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_tokens()}) END AS n_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_tokens_bpe,
        least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_tokens()}) END AS DOUBLE) / 100.0, 1.0) * 0.4
        + (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_tokens()}) END) > 0
                THEN CAST({_sql_hits('en')} AS DOUBLE)

@@ -5,7 +5,7 @@ join+agg+top-k — all oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as VEC
@@ -164,11 +164,97 @@ LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF-partitioned ANN (the coarse-quantizer scale path; LSH buckets are the
+# hash-based alternative in plans/extensions.py)
+# ---------------------------------------------------------------------------
+
+IVF_CELLS = 16
+
+
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate search: the first 16 vectors act as
+    deterministic coarse centroids; every vector is assigned to its
+    nearest centroid (argmin L2, ties → lowest centroid id); queries probe
+    only their own cell (nprobe=1) for cosine top-3.
+
+    Scale shape: assignment is a broadcast NLJ against K centroids
+    (map-only); search shuffles once on cell id — per-query work drops
+    from O(N) to O(N/K). Exactness is the oracle's job: the same IVF
+    logic is SQL-expressible, so even the *approximation* is checked.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VEC.as_double("embedding").alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+
+    def l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cent_id"))
+    assigned = (
+        emb.join(F.broadcast(cents), F.lit(True))
+        .withColumn("d2", l2(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cent_id")
+    )
+    queries = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("cent_id").alias("qcell")
+    )
+    cand = queries.join(
+        assigned,
+        (F.col("qcell") == F.col("cent_id")) & (F.col("query_id") != F.col("vec_id")),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("cos", VEC.cosine(F.col("qv"), F.col("v")))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {IVF_CELLS}),
+assigned AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT e.vec_id, e.v, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(list_zip(e.v, c.cv), x -> (x[1]-x[2])*(x[1]-x[2]))), c.cent_id
+           ) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, cent_id AS qcell FROM assigned WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, a.vec_id,
+         list_sum(list_transform(list_zip(qv, a.v), x -> x[1]*x[2]))
+         / (sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(a.v, x -> x*x)))) AS cos
+  FROM q JOIN assigned a ON qcell = a.cent_id AND query_id <> a.vec_id
+)
+SELECT query_id, vec_id AS neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank,
+       round(cos, 6) AS cosine
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
 EXTRAS_QUERIES = {
     "asof_join_events": asof_join_events,
     "embed_neardup_pairs": embed_neardup_pairs,
     "rolling_hash_fingerprint": rolling_hash_fingerprint,
     "q3_shipping_priority": q3_shipping_priority,
+    "ann_ivf_search": ann_ivf_search,
 }
 
 EXTRAS_ORACLE_SQL = {
@@ -176,4 +262,5 @@ EXTRAS_ORACLE_SQL = {
     "embed_neardup_pairs": EMBED_NEARDUP_SQL,
     "rolling_hash_fingerprint": ROLLING_HASH_SQL,
     "q3_shipping_priority": Q3_SQL,
+    "ann_ivf_search": ANN_IVF_SQL,
 }
