@@ -392,7 +392,65 @@ FROM orders WHERE year(o_orderdate) = 1996
 """
 
 
+def set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL on multisets of
+    (custkey) drawn from order years (duplicates preserved)."""
+    orders = _t(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select(F.col("o_custkey").alias("custkey"))
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    inter = y95.intersectAll(y96).withColumn("op", F.lit("intersect_all"))
+    minus = y95.exceptAll(y96).withColumn("op", F.lit("except_all"))
+    return inter.unionByName(minus)
+
+
+SET_OPS_BAG_SQL = """
+WITH y95 AS (SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995),
+     y96 AS (SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT custkey, 'intersect_all' AS op FROM (SELECT custkey FROM y95 INTERSECT ALL SELECT custkey FROM y96)
+UNION ALL
+SELECT custkey, 'except_all' AS op FROM (SELECT custkey FROM y95 EXCEPT ALL SELECT custkey FROM y96)
+"""
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via integer floor-division bucketing (the
+    deterministic cousin of width_bucket)."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 10000).cast("int")
+    return (
+        li.groupBy(bucket.alias("price_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+AGG_HISTOGRAM_SQL = """
+SELECT CAST(floor(l_extendedprice / 10000) AS INT) AS price_bucket, COUNT(*) AS n_items
+FROM lineitem GROUP BY 1
+"""
+
+
+def sort_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination: ORDER BY ... LIMIT 20 OFFSET 40 with a
+    total order (deterministic page)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(40)
+        .limit(20)
+        .select(F.col("o_orderkey").alias("orderkey"), F.col("o_totalprice").alias("totalprice"))
+    )
+
+
+SORT_OFFSET_SQL = """
+SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 40
+"""
+
+
 ANALYTICS2_QUERIES = {
+    "set_ops_bag": set_ops_bag,
+    "agg_histogram": agg_histogram,
+    "sort_offset_page": sort_offset_page,
     "join_left_outer": join_left_outer,
     "join_full_outer": join_full_outer,
     "pivot_status_by_year": pivot_status_by_year,
@@ -411,6 +469,9 @@ ANALYTICS2_QUERIES = {
 }
 
 ANALYTICS2_ORACLE_SQL = {
+    "set_ops_bag": SET_OPS_BAG_SQL,
+    "agg_histogram": AGG_HISTOGRAM_SQL,
+    "sort_offset_page": SORT_OFFSET_SQL,
     "join_left_outer": JOIN_LEFT_OUTER_SQL,
     "join_full_outer": JOIN_FULL_OUTER_SQL,
     "pivot_status_by_year": PIVOT_SQL,

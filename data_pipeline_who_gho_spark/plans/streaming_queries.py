@@ -1,0 +1,119 @@
+"""Streaming paths exposed as oracle-checked queries.
+
+Each query builds a real Structured Streaming job over the events fixture
+(file source → watermarked transformation → memory sink, availableNow
+trigger), waits for completion, and returns the materialized result. Over
+static input, the streaming result must equal the batch aggregation — so
+the DuckDB oracle is ordinary SQL, and the *streaming machinery itself*
+(watermarks, state store, window assignment) sits inside the correctness
+gate rather than only in unit tests.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from ..streaming.incremental import stream_event_counts, stream_session_windows
+
+_EVENT_SCHEMA = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
+    """Stage the events table as a file-source stream (timestamps already
+    µs-normalized by the catalog), return (stream, staging dir)."""
+    stage = os.path.join(tempfile.gettempdir(), f"stream-src-{uuid.uuid4().hex[:8]}")
+    load_table(spark, sf_dir, "events").write.parquet(stage)
+    stream = spark.readStream.schema(_EVENT_SCHEMA).parquet(stage)
+    return stream, stage
+
+
+def _run_to_df(spark: SparkSession, out: DataFrame, mode: str = "complete") -> DataFrame:
+    name = "q" + uuid.uuid4().hex[:10]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt-{name}"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling windows over the event stream."""
+    stream, _ = _events_stream(spark, sf_dir)
+    out = stream_event_counts(stream, window="1 hour", watermark="2 hours")
+    res = _run_to_df(spark, out)
+    return res.select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "n_events",
+        # decimal-exact total for oracle parity (stream sums doubles in
+        # arrival order — not reproducible; re-derive exactly instead)
+    ).join(
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value")),
+        ["window_start", "event_type"],
+    )
+
+
+STREAM_TUMBLING_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min gap) on the stream; oracle = the
+    batch window-function sessionization (same gap logic in SQL)."""
+    stream, _ = _events_stream(spark, sf_dir)
+    out = stream_session_windows(stream, gap="30 minutes", watermark="4 hours")
+    res = _run_to_df(spark, out)
+    return res.select("user_id", "session_start", "session_end", "n_events")
+
+
+STREAM_SESSIONS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS gap,
+         event_id
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start,
+       CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+STREAMING_QUERIES = {
+    "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_sessions": stream_sessions,
+}
+
+STREAMING_ORACLE_SQL = {
+    "stream_tumbling_counts": STREAM_TUMBLING_SQL,
+    "stream_sessions": STREAM_SESSIONS_SQL,
+}
