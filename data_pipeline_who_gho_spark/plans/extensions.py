@@ -52,6 +52,9 @@ SHINGLE_K = 5
 JACCARD_THRESHOLD = 0.6
 
 
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-5-gram shingles as ROWS: (doc_id, shingle, n_sh).
 
@@ -60,7 +63,16 @@ def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-evaluate the tokenizer per shingle index. Row form is also the
     100 TB shape: shuffles carry (doc_id, shingle) pairs, never whole
     shingle arrays.
+
+    The result is persisted and memoized per (application, sf_dir): both
+    near-dup queries reference it several times (signature build, both
+    join sides, verification); without the cache each reference re-scans
+    and re-tokenizes the corpus (8 scans observed in the minhash plan).
     """
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHINGLE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     corpus = _corpus(spark, sf_dir)
     toks = corpus.select(
         "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "tok")
@@ -77,7 +89,9 @@ def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shingle")
         .distinct()
     )
-    return sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    out = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))).persist()
+    _SHINGLE_CACHE[cache_key] = out
+    return out
 
 
 # ---------------------------------------------------------------------------
