@@ -108,12 +108,46 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sliding windows (1 h length / 30 min slide): every event
+    contributes to two overlapping windows — F.window's multi-assignment
+    expansion, oracle'd by explicit window-start generation in SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+SLIDING_WINDOW_SQL = """
+WITH starts AS (
+  SELECT event_type, ts,
+         to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - k * 1800) AS window_start
+  FROM events, (SELECT unnest([0, 1]) AS k)
+)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+       CAST(window_start + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+       event_type, COUNT(*) AS n_events
+FROM starts
+WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
+GROUP BY 1, 2, 3
+"""
+
+
 STREAMING_QUERIES = {
+    "sliding_window_counts": sliding_window_counts,
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_sessions": stream_sessions,
 }
 
 STREAMING_ORACLE_SQL = {
+    "sliding_window_counts": SLIDING_WINDOW_SQL,
     "stream_tumbling_counts": STREAM_TUMBLING_SQL,
     "stream_sessions": STREAM_SESSIONS_SQL,
 }
