@@ -70,6 +70,7 @@ def upsert(
     warehouse_dir: str,
     table: str,
     keys: Sequence[str],
+    partition_by: Sequence[str] | None = None,
 ) -> None:
     """L2: idempotent keyed upsert into a parquet warehouse table.
 
@@ -77,6 +78,12 @@ def upsert(
     table, (3) write to a fresh temp dir, (4) atomic directory swap.
     Re-running the same batch yields a byte-identical table (idempotency —
     the reference's core guarantee, etl/load.py:45-48).
+
+    ``partition_by`` lays the table out hive-partitioned (e.g. fact by
+    time_dim) so downstream year-filtered queries prune partitions at
+    plan time — the at-rest layout SURVEY §1 calls for. At 100 TB the
+    full-table rewrite gives way to partition-scoped MERGE (or Delta);
+    the call-site contract stays the same.
     """
     dup = (
         updates.groupBy(*[F.col(k) for k in keys])
@@ -93,7 +100,10 @@ def upsert(
 
     path = _table_path(warehouse_dir, table)
     tmp = path + ".tmp-" + uuid.uuid4().hex[:8]
-    merged.write.mode("overwrite").parquet(tmp)
+    writer = merged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     old = path + ".old-" + uuid.uuid4().hex[:8]
     if os.path.exists(path):
         os.rename(path, old)

@@ -80,7 +80,10 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
                "dim_country", ["country_code"])
         append_rejects(c_res.rejected, cfg.warehouse_dir)
 
-    upsert(spark, obs_final, cfg.warehouse_dir, "fact_observation", ["observation_id"])
+    # fact partitioned by year at rest: year-filtered analytics (the A1/A4
+    # query family) prune partitions instead of scanning the full fact
+    upsert(spark, obs_final, cfg.warehouse_dir, "fact_observation",
+           ["observation_id"], partition_by=["time_dim"])
     append_rejects(obs_res.rejected, cfg.warehouse_dir)
 
     # -- DQ gate (fails the run on violation) ------------------------------
