@@ -1,0 +1,42 @@
+"""The engine's user-extension point: vectorized pandas UDFs ONLY
+(SURVEY §2c — never row-at-a-time Python; Arrow batches keep the Python
+boundary ~10-100× cheaper).
+
+UDF registration needs an active SparkSession, so kernels are exposed as
+factories (``@pandas_udf`` resolves the return type against the session);
+call them after the session exists.
+
+``make_winsorize_udf`` is the worked example — a shape (per-batch numpy
+arithmetic) built-ins could also do; real uses are model scoring /
+tokenizer calls where a Python library is unavoidable.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def make_winsorize_udf():
+    """Clip to [1st, 99th] percentile of the *batch* — illustrative only;
+    for exact global winsorization compute bounds with approxQuantile
+    first and pass them via ``make_affine_udf``-style literals."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def winsorized(v: pd.Series) -> pd.Series:
+        lo, hi = v.quantile(0.01), v.quantile(0.99)
+        return v.clip(lo, hi)
+
+    return winsorized
+
+
+def make_affine_udf(scale: float, shift: float):
+    """UDF factory: y = scale·x + shift as an Arrow-vectorized kernel —
+    the pattern for parameterized user extensions."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def affine(v: pd.Series) -> pd.Series:
+        return v * scale + shift
+
+    return affine
