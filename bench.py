@@ -50,8 +50,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
-    # warm the JVM/codegen paths on the tiny sf before timing
+    # warm JVM/codegen paths on the tiny sf, and the OS page cache +
+    # parquet footers for the bench tables (steady-state measurement)
     force(queries["a1_star_join_revenue"](spark, "/root/testdata/sf0.001"))
+    from data_pipeline_who_gho_spark.sources.catalog import TABLES, load_table
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
