@@ -460,6 +460,72 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster canonicalization: near-dup pairs (exact n-gram Jaccard
+    ≥ 0.6) → connected components → every clustered doc mapped to its
+    canonical (min doc_id) representative. The output is the "what to
+    keep / what to drop" table a training-data dedup actually consumes.
+
+    Iterative min-label propagation (operators/components.py) vs the
+    oracle's recursive-CTE transitive closure — a genuinely iterative
+    plan under the correctness gate.
+    """
+    from ..operators.components import connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).localCheckpoint(eager=True)  # pairs are reused every CC iteration
+    verts = (
+        pairs.select(F.col("src").alias("id"))
+        .unionByName(pairs.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    cc = connected_components(verts, pairs)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("canonical_id"),
+            "cluster_size",
+        )
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
+sh AS ({_SHINGLES_SQL}),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+verts AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS canonical_id FROM reach GROUP BY src)
+SELECT c.doc_id, c.canonical_id, s.cluster_size
+FROM comp c
+JOIN (SELECT canonical_id, COUNT(*) AS cluster_size FROM comp GROUP BY canonical_id) s
+  ON c.canonical_id = s.canonical_id
+"""
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing end-to-end: attach a (fake) binary payload,
     extract typed metadata via the Arrow mapInPandas path
@@ -490,6 +556,7 @@ EXTENSION_QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_clusters": dedup_clusters,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
     "multimodal_meta": multimodal_meta,
@@ -501,6 +568,7 @@ EXTENSION_ORACLE_SQL = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
     # dedup_simhash, ann_lsh_buckets: rows-only (engine-specific hashes)
     "ann_cosine_topk": ANN_COSINE_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
