@@ -84,17 +84,3 @@ def fingerprint_md5(c: Column | str) -> Column:
     """Document fingerprint: md5 hex of the raw text (exact-dedup key)."""
     col = F.col(c) if isinstance(c, str) else c
     return F.md5(col.cast("binary"))
-
-
-def word_shingles(c: Column | str, k: int = 5) -> Column:
-    """Distinct k-word shingles ('w1 w2 .. wk' strings) — the unit set for
-    n-gram Jaccard / MinHash dedup. Built with transform over a token
-    index range: one pass, no explode, no UDF."""
-    toks = tokens(c)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(-1)))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
-    return F.when(n < k, F.array().cast("array<string>")).otherwise(F.array_distinct(sh))

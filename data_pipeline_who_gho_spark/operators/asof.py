@@ -42,11 +42,19 @@ def asof_join(
         value_cols = [c for c in right.columns if c not in on and c != ts]
 
     l_tag = left.withColumn("__side", F.lit(1))
+    # the whole right payload rides as ONE struct: last(ignorenulls) then
+    # picks the latest right ROW atomically — a right row whose value
+    # column is genuinely NULL still supersedes older rows (merge_asof /
+    # DuckDB ASOF parity), and multiple value columns can never mix rows
     r_tag = right.select(
-        *on, ts, *[F.col(c).alias(f"{c}{suffix}") for c in value_cols]
+        *on,
+        ts,
+        F.struct(*[F.col(c) for c in value_cols]).alias("__payload"),
     ).withColumn("__side", F.lit(0))
 
-    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    unioned = l_tag.withColumn("__payload", F.lit(None).cast(
+        r_tag.schema["__payload"].dataType
+    )).unionByName(r_tag, allowMissingColumns=True)
     # right rows (side 0) sort before left rows at the same ts ⇒ a right
     # row at exactly left.ts is visible to that left row (<= semantics)
     w = (
@@ -54,8 +62,10 @@ def asof_join(
         .orderBy(F.col(ts), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    unioned = unioned.withColumn(
+        "__carried", F.last(F.col("__payload"), ignorenulls=True).over(w)
+    )
+    out = unioned.filter(F.col("__side") == 1)
     for c in value_cols:
-        unioned = unioned.withColumn(
-            f"{c}{suffix}", F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
-        )
-    return unioned.filter(F.col("__side") == 1).drop("__side")
+        out = out.withColumn(f"{c}{suffix}", F.col("__carried").getField(c))
+    return out.drop("__side", "__payload", "__carried")

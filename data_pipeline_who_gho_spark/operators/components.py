@@ -19,9 +19,14 @@ from pyspark.sql import functions as F
 def connected_components(
     vertices: DataFrame,  # (id)
     edges: DataFrame,  # (src, dst) undirected pairs
-    max_iterations: int = 20,
+    max_iterations: int = 50,
 ) -> DataFrame:
-    """Return (id, component) with component = min id reachable."""
+    """Return (id, component) with component = min id reachable.
+
+    Raises RuntimeError if the fixpoint isn't reached within
+    ``max_iterations`` (graph diameter too large) — loud beats silently
+    wrong cluster labels."""
+    converged = False
     both = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -55,5 +60,11 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — graph diameter exceeds the bound; raise max_iterations"
+        )
     return labels

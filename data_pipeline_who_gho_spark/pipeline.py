@@ -52,7 +52,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
 
     # -- extract (fixture-file source stands in for the OData fetcher) ----
     obs_raw = spark.read.format(cfg.source_format).load(cfg.source_observations)
-    if cfg.limit:
+    if cfg.limit is not None:  # limit=0 means zero rows, not "no limit"
         obs_raw = obs_raw.limit(cfg.limit)
 
     # watermark: new-data-only unless full_reingest (declared in the
@@ -65,6 +65,19 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     obs_clean = clean_observations(obs_raw)
     obs_res = validate_split(obs_clean, observation_rules())
     obs_final = _rename(obs_res.validated, OBSERVATION_RENAMES)
+
+    # upsert key mirrors clean_observations' dedup fallback: composite
+    # natural key when Id is unusable (etl/transform.py:45-48) — a null
+    # observation_id never matches an anti-join and would either crash the
+    # dup-key guard or accumulate duplicates
+    id_usable = (
+        obs_final.where(obs_final["observation_id"].isNotNull()).limit(1).count() > 0
+    )
+    fact_keys = (
+        ["observation_id"]
+        if id_usable
+        else ["indicator_code", "spatial_dim", "time_dim"]
+    )
 
     # -- load: dims first, fact last (who_gho_etl_dag.py:177-187) ---------
     if cfg.source_indicators:
@@ -83,7 +96,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     # fact partitioned by year at rest: year-filtered analytics (the A1/A4
     # query family) prune partitions instead of scanning the full fact
     upsert(spark, obs_final, cfg.warehouse_dir, "fact_observation",
-           ["observation_id"], partition_by=["time_dim"])
+           fact_keys, partition_by=["time_dim"])
     append_rejects(obs_res.rejected, cfg.warehouse_dir)
 
     # -- DQ gate (fails the run on violation) ------------------------------
@@ -92,7 +105,17 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         fact, ["indicator_code", "spatial_dim", "time_dim"], "fact_observation"
     )
 
-    state.set_last_successful_run_at(cfg.process_name)
+    # watermark = max event-time actually processed, NOT wall-clock run
+    # completion: a processing-time watermark silently skips rows that
+    # land in the source late with earlier ingested_at stamps
+    if "ingested_at" in obs_raw.columns:
+        from pyspark.sql import functions as F
+
+        max_seen = obs_raw.agg(F.max("ingested_at")).first()[0]
+        if max_seen is not None:
+            state.set_last_successful_run_at(cfg.process_name, max_seen)
+    else:
+        state.set_last_successful_run_at(cfg.process_name)
     return metrics
 
 

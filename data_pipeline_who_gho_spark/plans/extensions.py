@@ -73,6 +73,11 @@ def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _SHINGLE_CACHE.get(cache_key)
     if cached is not None:
         return cached
+    # bound the cache: unpersist + evict the oldest entry beyond 4 — a
+    # long-lived session sweeping many sf_dirs must not pin storage forever
+    while len(_SHINGLE_CACHE) >= 4:
+        old_key = next(iter(_SHINGLE_CACHE))
+        _SHINGLE_CACHE.pop(old_key).unpersist()
     corpus = _corpus(spark, sf_dir)
     toks = corpus.select(
         "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "tok")

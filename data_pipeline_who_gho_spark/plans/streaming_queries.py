@@ -43,7 +43,13 @@ def _run_to_df(spark: SparkSession, out: DataFrame, mode: str = "complete") -> D
         .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt-{name}"))
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            "streaming query did not complete within 300s — refusing to "
+            "return a partially-populated memory sink"
+        )
     return spark.table(name)
 
 

@@ -65,9 +65,14 @@ DIM_COUNTRY = T.StructType(
     ]
 )
 
+# observation_id is STRING: the API's Id arrives stringly-typed and the
+# validation layer keeps Pydantic's coerce_numbers_to_str semantics
+# (etl/validate.py:8) — the reference's Integer PK (etl/models.py:26) is a
+# DB-side re-typing we intentionally do not replicate; nullable because
+# the composite natural key takes over when Id is absent (T6 fallback).
 FACT_OBSERVATION = T.StructType(
     [
-        T.StructField("observation_id", T.IntegerType(), False),
+        T.StructField("observation_id", T.StringType(), True),
         T.StructField("indicator_code", T.StringType(), False),
         T.StructField("spatial_dim", T.StringType(), False),
         T.StructField("spatial_dim_type", T.StringType(), False),
@@ -82,9 +87,9 @@ ETL_STATE = T.StructType(
     [
         T.StructField("process_name", T.StringType(), False),
         T.StructField("last_successful_run_at", T.TimestampType(), True),
-        T.StructField(
-            "checkpoint_state", T.MapType(T.StringType(), T.StringType()), True
-        ),
+        # JSON string (as stored by sources/state.py), mirroring the
+        # reference's JSON column (etl/models.py:42)
+        T.StructField("checkpoint_state", T.StringType(), True),
     ]
 )
 

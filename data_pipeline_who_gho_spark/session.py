@@ -19,7 +19,12 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+_cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# the same env var feeds master local[{cpus}], where '*' is idiomatic —
+# fall back to the machine's core count for the partition default
+DEFAULT_SHUFFLE_PARTITIONS = (
+    int(_cpus_env) if _cpus_env.isdigit() else (os.cpu_count() or 32)
+)
 
 
 def get_spark(

@@ -103,7 +103,7 @@ def fetch_paged(
                     yield pd.DataFrame(rows)
 
     out = plan.mapInPandas(run, schema)
-    return out.limit(limit) if limit else out
+    return out.limit(limit) if limit is not None else out
 
 
 def fetch_with_checkpoint(

@@ -34,6 +34,31 @@ def test_asof_tie_takes_equal_ts(spark):
     assert out["price_asof"] == 5.0  # <= semantics: equal ts matches
 
 
+def test_asof_null_value_in_latest_right_row_wins(spark):
+    # merge_asof/DuckDB parity: the LATEST right row is attached even when
+    # its value column is NULL — no falling back to older non-null values
+    left = _ts(spark.createDataFrame([(1, "u", "2024-01-01 12:00:00")],
+                                     "id INT, user STRING, ts STRING"))
+    right = _ts(spark.createDataFrame(
+        [("u", "2024-01-01 10:00:00", 5.0),
+         ("u", "2024-01-01 11:00:00", None)],
+        "user STRING, ts STRING, price DOUBLE"))
+    out = asof_join(left, right, on=["user"], ts="ts").first()
+    assert out["price_asof"] is None
+
+
+def test_asof_multiple_value_cols_from_same_row(spark):
+    left = _ts(spark.createDataFrame([(1, "u", "2024-01-01 12:00:00")],
+                                     "id INT, user STRING, ts STRING"))
+    right = _ts(spark.createDataFrame(
+        [("u", "2024-01-01 10:00:00", 5.0, "old"),
+         ("u", "2024-01-01 11:00:00", None, "new")],
+        "user STRING, ts STRING, price DOUBLE, tag STRING"))
+    out = asof_join(left, right, on=["user"], ts="ts").first()
+    # both columns must come from the 11:00 row — never a mix
+    assert out["price_asof"] is None and out["tag_asof"] == "new"
+
+
 def test_asof_keeps_left_columns_and_count(spark):
     left = _ts(spark.createDataFrame(
         [(i, "u", f"2024-01-01 10:{i:02d}:00") for i in range(10)],

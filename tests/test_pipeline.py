@@ -53,6 +53,23 @@ def test_pipeline_idempotent(spark, tmp_path, sources):
     assert m1 == m2  # re-run is a no-op on the fact table
 
 
+def test_pipeline_all_null_ids_uses_composite_key(spark, tmp_path, raw_observations):
+    # clean_observations' composite-key fallback must flow through to the
+    # upsert key — null observation_ids would otherwise crash the dup
+    # guard or duplicate on re-run
+    recs = [{**r, "Id": None} for r in raw_observations]
+    src = tmp_path / "src_nullid"
+    spark.createDataFrame(recs, RAW_OBSERVATION).write.parquet(str(src))
+    cfg = PipelineConfig(
+        warehouse_dir=str(tmp_path / "wh_nullid"),
+        source_observations=str(src),
+        full_reingest=True,
+    )
+    m1 = run_pipeline(spark, cfg)
+    m2 = run_pipeline(spark, cfg)  # idempotent on the natural key
+    assert m1 == m2 == {"row_count": 4, "null_key_rows": 0}
+
+
 def test_pipeline_limit(spark, tmp_path, sources):
     cfg = _cfg(tmp_path, sources)
     cfg.source_observations = str(sources / "obs")
