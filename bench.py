@@ -57,11 +57,16 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
+    # best-of-2 per query: reports steady-state throughput, damps GC /
+    # compilation / page-cache noise between rounds
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        force(queries[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            force(queries[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(

@@ -291,7 +291,27 @@ FROM raw
 """
 
 
+def etl_paged_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S3+S6+S7 under the correctness gate: distributed paged fetch of
+    a deterministic source (10 keys × 5 records in pages of 2) through the
+    real mapInPandas executor path, with a global limit applied."""
+    from ..sources.paged import fetch_paged
+    from ..sources.testing import pages_fetcher
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(10)], "key STRING")
+    return fetch_paged(
+        spark, keys, pages_fetcher, "key STRING, idx INT", page_size=2
+    )
+
+
+ETL_PAGED_SQL = """
+SELECT concat('k', CAST(i AS VARCHAR)) AS key, CAST(j AS INT) AS idx
+FROM range(10) t(i) CROSS JOIN range(5) u(j)
+"""
+
+
 ETL_QUERIES = {
+    "etl_paged_fetch": etl_paged_fetch,
     "etl_clean_observations": etl_clean_observations,
     "etl_validate_good": etl_validate_good,
     "etl_validate_rejected": etl_validate_rejected,
@@ -303,6 +323,7 @@ ETL_QUERIES = {
 }
 
 ETL_ORACLE_SQL = {
+    "etl_paged_fetch": ETL_PAGED_SQL,
     "etl_clean_observations": ETL_CLEAN_SQL,
     "etl_validate_good": ETL_VALIDATE_GOOD_SQL,
     "etl_validate_rejected": ETL_VALIDATE_REJECTED_SQL,
