@@ -42,6 +42,10 @@ from data_pipeline_who_gho_spark.plans.tpch import (  # noqa: E402
     TPCH_ORACLE_SQL,
     TPCH_QUERIES,
 )
+from data_pipeline_who_gho_spark.plans.behavior import (  # noqa: E402
+    BEHAVIOR_ORACLE_SQL,
+    BEHAVIOR_QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -59,12 +63,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(EXTRAS_QUERIES)
     out.update(STREAMING_QUERIES)
     out.update(TPCH_QUERIES)
+    out.update(BEHAVIOR_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted ⇒ rows-only)."""
     out: dict[str, str] = {}
-    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL, EXTRAS_ORACLE_SQL, STREAMING_ORACLE_SQL, TPCH_ORACLE_SQL):
+    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL, EXTRAS_ORACLE_SQL, STREAMING_ORACLE_SQL, TPCH_ORACLE_SQL, BEHAVIOR_ORACLE_SQL):
         out.update({k: v for k, v in d.items() if v})
     return out
