@@ -71,7 +71,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_runtime",
+                "metric": "headline_queries_total_best_of_2_sec",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,

@@ -12,12 +12,14 @@ from ..sources.catalog import load_table
 
 
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered two-step funnel: users whose first 'signup' precedes a
-    later 'purchase'. Conversion delay averaged from exact epoch-second
-    integers (BIGINT sums → identical division in both engines).
+    """Ordered two-step funnel: users whose first 'signup' has a purchase
+    at or after it (>= — a same-instant purchase converts with delay 0).
+    Conversion delay averaged from µs-exact integers (BIGINT sums →
+    identical division in both engines).
 
-    Plan: two filtered min-aggregates over one scan shape, joined on
-    user — no window needed, shuffles only user-grain rows.
+    Plan: signup aggregate LEFT-joined to purchases, one final aggregate —
+    the signup subtree is referenced once, so events is scanned twice
+    (signup filter + purchase filter), with user-grain shuffles only.
     """
     ev = load_table(spark, sf_dir, "events")
     signup = (
@@ -28,27 +30,25 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("purchase_ts")
     )
-    converted = (
-        signup.join(purchase, "user_id")
-        .filter(F.col("purchase_ts") >= F.col("signup_ts"))
+    per_user = (
+        signup.join(
+            purchase.withColumnRenamed("user_id", "__p_user"),
+            (F.col("user_id") == F.col("__p_user"))
+            & (F.col("purchase_ts") >= F.col("signup_ts")),
+            "left",
+        )
         .groupBy("user_id", "signup_ts")
         .agg(F.min("purchase_ts").alias("first_purchase_ts"))
     )
     # µs-exact integer delays (seconds-truncation or fractional-epoch
-    # doubles would diverge between engines)
-    stats = converted.agg(
-        F.count(F.lit(1)).alias("n_converted"),
-        F.sum(
-            F.unix_micros("first_purchase_ts") - F.unix_micros("signup_ts")
-        ).alias("total_delay_us"),
-    )
-    totals = signup.agg(F.count(F.lit(1)).alias("n_signup_users"))
-    return totals.crossJoin(stats).select(
-        "n_signup_users",
-        "n_converted",
+    # doubles would diverge between engines); sum skips null (unconverted)
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_signup_users"),
+        F.count("first_purchase_ts").alias("n_converted"),
         (
-            F.col("total_delay_us").cast("double")
-            / F.col("n_converted").cast("double")
+            F.sum(F.unix_micros("first_purchase_ts") - F.unix_micros("signup_ts"))
+            .cast("double")
+            / F.count("first_purchase_ts").cast("double")
             / F.lit(1e6)
         ).alias("avg_delay_s"),
     )
@@ -58,17 +58,17 @@ FUNNEL_SQL = """
 WITH signup AS (
   SELECT user_id, MIN(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY user_id
 ),
-converted AS (
+per_user AS (
   SELECT s.user_id, s.signup_ts, MIN(e.ts) AS first_purchase_ts
-  FROM signup s JOIN events e ON s.user_id = e.user_id
-  WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+  FROM signup s LEFT JOIN events e
+    ON s.user_id = e.user_id AND e.event_type = 'purchase' AND e.ts >= s.signup_ts
   GROUP BY s.user_id, s.signup_ts
 )
-SELECT (SELECT COUNT(*) FROM signup) AS n_signup_users,
-       COUNT(*) AS n_converted,
+SELECT COUNT(*) AS n_signup_users,
+       COUNT(first_purchase_ts) AS n_converted,
        CAST(SUM(epoch_us(first_purchase_ts) - epoch_us(signup_ts)) AS DOUBLE)
-         / CAST(COUNT(*) AS DOUBLE) / 1e6 AS avg_delay_s
-FROM converted
+         / CAST(COUNT(first_purchase_ts) AS DOUBLE) / 1e6 AS avg_delay_s
+FROM per_user
 """
 
 

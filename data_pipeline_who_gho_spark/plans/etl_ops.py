@@ -292,13 +292,18 @@ FROM raw
 
 
 def etl_paged_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1+S3+S6+S7 under the correctness gate: distributed paged fetch of
-    a deterministic source (10 keys × 5 records in pages of 2) through the
-    real mapInPandas executor path, with a global limit applied."""
+    """S1+S3+S6 under the correctness gate: the fetch plan is built by
+    crossJoin fan-out (the reference's indicator × country nested loop),
+    then executed as a distributed paged fetch (pages of 2 per key)
+    through the real mapInPandas executor path. S7 (global limit) is
+    covered by unit tests only — a limited fetch is order-nondeterministic
+    by design, so it cannot be hash-pinned by an oracle."""
     from ..sources.paged import fetch_paged
     from ..sources.testing import pages_fetcher
 
-    keys = spark.createDataFrame([(f"k{i}",) for i in range(10)], "key STRING")
+    left = spark.createDataFrame([("k",)], "prefix STRING")
+    right = spark.createDataFrame([(str(i),) for i in range(10)], "n STRING")
+    keys = left.crossJoin(right).select(F.concat("prefix", "n").alias("key"))
     return fetch_paged(
         spark, keys, pages_fetcher, "key STRING, idx INT", page_size=2
     )

@@ -326,25 +326,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
-        # materialize: the candidate set is referenced three times below
-        # (both union branches + the verification join) — without this the
-        # band self-join re-executes per reference
-        .localCheckpoint(eager=True)
     )
 
     # Exact verification on candidates only: count shared shingles via the
-    # row table (no arrays through the join). Restrict the postings to
-    # candidate docs FIRST (broadcast semi-join — the candidate set is
-    # orders of magnitude smaller than the corpus), so the composite-key
-    # shuffle moves only candidate postings, not the whole table.
-    involved = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sh_cand = sh.join(F.broadcast(involved), "doc_id", "left_semi")
-    sa = sh_cand.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"), F.col("n_sh").alias("n_a"))
-    sb = sh_cand.select(F.col("doc_id").alias("__b_id"), F.col("shingle").alias("sh_b"), F.col("n_sh").alias("n_b"))
+    # row table (no arrays through the join). The candidate set is
+    # referenced exactly once, so the plan stays lazy — no side-effect
+    # materialization at construction. (At extreme dedup density one could
+    # semi-join the postings down to candidate docs first, but that either
+    # re-executes candidate generation per reference or forces an eager
+    # checkpoint + unbounded broadcast — worse failure modes than a
+    # shuffled postings join, which AQE sizes at runtime.)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    sb = sh.select(F.col("doc_id").alias("__b_id"), F.col("shingle").alias("sh_b"), F.col("n_sh").alias("n_b"))
     pairs = (
         cand.join(sa, "doc_a")
         .join(sb, (F.col("doc_b") == F.col("__b_id")) & (F.col("sh_a") == F.col("sh_b")))
