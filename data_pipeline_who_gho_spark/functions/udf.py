@@ -30,6 +30,34 @@ def make_winsorize_udf():
     return winsorized
 
 
+def make_weighted_mean_udaf():
+    """UDAF form: a GROUPED_AGG pandas_udf — Σ(v·w)/Σw per group. Usable
+    in groupBy().agg() and over windows; Arrow-batched like the rest."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_mean(v: pd.Series, w: pd.Series) -> float:
+        denom = w.sum()
+        return float((v * w).sum() / denom) if denom else float("nan")
+
+    return weighted_mean
+
+
+def make_ngram_udtf():
+    """UDTF form: one input row → many output rows (character bigrams with
+    positions). Lateral-joins like any table function."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos INT, bigram STRING")
+    class Bigrams:
+        def eval(self, text: str):
+            if text:
+                for i in range(len(text) - 1):
+                    yield i, text[i : i + 2]
+
+    return Bigrams
+
+
 def make_affine_udf(scale: float, shift: float):
     """UDF factory: y = scale·x + shift as an Arrow-vectorized kernel —
     the pattern for parameterized user extensions."""
