@@ -447,7 +447,116 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 40
 """
 
 
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt): customer balance metrics as rows."""
+    cust = _t(spark, sf_dir, "customer")
+    wide = cust.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey_num"),
+    )
+    return wide.unpivot(
+        ids=["c_custkey"],
+        values=["acctbal", "nationkey_num"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).select(F.col("c_custkey").alias("custkey"), "metric", "value")
+
+
+UNPIVOT_SQL = """
+SELECT c_custkey AS custkey, metric, value FROM (
+  SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+  UNION ALL
+  SELECT c_custkey, 'nationkey_num' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer
+)
+"""
+
+
+def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG/string_agg: deterministic ordered concatenation per group."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias("statuses_csv")
+    )
+
+
+STRING_AGG_SQL = """
+SELECT o_orderpriority, string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses_csv
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise kernel coverage: AND/OR/XOR/shifts over integer keys."""
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return orders.select(
+        k.alias("orderkey"),
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(65535)).alias("xored"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+    )
+
+
+BITWISE_SQL = """
+SELECT o_orderkey AS orderkey,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | 4096 AS with_flag,
+       xor(o_orderkey, 65535) AS xored,
+       o_orderkey << 2 AS shl2,
+       o_orderkey >> 3 AS shr3
+FROM orders
+"""
+
+
+def width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """width_bucket: equi-width bucketing with explicit bounds (native in
+    both engines — identical bucket arithmetic)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "bucket", F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(12))
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# DuckDB has no width_bucket — the oracle mirrors its exact arithmetic:
+# below-range → 0, at/above hi → n+1, else floor((x-lo)/((hi-lo)/n)) + 1
+WIDTH_BUCKET_SQL = """
+SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+            WHEN o_totalprice >= 600000.0 THEN 13
+            ELSE CAST(floor((o_totalprice - 0.0) / ((600000.0 - 0.0) / 12)) AS BIGINT) + 1
+       END AS bucket,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+def printf_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-style formatting: printf/format_string with mixed arg types."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("partkey"),
+        F.format_string("%s [%d] @ %.2f", F.col("p_name"), F.col("p_size"), F.col("p_retailprice")).alias("label"),
+    )
+
+
+PRINTF_SQL = """
+SELECT p_partkey AS partkey, printf('%s [%d] @ %.2f', p_name, p_size, p_retailprice) AS label
+FROM part
+"""
+
+
 ANALYTICS2_QUERIES = {
+    "unpivot_metrics": unpivot_metrics,
+    "string_agg_sorted": string_agg_sorted,
+    "bitwise_functions": bitwise_functions,
+    "width_bucket_histogram": width_bucket_histogram,
+    "printf_formatting": printf_formatting,
     "set_ops_bag": set_ops_bag,
     "agg_histogram": agg_histogram,
     "sort_offset_page": sort_offset_page,
@@ -469,6 +578,11 @@ ANALYTICS2_QUERIES = {
 }
 
 ANALYTICS2_ORACLE_SQL = {
+    "unpivot_metrics": UNPIVOT_SQL,
+    "string_agg_sorted": STRING_AGG_SQL,
+    "bitwise_functions": BITWISE_SQL,
+    "width_bucket_histogram": WIDTH_BUCKET_SQL,
+    "printf_formatting": PRINTF_SQL,
     "set_ops_bag": SET_OPS_BAG_SQL,
     "agg_histogram": AGG_HISTOGRAM_SQL,
     "sort_offset_page": SORT_OFFSET_SQL,
