@@ -146,14 +146,41 @@ GROUP BY 1, 2, 3
 """
 
 
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming deduplication: exact-duplicate events
+    (every event_id % 5 == 0 re-appears) removed by ``dropDuplicates``
+    against the streaming state store, watermark bounding state
+    retention. Staged as ONE file → one micro-batch, so the watermark
+    (which only advances between batches) can never classify a first
+    occurrence as late — the result is exactly the distinct set and the
+    oracle is plain batch SQL."""
+    stage = os.path.join(tempfile.gettempdir(), f"stream-src-{uuid.uuid4().hex[:8]}")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    ev.unionByName(ev.filter(F.col("event_id") % 5 == 0)).coalesce(1).write.parquet(stage)
+    stream = spark.readStream.schema(_EVENT_SCHEMA).parquet(stage)
+    deduped = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return _run_to_df(spark, deduped, mode="append")
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+
 STREAMING_QUERIES = {
     "sliding_window_counts": sliding_window_counts,
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_sessions": stream_sessions,
+    "stream_dedup_events": stream_dedup_events,
 }
 
 STREAMING_ORACLE_SQL = {
     "sliding_window_counts": SLIDING_WINDOW_SQL,
     "stream_tumbling_counts": STREAM_TUMBLING_SQL,
     "stream_sessions": STREAM_SESSIONS_SQL,
+    "stream_dedup_events": STREAM_DEDUP_SQL,
 }

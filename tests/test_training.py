@@ -1,0 +1,120 @@
+"""Invariant tests for the training-data pipeline ops (plans/training.py)
+and the batch-3 analytics (plans/analytics3.py) at sf0.001 — value-level
+exactness is covered by the DuckDB oracle gate; these check structural
+invariants the oracle cannot express (disjointness, conservation,
+bounds).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_who_gho_spark.plans import analytics3, training, tpch2
+from data_pipeline_who_gho_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_train_split_partitions_corpus(spark):
+    out = training.train_split_assign(spark, SF).collect()
+    n_docs = load_table(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in out) == n_docs  # exhaustive + disjoint
+    splits = {r.split for r in out}
+    assert splits <= {"train", "val", "test"}
+    by = {r.split: r.n_docs for r in out}
+    assert by.get("train", 0) > by.get("val", 0)  # 80/10/10 shape
+
+
+def test_train_split_stable_under_reshuffle(spark):
+    """Hash split must not depend on row order/partitioning."""
+    a = {r.split: r.n_docs for r in training.train_split_assign(spark, SF).collect()}
+    docs = load_table(spark, SF, "documents").repartition(7, "n_chars")
+    docs.createOrReplaceTempView("_reshuffled")
+    # same computation over the reshuffled frame
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    bucket = F.expr(
+        "((((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + "
+        "(instr('0123456789abcdef', substring(h, 2, 1)) - 1)) * 16 + "
+        "(instr('0123456789abcdef', substring(h, 3, 1)) - 1)) * 16 + "
+        "(instr('0123456789abcdef', substring(h, 4, 1)) - 1)) % 10"
+    )
+    split = (
+        F.when(bucket <= 7, F.lit("train")).when(bucket == 8, F.lit("val")).otherwise(F.lit("test"))
+    )
+    b = {
+        r.split: r.n
+        for r in docs.withColumn("h", h)
+        .groupBy(split.alias("split"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert a == b
+
+
+def test_chunking_conserves_tokens(spark):
+    chunks = training.doc_chunking(spark, SF)
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n_tok")
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("n_chunk_tokens").alias("total"), F.max("n_chunk_tokens").alias("mx")
+    )
+    j = per_doc.join(docs, "doc_id").collect()
+    assert len(j) == docs.count()
+    for r in j:
+        assert r.total == r.n_tok  # chunks partition the token stream
+        assert r.mx <= 16
+
+
+def test_contamination_only_cross_split_pairs(spark):
+    rows = training.contamination_check(spark, SF).collect()
+    for r in rows:
+        assert r.train_doc % 10 != 0
+        assert r.eval_doc % 10 == 0
+        assert r.n_shared_ngrams >= 1
+
+
+def test_pii_redaction_catches_injected_contacts(spark):
+    rows = training.pii_redaction(spark, SF).collect()
+    assert rows, "corpus must be non-empty"
+    for r in rows:
+        assert r.n_emails >= 1 and r.n_phones >= 1  # injected contact found
+
+
+def test_rank_family_bounds(spark):
+    rows = analytics3.window_rank_family(spark, SF).collect()
+    for r in rows:
+        assert 1 <= r.quartile <= 4
+        assert 0.0 <= r.pct_rank <= 1.0
+        assert 0.0 < r.cume <= 1.0
+
+
+def test_percentiles_ordered(spark):
+    for r in analytics3.exact_percentiles(spark, SF).collect():
+        assert r.qmin <= r.q25 <= r.q50 <= r.q75 <= r.qmax
+
+
+def test_corr_in_range(spark):
+    for r in analytics3.corr_exact(spark, SF).collect():
+        assert -1.0 <= r.corr_qty_price <= 1.0
+
+
+def test_gap_fill_covers_calendar(spark):
+    rows = analytics3.gap_fill_daily(spark, SF).collect()
+    assert len(rows) == 31  # full January spine, zero-days included
+    assert all(r.n_events >= 0 for r in rows)
+    assert any(r.n_events == 0 for r in rows)  # at least Jan 31 is empty
+
+
+def test_q13_distribution_conserves_customers(spark):
+    out = tpch2.q13_order_distribution(spark, SF).collect()
+    n_cust = load_table(spark, SF, "customer").count()
+    assert sum(r.custdist for r in out) == n_cust
+
+
+def test_q15_top_supplier_is_global_max(spark):
+    rows = tpch2.q15_top_supplier(spark, SF).collect()
+    assert rows
+    mx = rows[0].total_revenue
+    assert all(r.total_revenue == mx for r in rows)
