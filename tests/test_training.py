@@ -118,3 +118,31 @@ def test_q15_top_supplier_is_global_max(spark):
     assert rows
     mx = rows[0].total_revenue
     assert all(r.total_revenue == mx for r in rows)
+
+
+def test_label_centroids_shape(spark):
+    from data_pipeline_who_gho_spark.plans import vector_analytics
+
+    rows = vector_analytics.label_centroids(spark, SF).collect()
+    labels = {r.label for r in rows}
+    dims = {r.pos for r in rows}
+    # full (label × dim) grid, no holes
+    assert len(rows) == len(labels) * len(dims)
+    assert all(r.n_vectors >= 1 for r in rows)
+
+
+def test_vector_norms_positive(spark):
+    from data_pipeline_who_gho_spark.plans import vector_analytics
+
+    rows = vector_analytics.vector_norms(spark, SF).collect()
+    assert rows and all(r.l2_norm > 0 for r in rows)
+    assert len({r.dim for r in rows}) == 1  # homogeneous dimensionality
+
+
+def test_knn_classify_vote_bounds(spark):
+    from data_pipeline_who_gho_spark.plans import vector_analytics
+
+    rows = vector_analytics.knn_classify(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.votes <= 10
