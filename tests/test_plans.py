@@ -46,3 +46,39 @@ def test_upsert_antijoin_prunes_to_keys(spark):
     assert "LeftAnti" in plan
     # the anti-join's build side must only carry the key column
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q7_dims_broadcast_one_shuffle(spark):
+    from data_pipeline_who_gho_spark.plans.tpch2 import q7_volume_shipping
+
+    plan = _plan(q7_volume_shipping(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    # only the final groupBy may shuffle; the joins must not
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q19_predicates_reach_scan(spark):
+    from data_pipeline_who_gho_spark.plans.tpch2 import q19_disjunctive
+
+    plan = _plan(q19_disjunctive(spark, SF))
+    # the DNF's common l_quantity bounds must be pushed to the lineitem scan
+    assert "PushedFilters: [" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1][:400]
+
+
+def test_train_split_no_join_no_extra_shuffle(spark):
+    from data_pipeline_who_gho_spark.plans.training import train_split_assign
+
+    plan = _plan(train_split_assign(spark, SF))
+    # hash split is map-side; only the 3-group final agg shuffles
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_knn_probe_side_broadcasts(spark):
+    from data_pipeline_who_gho_spark.plans.vector_analytics import knn_classify
+
+    plan = _plan(knn_classify(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
