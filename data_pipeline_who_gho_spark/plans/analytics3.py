@@ -213,12 +213,43 @@ ORDER BY spine.day
 """
 
 
+def rolling_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 1-hour activity per user — a RANGE frame over
+    event time (rangeBetween on epoch microseconds; Spark's RANGE only
+    takes numeric bounds, DuckDB's takes an INTERVAL — identical frame:
+    [ts - 1h, ts] inclusive, peers included). One shuffle on user_id;
+    the running sum is decimal-exact."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double").alias("value_1h"),
+    )
+
+
+ROLLING_HOUR_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_1h,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS VARCHAR) AS DOUBLE) AS value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 ANALYTICS3_QUERIES = {
     "window_rank_family": window_rank_family,
     "exact_percentiles": exact_percentiles,
     "mode_per_group": mode_per_group,
     "corr_exact": corr_exact,
     "gap_fill_daily": gap_fill_daily,
+    "rolling_hour_window": rolling_hour_window,
 }
 
 ANALYTICS3_ORACLE_SQL = {
@@ -227,4 +258,5 @@ ANALYTICS3_ORACLE_SQL = {
     "mode_per_group": MODE_SQL,
     "corr_exact": CORR_SQL,
     "gap_fill_daily": GAP_FILL_SQL,
+    "rolling_hour_window": ROLLING_HOUR_SQL,
 }

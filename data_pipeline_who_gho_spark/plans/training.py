@@ -19,7 +19,7 @@ and DuckDB), with hex nibbles folded to an integer via instr arithmetic
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -240,11 +240,91 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus vocabulary & TF-IDF
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 100
+
+
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary extraction: top-100 tokens by total frequency
+    with document frequency — the tokenizer-training / stopword-mining
+    primitive. One explode + one aggregation; count-distinct of doc_id
+    is partial-aggregated by Catalyst."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(F.expr(_TOKENS_EXPR)).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf_total"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf_total").desc(), F.col("token"))
+        .limit(_VOCAB_K)
+    )
+
+
+VOCAB_SQL = f"""
+SELECT token, COUNT(*) AS tf_total, COUNT(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents)
+GROUP BY token
+ORDER BY tf_total DESC, token
+LIMIT {_VOCAB_K}
+"""
+
+
+def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most characteristic term per document by TF-IDF (tf × ln(N/df)).
+    The idf join broadcasts (vocabulary ≪ corpus); scores are doubles
+    with an identical expression tree in the oracle, so ranking and
+    values hash-match. Deterministic tie-break on the token."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(F.expr(_TOKENS_EXPR)).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("token").alias("top_term"), "tf", "df", "tfidf")
+        .orderBy("doc_id")
+    )
+
+
+TFIDF_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+scored AS (
+  SELECT doc_id, token, tf, df,
+         CAST(tf AS DOUBLE) * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+  FROM tf JOIN df USING (token)
+)
+SELECT doc_id, token AS top_term, tf, df, tfidf
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn FROM scored)
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
 TRAINING_QUERIES = {
     "train_split_assign": train_split_assign,
     "contamination_check": contamination_check,
     "doc_chunking": doc_chunking,
     "pii_redaction": pii_redaction,
+    "vocab_top_tokens": vocab_top_tokens,
+    "tfidf_top_term": tfidf_top_term,
 }
 
 TRAINING_ORACLE_SQL = {
@@ -252,4 +332,6 @@ TRAINING_ORACLE_SQL = {
     "contamination_check": CONTAMINATION_SQL,
     "doc_chunking": CHUNKING_SQL,
     "pii_redaction": PII_SQL,
+    "vocab_top_tokens": VOCAB_SQL,
+    "tfidf_top_term": TFIDF_SQL,
 }
