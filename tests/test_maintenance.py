@@ -1,0 +1,57 @@
+"""Small-file compaction: many-file table → few files, content
+byte-identical, atomic swap (operators/maintenance.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_who_gho_spark.operators.maintenance import (
+    compact_table,
+    plan_compaction,
+)
+from data_pipeline_who_gho_spark.operators.load import _table_path
+from data_pipeline_who_gho_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _fragmented_table(spark, tmp_path, n_files=40):
+    orders = load_table(spark, SF, "orders")
+    path = _table_path(str(tmp_path), "orders")
+    orders.repartition(n_files).write.parquet(path)
+    return orders, path
+
+
+def test_compaction_reduces_files_preserves_content(spark, tmp_path):
+    orders, path = _fragmented_table(spark, tmp_path)
+    before = spark.read.parquet(path)
+    before_rows = sorted(before.collect())
+
+    n_after = compact_table(spark, str(tmp_path), "orders", target_file_bytes=10**9)
+    assert n_after == 1  # tiny table → single target file
+
+    after = spark.read.parquet(path)
+    assert sorted(after.collect()) == before_rows
+    assert after.schema == before.schema
+
+
+def test_compaction_noop_when_already_compact(spark, tmp_path):
+    _, path = _fragmented_table(spark, tmp_path, n_files=2)
+    # 2 files totalling ~100KB: with a 1KB target, 2 files is ALREADY
+    # fewer than the ~100 targets — no rewrite
+    assert plan_compaction(path, target_file_bytes=1024) is None
+    n = compact_table(spark, str(tmp_path), "orders", target_file_bytes=1024)
+    assert n == 2
+
+
+def test_compaction_sizes_to_target(spark, tmp_path):
+    _, path = _fragmented_table(spark, tmp_path, n_files=40)
+    total = sum(
+        __import__("os").path.getsize(f"{r}/{f}")
+        for r, _, fs in __import__("os").walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    # target = half the data size → expect 2 output files
+    n = compact_table(spark, str(tmp_path), "orders", target_file_bytes=total // 2 + 1)
+    assert n == 2
