@@ -40,6 +40,28 @@ def _table_path(warehouse_dir: str, table: str) -> str:
     return os.path.join(warehouse_dir, table)
 
 
+def atomic_overwrite(path: str, write_fn) -> None:
+    """Write-temp → directory-swap commit, shared by upsert and
+    compaction. ``write_fn(tmp_path)`` materializes the new table into a
+    fresh temp dir; then the live directory is replaced by two renames.
+
+    Honesty note: the rename pair is not one atomic operation — there is
+    a sub-millisecond window where the path is absent, and a crash inside
+    it leaves only the ``.old-*`` dir (recoverable by hand). This matches
+    the engine's single-writer posture (the reference runs with
+    ``max_active_runs=1``, dags/who_gho_etl_dag.py:35); concurrent
+    writers/appenders need external coordination or a transactional
+    table format (Delta/Iceberg), onto which this call-site maps 1:1.
+    """
+    tmp = path + ".tmp-" + uuid.uuid4().hex[:8]
+    write_fn(tmp)
+    old = path + ".old-" + uuid.uuid4().hex[:8]
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def read_table(spark: SparkSession, warehouse_dir: str, table: str) -> DataFrame | None:
     path = _table_path(warehouse_dir, table)
     if not os.path.exists(path):
@@ -99,17 +121,14 @@ def upsert(
     merged = merge_upsert(target, updates, keys)
 
     path = _table_path(warehouse_dir, table)
-    tmp = path + ".tmp-" + uuid.uuid4().hex[:8]
-    writer = merged.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(tmp)
-    old = path + ".old-" + uuid.uuid4().hex[:8]
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    if os.path.exists(old):
-        shutil.rmtree(old, ignore_errors=True)
+
+    def _write(tmp: str) -> None:
+        writer = merged.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+
+    atomic_overwrite(path, _write)
 
 
 def append_rejects(rejected: DataFrame, warehouse_dir: str, table: str = "rejected_record") -> None:

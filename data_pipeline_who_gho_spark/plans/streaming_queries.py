@@ -147,13 +147,18 @@ GROUP BY 1, 2, 3
 
 
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked streaming deduplication: exact-duplicate events
-    (every event_id % 5 == 0 re-appears) removed by ``dropDuplicates``
-    against the streaming state store, watermark bounding state
-    retention. Staged as ONE file → one micro-batch, so the watermark
-    (which only advances between batches) can never classify a first
-    occurrence as late — the result is exactly the distinct set and the
-    oracle is plain batch SQL."""
+    """Streaming deduplication: exact-duplicate events (every
+    event_id % 5 == 0 re-appears) removed by ``dropDuplicates`` against
+    the streaming state store. Staged as ONE file → one micro-batch, so
+    the watermark (which only advances between batches) can never
+    classify a first occurrence as late — the result is exactly the
+    distinct set and the oracle is plain batch SQL.
+
+    State-retention note: with key ``[event_id]`` (no event-time column
+    in the key) Spark does NOT evict dedup state by watermark — fine
+    here (one batch), but a continuous stream should either include the
+    event-time column in the keys or use
+    ``dropDuplicatesWithinWatermark`` to get bounded state."""
     stage = os.path.join(tempfile.gettempdir(), f"stream-src-{uuid.uuid4().hex[:8]}")
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
     ev.unionByName(ev.filter(F.col("event_id") % 5 == 0)).coalesce(1).write.parquet(stage)

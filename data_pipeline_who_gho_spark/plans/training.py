@@ -159,7 +159,13 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-training packing primitive). Output stays small: chunk hash +
     token count, not the chunk text. Per-row explode — scales linearly,
     no shuffle."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # NULL text would diverge cross-engine (Spark size(NULL) = -1 makes
+    # sequence(0, -1) emit descending garbage; DuckDB range(0, NULL)
+    # emits nothing) — normalize to '' so both sides produce one
+    # single-empty-token chunk
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
     w = docs.select("doc_id", F.expr(_TOKENS_EXPR).alias("w"))
     n_chunks = F.ceil(F.size("w") / F.lit(_CHUNK)).cast("int")
     return (
@@ -185,7 +191,8 @@ SELECT doc_id, chunk_idx,
        md5(array_to_string(list_slice(w, chunk_idx * {_CHUNK} + 1, chunk_idx * {_CHUNK} + {_CHUNK}), ' ')) AS chunk_hash
 FROM (
   SELECT doc_id, w, unnest(range(0, CAST(ceil(len(w) / {_CHUNK}.0) AS INT))) AS chunk_idx
-  FROM (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents)
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS w
+        FROM documents)
 )
 ORDER BY doc_id, chunk_idx
 """

@@ -3,9 +3,12 @@ byte-identical, atomic swap (operators/maintenance.py)."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+import os
+
+import pytest
 
 from data_pipeline_who_gho_spark.operators.maintenance import (
+    PartitionedTableError,
     compact_table,
     plan_compaction,
 )
@@ -47,11 +50,23 @@ def test_compaction_noop_when_already_compact(spark, tmp_path):
 def test_compaction_sizes_to_target(spark, tmp_path):
     _, path = _fragmented_table(spark, tmp_path, n_files=40)
     total = sum(
-        __import__("os").path.getsize(f"{r}/{f}")
-        for r, _, fs in __import__("os").walk(path)
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(path)
         for f in fs
         if f.endswith(".parquet")
     )
     # target = half the data size → expect 2 output files
     n = compact_table(spark, str(tmp_path), "orders", target_file_bytes=total // 2 + 1)
     assert n == 2
+
+
+def test_compaction_refuses_partitioned_layout(spark, tmp_path):
+    """A flat rewrite of a hive-partitioned table would silently drop
+    the layout (and pruning) — must refuse, not flatten."""
+    orders = load_table(spark, SF, "orders")
+    path = _table_path(str(tmp_path), "orders_part")
+    orders.withColumn("yr", orders.o_orderdate.substr(1, 4)).write.partitionBy(
+        "yr"
+    ).parquet(path)
+    with pytest.raises(PartitionedTableError):
+        compact_table(spark, str(tmp_path), "orders_part", target_file_bytes=10**9)
