@@ -176,11 +176,65 @@ SELECT event_id, user_id, event_type FROM events
 """
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: each signup event joined
+    to the same user's purchase events within the following 2 hours —
+    the canonical two-stream correlation (both sides watermarked so the
+    join state is bounded; the time-bound condition is what makes the
+    state finite). Single-file staging → one micro-batch, so no
+    first-occurrence is dropped as late and the oracle is the identical
+    batch interval join."""
+    stream, _ = _events_stream(spark, sf_dir)
+    signups = (
+        stream.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "4 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "4 hours")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 2 HOURS")),
+    ).select(
+        "signup_id",
+        "purchase_id",
+        F.col("s_user").alias("user_id"),
+        "signup_ts",
+        "purchase_ts",
+    )
+    return _run_to_df(spark, joined, mode="append")
+
+
+STREAM_STREAM_JOIN_SQL = """
+SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+       s.user_id, s.ts AS signup_ts, p.ts AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON s.user_id = p.user_id
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR
+"""
+
+
 STREAMING_QUERIES = {
     "sliding_window_counts": sliding_window_counts,
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_sessions": stream_sessions,
     "stream_dedup_events": stream_dedup_events,
+    "stream_stream_join": stream_stream_join,
 }
 
 STREAMING_ORACLE_SQL = {
@@ -188,4 +242,5 @@ STREAMING_ORACLE_SQL = {
     "stream_tumbling_counts": STREAM_TUMBLING_SQL,
     "stream_sessions": STREAM_SESSIONS_SQL,
     "stream_dedup_events": STREAM_DEDUP_SQL,
+    "stream_stream_join": STREAM_STREAM_JOIN_SQL,
 }
