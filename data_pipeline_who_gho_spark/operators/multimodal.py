@@ -90,3 +90,93 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(run, MEDIA_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Decode-dependent transforms: resize, frame sampling, feature extraction.
+#
+# Each takes a ``decoder`` callable (payload, media_type) -> ndarray so the
+# transform math and Spark plumbing are real and tested with a deterministic
+# fake decoder (sources/testing.py); the default decoder is the stub that
+# raises until real media libs are present. Feature extraction needs no
+# decoder at all — byte histograms are computable on the raw payload.
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = "doc_id BIGINT, out_h INT, out_w INT, pixels BINARY"
+FRAMES_SCHEMA = "doc_id BIGINT, frame_idx INT, frame_sha256 STRING"
+FEATURES_SCHEMA = "doc_id BIGINT, features ARRAY<FLOAT>"
+
+
+def resize_images(
+    df: DataFrame,
+    out_h: int,
+    out_w: int,
+    id_col: str = "doc_id",
+    decoder=decode_media,
+) -> DataFrame:
+    """Nearest-neighbor resize of decoded images to (out_h, out_w).
+
+    The resize math (index-grid sampling) is real; only the decode is
+    injected. 1 row in → 1 row out; output pixels re-serialized as
+    binary so the result stays columnar."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                img = decoder(payload, sniff_media_type(payload))
+                h, w = img.shape[:2]
+                yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                resized = img[yi][:, xi]
+                rows.append((doc_id, out_h, out_w, resized.astype(np.uint8).tobytes()))
+            yield pd.DataFrame(rows, columns=["doc_id", "out_h", "out_w", "pixels"])
+
+    return df.select(id_col, "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int,
+    id_col: str = "doc_id",
+    decoder=decode_media,
+) -> DataFrame:
+    """Every-nth-frame sampling of decoded video: 1 row in → T/n rows
+    out (the fan-out batch shape real frame extraction has). Frames are
+    hashed, not materialized, so the output stays metadata-sized."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                video = decoder(payload, sniff_media_type(payload))  # (T, H, W)
+                for idx in range(0, video.shape[0], every_n):
+                    sha = hashlib.sha256(video[idx].tobytes()).hexdigest()
+                    rows.append((doc_id, idx, sha))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_sha256"])
+
+    return df.select(id_col, "payload").mapInPandas(run, FRAMES_SCHEMA)
+
+
+def extract_byte_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """256-bin normalized byte histogram per payload — a real (not
+    stubbed) content feature usable for similarity/clustering on any
+    media type without decoding. Arrow-batched, map-only."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                if payload is None or len(payload) == 0:
+                    feats.append(np.zeros(256, dtype=np.float32))
+                else:
+                    h = np.bincount(
+                        np.frombuffer(payload, dtype=np.uint8), minlength=256
+                    ).astype(np.float32)
+                    feats.append(h / h.sum())
+            yield pd.DataFrame({"doc_id": pdf[id_col], "features": feats})
+
+    return df.select(id_col, "payload").mapInPandas(run, FEATURES_SCHEMA)

@@ -25,3 +25,36 @@ def flaky_fetcher(key: str, page: int, page_size: int) -> list[dict]:
         _fail_once[(key, page)] = True
         raise ConnectionError("transient")
     return pages_fetcher(key, page, page_size)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fake media decoders (multimodal tests). Live here, not in
+# test files, because mapInPandas closures must be importable on executors.
+# ---------------------------------------------------------------------------
+
+def fake_image_decoder(payload: bytes, media_type: str):
+    """Deterministic 'decoded image': sha256-seeded uint8 array whose
+    dims derive from the payload length — no media libs needed, stable
+    across runs/engines."""
+    import hashlib
+    import numpy as np
+
+    seed = hashlib.sha256(payload or b"").digest()
+    h = 8 + seed[0] % 8  # 8..15
+    w = 8 + seed[1] % 8
+    rng = np.frombuffer(
+        (seed * ((h * w) // len(seed) + 1))[: h * w], dtype=np.uint8
+    )
+    return rng.reshape(h, w).copy()
+
+
+def fake_video_decoder(payload: bytes, media_type: str):
+    """Deterministic 'decoded video': (T, H, W) uint8 stack, T from the
+    payload hash — exercises the 1→N frame fan-out."""
+    import hashlib
+    import numpy as np
+
+    seed = hashlib.sha256(payload or b"").digest()
+    t = 4 + seed[2] % 5  # 4..8 frames
+    frame = fake_image_decoder(payload, media_type)
+    return np.stack([(frame + i) % 256 for i in range(t)]).astype(np.uint8)
