@@ -229,12 +229,51 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join: the event stream enriched with the
+    customer dimension (user_id ⊂ c_custkey in the fixtures), then
+    daily counts per market segment. The static side is re-read per
+    micro-batch by Structured Streaming and stays broadcast, so the
+    stream never shuffles for the join — the canonical streaming
+    dimension-enrichment topology. Counts are order-independent (exact
+    on the stream); the value total is re-derived batch-side in exact
+    decimals like stream_tumbling_counts."""
+    stream, _ = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.withWatermark("ts", "2 hours").join(F.broadcast(cust), "user_id")
+    out = enriched.groupBy(
+        F.window("ts", "1 day").alias("w"), F.col("c_mktsegment")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    res = _run_to_df(spark, out).select(
+        F.col("w.start").alias("day"), "c_mktsegment", "n_events"
+    )
+    totals = (
+        load_table(spark, sf_dir, "events")
+        .join(F.broadcast(cust), "user_id")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"), "c_mktsegment")
+        .agg(F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"))
+    )
+    return res.join(totals, ["day", "c_mktsegment"])
+
+
+STREAM_STATIC_ENRICH_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       c_mktsegment, COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 STREAMING_QUERIES = {
     "sliding_window_counts": sliding_window_counts,
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_sessions": stream_sessions,
     "stream_dedup_events": stream_dedup_events,
     "stream_stream_join": stream_stream_join,
+    "stream_static_enrich": stream_static_enrich,
 }
 
 STREAMING_ORACLE_SQL = {
@@ -243,4 +282,5 @@ STREAMING_ORACLE_SQL = {
     "stream_sessions": STREAM_SESSIONS_SQL,
     "stream_dedup_events": STREAM_DEDUP_SQL,
     "stream_stream_join": STREAM_STREAM_JOIN_SQL,
+    "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
 }

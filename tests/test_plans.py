@@ -82,3 +82,43 @@ def test_knn_probe_side_broadcasts(spark):
     plan = _plan(knn_classify(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q8_snowflake_all_dims_broadcast_one_shuffle(spark):
+    from data_pipeline_who_gho_spark.plans.tpch3 import q8_market_share
+
+    plan = _plan(q8_market_share(spark, SF))
+    # part/customer/supplier/region and both nation roles must broadcast;
+    # the one hashpartitioning exchange is the final year aggregate
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
+
+
+def test_q5_local_supplier_single_shuffle(spark):
+    from data_pipeline_who_gho_spark.plans.tpch3 import q5_local_supplier
+
+    plan = _plan(q5_local_supplier(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    # the o_orderdate range must reach the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_heavy_hitters_candidates_broadcast(spark):
+    from data_pipeline_who_gho_spark.plans.analytics4 import heavy_hitters
+
+    plan = _plan(heavy_hitters(spark, SF))
+    # the candidate semi-join must broadcast (never shuffle the token stream
+    # for the join); re-count agg + candidate distinct are the only shuffles
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantize_stats_broadcast_back(spark):
+    from data_pipeline_who_gho_spark.plans.analytics4 import quantize_embeddings
+
+    plan = _plan(quantize_embeddings(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
