@@ -1,0 +1,199 @@
+"""Fifth analytics batch: incremental rollup maintenance, behavioral
+transition matrices, and edit-distance fuzzy matching.
+
+Reference parity anchors: incremental_rollup_monthly realizes the
+incremental-load semantics the reference *declares* but never
+implements (`etl/state.py:39-55` watermark dead code, SURVEY §2a ST1
+note) at the aggregate level; the other two extend the dedup/behavior
+families (SURVEY §2c north-star).
+
+Cross-engine exactness: revenue merges in DECIMAL (order-free);
+transition probabilities divide identical BIGINT-derived doubles;
+levenshtein is integer-valued and identically defined in Spark and
+DuckDB.
+
+Scale posture (100 TB): the rollup refresh aggregates only the delta
+batch then merges against the (tiny) rollup state — history is never
+rescanned; transitions are one window shuffle on user_id; fuzzy
+matching blocks on a prefix key so the quadratic comparison runs inside
+buckets only (same blocking discipline as MinHash-LSH banding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.rollup import merge_rollups, rollup_aggregate
+from ..sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance (partial-aggregate merge across batches)
+# ---------------------------------------------------------------------------
+
+_ROLLUP_KINDS = {
+    "n_orders": "count",
+    "revenue": "sum",
+    "max_price": "max",
+    "min_price": "min",
+}
+
+
+def incremental_rollup_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue rollup per order priority maintained
+    *incrementally*: history (orders ≤ 1997) is aggregated into rollup
+    state, the delta batch (orders > 1997) is aggregated separately,
+    and the two partials merge — exercising the algebraic-merge path an
+    incremental materialized view uses. The oracle is the one-shot
+    GROUP BY over all rows, so the merge must be exactly lossless.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    keys = ["month", "o_orderpriority"]
+    measures = {
+        "n_orders": ("count", F.lit(1)),
+        "revenue": ("sum", F.col("o_totalprice").cast("decimal(14,2)")),
+        "max_price": ("max", F.col("o_totalprice")),
+        "min_price": ("min", F.col("o_totalprice")),
+    }
+    with_month = orders.withColumn("month", F.date_trunc("month", "o_orderdate"))
+    history = with_month.filter(F.year("o_orderdate") <= 1997)
+    delta = with_month.filter(F.year("o_orderdate") > 1997)
+    state = rollup_aggregate(history, keys, measures)
+    delta_state = rollup_aggregate(delta, keys, measures)
+    merged = merge_rollups(state, delta_state, keys, _ROLLUP_KINDS)
+    return merged.select(
+        "month",
+        "o_orderpriority",
+        "n_orders",
+        F.col("revenue").cast("double").alias("revenue"),
+        "max_price",
+        "min_price",
+    ).orderBy("month", "o_orderpriority")
+
+
+INCREMENTAL_ROLLUP_SQL = """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS revenue,
+       MAX(o_totalprice) AS max_price,
+       MIN(o_totalprice) AS min_price
+FROM orders
+GROUP BY 1, 2
+ORDER BY month, o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Behavioral transition matrix (first-order Markov over event streams)
+# ---------------------------------------------------------------------------
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type → next event_type) transition counts and
+    probabilities per user stream — the first-order Markov summary
+    behind path analysis and anomaly-flow detection. One window shuffle
+    on user_id; the probability normalizer rides a second tiny window
+    over the 25-row transition matrix itself."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "next_type",
+        "n",
+        (F.col("n") / F.sum("n").over(wt)).alias("p"),
+    ).orderBy("from_type", "next_type")
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), counted AS (
+  SELECT from_type, next_type, COUNT(*) AS n
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY from_type, next_type
+)
+SELECT from_type, next_type, n,
+       n / SUM(n) OVER (PARTITION BY from_type) AS p
+FROM counted
+ORDER BY from_type, next_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy matching with prefix blocking
+# ---------------------------------------------------------------------------
+
+_BLOCK_LEN = 12
+_PREFIX_LEN = 60
+_MAX_DIST = 5
+
+
+def fuzzy_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs whose 60-char prefixes are within levenshtein
+    distance 5, blocked on the first 12 characters so the quadratic
+    comparison never leaves a bucket — the fuzzy complement of exact /
+    MinHash dedup for short-text (title-style) matching. An equi-join
+    on the block key (shuffle or broadcast by Catalyst's choice), then
+    the distance filter inside each block."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, _PREFIX_LEN).alias("prefix"),
+        F.substring("text", 1, _BLOCK_LEN).alias("block"),
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"), "block"
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("pa", "pb"))
+        .filter(F.col("dist") <= _MAX_DIST)
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")
+    )
+
+
+FUZZY_MATCH_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         substring(text, 1, {_PREFIX_LEN}) AS prefix,
+         substring(text, 1, {_BLOCK_LEN}) AS block
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.prefix, b.prefix) AS dist
+FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= {_MAX_DIST}
+ORDER BY id_a, id_b
+"""
+
+
+ANALYTICS5_QUERIES = {
+    "incremental_rollup_monthly": incremental_rollup_monthly,
+    "event_transitions": event_transitions,
+    "fuzzy_match_docs": fuzzy_match_docs,
+}
+
+ANALYTICS5_ORACLE_SQL = {
+    "incremental_rollup_monthly": INCREMENTAL_ROLLUP_SQL,
+    "event_transitions": EVENT_TRANSITIONS_SQL,
+    "fuzzy_match_docs": FUZZY_MATCH_SQL,
+}

@@ -1,0 +1,92 @@
+"""Incremental rollup maintenance (operators/rollup) + analytics5
+invariants: the merge must be lossless, associative, and
+arrival-order-independent — the properties an incremental materialized
+view depends on."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_who_gho_spark.operators.rollup import merge_rollups, rollup_aggregate
+from data_pipeline_who_gho_spark.plans.analytics5 import (
+    event_transitions,
+    fuzzy_match_docs,
+)
+from data_pipeline_who_gho_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+KEYS = ["o_orderpriority"]
+KINDS = {"n": "count", "rev": "sum", "hi": "max", "lo": "min"}
+
+
+def _measures():
+    return {
+        "n": ("count", F.lit(1)),
+        "rev": ("sum", F.col("o_totalprice").cast("decimal(14,2)")),
+        "hi": ("max", F.col("o_totalprice")),
+        "lo": ("min", F.col("o_totalprice")),
+    }
+
+
+def _norm(df):
+    return sorted(
+        (r["o_orderpriority"], r["n"], float(r["rev"]), r["hi"], r["lo"])
+        for r in df.collect()
+    )
+
+
+def test_merge_equals_full_recompute(spark):
+    orders = load_table(spark, SF, "orders")
+    full = _norm(rollup_aggregate(orders, KEYS, _measures()))
+    a = orders.filter(F.col("o_orderkey") % 3 == 0)
+    b = orders.filter(F.col("o_orderkey") % 3 != 0)
+    merged = merge_rollups(
+        rollup_aggregate(a, KEYS, _measures()),
+        rollup_aggregate(b, KEYS, _measures()),
+        KEYS,
+        KINDS,
+    )
+    assert _norm(merged) == full
+
+
+def test_merge_is_order_independent_and_associative(spark):
+    orders = load_table(spark, SF, "orders")
+    parts = [orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    states = [rollup_aggregate(p, KEYS, _measures()) for p in parts]
+    left = merge_rollups(merge_rollups(states[0], states[1], KEYS, KINDS), states[2], KEYS, KINDS)
+    right = merge_rollups(states[0], merge_rollups(states[2], states[1], KEYS, KINDS), KEYS, KINDS)
+    assert _norm(left) == _norm(right)
+
+
+def test_empty_delta_is_identity(spark):
+    orders = load_table(spark, SF, "orders")
+    state = rollup_aggregate(orders, KEYS, _measures())
+    empty = rollup_aggregate(orders.filter(F.lit(False)), KEYS, _measures())
+    assert _norm(merge_rollups(state, empty, KEYS, KINDS)) == _norm(state)
+
+
+def test_unknown_kind_rejected(spark):
+    orders = load_table(spark, SF, "orders")
+    with pytest.raises(ValueError, match="avg"):
+        rollup_aggregate(orders, KEYS, {"x": ("avg", F.col("o_totalprice"))})
+    state = rollup_aggregate(orders, KEYS, _measures())
+    with pytest.raises(ValueError, match="avg"):
+        merge_rollups(state, state, KEYS, {"n": "avg"})
+
+
+def test_transition_probabilities_normalize(spark):
+    rows = event_transitions(spark, SF).collect()
+    by_from: dict[str, float] = {}
+    for r in rows:
+        by_from[r["from_type"]] = by_from.get(r["from_type"], 0.0) + r["p"]
+    for total in by_from.values():
+        assert abs(total - 1.0) < 1e-9
+
+
+def test_fuzzy_pairs_are_canonical_and_bounded(spark):
+    rows = fuzzy_match_docs(spark, SF).collect()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert 0 <= r["dist"] <= 5
