@@ -315,8 +315,34 @@ FROM range(10) t(i) CROSS JOIN range(5) u(j)
 """
 
 
+def etl_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python DataSource V2 form of the paged source (S1/S3/S5/S6 as
+    a registered `format("paged")` reader): per-key input partitions,
+    short-page stop, and an In-filter consumed by pushFilters so the
+    dropped key is never fetched. Same observable records as
+    etl_paged_fetch's plan-built path — the two source architectures are
+    interchangeable to a reader."""
+    from ..sources.paged_datasource import register_paged_source
+
+    register_paged_source(spark)
+    return (
+        spark.read.format("paged")
+        .option("keys", "alpha,beta,gamma")
+        .option("page_size", "2")
+        .load()
+        .filter(F.col("key").isin("alpha", "beta"))
+    )
+
+
+ETL_DATASOURCE_SQL = """
+SELECT k AS key, CAST(i AS INT) AS idx
+FROM (VALUES ('alpha'), ('beta')) t(k) CROSS JOIN range(5) r(i)
+"""
+
+
 ETL_QUERIES = {
     "etl_paged_fetch": etl_paged_fetch,
+    "etl_datasource_read": etl_datasource_read,
     "etl_clean_observations": etl_clean_observations,
     "etl_validate_good": etl_validate_good,
     "etl_validate_rejected": etl_validate_rejected,
@@ -329,6 +355,7 @@ ETL_QUERIES = {
 
 ETL_ORACLE_SQL = {
     "etl_paged_fetch": ETL_PAGED_SQL,
+    "etl_datasource_read": ETL_DATASOURCE_SQL,
     "etl_clean_observations": ETL_CLEAN_SQL,
     "etl_validate_good": ETL_VALIDATE_GOOD_SQL,
     "etl_validate_rejected": ETL_VALIDATE_REJECTED_SQL,

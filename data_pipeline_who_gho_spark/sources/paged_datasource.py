@@ -1,0 +1,116 @@
+"""Python DataSource V2 for the paged source: ``spark.read.format("paged")``.
+
+The idiomatic-Spark form of the reference's OData extract loop
+(`etl/extract.py:52-87`): SURVEY §4 notes "a DSv2 `SupportsPushDownFilters`
+reader is the idiomatic (optional) form" of the reference's source-side
+`$filter` pushdown (`etl/extract.py:137-141`) — PySpark 4's Python
+DataSource API makes that form available without JVM code, so the engine
+ships it alongside the fetch-plan/`mapInPandas` path (sources/paged.py;
+that path remains the oracle-gated one).
+
+Semantics carried over from the reference:
+- one input partition per fetch key (the per-(indicator,country) unit,
+  `etl/extract.py:129-151`) — executors fetch keys in parallel;
+- per-key page loop stops on a short page (`etl/extract.py:64-79`);
+- `EqualTo`/`In` filters on the key column prune the fetch plan at the
+  source (S5 pushdown) — Spark re-applies nothing we accept, and
+  re-applies everything we report back as unsupported.
+
+The fetcher is named by a ``module:function`` option and imported on the
+executor (plain strings are the only values a DataSource option can
+carry); the default is the deterministic fixture fetcher. At scale the
+page loop is I/O-bound per key — parallelism comes from key count, and
+retry sits inside the fetcher exactly as in sources/paged.py.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+DEFAULT_FETCHER = "data_pipeline_who_gho_spark.sources.testing:pages_fetcher"
+DEFAULT_SCHEMA = "key string, idx int"
+
+
+def _resolve_fetcher(spec: str):
+    mod, _, attr = spec.partition(":")
+    if not attr:
+        raise ValueError(f"fetcher option must be 'module:function', got {spec!r}")
+    return getattr(importlib.import_module(mod), attr)
+
+
+class KeyPartition(InputPartition):
+    def __init__(self, key: str):
+        self.key = key
+
+
+class PagedReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.keys = [k for k in options.get("keys", "").split(",") if k]
+        if not self.keys:
+            raise ValueError("option 'keys' (comma-separated) is required")
+        self.page_size = int(options.get("page_size", "100"))
+        self.max_pages = int(options.get("max_pages_per_key", "1000"))
+        self.fetcher_spec = options.get("fetcher", DEFAULT_FETCHER)
+        self.key_col = options.get("key_col", "key")
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:  # noqa: F821
+        """Accept key-column equality/membership filters by pruning the
+        fetch-key list; everything else is Spark's to evaluate."""
+        unsupported = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == (self.key_col,):
+                self.keys = [k for k in self.keys if k == f.value]
+            elif isinstance(f, In) and f.attribute == (self.key_col,):
+                wanted = set(f.value)
+                self.keys = [k for k in self.keys if k in wanted]
+            else:
+                unsupported.append(f)
+        return unsupported
+
+    def partitions(self) -> Sequence[KeyPartition]:
+        return [KeyPartition(k) for k in self.keys]
+
+    def read(self, partition: KeyPartition) -> Iterator[tuple]:
+        fetch = _resolve_fetcher(self.fetcher_spec)
+        names = [f.name for f in self.schema.fields]
+        for page in range(self.max_pages):
+            records = fetch(partition.key, page, self.page_size)
+            for rec in records:
+                yield tuple(rec.get(n) for n in names)
+            if len(records) < self.page_size:
+                break
+
+
+def register_paged_source(spark) -> None:
+    """Register the format and enable Python-source filter pushdown
+    (off by default: `spark.sql.python.filterPushdown.enabled`; a reader
+    that implements pushFilters refuses to run without it)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PagedDataSource)
+
+
+class PagedDataSource(DataSource):
+    """``spark.dataSource.register(PagedDataSource)`` then
+    ``spark.read.format("paged").option("keys", "a,b").load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "paged"
+
+    def schema(self) -> str:
+        return self.options.get("schema", DEFAULT_SCHEMA)
+
+    def reader(self, schema: StructType) -> PagedReader:
+        return PagedReader(schema, dict(self.options))
