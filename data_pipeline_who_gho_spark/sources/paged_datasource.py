@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     Filter,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -93,6 +94,66 @@ class PagedReader(DataSourceReader):
                 break
 
 
+class PagedStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the paged source: the reference's
+    checkpoint-resume loop (`etl/extract.py:80-87` persists the next
+    page link after every page) expressed as Structured Streaming
+    offsets — the offset dict IS the next-page-per-key checkpoint, and
+    the engine's checkpointLocation replaces the hand-rolled state
+    table. Each read drains every key to its short page (a retired key
+    checkpoints as page = -1). The deterministic fetcher makes
+    readBetweenOffsets exact on failure replay."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.keys = [k for k in options.get("keys", "").split(",") if k]
+        if not self.keys:
+            raise ValueError("option 'keys' (comma-separated) is required")
+        self.page_size = int(options.get("page_size", "100"))
+        self.fetcher_spec = options.get("fetcher", DEFAULT_FETCHER)
+
+    def initialOffset(self) -> dict:
+        return {"pages": {k: 0 for k in self.keys}}
+
+    def _fetch_page(self, key: str, page: int) -> list[tuple]:
+        fetch = _resolve_fetcher(self.fetcher_spec)
+        names = [f.name for f in self.schema.fields]
+        records = fetch(key, page, self.page_size)
+        rows = [tuple(rec.get(n) for n in names) for rec in records]
+        return rows, len(records) < self.page_size
+
+    def read(self, start: dict):
+        # contract: return ALL data available after `start` (availableNow
+        # triggers exactly one read) — drain every key to its short page
+        pages = dict(start["pages"])
+        out: list[tuple] = []
+        for key, page in pages.items():
+            while page >= 0:
+                rows, short = self._fetch_page(key, page)
+                out.extend(rows)
+                page = -1 if short else page + 1
+            pages[key] = -1
+        return iter(out), {"pages": pages}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        out: list[tuple] = []
+        for key, first in start["pages"].items():
+            last = end["pages"][key]
+            if first < 0:
+                continue
+            page = first
+            # replay exactly the pages this batch covered: up to (but not
+            # including) the end offset, or through the short page if the
+            # key retired (-1) inside the batch
+            while last < 0 or page < last:
+                rows, short = self._fetch_page(key, page)
+                out.extend(rows)
+                if short:
+                    break
+                page += 1
+        return iter(out)
+
+
 def register_paged_source(spark) -> None:
     """Register the format and enable Python-source filter pushdown
     (off by default: `spark.sql.python.filterPushdown.enabled`; a reader
@@ -114,3 +175,6 @@ class PagedDataSource(DataSource):
 
     def reader(self, schema: StructType) -> PagedReader:
         return PagedReader(schema, dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> PagedStreamReader:
+        return PagedStreamReader(schema, dict(self.options))
