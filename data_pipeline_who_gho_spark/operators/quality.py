@@ -47,3 +47,39 @@ def check_no_null_keys(df: DataFrame, keys: Sequence[str], name: str = "table") 
 def run_dq_checks(df: DataFrame, keys: Sequence[str], name: str = "fact_observation") -> dict:
     """The reference's full DQ task: both checks, fail-fast."""
     return {"row_count": check_not_empty(df, name), "null_key_rows": check_no_null_keys(df, keys, name)}
+
+
+def observed_dq(df: DataFrame, keys: Sequence[str], name: str = "fact_observation"):
+    """Zero-extra-pass DQ: attach both Q1/Q2 metrics as a Spark
+    ``Observation`` so they are collected as a by-product of whatever
+    action consumes ``df`` (typically the load write) — at 100 TB this
+    saves the two post-load scans the reference's DQ task performs.
+
+    Returns ``(observed_df, finish)``: run an action on ``observed_df``,
+    then call ``finish()`` to validate (raising :class:`DataQualityError`
+    on violation, like the eager checks) and get the metric dict.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(f"dq_{name}")
+    cond = None
+    for k in keys:
+        c = F.col(k).isNull()
+        cond = c if cond is None else (cond | c)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("row_count"),
+        F.count(F.when(cond, F.lit(1))).alias("null_key_rows"),
+    )
+
+    def finish() -> dict:
+        m = obs.get
+        if m["row_count"] == 0:
+            raise DataQualityError(f"DQ failed: {name} is empty")
+        if m["null_key_rows"]:
+            raise DataQualityError(
+                f"DQ failed: {name} has {m['null_key_rows']} rows with null keys {list(keys)}"
+            )
+        return dict(m)
+
+    return observed, finish

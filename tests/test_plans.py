@@ -122,3 +122,13 @@ def test_quantize_stats_broadcast_back(spark):
     plan = _plan(quantize_embeddings(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_window_topn_uses_group_limit(spark):
+    """rank <= k must plan as WindowGroupLimit (per-partition top-k
+    pre-filter before the window sort — the optimization that keeps
+    per-group top-n from materializing whole groups)."""
+    from data_pipeline_who_gho_spark.plans.analytics import window_topn_per_group
+
+    plan = _plan(window_topn_per_group(spark, SF))
+    assert "WindowGroupLimit" in plan
