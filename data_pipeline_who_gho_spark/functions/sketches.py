@@ -25,12 +25,17 @@ import pandas as pd
 
 def misra_gries_partial(k: int, column: str = "token"):
     """Return a ``mapInPandas`` function emitting the Misra-Gries
-    candidate summary (``token``, ``est`` lower-bound count) of each
-    partition with at most ``k - 1`` counters."""
+    candidate summary (``token``, ``est`` lower-bound count,
+    ``is_total`` = false) of each partition with at most ``k - 1``
+    counters, plus one sentinel row (``is_total`` = true) carrying the
+    partition's exact item count — so the caller gets the stream length
+    from the same pass instead of re-scanning the input to count it."""
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
+        n_items = 0
         for pdf in batches:
+            n_items += len(pdf)
             for tok in pdf[column]:
                 if tok in counters:
                     counters[tok] += 1
@@ -43,7 +48,11 @@ def misra_gries_partial(k: int, column: str = "token"):
                     for t in dead:
                         del counters[t]
         yield pd.DataFrame(
-            {"token": list(counters.keys()), "est": list(counters.values())}
+            {
+                "token": list(counters.keys()) + [""],
+                "est": list(counters.values()) + [n_items],
+                "is_total": [False] * len(counters) + [True],
+            }
         )
 
     return summarize

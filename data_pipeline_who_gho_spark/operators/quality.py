@@ -34,6 +34,8 @@ def check_no_null_keys(df: DataFrame, keys: Sequence[str], name: str = "table") 
 
     Single pass: conditional count instead of a filter+count re-scan.
     """
+    if not keys:
+        raise ValueError("check_no_null_keys requires at least one key column")
     cond = None
     for k in keys:
         c = F.col(k).isNull()
@@ -61,6 +63,8 @@ def observed_dq(df: DataFrame, keys: Sequence[str], name: str = "fact_observatio
     """
     from pyspark.sql import Observation
 
+    if not keys:
+        raise ValueError("observed_dq requires at least one key column")
     obs = Observation(f"dq_{name}")
     cond = None
     for k in keys:

@@ -22,6 +22,7 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+_AGG = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
 _MERGE = {
     "sum": F.sum,
     "count": F.sum,  # counts merge by summing partial counts
@@ -40,10 +41,9 @@ def rollup_aggregate(
     """
     aggs = []
     for out, (kind, expr) in measures.items():
-        if kind not in _MERGE:
+        if kind not in _AGG:
             raise ValueError(f"unsupported rollup measure kind: {kind}")
-        fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[kind]
-        aggs.append(fn(expr).alias(out))
+        aggs.append(_AGG[kind](expr).alias(out))
     return df.groupBy(*keys).agg(*aggs)
 
 

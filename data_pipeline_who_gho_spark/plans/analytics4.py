@@ -216,25 +216,33 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokens with frequency > n/k (k=50) and their exact counts.
 
     Plan: per-partition Misra-Gries summaries (mapInPandas, ≤ k-1
-    counters each) → tiny candidate set (provable superset of every
-    global heavy hitter) → broadcast semi-join re-count of candidates
-    only → filter by the exact threshold. The full vocabulary is never
-    shuffled; the oracle is the plain exact GROUP BY ... HAVING, so the
-    sketch path must reproduce the exact answer.
+    counters each, plus a sentinel row carrying the partition's exact
+    token count — stream length and candidates come from ONE pass) →
+    tiny candidate set (provable superset of every global heavy hitter)
+    → broadcast semi-join re-count of candidates only → filter by the
+    exact threshold. Two corpus scans total (sketch, re-count); the
+    full vocabulary is never shuffled; the oracle is the plain exact
+    GROUP BY ... HAVING, so the sketch path must reproduce the exact
+    answer.
     """
     docs = _t(spark, sf_dir, "documents").select("text")
     tok = docs.select(F.explode(F.expr(_TOKENS_EXPR)).alias("token"))
-    candidates = (
-        tok.mapInPandas(misra_gries_partial(_HH_K), "token string, est long")
-        .select("token")
-        .distinct()
+    # materialize the (tiny: ≤ k rows/partition) summary once — it feeds
+    # two branches (candidates + total), and lazily each branch would
+    # re-run the whole sketch pass; localCheckpoint storage is reclaimed
+    # by the ContextCleaner when the DataFrame is garbage-collected
+    summary = tok.mapInPandas(
+        misra_gries_partial(_HH_K), "token string, est long, is_total boolean"
+    ).localCheckpoint(eager=True)
+    candidates = summary.filter(~F.col("is_total")).select("token").distinct()
+    total = summary.filter("is_total").groupBy().agg(
+        F.sum("est").alias("n_tokens")
     )
     counted = (
         tok.join(F.broadcast(candidates), "token", "left_semi")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = tok.groupBy().agg(F.count(F.lit(1)).alias("n_tokens"))
     return (
         counted.crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * _HH_K > F.col("n_tokens"))

@@ -61,8 +61,11 @@ def incremental_rollup_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price": ("min", F.col("o_totalprice")),
     }
     with_month = orders.withColumn("month", F.date_trunc("month", "o_orderdate"))
-    history = with_month.filter(F.year("o_orderdate") <= 1997)
-    delta = with_month.filter(F.year("o_orderdate") > 1997)
+    # boolean + negation so NULL order dates land in exactly one batch
+    # (year(NULL) is NULL — a pair of </> filters would drop such rows)
+    is_history = F.coalesce(F.year("o_orderdate") <= 1997, F.lit(False))
+    history = with_month.filter(is_history)
+    delta = with_month.filter(~is_history)
     state = rollup_aggregate(history, keys, measures)
     delta_state = rollup_aggregate(delta, keys, measures)
     merged = merge_rollups(state, delta_state, keys, _ROLLUP_KINDS)

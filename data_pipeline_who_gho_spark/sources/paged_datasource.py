@@ -12,9 +12,14 @@ Semantics carried over from the reference:
 - one input partition per fetch key (the per-(indicator,country) unit,
   `etl/extract.py:129-151`) — executors fetch keys in parallel;
 - per-key page loop stops on a short page (`etl/extract.py:64-79`);
+  ``max_pages_per_key`` (default 1000) is a runaway-pager guard — a key
+  still returning full pages at the bound raises instead of silently
+  truncating (batch) or spinning (stream);
 - `EqualTo`/`In` filters on the key column prune the fetch plan at the
   source (S5 pushdown) — Spark re-applies nothing we accept, and
-  re-applies everything we report back as unsupported.
+  re-applies everything we report back as unsupported. Pass
+  ``.option("pushdown", "false")`` to get a plain reader that works
+  without `spark.sql.python.filterPushdown.enabled`.
 
 The fetcher is named by a ``module:function`` option and imported on the
 executor (plain strings are the only values a DataSource option can
@@ -26,7 +31,7 @@ retry sits inside the fetcher exactly as in sources/paged.py.
 from __future__ import annotations
 
 import importlib
-from collections.abc import Iterator, Sequence
+from collections.abc import Iterable, Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -50,12 +55,22 @@ def _resolve_fetcher(spec: str):
     return getattr(importlib.import_module(mod), attr)
 
 
+def _runaway(key: str, max_pages: int) -> RuntimeError:
+    return RuntimeError(
+        f"paged source: key {key!r} still returned full pages after "
+        f"max_pages_per_key={max_pages}; raise the bound or fix the pager"
+    )
+
+
 class KeyPartition(InputPartition):
     def __init__(self, key: str):
         self.key = key
 
 
 class PagedReader(DataSourceReader):
+    """Batch reader without filter pushdown (safe when
+    `spark.sql.python.filterPushdown.enabled` is off)."""
+
     def __init__(self, schema: StructType, options: dict):
         self.schema = schema
         self.keys = [k for k in options.get("keys", "").split(",") if k]
@@ -65,20 +80,6 @@ class PagedReader(DataSourceReader):
         self.max_pages = int(options.get("max_pages_per_key", "1000"))
         self.fetcher_spec = options.get("fetcher", DEFAULT_FETCHER)
         self.key_col = options.get("key_col", "key")
-
-    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:  # noqa: F821
-        """Accept key-column equality/membership filters by pruning the
-        fetch-key list; everything else is Spark's to evaluate."""
-        unsupported = []
-        for f in filters:
-            if isinstance(f, EqualTo) and f.attribute == (self.key_col,):
-                self.keys = [k for k in self.keys if k == f.value]
-            elif isinstance(f, In) and f.attribute == (self.key_col,):
-                wanted = set(f.value)
-                self.keys = [k for k in self.keys if k in wanted]
-            else:
-                unsupported.append(f)
-        return unsupported
 
     def partitions(self) -> Sequence[KeyPartition]:
         return [KeyPartition(k) for k in self.keys]
@@ -91,7 +92,28 @@ class PagedReader(DataSourceReader):
             for rec in records:
                 yield tuple(rec.get(n) for n in names)
             if len(records) < self.page_size:
-                break
+                return
+        raise _runaway(partition.key, self.max_pages)
+
+
+class PagedPushdownReader(PagedReader):
+    """Batch reader with key-filter pushdown (requires
+    `spark.sql.python.filterPushdown.enabled=true` — Spark refuses to
+    plan a pushFilters reader without it)."""
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        """Accept key-column equality/membership filters by pruning the
+        fetch-key list; everything else is Spark's to evaluate."""
+        unsupported = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == (self.key_col,):
+                self.keys = [k for k in self.keys if k == f.value]
+            elif isinstance(f, In) and f.attribute == (self.key_col,):
+                wanted = set(f.value)
+                self.keys = [k for k in self.keys if k in wanted]
+            else:
+                unsupported.append(f)
+        return unsupported
 
 
 class PagedStreamReader(SimpleDataSourceStreamReader):
@@ -110,12 +132,13 @@ class PagedStreamReader(SimpleDataSourceStreamReader):
         if not self.keys:
             raise ValueError("option 'keys' (comma-separated) is required")
         self.page_size = int(options.get("page_size", "100"))
+        self.max_pages = int(options.get("max_pages_per_key", "1000"))
         self.fetcher_spec = options.get("fetcher", DEFAULT_FETCHER)
 
     def initialOffset(self) -> dict:
         return {"pages": {k: 0 for k in self.keys}}
 
-    def _fetch_page(self, key: str, page: int) -> list[tuple]:
+    def _fetch_page(self, key: str, page: int) -> tuple[list[tuple], bool]:
         fetch = _resolve_fetcher(self.fetcher_spec)
         names = [f.name for f in self.schema.fields]
         records = fetch(key, page, self.page_size)
@@ -128,7 +151,9 @@ class PagedStreamReader(SimpleDataSourceStreamReader):
         pages = dict(start["pages"])
         out: list[tuple] = []
         for key, page in pages.items():
-            while page >= 0:
+            while 0 <= page:
+                if page >= self.max_pages:
+                    raise _runaway(key, self.max_pages)
                 rows, short = self._fetch_page(key, page)
                 out.extend(rows)
                 page = -1 if short else page + 1
@@ -146,6 +171,8 @@ class PagedStreamReader(SimpleDataSourceStreamReader):
             # including) the end offset, or through the short page if the
             # key retired (-1) inside the batch
             while last < 0 or page < last:
+                if page >= self.max_pages:
+                    raise _runaway(key, self.max_pages)
                 rows, short = self._fetch_page(key, page)
                 out.extend(rows)
                 if short:
@@ -154,11 +181,15 @@ class PagedStreamReader(SimpleDataSourceStreamReader):
         return iter(out)
 
 
-def register_paged_source(spark) -> None:
-    """Register the format and enable Python-source filter pushdown
-    (off by default: `spark.sql.python.filterPushdown.enabled`; a reader
-    that implements pushFilters refuses to run without it)."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+def register_paged_source(spark, enable_pushdown: bool = True) -> None:
+    """Register the format. ``enable_pushdown=True`` (default) also turns
+    on ``spark.sql.python.filterPushdown.enabled`` SESSION-WIDE — Spark
+    refuses to plan a pushFilters reader without it, and the setting
+    affects every Python data source in the session. Callers who must
+    leave that conf alone should pass ``enable_pushdown=False`` and/or
+    use ``.option("pushdown", "false")`` per read."""
+    if enable_pushdown:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(PagedDataSource)
 
 
@@ -174,7 +205,10 @@ class PagedDataSource(DataSource):
         return self.options.get("schema", DEFAULT_SCHEMA)
 
     def reader(self, schema: StructType) -> PagedReader:
-        return PagedReader(schema, dict(self.options))
+        opts = dict(self.options)
+        if opts.get("pushdown", "true").lower() == "false":
+            return PagedReader(schema, opts)
+        return PagedPushdownReader(schema, opts)
 
     def simpleStreamReader(self, schema: StructType) -> PagedStreamReader:
         return PagedStreamReader(schema, dict(self.options))

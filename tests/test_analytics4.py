@@ -103,8 +103,11 @@ def test_misra_gries_partial_bounds(spark):
     fn = misra_gries_partial(4)
     data = pd.DataFrame({"token": ["a"] * 10 + ["b"] * 5 + list("cdefgh")})
     (res,) = list(fn(iter([data])))
-    assert len(res) <= 3
-    counts = dict(zip(res["token"], res["est"]))
+    sentinel = res[res["is_total"]]
+    assert len(sentinel) == 1 and int(sentinel["est"].iloc[0]) == len(data)
+    cand = res[~res["is_total"]]
+    assert len(cand) <= 3
+    counts = dict(zip(cand["token"], cand["est"]))
     assert counts.get("a", 0) <= 10 and counts.get("a", 0) >= 10 - len(data) // 4
 
 
@@ -133,3 +136,4 @@ def test_misra_gries_never_negative(k):
     fn = misra_gries_partial(k)
     (res,) = list(fn(iter([pd.DataFrame({"token": list("abcabcxyz")})])))
     assert (res["est"] > 0).all()
+    assert int(res[res["is_total"]]["est"].iloc[0]) == 9
