@@ -47,8 +47,26 @@ def check_no_null_keys(df: DataFrame, keys: Sequence[str], name: str = "table") 
 
 
 def run_dq_checks(df: DataFrame, keys: Sequence[str], name: str = "fact_observation") -> dict:
-    """The reference's full DQ task: both checks, fail-fast."""
-    return {"row_count": check_not_empty(df, name), "null_key_rows": check_no_null_keys(df, keys, name)}
+    """The reference's full DQ task (Q1 + Q2), fused into ONE scan: both
+    metrics come from a single aggregation instead of the reference's two
+    SQL statements — same fail-fast contract, half the table reads."""
+    if not keys:
+        raise ValueError("run_dq_checks requires at least one key column")
+    cond = None
+    for k in keys:
+        c = F.col(k).isNull()
+        cond = c if cond is None else (cond | c)
+    row = df.select(
+        F.count(F.lit(1)).alias("row_count"),
+        F.count(F.when(cond, F.lit(1))).alias("null_key_rows"),
+    ).first()
+    if row["row_count"] == 0:
+        raise DataQualityError(f"DQ failed: {name} is empty")
+    if row["null_key_rows"]:
+        raise DataQualityError(
+            f"DQ failed: {name} has {row['null_key_rows']} rows with null keys {list(keys)}"
+        )
+    return {"row_count": row["row_count"], "null_key_rows": int(row["null_key_rows"])}
 
 
 def observed_dq(df: DataFrame, keys: Sequence[str], name: str = "fact_observation"):
