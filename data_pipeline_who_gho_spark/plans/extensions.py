@@ -286,6 +286,68 @@ def _minhash_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered set-similarity join: the third
+    near-dup scale path, and unlike MinHash it is EXACT by construction
+    (prefix filtering is a complete candidate generator, not a
+    probabilistic one — the oracle match is a theorem, not a recall
+    argument).
+
+    Order every document's shingles by (global document frequency,
+    shingle) — one total order shared by all docs — and keep only the
+    first |S| - ceil(t·|S|) + 1 as the prefix: two sets with Jaccard ≥ t
+    must share a prefix shingle (Chaudhuri/PPJoin). The self-join then
+    runs over ~(1-t) of the postings, skewed toward RARE shingles (the
+    frequency order puts common shingles last, so hot posting lists are
+    exactly the ones pruned out of the join — the opposite of the naive
+    inverted index, whose biggest join buckets are the commonest terms).
+    Candidates verify exactly like dedup_minhash_lsh.
+    """
+    sh = _shingle_table(spark, sf_dir)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_sh"))
+    w = Window.partitionBy("doc_id").orderBy("df_sh", "shingle")
+    prefix_len = F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(JACCARD_THRESHOLD)) + 1
+    prefix = (
+        sh.join(freq, "shingle")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= prefix_len)
+        .select("doc_id", "shingle", "n_sh")
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s"), F.col("n_sh").alias("n_a")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingle").alias("s"), F.col("n_sh").alias("n_b")
+    )
+    cand = (
+        a.join(b, "s")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # size-compatibility prune (J ≥ t forces t ≤ |A|/|B| ≤ 1/t)
+            & (F.col("n_b") * F.lit(JACCARD_THRESHOLD) <= F.col("n_a"))
+            & (F.col("n_a") * F.lit(JACCARD_THRESHOLD) <= F.col("n_b"))
+        )
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    sb = sh.select(F.col("doc_id").alias("__b_id"), F.col("shingle").alias("sh_b"), F.col("n_sh").alias("n_b"))
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("__b_id")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
+    )
+    return _jaccard_filtered(pairs)
+
+
+DEDUP_PREFIX_SQL = DEDUP_NGRAM_SQL  # exact pair set — completeness is provable
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate generation + exact Jaccard verification.
 
@@ -566,6 +628,7 @@ EXTENSION_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_prefix_filter": dedup_prefix_filter,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
     "ann_cosine_topk": ann_cosine_topk,
@@ -579,6 +642,7 @@ EXTENSION_ORACLE_SQL = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_prefix_filter": DEDUP_PREFIX_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     # dedup_simhash, ann_lsh_buckets: rows-only (engine-specific hashes)
     "ann_cosine_topk": ANN_COSINE_SQL,
