@@ -500,37 +500,96 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+_LSH_PLANES = 16
+_LSH_DIMS = 64  # fixture embedding dimensionality (TESTDATA.md)
+
+
+def _lsh_plane_weights() -> list[list[int]]:
+    """Integer hyperplane weights derived from md5 — the same recipe the
+    oracle SQL rebuilds with DuckDB's md5(), so both engines hold the
+    identical planes: w(j,i) = first-4-hex-nibbles(md5("p{j}_{i}")) - 32768
+    ∈ [-32768, 32767]. Integer weights × exact-decimal components keep
+    every projection order-free and engine-exact; scaling by a positive
+    constant never flips the sign, so the buckets equal those of the
+    real-valued hyperplane family."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"p{j}_{i}".encode()).hexdigest()[:4], 16) - 32768
+            for i in range(_LSH_DIMS)
+        ]
+        for j in range(_LSH_PLANES)
+    ]
+
+
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for ANN: random-hyperplane LSH bucketing (16-bit codes
-    from fixed pseudo-hyperplanes). Rows-only check (hyperplanes derive
-    from xxhash64). At 100 TB: bucket join replaces the broadcast NLJ."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", VEC.as_double("embedding").alias("v")
+    """Scale path for ANN: random-hyperplane LSH bucketing (16-bit codes).
+    At 100 TB: bucket join replaces the broadcast NLJ.
+
+    Map-only: the 16×64 integer plane matrix rides the plan as literals
+    (implicit broadcast), each vector's code is a per-row fold — no
+    shuffle until the bucket census. Projections are exact decimal sums
+    (float → string → decimal hop per memory/oracle-parity-rules), so
+    the md5-seeded planes make the whole query oracle-checkable — sign
+    decisions are exact, never within float noise.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vdec = F.transform(
+        F.col("embedding"), lambda x: x.cast("string").cast("decimal(20,10)")
     )
-
-    def plane_bit(j: int) -> Column:
-        # deterministic ±1 hyperplane: sign of xxhash64(j, dim index)
+    weights = _lsh_plane_weights()
+    code = F.lit(0).cast("long")
+    for j in range(_LSH_PLANES):
+        wj = F.array(*[F.lit(w).cast("decimal(6,0)") for w in weights[j]])
         proj = F.aggregate(
-            F.zip_with(
-                F.col("v"),
-                F.sequence(F.lit(0), F.size("v") - 1),
-                lambda x, i: F.when(
-                    F.xxhash64(F.lit(j), i).bitwiseAND(F.lit(1)) == 1, x
-                ).otherwise(-x),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+            F.zip_with(vdec, wj, lambda x, w: x * w),
+            F.lit(0).cast("decimal(38,10)"),
+            # cast back: decimal addition widens (38,10)+(27,10)→(38,9)
+            # under precision-loss rules, and aggregate() requires the
+            # merge to return the accumulator type exactly; the values
+            # (|w|<2^15, |v|<16) never near the 10^28 integral capacity
+            lambda acc, x: (acc + x).cast("decimal(38,10)"),
         )
-        return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
-
-    code = F.lit(0)
-    for j in range(16):
-        code = code + F.shiftleft(plane_bit(j).cast("long"), j)
+        bit = F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
+        code = code + F.shiftleft(bit.cast("long"), j)
     bucketed = emb.withColumn("bucket", code)
     return bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.min("vec_id").alias("min_vec_id"),
     )
+
+
+_LSH_NIBBLE = "(instr('0123456789abcdef', substring(h, {i}, 1)) - 1)"
+_LSH_FOLD = (
+    f"((({_LSH_NIBBLE.format(i=1)} * 16 + {_LSH_NIBBLE.format(i=2)}) * 16 + "
+    f"{_LSH_NIBBLE.format(i=3)}) * 16 + {_LSH_NIBBLE.format(i=4)})"
+)
+
+ANN_LSH_BUCKETS_SQL = f"""
+WITH planes AS (
+  SELECT j, i, {_LSH_FOLD} - 32768 AS w
+  FROM (SELECT j, i, md5('p' || CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)) AS h
+        FROM range({_LSH_PLANES}) p(j) CROSS JOIN range({_LSH_DIMS}) d(i))
+),
+ex AS (
+  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) - 1 AS i
+  FROM embeddings
+),
+proj AS (
+  SELECT vec_id, j,
+         SUM(CAST(CAST(v AS VARCHAR) AS DECIMAL(20,10)) * w) AS p
+  FROM ex JOIN planes USING (i)
+  GROUP BY vec_id, j
+),
+codes AS (
+  SELECT vec_id,
+         SUM(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bucket
+  FROM proj GROUP BY vec_id
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+FROM codes GROUP BY bucket
+"""
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,7 +703,8 @@ EXTENSION_ORACLE_SQL = {
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_prefix_filter": DEDUP_PREFIX_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
-    # dedup_simhash, ann_lsh_buckets: rows-only (engine-specific hashes)
+    # dedup_simhash: rows-only (engine-specific xxhash64)
+    "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
     "ann_cosine_topk": ANN_COSINE_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
 }
