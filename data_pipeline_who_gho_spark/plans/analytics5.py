@@ -189,14 +189,67 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact-moment linear regression (per-group OLS)
+# ---------------------------------------------------------------------------
+
+
+def linreg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (extended price on quantity)
+    assembled from exact decimal moments — the distributed one-pass OLS
+    that `regr_slope`/`regr_intercept` compute, but with engine-exact
+    sums so the result hash-matches across engines (built-in regr_*
+    aggregates accumulate in floating point in engine-specific orders;
+    the sibling corr_exact query established this moment-assembly
+    pattern). One shuffle on the 3-key group."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(28,4)")).cast("double").alias("sxx"),
+        F.sum((x * y).cast("decimal(30,4)")).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / n
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept"),
+    ).orderBy("l_returnflag")
+
+
+LINREG_SQL = """
+WITH m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (sxy - sx * sy / CAST(n AS DOUBLE)) / (sxx - sx * sx / CAST(n AS DOUBLE)) AS slope,
+       (sy - (sxy - sx * sy / CAST(n AS DOUBLE)) / (sxx - sx * sx / CAST(n AS DOUBLE)) * sx) / CAST(n AS DOUBLE) AS intercept
+FROM m ORDER BY l_returnflag
+"""
+
+
 ANALYTICS5_QUERIES = {
     "incremental_rollup_monthly": incremental_rollup_monthly,
     "event_transitions": event_transitions,
     "fuzzy_match_docs": fuzzy_match_docs,
+    "linreg_exact": linreg_exact,
 }
 
 ANALYTICS5_ORACLE_SQL = {
     "incremental_rollup_monthly": INCREMENTAL_ROLLUP_SQL,
     "event_transitions": EVENT_TRANSITIONS_SQL,
     "fuzzy_match_docs": FUZZY_MATCH_SQL,
+    "linreg_exact": LINREG_SQL,
 }
