@@ -100,3 +100,23 @@ def test_byte_features_real_and_normalized(spark):
     assert feats[1][ord("a")] == pytest.approx(2 / 3)
     assert feats[1][ord("b")] == pytest.approx(1 / 3)
     assert sum(feats[2]) == 0.0  # empty payload -> zero vector
+
+
+def test_byte_features_arrow_matches_pandas(spark):
+    """mapInArrow and mapInPandas forms produce identical histograms."""
+    from data_pipeline_who_gho_spark.operators.multimodal import (
+        attach_binary,
+        extract_byte_features,
+        extract_byte_features_arrow,
+    )
+
+    df = attach_binary(
+        spark.createDataFrame(
+            [(1, "hello world"), (2, ""), (3, "aaa")], "doc_id long, text string"
+        )
+    )
+    a = {r.doc_id: r.features for r in extract_byte_features(df).collect()}
+    b = {r.doc_id: r.features for r in extract_byte_features_arrow(df).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k]
