@@ -132,3 +132,60 @@ def test_window_topn_uses_group_limit(spark):
 
     plan = _plan(window_topn_per_group(spark, SF))
     assert "WindowGroupLimit" in plan
+
+
+def test_q2_part_filter_reaches_scan_dims_broadcast(spark):
+    from data_pipeline_who_gho_spark.plans.tpch4 import q2_min_cost_supplier
+
+    plan = _plan(q2_min_cost_supplier(spark, SF))
+    # part subset + EUROPE supplier chain must all broadcast into lineitem
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "LessThanOrEqual(p_size,15)" in plan and "EqualTo(p_type,ECONOMY)" in plan
+    # (part,supplier) aggregate + per-part window are the only wide exchanges
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_q11_scalar_total_broadcast_single_agg_shuffle(spark):
+    from data_pipeline_who_gho_spark.plans.tpch4 import q11_important_parts
+
+    plan = _plan(q11_important_parts(spark, SF))
+    # the 1-row total joins via broadcast nested loop, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_q16_complaint_suppliers_anti_join_broadcasts(spark):
+    from data_pipeline_who_gho_spark.plans.tpch4 import q16_supplier_part_counts
+
+    plan = _plan(q16_supplier_part_counts(spark, SF))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # count(distinct) must partial-aggregate before the exchange
+    assert "partial_count" in plan
+
+
+def test_q20_semi_join_broadcasts_dominant_set(spark):
+    from data_pipeline_who_gho_spark.plans.tpch4 import q20_dominant_suppliers
+
+    plan = _plan(q20_dominant_suppliers(spark, SF))
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    # 1997 range + part-name prefix must reach the scans
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "StringStartsWith(p_name,small)" in plan
+
+
+def test_q21_single_wide_shuffle_group_by_join_key(spark):
+    """The per-order aggregate must reuse the lineitem⋈orders join's
+    hash partitioning on l_orderkey — no exchange between join and
+    groupBy (the rewrite that replaces the textbook triple self-join)."""
+    from data_pipeline_who_gho_spark.plans.tpch4 import q21_waiting_suppliers
+
+    plan = _plan(q21_waiting_suppliers(spark, SF))
+    assert "EqualTo(o_orderstatus,F)" in plan
+    # exchanges: lineitem->orderkey (and orders->orderkey unless
+    # broadcast) + final s_name agg; the orderkey groupBy adds none
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "partial_count" in plan
