@@ -1,0 +1,185 @@
+"""Sixth analytics batch: time-series smoothing and an iterative graph
+algorithm, both engineered to stay under the exact DuckDB oracle.
+
+- ``ewma_user_value``: exponentially weighted moving average per user.
+  The recurrence ewma_t = α·x_t + (1−α)·ewma_{t−1} is order-dependent
+  float math, normally un-checkable across engines; here both engines
+  run the IDENTICAL left fold over the IDENTICAL total order
+  (ts, event_id) — Spark ``aggregate()`` and DuckDB ``list_reduce``
+  are both acc-first left folds, and α = 0.125 / 0.875 are exact
+  binary doubles — so every intermediate IEEE operation matches
+  bit-for-bit (memory/oracle-parity-rules: identical expression trees
+  are bit-equal across engines).
+
+- ``pagerank_customer_supplier``: 3 unrolled PageRank iterations over
+  the bipartite customer↔supplier graph derived from orders⋈lineitem.
+  Iterative algorithms are usually consigned to rows-only checks
+  (float mass sums are addition-order-dependent); this one runs the
+  whole recurrence in BIGINT fixed-point (rank scale 10^12, damping
+  0.85 as ·85 //100, contributions via integer division) so the result
+  is addition-order-independent and the oracle replays the iterations
+  as unrolled CTEs. The graph is made bidirectional, which guarantees
+  every node has out-degree ≥ 1 (no dangling-mass redistribution
+  term needed).
+
+Scale notes (100 TB posture): EWMA shuffles once on user_id and folds
+map-side-collected arrays (bounded by per-user event counts — the
+same contract as sessionization). PageRank persists the invariant
+(edges ⋈ out-degree) relation once; each iteration is one shuffle on
+dst for the contribution aggregate — the canonical distributed
+PageRank shape; ranks are re-derived, never collected to the driver.
+
+Reference ancestry: the reference has no time-series or graph surface
+(SURVEY §2c); these extend the engine's north-star analytics the same
+way dedup/ANN do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+EWMA_ALPHA = 0.125  # exact binary fraction: 1/8
+
+PR_SCALE = 1_000_000_000_000  # fixed-point rank scale (10^12)
+PR_ITERS = 3
+
+
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final EWMA (α=1/8) of each user's event values in (ts, event_id)
+    order, via one groupBy(user) + ordered left fold."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    agg = ev.groupBy("user_id").agg(
+        arr.alias("seq"), F.count(F.lit(1)).alias("n_events")
+    )
+    vals = F.transform(F.col("seq"), lambda s: s.getField("value"))
+    ewma = F.aggregate(
+        F.expr("slice(transform(seq, s -> s.value), 2, size(seq) - 1)"),
+        F.element_at(vals, 1),
+        lambda acc, x: x * F.lit(EWMA_ALPHA) + acc * F.lit(1 - EWMA_ALPHA),
+    )
+    return (
+        agg.select("user_id", "n_events", ewma.alias("ewma"))
+        .orderBy("user_id")
+    )
+
+
+# DuckDB list_reduce has no explicit init: it folds the FULL list using
+# element 1 as the accumulator — exactly Spark's
+# aggregate(slice(vals, 2, n-1), element_at(vals, 1), f). The CASE guard
+# keeps single-event users explicit (fold of a 1-list = that element).
+EWMA_SQL = f"""
+WITH seq AS (
+  SELECT user_id,
+         list(value ORDER BY ts, event_id) AS vals,
+         COUNT(*) AS n_events
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CASE WHEN n_events = 1 THEN vals[1]
+            ELSE list_reduce(vals, (acc, x) ->
+              x * CAST({EWMA_ALPHA} AS DOUBLE) + acc * CAST({1 - EWMA_ALPHA} AS DOUBLE))
+       END AS ewma
+FROM seq
+ORDER BY user_id
+"""
+
+
+def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank over the customer↔supplier trade
+    graph; 3 iterations; top 100 nodes. rank' = 0.15·S + 0.85·Σ
+    incoming rank//deg, all in BIGINT (exact, order-independent)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst")).unionAll(
+        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # the invariant per-iteration relation: (src, dst, deg(src)); persist
+    # so the 3 iterations don't re-derive the distinct pair set
+    edges_deg = edges.join(deg, "src").persist()
+
+    ranks = deg.select(F.col("src").alias("node"), F.lit(PR_SCALE).cast("long").alias("rank"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select("dst", F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            (F.lit(15 * PR_SCALE // 100).cast("long")
+             + F.expr(f"85 * mass div 100").cast("long")).alias("rank"),
+        )
+    return (
+        ranks.select(
+            "node",
+            F.when(F.col("node") % 2 == 0, F.lit("customer")).otherwise(F.lit("supplier")).alias("node_type"),
+            F.expr("node div 2").alias("entity_key"),
+            "rank",
+        )
+        .orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(100)
+    )
+
+
+_PR_ITER = """
+r{i} AS (
+  SELECT e.dst AS node,
+         CAST({base} AS BIGINT) + 85 * SUM(r.rank // e.deg) // 100 AS rank
+  FROM edges_deg e JOIN r{prev} r ON e.src = r.node
+  GROUP BY e.dst
+)"""
+
+PAGERANK_SQL = (
+    f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT cnode AS src, snode AS dst FROM pairs
+  UNION ALL
+  SELECT snode AS src, cnode AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+edges_deg AS (SELECT e.src, e.dst, d.d AS deg FROM edges e JOIN deg d ON e.src = d.src),
+r0 AS (SELECT src AS node, CAST({PR_SCALE} AS BIGINT) AS rank FROM deg),"""
+    + ",".join(
+        _PR_ITER.format(i=i, prev=i - 1, base=15 * PR_SCALE // 100)
+        for i in range(1, PR_ITERS + 1)
+    )
+    + f"""
+SELECT node,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       node // 2 AS entity_key,
+       rank
+FROM r{PR_ITERS}
+ORDER BY rank DESC, node
+LIMIT 100
+"""
+)
+
+
+ANALYTICS6_QUERIES = {
+    "ewma_user_value": ewma_user_value,
+    "pagerank_customer_supplier": pagerank_customer_supplier,
+}
+
+ANALYTICS6_ORACLE_SQL = {
+    "ewma_user_value": EWMA_SQL,
+    "pagerank_customer_supplier": PAGERANK_SQL,
+}

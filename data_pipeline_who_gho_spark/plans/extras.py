@@ -249,12 +249,96 @@ QUALIFY rank <= 3
 """
 
 
+IVF_NPROBE = 2
+
+
+def ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with multi-cell probing (nprobe=2): each query scans its
+    TWO nearest centroid cells, the standard recall knob of IVF indexes
+    (a query near a cell boundary recovers neighbors assigned to the
+    adjacent cell, which nprobe=1 misses).
+
+    Scale shape: identical to ``ann_ivf_search`` — centroid assignment is
+    a broadcast NLJ (map-only), search shuffles once on cell id — except
+    the candidate set is nprobe/K of the corpus instead of 1/K. Each data
+    vector lives in exactly one cell and the probe cells are distinct, so
+    no candidate dedup is needed. The probing rule itself is
+    SQL-expressible, so the oracle checks the approximation too.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VEC.as_double("embedding").alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+
+    def l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cent_id"))
+    ranked = (
+        emb.join(F.broadcast(cents), F.lit(True))
+        .withColumn("d2", l2(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_assign))
+    )
+    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "v", "cent_id")
+    probes = ranked.filter((F.col("vec_id") < 10) & (F.col("rn") <= IVF_NPROBE)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("cent_id").alias("qcell"),
+    )
+    cand = probes.join(
+        assigned,
+        (F.col("qcell") == F.col("cent_id")) & (F.col("query_id") != F.col("vec_id")),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("cos", VEC.cosine(F.col("qv"), F.col("v")))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank",
+                F.round("cos", 6).alias("cosine"))
+    )
+
+
+ANN_IVF_NPROBE_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {IVF_CELLS}),
+ranked AS (
+  SELECT e.vec_id, e.v, c.cent_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_sum(list_transform(list_zip(e.v, c.cv), x -> (x[1]-x[2])*(x[1]-x[2]))), c.cent_id
+         ) AS rn
+  FROM e CROSS JOIN cents c
+),
+assigned AS (SELECT vec_id, v, cent_id FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, v AS qv, cent_id AS qcell
+           FROM ranked WHERE vec_id < 10 AND rn <= {IVF_NPROBE}),
+scored AS (
+  SELECT query_id, a.vec_id,
+         list_sum(list_transform(list_zip(qv, a.v), x -> x[1]*x[2]))
+         / (sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(a.v, x -> x*x)))) AS cos
+  FROM probes JOIN assigned a ON qcell = a.cent_id AND query_id <> a.vec_id
+)
+SELECT query_id, vec_id AS neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank,
+       round(cos, 6) AS cosine
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
 EXTRAS_QUERIES = {
     "asof_join_events": asof_join_events,
     "embed_neardup_pairs": embed_neardup_pairs,
     "rolling_hash_fingerprint": rolling_hash_fingerprint,
     "q3_shipping_priority": q3_shipping_priority,
     "ann_ivf_search": ann_ivf_search,
+    "ann_ivf_nprobe": ann_ivf_nprobe,
 }
 
 EXTRAS_ORACLE_SQL = {
@@ -263,4 +347,5 @@ EXTRAS_ORACLE_SQL = {
     "rolling_hash_fingerprint": ROLLING_HASH_SQL,
     "q3_shipping_priority": Q3_SQL,
     "ann_ivf_search": ANN_IVF_SQL,
+    "ann_ivf_nprobe": ANN_IVF_NPROBE_SQL,
 }
