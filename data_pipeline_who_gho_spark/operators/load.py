@@ -86,6 +86,33 @@ def merge_upsert(target: DataFrame | None, updates: DataFrame, keys: Sequence[st
     return kept.unionByName(updates)
 
 
+def merge_cdc(
+    target: DataFrame | None,
+    changes: DataFrame,
+    keys: Sequence[str],
+    delete_col: str = "is_deleted",
+) -> DataFrame:
+    """Pure-plan CDC MERGE with delete handling — the full three-clause
+    merge the reference's INSERT..ON CONFLICT cannot express but every
+    CDC feed needs:
+
+        WHEN MATCHED AND is_deleted THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED AND NOT is_deleted THEN INSERT *
+
+    One anti-join over ALL change keys (deleted and upserted alike)
+    evicts stale target rows, then surviving non-delete changes union
+    back — same single-shuffle shape as ``merge_upsert``; a delete for
+    an absent key is a no-op (tombstone replay tolerance, which makes
+    re-applying a CDC batch idempotent).
+    """
+    upserts = changes.filter(~F.col(delete_col)).drop(delete_col)
+    if target is None:
+        return upserts
+    kept = target.join(changes.select(*keys), on=list(keys), how="left_anti")
+    return kept.unionByName(upserts)
+
+
 def upsert(
     spark: SparkSession,
     updates: DataFrame,

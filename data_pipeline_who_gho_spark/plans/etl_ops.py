@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.load import merge_upsert
+from ..operators.load import merge_cdc, merge_upsert
 from ..operators.transform import clean_observations, dedup_keep_first, ensure_columns
 from ..operators.validate import observation_rules, validate_split
 from ..sources.catalog import load_table
@@ -269,6 +269,51 @@ SELECT orderkey, CAST(CAST(totalprice AS VARCHAR) AS DOUBLE) AS totalprice, stat
 """
 
 
+def etl_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-clause CDC MERGE semantics as a pure plan: target = pre-1997
+    orders; the change feed is 1996+ orders where finished ('F') rows are
+    tombstones (DELETE) and the rest are repriced upserts. One anti-join
+    over all change keys + union of surviving upserts (operators/load.py
+    merge_cdc — the DELETE clause the reference's ON CONFLICT lacks)."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    target = o.filter(F.year("o_orderdate") <= 1996).select(
+        F.col("o_orderkey").alias("orderkey"),
+        price.alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    changes = o.filter(F.year("o_orderdate") >= 1996).select(
+        F.col("o_orderkey").alias("orderkey"),
+        (price * F.lit(1.1).cast("decimal(2,1)")).cast("decimal(14,3)").alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_orderstatus") == "F").alias("is_deleted"),
+    )
+    merged = merge_cdc(target, changes, ["orderkey"])
+    return merged.select(
+        "orderkey", F.col("totalprice").cast("double").alias("totalprice"), "status"
+    )
+
+
+ETL_UPSERT_CDC_SQL = """
+WITH target AS (
+  SELECT o_orderkey AS orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice, o_orderstatus AS status
+  FROM orders WHERE year(o_orderdate) <= 1996
+), changes AS (
+  SELECT o_orderkey AS orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(14,3)) AS totalprice,
+         o_orderstatus AS status,
+         o_orderstatus = 'F' AS is_deleted
+  FROM orders WHERE year(o_orderdate) >= 1996
+)
+SELECT orderkey, CAST(CAST(totalprice AS VARCHAR) AS DOUBLE) AS totalprice, status FROM (
+  SELECT orderkey, totalprice, status FROM target
+  WHERE orderkey NOT IN (SELECT orderkey FROM changes)
+  UNION ALL
+  SELECT orderkey, totalprice, status FROM changes WHERE NOT is_deleted
+)
+"""
+
+
 def etl_dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1+Q2 as one metrics row over the derived raw feed: total rows and
     rows violating the key-null constraint (who_gho_etl_dag.py:189-206)."""
@@ -350,6 +395,7 @@ ETL_QUERIES = {
     "etl_null_default_projection": etl_null_default_projection,
     "etl_safe_cast": etl_safe_cast,
     "etl_upsert_merge": etl_upsert_merge,
+    "etl_upsert_cdc": etl_upsert_cdc,
     "etl_dq_summary": etl_dq_summary,
 }
 
@@ -363,5 +409,6 @@ ETL_ORACLE_SQL = {
     "etl_null_default_projection": ETL_NULL_DEFAULT_SQL,
     "etl_safe_cast": ETL_SAFE_CAST_SQL,
     "etl_upsert_merge": ETL_UPSERT_SQL,
+    "etl_upsert_cdc": ETL_UPSERT_CDC_SQL,
     "etl_dq_summary": ETL_DQ_SQL,
 }

@@ -58,3 +58,39 @@ def test_append_rejects(spark, tmp_path):
     append_rejects(spark.createDataFrame([], "record_data STRING, error_details STRING"), wh)
     append_rejects(rej, wh)
     assert read_table(spark, wh, "rejected_record").count() == 2
+
+
+def test_merge_cdc_three_clauses(spark):
+    from data_pipeline_who_gho_spark.operators.load import merge_cdc
+
+    target = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], "k STRING, v INT")
+    changes = spark.createDataFrame(
+        [("b", 20, False),   # WHEN MATCHED -> UPDATE
+         ("c", 0, True),     # WHEN MATCHED AND deleted -> DELETE
+         ("d", 40, False),   # WHEN NOT MATCHED -> INSERT
+         ("e", 0, True)],    # tombstone for absent key -> no-op
+        "k STRING, v INT, is_deleted BOOLEAN",
+    )
+    out = merge_cdc(target, changes, ["k"])
+    assert rows(out) == [("a", 1), ("b", 20), ("d", 40)]
+
+
+def test_merge_cdc_replay_idempotent(spark):
+    from data_pipeline_who_gho_spark.operators.load import merge_cdc
+
+    target = spark.createDataFrame([("a", 1), ("b", 2)], "k STRING, v INT")
+    changes = spark.createDataFrame(
+        [("a", 10, False), ("b", 0, True)], "k STRING, v INT, is_deleted BOOLEAN"
+    )
+    once = merge_cdc(target, changes, ["k"])
+    twice = merge_cdc(once, changes, ["k"])
+    assert rows(once) == rows(twice) == [("a", 10)]
+
+
+def test_merge_cdc_no_target(spark):
+    from data_pipeline_who_gho_spark.operators.load import merge_cdc
+
+    changes = spark.createDataFrame(
+        [("a", 1, False), ("b", 0, True)], "k STRING, v INT, is_deleted BOOLEAN"
+    )
+    assert rows(merge_cdc(None, changes, ["k"])) == [("a", 1)]
