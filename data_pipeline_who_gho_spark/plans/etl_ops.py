@@ -314,6 +314,60 @@ SELECT orderkey, CAST(CAST(totalprice AS VARCHAR) AS DOUBLE) AS totalprice, stat
 """
 
 
+def etl_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side SCD2 versioning as a pure plan (operators/scd2.py):
+    the customer dimension starts as open versions effective 1995-01-01;
+    a change batch re-segments negative-balance customers to 'DEBT'
+    effective 1996-01-01. Superseded versions close at the effective
+    time, fresh versions open, everything else passes through."""
+    from ..operators.scd2 import scd2_merge
+
+    cust = load_table(spark, sf_dir, "customer")
+    target = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit("9999-12-31 00:00:00").cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = cust.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("DEBT").alias("segment"),
+        F.lit("1996-01-01 00:00:00").cast("timestamp").alias("effective_ts"),
+    )
+    return scd2_merge(target, changes, ["custkey"], ["segment"]).orderBy(
+        "custkey", "valid_from"
+    )
+
+
+ETL_SCD2_SQL = """
+WITH target AS (
+  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+         TIMESTAMP '1995-01-01' AS valid_from,
+         TIMESTAMP '9999-12-31' AS valid_to, TRUE AS is_current
+  FROM customer
+), changes AS (
+  SELECT c_custkey AS custkey, 'DEBT' AS segment,
+         TIMESTAMP '1996-01-01' AS effective_ts
+  FROM customer WHERE c_acctbal < 0
+), joined AS (
+  SELECT t.custkey, t.segment AS t_seg, t.valid_from, t.valid_to, t.is_current,
+         c.segment AS c_seg, c.effective_ts,
+         c.custkey IS NOT NULL AND t.segment IS DISTINCT FROM c.segment AS changed
+  FROM target t LEFT JOIN changes c ON t.custkey = c.custkey
+)
+SELECT custkey, t_seg AS segment, valid_from,
+       CASE WHEN changed THEN effective_ts ELSE valid_to END AS valid_to,
+       CASE WHEN changed THEN FALSE ELSE is_current END AS is_current
+FROM joined
+UNION ALL
+SELECT custkey, c_seg AS segment, effective_ts AS valid_from,
+       TIMESTAMP '9999-12-31' AS valid_to, TRUE AS is_current
+FROM joined WHERE changed
+ORDER BY custkey, valid_from
+"""
+
+
 def etl_dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1+Q2 as one metrics row over the derived raw feed: total rows and
     rows violating the key-null constraint (who_gho_etl_dag.py:189-206)."""
@@ -396,6 +450,7 @@ ETL_QUERIES = {
     "etl_safe_cast": etl_safe_cast,
     "etl_upsert_merge": etl_upsert_merge,
     "etl_upsert_cdc": etl_upsert_cdc,
+    "etl_scd2_merge": etl_scd2_merge,
     "etl_dq_summary": etl_dq_summary,
 }
 
@@ -410,5 +465,6 @@ ETL_ORACLE_SQL = {
     "etl_safe_cast": ETL_SAFE_CAST_SQL,
     "etl_upsert_merge": ETL_UPSERT_SQL,
     "etl_upsert_cdc": ETL_UPSERT_CDC_SQL,
+    "etl_scd2_merge": ETL_SCD2_SQL,
     "etl_dq_summary": ETL_DQ_SQL,
 }
