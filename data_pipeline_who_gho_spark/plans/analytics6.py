@@ -36,7 +36,7 @@ way dedup/ANN do.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -174,12 +174,48 @@ LIMIT 100
 )
 
 
+def locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: treat non-'view' events as gaps
+    (NULL value) and fill each gap with the user's most recent 'view'
+    value — ``last_value(..., ignorenulls)`` over a running frame, the
+    canonical sparse-to-dense time-series densification.
+
+    Scale: one shuffle on user_id; the running frame is a single
+    ordered pass per partition (no self-join, no as-of join needed)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    sparse = F.when(F.col("event_type") == "view", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("filled", F.last(sparse, ignorenulls=True).over(w))
+        .select("user_id", "event_id", "event_type", "filled")
+        .orderBy("user_id", "event_id")
+    )
+
+
+LOCF_SQL = """
+SELECT user_id, event_id, event_type,
+       last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
 ANALYTICS6_QUERIES = {
     "ewma_user_value": ewma_user_value,
     "pagerank_customer_supplier": pagerank_customer_supplier,
+    "locf_gap_fill": locf_gap_fill,
 }
 
 ANALYTICS6_ORACLE_SQL = {
     "ewma_user_value": EWMA_SQL,
     "pagerank_customer_supplier": PAGERANK_SQL,
+    "locf_gap_fill": LOCF_SQL,
 }

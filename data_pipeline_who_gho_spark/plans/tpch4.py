@@ -266,14 +266,23 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_orderdate")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    per_order = (
+    # two-level aggregate instead of two countDistincts: the distinct-count
+    # plan would EXPAND the joined rows 3× (grouping-id sets) and add an
+    # exchange; per-(order, supplier) partials collapse first, and BOTH
+    # groupBys are satisfied by the join's orderkey partitioning
+    per_pair = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(late, 1).otherwise(0)).alias("has_late"),
+             F.sum(F.when(late, 1).otherwise(0)).alias("late_cnt"))
+    )
+    per_order = (
+        per_pair.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
-            F.max(F.when(late, F.col("l_suppkey"))).alias("sole_late_supp"),
-            F.sum(F.when(late, 1).otherwise(0)).alias("late_lines"),
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("has_late").alias("n_late_supp"),
+            F.max(F.when(F.col("has_late") == 1, F.col("l_suppkey"))).alias("sole_late_supp"),
+            F.sum(F.when(F.col("has_late") == 1, F.col("late_cnt")).otherwise(0)).alias("late_lines"),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     )
