@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.layout import morton2, morton2_sql
 from ..sources.catalog import load_table
 
 EWMA_ALPHA = 0.125  # exact binary fraction: 1/8
@@ -208,14 +209,49 @@ ORDER BY user_id, event_id
 """
 
 
+def zorder_event_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-curve) key kernel under the exact gate: interleave
+    bucketed (user_id, minute-of-day) into one z key and summarize the
+    curve's 1024-key cells. The kernel (operators/layout.py) is pure
+    shift/mask integer arithmetic — identical in both engines; the
+    layout operator built on it is locality-tested in
+    tests/test_layout.py."""
+    ev = load_table(spark, sf_dir, "events")
+    z = morton2(F.col("user_id"), F.hour("ts") * 60 + F.minute("ts"))
+    return (
+        ev.withColumn("z", z)
+        .groupBy(F.expr("z div 1024").alias("z_cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
+        .orderBy("z_cell")
+    )
+
+
+ZORDER_SQL = f"""
+WITH keyed AS (
+  SELECT {morton2_sql('user_id', '(hour(ts) * 60 + minute(ts))')} AS z FROM events
+)
+SELECT z // 1024 AS z_cell, COUNT(*) AS n_events,
+       MIN(z) AS z_min, MAX(z) AS z_max
+FROM keyed
+GROUP BY z_cell
+ORDER BY z_cell
+"""
+
+
 ANALYTICS6_QUERIES = {
     "ewma_user_value": ewma_user_value,
     "pagerank_customer_supplier": pagerank_customer_supplier,
     "locf_gap_fill": locf_gap_fill,
+    "zorder_event_cells": zorder_event_cells,
 }
 
 ANALYTICS6_ORACLE_SQL = {
     "ewma_user_value": EWMA_SQL,
     "pagerank_customer_supplier": PAGERANK_SQL,
     "locf_gap_fill": LOCF_SQL,
+    "zorder_event_cells": ZORDER_SQL,
 }
