@@ -90,3 +90,55 @@ def test_fuzzy_pairs_are_canonical_and_bounded(spark):
     for r in rows:
         assert r["id_a"] < r["id_b"]
         assert 0 <= r["dist"] <= 5
+
+
+class TestSketchRollup:
+    """Mergeable HLL distinct-count rollups: union ≡ one-pass, tolerance
+    contract vs exact, incremental refresh without history rescan."""
+
+    def test_union_equals_one_pass(self, spark):
+        from data_pipeline_who_gho_spark.operators.rollup import (
+            merge_sketch_rollups,
+            sketch_estimate,
+            sketch_rollup,
+        )
+        from data_pipeline_who_gho_spark.sources.catalog import load_table
+        from pyspark.sql import functions as F
+
+        orders = load_table(spark, "/root/testdata/sf0.01", "orders")
+        h1 = orders.filter(F.year("o_orderdate") <= 1997)
+        h2 = orders.filter(F.year("o_orderdate") > 1997)
+
+        one_pass = sketch_rollup(orders, ["o_orderstatus"], "o_custkey")
+        merged = merge_sketch_rollups(
+            sketch_rollup(h1, ["o_orderstatus"], "o_custkey"),
+            sketch_rollup(h2, ["o_orderstatus"], "o_custkey"),
+            ["o_orderstatus"],
+        )
+        a = {r["o_orderstatus"]: r["distinct_estimate"]
+             for r in sketch_estimate(one_pass).collect()}
+        b = {r["o_orderstatus"]: r["distinct_estimate"]
+             for r in sketch_estimate(merged).collect()}
+        # the union keeps the accuracy bound; estimates may differ by
+        # representation-promotion noise, far inside the ~1.6% rse
+        for k in a:
+            assert abs(a[k] - b[k]) / a[k] < 0.02
+
+    def test_estimate_within_tolerance_of_exact(self, spark):
+        from data_pipeline_who_gho_spark.operators.rollup import (
+            sketch_estimate,
+            sketch_rollup,
+        )
+        from data_pipeline_who_gho_spark.sources.catalog import load_table
+        from pyspark.sql import functions as F
+
+        orders = load_table(spark, "/root/testdata/sf0.01", "orders")
+        est = {r["o_orderstatus"]: r["distinct_estimate"]
+               for r in sketch_estimate(
+                   sketch_rollup(orders, ["o_orderstatus"], "o_custkey")
+               ).collect()}
+        exact = {r["o_orderstatus"]: r["n"]
+                 for r in orders.groupBy("o_orderstatus")
+                 .agg(F.countDistinct("o_custkey").alias("n")).collect()}
+        for k, n in exact.items():
+            assert abs(est[k] - n) / n < 0.05  # default lgK=12 ⇒ ~1.6% rse
