@@ -185,6 +185,55 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRIDE = 8  # overlap = _CHUNK - _STRIDE tokens between consecutive chunks
+
+
+def doc_chunking_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (window=16, stride=8): each
+    chunk starts _STRIDE tokens after the previous, so consecutive
+    chunks share _CHUNK−_STRIDE tokens — the standard long-document
+    treatment when truncation at hard boundaries would lose cross-chunk
+    context. Same map-only, no-shuffle shape as ``doc_chunking``; chunk
+    count per doc is ceil(max(n−overlap, 1)/stride)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    w = docs.select("doc_id", F.expr(_TOKENS_EXPR).alias("w"))
+    overlap = _CHUNK - _STRIDE
+    n_chunks = F.ceil(
+        F.greatest(F.size("w") - F.lit(overlap), F.lit(1)) / F.lit(_STRIDE)
+    ).cast("int")
+    return (
+        w.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr(f"slice(w, chunk_idx * {_STRIDE} + 1, {_CHUNK})").alias("c"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("c").alias("n_chunk_tokens"),
+            F.md5(F.array_join("c", " ").cast("binary")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+CHUNKING_STRIDED_SQL = f"""
+SELECT doc_id, chunk_idx,
+       len(list_slice(w, chunk_idx * {_STRIDE} + 1, chunk_idx * {_STRIDE} + {_CHUNK})) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(w, chunk_idx * {_STRIDE} + 1, chunk_idx * {_STRIDE} + {_CHUNK}), ' ')) AS chunk_hash
+FROM (
+  SELECT doc_id, w,
+         unnest(range(0, CAST(ceil(greatest(len(w) - {_CHUNK - _STRIDE}, 1) / {_STRIDE}.0) AS INT))) AS chunk_idx
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS w
+        FROM documents)
+)
+ORDER BY doc_id, chunk_idx
+"""
+
+
 CHUNKING_SQL = f"""
 SELECT doc_id, chunk_idx,
        len(list_slice(w, chunk_idx * {_CHUNK} + 1, chunk_idx * {_CHUNK} + {_CHUNK})) AS n_chunk_tokens,
@@ -329,6 +378,7 @@ TRAINING_QUERIES = {
     "train_split_assign": train_split_assign,
     "contamination_check": contamination_check,
     "doc_chunking": doc_chunking,
+    "doc_chunking_strided": doc_chunking_strided,
     "pii_redaction": pii_redaction,
     "vocab_top_tokens": vocab_top_tokens,
     "tfidf_top_term": tfidf_top_term,
@@ -338,6 +388,7 @@ TRAINING_ORACLE_SQL = {
     "train_split_assign": TRAIN_SPLIT_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "doc_chunking": CHUNKING_SQL,
+    "doc_chunking_strided": CHUNKING_STRIDED_SQL,
     "pii_redaction": PII_SQL,
     "vocab_top_tokens": VOCAB_SQL,
     "tfidf_top_term": TFIDF_SQL,

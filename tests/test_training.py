@@ -146,3 +146,37 @@ def test_knn_classify_vote_bounds(spark):
     assert rows
     for r in rows:
         assert 1 <= r.votes <= 10
+
+
+def test_strided_chunking_overlap_and_coverage(spark):
+    """Consecutive strided chunks overlap by window-stride tokens and
+    jointly cover the whole token stream."""
+    chunks = training.doc_chunking_strided(spark, SF)
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n_tok")
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("n_chunk_tokens").alias("mx"),
+        F.sum("n_chunk_tokens").alias("total"),
+    )
+    j = per_doc.join(docs, "doc_id").collect()
+    assert len(j) == docs.count()
+    import math
+    for r in j:
+        assert r.mx <= 16
+        # chunk count formula: ceil(max(n - overlap, 1) / stride)
+        assert r.n_chunks == math.ceil(max(r.n_tok - 8, 1) / 8)
+        # emitted tokens = n + 8 per re-read overlap region (the last
+        # chunk may be short, so bound from both sides instead of exact)
+        assert r.n_tok <= r.total <= r.n_tok + 8 * (r.n_chunks - 1)
+    # spot-check one long document's actual overlap content
+    long_doc = max(j, key=lambda r: r.n_tok)
+    toks = (
+        load_table(spark, SF, "documents")
+        .filter(F.col("doc_id") == long_doc.doc_id)
+        .select(F.split(F.trim(F.lower("text")), r"\s+").alias("w"))
+        .collect()[0]["w"]
+    )
+    c0, c1 = toks[0:16], toks[8:24]
+    assert c0[8:16] == c1[0:8]  # 8-token overlap between chunk 0 and 1
