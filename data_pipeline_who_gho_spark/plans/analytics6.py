@@ -242,11 +242,56 @@ ORDER BY z_cell
 """
 
 
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` ≡ IS NOT DISTINCT FROM): NULL keys
+    match NULL keys instead of silently dropping — the semantics a
+    plain equi-join gets wrong when dimension keys are nullable.
+    'error' events are mapped to a NULL key on both sides; the NULL
+    dimension row must capture them. Catalyst plans `<=>` as a hash
+    join (null-safe keys hash like values), NOT a nested loop."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.nullif(F.col("event_type"), F.lit("error")).alias("k"), "value"
+    )
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type").distinct()
+        .select(
+            F.nullif(F.col("event_type"), F.lit("error")).alias("dk"),
+            F.upper("event_type").alias("label"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(dim), ev.k.eqNullSafe(dim.dk))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("string").cast("double").alias("total_value"),
+        )
+        .orderBy("label")
+    )
+
+
+JOIN_NULL_SAFE_SQL = """
+WITH ev AS (
+  SELECT nullif(event_type, 'error') AS k, value FROM events
+), dim AS (
+  SELECT nullif(event_type, 'error') AS dk, upper(event_type) AS label
+  FROM (SELECT DISTINCT event_type FROM events)
+)
+SELECT label, COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_value
+FROM ev JOIN dim ON ev.k IS NOT DISTINCT FROM dim.dk
+GROUP BY label
+ORDER BY label
+"""
+
+
 ANALYTICS6_QUERIES = {
     "ewma_user_value": ewma_user_value,
     "pagerank_customer_supplier": pagerank_customer_supplier,
     "locf_gap_fill": locf_gap_fill,
     "zorder_event_cells": zorder_event_cells,
+    "join_null_safe": join_null_safe,
 }
 
 ANALYTICS6_ORACLE_SQL = {
@@ -254,4 +299,5 @@ ANALYTICS6_ORACLE_SQL = {
     "pagerank_customer_supplier": PAGERANK_SQL,
     "locf_gap_fill": LOCF_SQL,
     "zorder_event_cells": ZORDER_SQL,
+    "join_null_safe": JOIN_NULL_SAFE_SQL,
 }
