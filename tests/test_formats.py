@@ -59,3 +59,25 @@ def test_corrupt_json_quarantine(spark, tmp_path):
     good = [r for r in rows if r["_corrupt_record"] is None]
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert len(good) == 1 and len(bad) == 1
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution at the scan: batches written before a column
+    existed read back as NULL for that column under mergeSchema — the
+    L1 'migration' story for parquet-at-rest (new columns never require
+    rewriting history)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a")], "id INT, name STRING")
+    v1.write.parquet(p + "/batch=1")
+    v2 = spark.createDataFrame([(2, "b", 9.5)], "id INT, name STRING, score DOUBLE")
+    v2.write.parquet(p + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) >= {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None   # pre-evolution rows -> NULL
+    assert rows[2]["score"] == 9.5
+    # and the evolved column is filterable with pushdown intact
+    assert merged.filter(F.col("score") > 9).count() == 1
