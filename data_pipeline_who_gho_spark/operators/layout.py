@@ -50,8 +50,10 @@ def morton2(x: Column, y: Column) -> Column:
 
 
 def spread_bits16_sql(expr: str) -> str:
-    """The same spread kernel as ANSI/DuckDB SQL text (for oracles)."""
-    x = f"({expr} & 65535)"
+    """The same spread kernel as ANSI/DuckDB SQL text (for oracles).
+    The BIGINT cast mirrors the Spark kernel's `cast("long")`: an
+    INT32 input would overflow DuckDB's left shift at 0x55555555<<1."""
+    x = f"(CAST({expr} AS BIGINT) & 65535)"
     for shift, mask in _SPREAD:
         x = f"(({x} | ({x} << {shift})) & {mask})"
     return x

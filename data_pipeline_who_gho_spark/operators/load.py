@@ -104,9 +104,13 @@ def merge_cdc(
     evicts stale target rows, then surviving non-delete changes union
     back — same single-shuffle shape as ``merge_upsert``; a delete for
     an absent key is a no-op (tombstone replay tolerance, which makes
-    re-applying a CDC batch idempotent).
+    re-applying a CDC batch idempotent). A NULL flag means "not a
+    delete" (sources often leave it unset) — it must upsert, never
+    silently evict.
     """
-    upserts = changes.filter(~F.col(delete_col)).drop(delete_col)
+    upserts = changes.filter(
+        ~F.coalesce(F.col(delete_col), F.lit(False))
+    ).drop(delete_col)
     if target is None:
         return upserts
     kept = target.join(changes.select(*keys), on=list(keys), how="left_anti")

@@ -55,6 +55,12 @@ def scd2_merge(
     Returns the new table: closed history untouched, superseded current
     rows closed at the change's effective time, fresh versions opened,
     unchanged keys left as-is.
+
+    Late-arriving changes (effective_ts ≤ the current version's
+    valid_from) are IGNORED: applying them would close the current row
+    with valid_to < valid_from and open an overlapping version,
+    corrupting as-of lookups. Out-of-order history requires a rebuild
+    from the full change log, not an incremental merge.
     """
     out_cols = [*keys, *attrs, "valid_from", "valid_to", "is_current"]
     fresh = changes.select(
@@ -72,7 +78,11 @@ def scd2_merge(
     ch = changes.alias("c")
     joined = current.join(ch, on=list(keys), how="left")
 
-    changed = F.col(f"c.{effective_col}").isNotNull() & _attrs_differ(attrs, "t", "c")
+    changed = (
+        F.col(f"c.{effective_col}").isNotNull()
+        & (F.col(f"c.{effective_col}") > F.col("t.valid_from"))  # late-arrival guard
+        & _attrs_differ(attrs, "t", "c")
+    )
     # current rows: close if superseded, else pass through unchanged
     kept_current = joined.select(
         *keys,

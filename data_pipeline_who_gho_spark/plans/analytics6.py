@@ -39,17 +39,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import bounded_persist_cache
 from ..operators.layout import morton2, morton2_sql
 from ..sources.catalog import load_table
 
 EWMA_ALPHA = 0.125  # exact binary fraction: 1/8
 
 # app-scoped cache of PageRank's invariant (edges ⋈ degree) relation —
-# referenced by every iteration; bounded like extensions._SHINGLE_CACHE
-# so repeated calls across sf_dirs don't pin storage forever
+# referenced by every iteration; policy shared via caching.py
 _EDGE_CACHE: dict = {}
 
-PR_SCALE = 1_000_000_000_000  # fixed-point rank scale (10^12)
+# fixed-point rank scale. Overflow headroom: a node's incoming mass is
+# bounded by the total (n_nodes · PR_SCALE), and the damping step
+# computes 85 · mass in BIGINT — with 10^9 that stays under 2^63 up to
+# ~10^8 nodes (10^12 would cap at ~10^5 nodes, far below the 100 TB
+# posture; the DuckDB oracle sums in HUGEINT and would not wrap, so
+# Spark-side wrap would also silently break parity)
+PR_SCALE = 1_000_000_000
 PR_ITERS = 3
 
 
@@ -99,11 +105,7 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer fixed-point PageRank over the customer↔supplier trade
     graph; 3 iterations; top 100 nodes. rank' = 0.15·S + 0.85·Σ
     incoming rank//deg, all in BIGINT (exact, order-independent)."""
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
-    edges_deg = _EDGE_CACHE.get(cache_key)
-    if edges_deg is None:
-        while len(_EDGE_CACHE) >= 4:
-            _EDGE_CACHE.pop(next(iter(_EDGE_CACHE))).unpersist()
+    def build() -> DataFrame:
         orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
         pairs = (
@@ -118,11 +120,12 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
         )
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        # the invariant per-iteration relation: (src, dst, deg(src));
-        # persisted so the 3 iterations don't re-derive the pair set
-        edges_deg = edges.join(deg, "src").persist()
-        _EDGE_CACHE[cache_key] = edges_deg
+        # the invariant per-iteration relation: (src, dst, deg(src))
+        return edges.join(deg, "src")
 
+    edges_deg = bounded_persist_cache(
+        _EDGE_CACHE, (spark.sparkContext.applicationId, sf_dir), build
+    )
     deg_nodes = edges_deg.select("src").distinct()
     ranks = deg_nodes.select(F.col("src").alias("node"), F.lit(PR_SCALE).cast("long").alias("rank"))
     for _ in range(PR_ITERS):

@@ -353,7 +353,8 @@ WITH target AS (
 ), joined AS (
   SELECT t.custkey, t.segment AS t_seg, t.valid_from, t.valid_to, t.is_current,
          c.segment AS c_seg, c.effective_ts,
-         c.custkey IS NOT NULL AND t.segment IS DISTINCT FROM c.segment AS changed
+         c.custkey IS NOT NULL AND c.effective_ts > t.valid_from
+           AND t.segment IS DISTINCT FROM c.segment AS changed
   FROM target t LEFT JOIN changes c ON t.custkey = c.custkey
 )
 SELECT custkey, t_seg AS segment, valid_from,

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import bounded_persist_cache
 from ..functions import text as TX
 from ..functions import vectors as VEC
 from ..sources.catalog import load_table
@@ -69,34 +70,30 @@ def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     join sides, verification); without the cache each reference re-scans
     and re-tokenizes the corpus (8 scans observed in the minhash plan).
     """
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _SHINGLE_CACHE.get(cache_key)
-    if cached is not None:
-        return cached
-    # bound the cache: unpersist + evict the oldest entry beyond 4 — a
-    # long-lived session sweeping many sf_dirs must not pin storage forever
-    while len(_SHINGLE_CACHE) >= 4:
-        old_key = next(iter(_SHINGLE_CACHE))
-        _SHINGLE_CACHE.pop(old_key).unpersist()
-    corpus = _corpus(spark, sf_dir)
-    toks = corpus.select(
-        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("tok", i).over(w) for i in range(1, SHINGLE_K)]
-    sh = (
-        toks.select(
-            "doc_id",
-            F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"),
-            leads[-1].isNotNull().alias("__complete"),
+    def build() -> DataFrame:
+        corpus = _corpus(spark, sf_dir)
+        toks = corpus.select(
+            "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "tok")
         )
-        .filter(F.col("__complete"))
-        .select("doc_id", "shingle")
-        .distinct()
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        leads = [F.lead("tok", i).over(w) for i in range(1, SHINGLE_K)]
+        sh = (
+            toks.select(
+                "doc_id",
+                F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"),
+                leads[-1].isNotNull().alias("__complete"),
+            )
+            .filter(F.col("__complete"))
+            .select("doc_id", "shingle")
+            .distinct()
+        )
+        return sh.withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+
+    return bounded_persist_cache(
+        _SHINGLE_CACHE, (spark.sparkContext.applicationId, sf_dir), build
     )
-    out = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))).persist()
-    _SHINGLE_CACHE[cache_key] = out
-    return out
 
 
 # ---------------------------------------------------------------------------

@@ -94,3 +94,15 @@ def test_merge_cdc_no_target(spark):
         [("a", 1, False), ("b", 0, True)], "k STRING, v INT, is_deleted BOOLEAN"
     )
     assert rows(merge_cdc(None, changes, ["k"])) == [("a", 1)]
+
+
+def test_merge_cdc_null_flag_means_upsert(spark):
+    from data_pipeline_who_gho_spark.operators.load import merge_cdc
+
+    target = spark.createDataFrame([("a", 1)], "k STRING, v INT")
+    changes = spark.createDataFrame(
+        [("a", 10, None), ("b", 20, None)], "k STRING, v INT, is_deleted BOOLEAN"
+    )
+    # unset flag = not a delete: must update/insert, never silently evict
+    out = merge_cdc(target, changes, ["k"])
+    assert rows(out) == [("a", 10), ("b", 20)]

@@ -90,3 +90,12 @@ def test_history_rows_untouched(spark):
         ("a", "GOLD", T0, T1, False),
         ("a", "SILVER", T1, HIGH, True),
     ]
+
+
+def test_late_arriving_change_ignored(spark):
+    """A change older than the current version must NOT close it (that
+    would set valid_to < valid_from and open an overlapping version)."""
+    target = spark.createDataFrame([("a", "SILVER", T1, HIGH, True)], SCHEMA_T)
+    stale = spark.createDataFrame([("a", "GOLD", T0)], SCHEMA_C)  # T0 < T1
+    out = scd2_merge(target, stale, ["k"], ["seg"])
+    assert snap(out) == [("a", "SILVER", T1, HIGH, True)]  # untouched
