@@ -117,6 +117,36 @@ def merge_cdc(
     return kept.unionByName(upserts)
 
 
+# Characters Spark escapes in hive-style partition directory names
+# (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils).
+_HIVE_UNSAFE = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _hive_escape(val: str) -> str:
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_UNSAFE or ord(ch) < 32 else ch
+        for ch in val
+    )
+
+
+def _hive_part_dir(pcols: Sequence[str], values: Sequence) -> str:
+    """Relative hive directory for one partition tuple, Spark-compatible."""
+    segs = []
+    for col, val in zip(pcols, values):
+        sval = "__HIVE_DEFAULT_PARTITION__" if val is None else _hive_escape(str(val))
+        segs.append(f"{_hive_escape(col)}={sval}")
+    return os.path.join(*segs)
+
+
+def _is_hive_partitioned(path: str, first_pcol: str) -> bool:
+    try:
+        return any(
+            entry.startswith(f"{first_pcol}=") for entry in os.listdir(path)
+        )
+    except OSError:
+        return False
+
+
 def upsert(
     spark: SparkSession,
     updates: DataFrame,
@@ -134,9 +164,19 @@ def upsert(
 
     ``partition_by`` lays the table out hive-partitioned (e.g. fact by
     time_dim) so downstream year-filtered queries prune partitions at
-    plan time — the at-rest layout SURVEY §1 calls for. At 100 TB the
-    full-table rewrite gives way to partition-scoped MERGE (or Delta);
-    the call-site contract stays the same.
+    plan time — the at-rest layout SURVEY §1 calls for, AND scopes the
+    rewrite: only partitions touched by the update batch are merged and
+    swapped; every other partition's files are left byte-identical on
+    disk. At 100 TB a dim-sized daily update rewrites a handful of
+    partition directories, not the fact table — the parquet-at-rest
+    equivalent of Delta's partition-pruned ``MERGE INTO``.
+
+    Affected set = partitions the update rows land in ∪ partitions that
+    currently hold an updated key (a key whose partition value changes
+    must be deleted from its old partition). The second leg is a
+    key-semi-join scan of the target — column-pruned to key+partition
+    columns, far cheaper than a rewrite; callers whose keys embed the
+    partition column can expect Catalyst to prune it further.
     """
     dup = (
         updates.groupBy(*[F.col(k) for k in keys])
@@ -149,17 +189,68 @@ def upsert(
         raise UpsertKeyError(f"duplicate keys in update batch for {table} on {list(keys)}")
 
     target = read_table(spark, warehouse_dir, table)
-    merged = merge_upsert(target, updates, keys)
-
     path = _table_path(warehouse_dir, table)
 
-    def _write(tmp: str) -> None:
-        writer = merged.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(tmp)
+    pcols = list(partition_by or [])
+    if target is None or not pcols or not _is_hive_partitioned(path, pcols[0]):
+        merged = merge_upsert(target, updates, keys)
 
-    atomic_overwrite(path, _write)
+        def _write(tmp: str) -> None:
+            writer = merged.write.mode("overwrite")
+            if pcols:
+                writer = writer.partitionBy(*pcols)
+            writer.parquet(tmp)
+
+        atomic_overwrite(path, _write)
+        return
+
+    _upsert_partition_scoped(spark, target, updates, path, keys, pcols)
+
+
+def _upsert_partition_scoped(
+    spark: SparkSession,
+    target: DataFrame,
+    updates: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    pcols: Sequence[str],
+) -> None:
+    from functools import reduce
+
+    landing = updates.select(*pcols).distinct()
+    moved = (
+        target.join(updates.select(*keys), on=list(keys), how="left_semi")
+        .select(*pcols)
+        .distinct()
+    )
+    affected = [tuple(r) for r in landing.union(moved).distinct().collect()]
+    if not affected:
+        return  # empty batch: nothing to rewrite
+
+    def _tuple_pred(t):
+        eqs = [F.col(c).eqNullSafe(F.lit(v)) for c, v in zip(pcols, t)]
+        return reduce(lambda a, b: a & b, eqs)
+
+    cond = reduce(lambda a, b: a | b, [_tuple_pred(t) for t in affected])
+    merged = merge_upsert(target.filter(cond), updates, keys)
+
+    tmp = path + ".tmp-" + uuid.uuid4().hex[:8]
+    merged.write.mode("overwrite").partitionBy(*pcols).parquet(tmp)
+    try:
+        for t in affected:
+            rel = _hive_part_dir(pcols, t)
+            new_dir = os.path.join(tmp, rel)
+            live_dir = os.path.join(path, rel)
+            old = live_dir + ".old-" + uuid.uuid4().hex[:8]
+            if os.path.exists(live_dir):
+                os.rename(live_dir, old)
+            if os.path.exists(new_dir):
+                os.makedirs(os.path.dirname(live_dir), exist_ok=True)
+                os.rename(new_dir, live_dir)
+            # else: the partition lost its last row (key moved away) — drop it
+            shutil.rmtree(old, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def append_rejects(rejected: DataFrame, warehouse_dir: str, table: str = "rejected_record") -> None:

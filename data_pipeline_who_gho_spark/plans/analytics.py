@@ -529,7 +529,7 @@ JSON_EXTRACT_SQL = """
 SELECT event_type, COUNT(*) AS n_events,
        MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
-       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
 
@@ -544,9 +544,13 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Gap test in whole microseconds: fixture timestamps carry sub-second
+    # parts, so a seconds-truncating cast flips sessions whose gap straddles
+    # 1800s within a fraction.  unix_micros ≡ DuckDB epoch_us exactly.
+    mus = F.unix_micros(F.col("ts"))
     gap = (
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800,
+            mus - F.lag(mus).over(w) > 1_800_000_000,
             1,
         )
         .otherwise(0)
@@ -563,13 +567,13 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSIONIZE_SQL = """
 WITH marked AS (
   SELECT user_id, ts, event_id,
-         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
               THEN 1 ELSE 0 END AS gap
   FROM events
 ), sessions AS (
   SELECT user_id, ts,
-         SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -274,16 +274,21 @@ FROM part
 
 def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic array aggregation: sorted distinct status list per
-    priority (collect_set order pinned by sort_array)."""
+    priority (collect_set order pinned by sort_array), emitted as a
+    comma-joined string so the gated output holds only scalar columns
+    (the external harness cannot hash list-typed cells)."""
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
 
 ARRAY_AGG_SQL = """
-SELECT o_orderpriority, list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+SELECT o_orderpriority,
+       array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
        COUNT(*) AS n_orders
 FROM orders GROUP BY o_orderpriority
 """
