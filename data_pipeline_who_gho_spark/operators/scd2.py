@@ -56,11 +56,18 @@ def scd2_merge(
     rows closed at the change's effective time, fresh versions opened,
     unchanged keys left as-is.
 
-    Late-arriving changes (effective_ts ≤ the current version's
+    Late-arriving changes (effective_ts < the current version's
     valid_from) are IGNORED: applying them would close the current row
     with valid_to < valid_from and open an overlapping version,
     corrupting as-of lookups. Out-of-order history requires a rebuild
     from the full change log, not an incremental merge.
+
+    A change with effective_ts EXACTLY equal to the open version's
+    valid_from but different attributes is a same-timestamp correction:
+    versioning it would create a zero-width interval, so the open
+    version's attributes are updated in place instead (no new version).
+    Replay stays idempotent — re-applying the correction rewrites the
+    same values.
     """
     out_cols = [*keys, *attrs, "valid_from", "valid_to", "is_current"]
     fresh = changes.select(
@@ -83,10 +90,21 @@ def scd2_merge(
         & (F.col(f"c.{effective_col}") > F.col("t.valid_from"))  # late-arrival guard
         & _attrs_differ(attrs, "t", "c")
     )
-    # current rows: close if superseded, else pass through unchanged
+    # same-timestamp correction: fix the open version in place rather
+    # than opening a zero-width interval or silently dropping the change
+    corrected = (
+        F.col(f"c.{effective_col}").isNotNull()
+        & (F.col(f"c.{effective_col}") == F.col("t.valid_from"))
+        & _attrs_differ(attrs, "t", "c")
+    )
+    # current rows: close if superseded, correct in place on equal ts,
+    # else pass through unchanged
     kept_current = joined.select(
         *keys,
-        *[F.col(f"t.{c}").alias(c) for c in attrs],
+        *[
+            F.when(corrected, F.col(f"c.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in attrs
+        ],
         F.col("t.valid_from").alias("valid_from"),
         F.when(changed, F.col(f"c.{effective_col}")).otherwise(F.col("t.valid_to")).alias("valid_to"),
         F.when(changed, F.lit(False)).otherwise(F.col("t.is_current")).alias("is_current"),

@@ -12,6 +12,7 @@ import argparse
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from .operators.load import append_rejects, upsert
 from .operators.quality import run_dq_checks
@@ -78,6 +79,26 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         if id_usable
         else ["indicator_code", "spatial_dim", "time_dim"]
     )
+    if id_usable:
+        # A mixed batch can still carry NULL-Id rows; a NULL key never
+        # matches the merge anti-join (NULL != NULL), so re-running the
+        # same batch would append a duplicate and silently break the
+        # idempotent re-run guarantee. Give those rows a deterministic
+        # surrogate derived from the composite natural key instead —
+        # identical across re-runs, so the upsert stays a no-op.
+        obs_final = obs_final.withColumn(
+            "observation_id",
+            F.coalesce(
+                F.col("observation_id"),
+                F.concat_ws(
+                    ":",
+                    F.lit("ck"),
+                    "indicator_code",
+                    "spatial_dim",
+                    F.col("time_dim").cast("string"),
+                ),
+            ),
+        )
 
     # -- load: dims first, fact last (who_gho_etl_dag.py:177-187) ---------
     if cfg.source_indicators:
@@ -109,8 +130,6 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     # completion: a processing-time watermark silently skips rows that
     # land in the source late with earlier ingested_at stamps
     if "ingested_at" in obs_raw.columns:
-        from pyspark.sql import functions as F
-
         max_seen = obs_raw.agg(F.max("ingested_at")).first()[0]
         if max_seen is not None:
             state.set_last_successful_run_at(cfg.process_name, max_seen)

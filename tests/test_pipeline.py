@@ -76,3 +76,31 @@ def test_pipeline_limit(spark, tmp_path, sources):
     cfg.limit = 1
     metrics = run_pipeline(spark, cfg)
     assert metrics["row_count"] == 1
+
+
+def test_pipeline_mixed_null_ids_rerun_idempotent(spark, tmp_path):
+    """A batch mixing non-null and NULL Id rows must stay idempotent:
+    NULL-Id rows get a deterministic composite surrogate key, so
+    re-running the batch cannot append duplicates (a NULL key never
+    matches the merge anti-join)."""
+    rows = [
+        {"Id": "1", "IndicatorCode": "WHOSIS_000001", "SpatialDim": "USA",
+         "SpatialDimType": "COUNTRY", "TimeDim": "2019", "TimeDimType": "YEAR",
+         "NumericValue": "78.5", "Value": "78.5"},
+        {"Id": None, "IndicatorCode": "WHOSIS_000001", "SpatialDim": "FRA",
+         "SpatialDimType": "COUNTRY", "TimeDim": "2019", "TimeDimType": "YEAR",
+         "NumericValue": "82.1", "Value": "82.1"},
+    ]
+    src = tmp_path / "src"
+    spark.createDataFrame(rows, RAW_OBSERVATION).write.parquet(str(src / "obs"))
+    cfg = PipelineConfig(
+        warehouse_dir=str(tmp_path / "wh"),
+        source_observations=str(src / "obs"),
+        full_reingest=True,
+    )
+    m1 = run_pipeline(spark, cfg)
+    m2 = run_pipeline(spark, cfg)
+    assert m1["row_count"] == 2 and m2["row_count"] == 2
+    fact = spark.read.parquet(str(tmp_path / "wh" / "fact_observation"))
+    ids = sorted(r["observation_id"] for r in fact.collect())
+    assert ids == ["1", "ck:WHOSIS_000001:FRA:2019"]

@@ -99,3 +99,16 @@ def test_late_arriving_change_ignored(spark):
     stale = spark.createDataFrame([("a", "GOLD", T0)], SCHEMA_C)  # T0 < T1
     out = scd2_merge(target, stale, ["k"], ["seg"])
     assert snap(out) == [("a", "SILVER", T1, HIGH, True)]  # untouched
+
+
+def test_same_timestamp_correction_updates_in_place(spark):
+    """effective_ts == open version's valid_from with different attrs is a
+    correction: the open version's attributes are rewritten, no new
+    version opens (a zero-width interval would corrupt as-of lookups)."""
+    target = spark.createDataFrame([("a", "SILVER", T1, HIGH, True)], SCHEMA_T)
+    fix = spark.createDataFrame([("a", "GOLD", T1)], SCHEMA_C)
+    out = scd2_merge(target, fix, ["k"], ["seg"])
+    assert snap(out) == [("a", "GOLD", T1, HIGH, True)]
+    # replaying the correction is a no-op
+    again = scd2_merge(out, fix, ["k"], ["seg"])
+    assert snap(again) == [("a", "GOLD", T1, HIGH, True)]
