@@ -58,3 +58,48 @@ def fake_video_decoder(payload: bytes, media_type: str):
     t = 4 + seed[2] % 5  # 4..8 frames
     frame = fake_image_decoder(payload, media_type)
     return np.stack([(frame + i) % 256 for i in range(t)]).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Network-free OData transport (sources/odata.py tests + local runs).
+# ---------------------------------------------------------------------------
+
+class FakeODataTransport:
+    """Serves an in-memory WHO-shaped dataset with real $top/$skip paging.
+
+    ``data`` maps entity set -> list[record]; a ``$filter=SpatialDim eq
+    'X'`` clause restricts to records whose SpatialDim == X. Unknown
+    entity sets return 404 (the reference's absent-combination case).
+    Records every URL served, so tests can assert request construction.
+    """
+
+    def __init__(self, data: dict, fail_statuses: dict | None = None,
+                 flaky_first: bool = False):
+        self.data = data
+        self.fail_statuses = fail_statuses or {}
+        self.flaky_first = flaky_first
+        self.urls: list[str] = []
+        self._seen: set = set()
+
+    def __call__(self, url: str) -> tuple[int, dict]:
+        from urllib.parse import parse_qs, unquote, urlparse
+
+        self.urls.append(url)
+        if self.flaky_first and url not in self._seen:
+            self._seen.add(url)
+            raise ConnectionError("transient")
+        parsed = urlparse(url)
+        entity = parsed.path.rsplit("/", 1)[-1]
+        if entity in self.fail_statuses:
+            return self.fail_statuses[entity], {}
+        if entity not in self.data:
+            return 404, {}
+        q = parse_qs(parsed.query)
+        records = self.data[entity]
+        filt = unquote(q.get("$filter", [""])[0])
+        if filt.startswith("SpatialDim eq "):
+            want = filt[len("SpatialDim eq "):].strip("'")
+            records = [r for r in records if r.get("SpatialDim") == want]
+        top = int(q.get("$top", ["100"])[0])
+        skip = int(q.get("$skip", ["0"])[0])
+        return 200, {"value": records[skip : skip + top]}
