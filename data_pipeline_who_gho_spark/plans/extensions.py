@@ -51,6 +51,11 @@ _CORPUS_SQL = """
 
 SHINGLE_K = 5
 JACCARD_THRESHOLD = 0.6
+# Skew guard for the inverted-index join: posting lists longer than this
+# are dropped from candidate generation (they are the hottest shuffle keys
+# at scale and carry the least similarity signal). Candidates still verify
+# against the FULL shingle table, so reported Jaccard stays exact.
+NGRAM_DF_CUTOFF = 1000
 
 
 _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -184,18 +189,35 @@ FROM corpus GROUP BY md5(text)
 # N-gram Jaccard near-dedup (exact, inverted-index plan)
 # ---------------------------------------------------------------------------
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, df_cutoff: int = NGRAM_DF_CUTOFF
+) -> DataFrame:
     """All pairs with word-5-gram Jaccard ≥ 0.6, via inverted-index
-    candidate generation (join on shared shingle), exact set arithmetic.
+    candidate generation (join on shared shingle) with a document-frequency
+    skew guard, then exact verification against the full shingle table.
+
+    The naive inverted index's biggest join buckets are the COMMONEST
+    shingles — a df-10⁶ boilerplate shingle alone would shuffle 10¹²
+    candidate pairs at 100 TB. Postings with df > ``df_cutoff`` are
+    therefore dropped from candidate generation only; verification
+    recounts the true intersection over all shingles, so reported Jaccard
+    is exact. A qualifying pair is missed only if EVERY shared shingle is
+    hot (at j ≥ 0.6 a pair shares ≥ 0.75·min(|A|,|B|) shingles — all of
+    them boilerplate means the docs are template spam). For corpora where
+    that matters, ``dedup_prefix_filter`` is the provably-complete path.
 
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) — integer inputs, one double
     division → bit-identical across engines.
     """
     sh = _shingle_table(spark, sf_dir)
-    a, b = sh.alias("a"), sh.alias("b")
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_sh"))
+    idx = sh.join(
+        freq.filter(F.col("df_sh") <= F.lit(df_cutoff)), "shingle"
+    ).select("doc_id", "shingle", "n_sh")
+    a, b = idx.alias("a"), idx.alias("b")
     # size-compatibility prune: jaccard ≥ t forces t ≤ |A|/|B| ≤ 1/t, so
-    # incompatible pairs drop inside the join, before the pair-count shuffle
-    pairs = (
+    # incompatible pairs drop inside the join, before the candidate shuffle
+    cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -203,11 +225,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("b.n_sh") * F.lit(JACCARD_THRESHOLD) <= F.col("a.n_sh"))
             & (F.col("a.n_sh") * F.lit(JACCARD_THRESHOLD) <= F.col("b.n_sh")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return _verify_candidates(cand, sh)
+
+
+def _verify_candidates(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard verification of (doc_a, doc_b) candidates: count the
+    true shared-shingle intersection via two postings joins over the full
+    shingle ROW table (no arrays through the shuffle), then threshold.
+    Shared by the inverted-index, prefix-filter, and MinHash-LSH plans —
+    whatever the candidate generator's recall/pruning trade-off, the pairs
+    it emits carry exact Jaccard. (At extreme dedup density one could
+    semi-join the postings down to candidate docs first, but that either
+    re-executes candidate generation per reference or forces an eager
+    checkpoint — worse failure modes than a shuffled postings join, which
+    AQE sizes at runtime.)"""
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("__b_id"), F.col("shingle").alias("sh_b"), F.col("n_sh").alias("n_b")
+    )
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("__b_id")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
         .agg(
             F.count(F.lit(1)).alias("n_inter"),
-            F.max("a.n_sh").alias("n_a"),  # constant per doc: max = the value
-            F.max("b.n_sh").alias("n_b"),
+            F.max("n_a").alias("n_a"),  # constant per doc: max = the value
+            F.max("n_b").alias("n_b"),
         )
     )
     return _jaccard_filtered(pairs)
@@ -327,19 +375,7 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"), F.col("n_sh").alias("n_a"))
-    sb = sh.select(F.col("doc_id").alias("__b_id"), F.col("shingle").alias("sh_b"), F.col("n_sh").alias("n_b"))
-    pairs = (
-        cand.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("__b_id")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_inter"),
-            F.max("n_a").alias("n_a"),
-            F.max("n_b").alias("n_b"),
-        )
-    )
-    return _jaccard_filtered(pairs)
+    return _verify_candidates(cand, sh)
 
 
 DEDUP_PREFIX_SQL = DEDUP_NGRAM_SQL  # exact pair set — completeness is provable
@@ -386,28 +422,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-
-    # Exact verification on candidates only: count shared shingles via the
-    # row table (no arrays through the join). The candidate set is
-    # referenced exactly once, so the plan stays lazy — no side-effect
-    # materialization at construction. (At extreme dedup density one could
-    # semi-join the postings down to candidate docs first, but that either
-    # re-executes candidate generation per reference or forces an eager
-    # checkpoint + unbounded broadcast — worse failure modes than a
-    # shuffled postings join, which AQE sizes at runtime.)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"), F.col("n_sh").alias("n_a"))
-    sb = sh.select(F.col("doc_id").alias("__b_id"), F.col("shingle").alias("sh_b"), F.col("n_sh").alias("n_b"))
-    pairs = (
-        cand.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("__b_id")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_inter"),
-            F.max("n_a").alias("n_a"),
-            F.max("n_b").alias("n_b"),
-        )
-    )
-    return _jaccard_filtered(pairs)
+    return _verify_candidates(cand, sh)
 
 
 # Oracle: the exact pair set (LSH verified-candidates ⊆ exact; banding

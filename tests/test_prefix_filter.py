@@ -26,6 +26,45 @@ def test_prefix_filter_exactly_matches_inverted_index(spark):
     )
 
 
+def test_df_cutoff_contract(spark):
+    """The skew guard's documented contract: verification recounts the
+    true intersection, so surviving pairs carry identical exact Jaccard,
+    and the ONLY pairs an aggressive cutoff can lose are those whose
+    every shared shingle is hot (df > cutoff). The fixture's default
+    cutoff (1000 ≫ max df 4) therefore changes nothing — asserted by
+    test_prefix_filter_exactly_matches_inverted_index."""
+    full = _pairs(dedup_ngram_jaccard(spark, SF))
+    pruned = _pairs(dedup_ngram_jaccard(spark, SF, df_cutoff=3))
+    assert pruned <= full
+    # every lost pair shares ONLY hot shingles (df > cutoff)
+    lost = full - pruned
+    assert lost, "fixture should exercise the guard at cutoff=3"
+    sh = _shingle_table(spark, SF)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_sh"))
+    shf = sh.join(freq, "shingle")
+    for doc_a, doc_b, _ in lost:
+        shared_min_df = (
+            shf.filter(F.col("doc_id") == doc_a)
+            .select("shingle", "df_sh")
+            .join(shf.filter(F.col("doc_id") == doc_b).select("shingle"), "shingle")
+            .agg(F.min("df_sh"))
+            .collect()[0][0]
+        )
+        assert shared_min_df > 3, (doc_a, doc_b, shared_min_df)
+
+
+def test_df_cutoff_prunes_hot_postings(spark):
+    """The candidate index under a low cutoff is a strict subset of the
+    postings — the hottest (biggest-bucket) shuffle keys are the ones
+    removed."""
+    sh = _shingle_table(spark, SF)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_sh"))
+    hot = freq.filter(F.col("df_sh") > 3).count()
+    assert hot > 0  # the fixture actually exercises the guard
+    pruned = sh.join(freq.filter(F.col("df_sh") <= 3), "shingle").count()
+    assert pruned < sh.count()
+
+
 def test_prefix_join_moves_fewer_postings(spark):
     """The prefix join's input is a strict subset of the postings: at
     threshold t only ~(1-t) of each doc's shingles survive, and the
