@@ -211,12 +211,13 @@ def dedup_ngram_jaccard(
     """
     sh = _shingle_table(spark, sf_dir)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_sh"))
-    idx = sh.join(
-        freq.filter(F.col("df_sh") <= F.lit(df_cutoff)), "shingle"
-    ).select("doc_id", "shingle", "n_sh")
-    a, b = idx.alias("a"), idx.alias("b")
+    shf = sh.join(freq, "shingle")
+    cold = shf.filter(F.col("df_sh") <= F.lit(df_cutoff)).select(
+        "doc_id", "shingle", "n_sh"
+    )
+    a, b = cold.alias("a"), cold.alias("b")
     # size-compatibility prune: jaccard ≥ t forces t ≤ |A|/|B| ≤ 1/t, so
-    # incompatible pairs drop inside the join, before the candidate shuffle
+    # incompatible pairs drop inside the join, before the pair-count shuffle
     cand = (
         a.join(
             b,
@@ -225,10 +226,46 @@ def dedup_ngram_jaccard(
             & (F.col("b.n_sh") * F.lit(JACCARD_THRESHOLD) <= F.col("a.n_sh"))
             & (F.col("a.n_sh") * F.lit(JACCARD_THRESHOLD) <= F.col("b.n_sh")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cold"),
+            F.max("a.n_sh").alias("n_a"),  # constant per doc: max = the value
+            F.max("b.n_sh").alias("n_b"),
+        )
     )
-    return _verify_candidates(cand, sh)
+    # Hot contribution: per-doc hot-shingle SETS are small (a doc carries
+    # at most a handful of boilerplate shingles), so attach them as array
+    # columns to the candidate pairs — one linear pipeline, no second pass
+    # over the postings and no hot×hot posting join anywhere.
+    hot_by_doc = (
+        shf.filter(F.col("df_sh") > F.lit(df_cutoff))
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("hot_sh"))
+    )
+    empty = F.array().cast("array<string>")
+    pairs = (
+        cand.join(
+            hot_by_doc.select(F.col("doc_id").alias("doc_a"), F.col("hot_sh").alias("hot_a")),
+            "doc_a",
+            "left",
+        )
+        .join(
+            hot_by_doc.select(F.col("doc_id").alias("doc_b"), F.col("hot_sh").alias("hot_b")),
+            "doc_b",
+            "left",
+        )
+        .withColumn(
+            "n_inter",
+            F.col("n_cold")
+            + F.size(
+                F.array_intersect(
+                    F.coalesce(F.col("hot_a"), empty), F.coalesce(F.col("hot_b"), empty)
+                )
+            ),
+        )
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b")
+    )
+    return _jaccard_filtered(pairs)
 
 
 def _verify_candidates(cand: DataFrame, sh: DataFrame) -> DataFrame:
