@@ -145,14 +145,119 @@ ORDER BY query_id
 """
 
 
+KMEANS_K = 8
+
+
+def _l2(a: F.Column, b: F.Column) -> F.Column:
+    """Squared L2 as a left-to-right fold — same element order as the
+    oracle's list functions, so the doubles are bit-identical."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means over the embedding table — the
+    semantic-clustering primitive (corpus diversity buckets, IVF
+    quantizer training). Deterministic end to end: init centroids are
+    the first KMEANS_K vectors, assignment breaks distance ties by
+    cluster id, and recomputed centroids use exact decimal sums of the
+    raw floats (order-independent) re-assembled to identical doubles in
+    both engines via the varchar hop.
+
+    Scale shape: each assignment is a map-only broadcast NLJ against K
+    centroids; the centroid update is one partial-aggregated shuffle
+    keyed by (cluster, dim). Iterations add plan depth, not data
+    movement — the classic Spark k-means layout.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", VEC.as_double("embedding").alias("v")
+    )
+    c0 = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+
+    def assign(cents: DataFrame, out: str) -> DataFrame:
+        return (
+            emb.join(F.broadcast(cents), F.lit(True))
+            .withColumn("d2", _l2(F.col("v"), F.col("cv")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cluster").alias(out))
+        )
+
+    a1 = assign(c0, "cluster_iter1")
+    # exact decimal per-dimension means of the RAW floats (same
+    # float→string→decimal hop as label_centroids), then varchar→double
+    # so both engines assemble the same IEEE centroid
+    comp = (
+        emb.join(a1, "vec_id")
+        .select(F.col("cluster_iter1").alias("cluster"), F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("string").cast("decimal(20,10)"))
+                .cast("string")
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+    c1 = comp.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    a2 = assign(c1, "cluster_iter2")
+    return a1.join(a2, "vec_id").select("vec_id", "cluster_iter1", "cluster_iter2")
+
+
+_D2 = "list_sum(list_transform(list_zip(e.v, c.cv), x -> (x[1]-x[2])*(x[1]-x[2])))"
+
+KMEANS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < {KMEANS_K}),
+a1 AS (
+  SELECT vec_id, cluster AS cluster_iter1 FROM (
+    SELECT e.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {_D2}, c.cluster) AS rn
+    FROM e CROSS JOIN c0 c
+  ) WHERE rn = 1
+),
+comp AS (
+  SELECT a1.cluster_iter1 AS cluster, u.pos - 1 AS pos,
+         CAST(CAST(SUM(CAST(CAST(u.x AS VARCHAR) AS DECIMAL(20,10))) AS VARCHAR)
+              AS DOUBLE) / COUNT(*) AS c
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS pos FROM e) u
+  JOIN a1 USING (vec_id)
+  GROUP BY cluster, pos
+),
+c1 AS (SELECT cluster, array_agg(c ORDER BY pos) AS cv FROM comp GROUP BY cluster),
+a2 AS (
+  SELECT vec_id, cluster AS cluster_iter2 FROM (
+    SELECT e.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {_D2}, c.cluster) AS rn
+    FROM e CROSS JOIN c1 c
+  ) WHERE rn = 1
+)
+SELECT a1.vec_id, cluster_iter1, cluster_iter2 FROM a1 JOIN a2 USING (vec_id)
+"""
+
+
 VECTOR_ANALYTICS_QUERIES = {
     "label_centroids": label_centroids,
     "vector_norms": vector_norms,
     "knn_classify": knn_classify,
+    "kmeans_assign": kmeans_assign,
 }
 
 VECTOR_ANALYTICS_ORACLE_SQL = {
     "label_centroids": LABEL_CENTROIDS_SQL,
     "vector_norms": VECTOR_NORMS_SQL,
     "knn_classify": KNN_CLASSIFY_SQL,
+    "kmeans_assign": KMEANS_SQL,
 }

@@ -1,0 +1,41 @@
+"""k-means (2 Lloyd iterations) invariants: seed self-assignment,
+cluster-id range, and determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_who_gho_spark.plans.vector_analytics import (
+    KMEANS_K,
+    kmeans_assign,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kmeans_invariants(spark):
+    df = kmeans_assign(spark, SF)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["cluster_iter1"] < KMEANS_K
+        assert 0 <= r["cluster_iter2"] < KMEANS_K
+    # a seed vector is distance 0 from itself -> assigned to its own
+    # cluster in iteration 1
+    seeds = {r["vec_id"]: r["cluster_iter1"] for r in rows if r["vec_id"] < KMEANS_K}
+    assert seeds == {i: i for i in range(KMEANS_K)}
+
+
+def test_kmeans_iteration_moves_some_points(spark):
+    """Lloyd updates the centroids, so at least one point should change
+    cluster between iterations on non-degenerate data (and the second
+    assignment must still use every cluster that kept members)."""
+    df = kmeans_assign(spark, SF)
+    moved = df.filter(F.col("cluster_iter1") != F.col("cluster_iter2")).count()
+    assert moved > 0
+
+
+def test_kmeans_deterministic(spark):
+    a = {tuple(r) for r in kmeans_assign(spark, SF).collect()}
+    b = {tuple(r) for r in kmeans_assign(spark, SF).collect()}
+    assert a == b
