@@ -301,7 +301,93 @@ ORDER BY label
 """
 
 
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of the orders table — the warehouse DQ
+    scan (null counts, exact cardinality, typed min/max). ONE pass over
+    the data: all per-column aggregates run in a single groupBy, then the
+    one-row result is exploded into a row per column. Numeric extremes
+    emit as doubles; string extremes as strings; NTZ timestamp extremes
+    as ISO date strings (no session-TZ dependence). The off-type slot is
+    a typed NULL in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    ts_cols = ["o_orderdate"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in num_cols + str_cols + ts_cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+    for c in num_cols:
+        aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
+        aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
+    for c in str_cols:
+        aggs.append(F.min(c).alias(f"{c}__min"))
+        aggs.append(F.max(c).alias(f"{c}__max"))
+    for c in ts_cols:  # NTZ timestamps: ISO date strings are the
+        # engine-parity representation (no session-TZ dependence)
+        aggs.append(F.min(c).cast("date").cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(c).cast("date").cast("string").alias(f"{c}__max"))
+    one = orders.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = []
+    for c in num_cols:
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_num"),
+                F.col(f"{c}__max").alias("max_num"),
+                null_s.alias("min_str"),
+                null_s.alias("max_str"),
+            )
+        )
+    for c in str_cols + ts_cols:
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                null_d.alias("min_num"),
+                null_d.alias("max_num"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+        )
+    return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def _profile_row(col: str, kind: str) -> str:
+    if kind == "num":
+        lo, hi = f"CAST(MIN({col}) AS DOUBLE)", f"CAST(MAX({col}) AS DOUBLE)"
+        s_lo = s_hi = "CAST(NULL AS VARCHAR)"
+    elif kind == "ts":
+        lo = hi = "CAST(NULL AS DOUBLE)"
+        s_lo = f"CAST(CAST(MIN({col}) AS DATE) AS VARCHAR)"
+        s_hi = f"CAST(CAST(MAX({col}) AS DATE) AS VARCHAR)"
+    else:
+        lo = hi = "CAST(NULL AS DOUBLE)"
+        s_lo, s_hi = f"MIN({col})", f"MAX({col})"
+    return f"""
+  SELECT '{col}' AS col_name, COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         COUNT(DISTINCT {col}) AS n_distinct,
+         {lo} AS min_num, {hi} AS max_num, {s_lo} AS min_str, {s_hi} AS max_str
+  FROM orders"""
+
+
+TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
+    [_profile_row(c, "num") for c in ("o_orderkey", "o_custkey", "o_totalprice")]
+    + [_profile_row(c, "ts") for c in ("o_orderdate",)]
+    + [_profile_row(c, "str") for c in ("o_orderstatus", "o_orderpriority")]
+)
+
+
 ANALYTICS6_QUERIES = {
+    "table_profile": table_profile,
     "ewma_user_value": ewma_user_value,
     "pagerank_customer_supplier": pagerank_customer_supplier,
     "locf_gap_fill": locf_gap_fill,
@@ -310,6 +396,7 @@ ANALYTICS6_QUERIES = {
 }
 
 ANALYTICS6_ORACLE_SQL = {
+    "table_profile": TABLE_PROFILE_SQL,
     "ewma_user_value": EWMA_SQL,
     "pagerank_customer_supplier": PAGERANK_SQL,
     "locf_gap_fill": LOCF_SQL,
