@@ -1,0 +1,65 @@
+"""Scalable global ranking: the distributed replacement for an
+unpartitioned window.
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY funnels the
+whole dataset through ONE task — the classic Spark scale trap. The
+standard two-pass fix implemented here:
+
+1. ``repartitionByRange`` on the sort key: rows land in range-disjoint
+   partitions, globally ordered ACROSS partitions.
+2. rank locally per partition — a window partitioned by
+   ``spark_partition_id()``, so every partition ranks in parallel.
+3. add each partition's prefix offset (computed from per-partition
+   counts — #partitions rows, broadcast back).
+
+The rank value depends only on the total order, not on where the range
+boundaries fall, so the result is deterministic even though the range
+partitioner samples. Requires the sort key to be a total order (add a
+unique tiebreak column). Costs one extra pass over the ranged data for
+the counts — the price of not serializing 100 TB through one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame, order_cols: list[str], rank_col: str = "rn", partitions: int | None = None
+) -> DataFrame:
+    """Dense global row_number over ``order_cols`` (must form a total
+    order), computed without a single-partition window."""
+    parts = partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    ranged = df.repartitionByRange(parts, *[F.col(c) for c in order_cols]).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    local = ranged.withColumn("__lrn", F.row_number().over(w))
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(wo), F.lit(0)).cast("long")
+    ).select("__pid", "__off")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__lrn") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lrn")
+    )
+
+
+def ntile_from_rank(rn: Column, total: Column, n: int) -> Column:
+    """ANSI ntile(n) from a precomputed global rank + total count: the
+    first (total % n) tiles get ceil(total/n) rows. Pure integer
+    arithmetic — identical in every engine, and composable with
+    global_rank to bucket without any global window."""
+    base = (total / n).cast("long")  # floor division on positive longs
+    rem = total - base * n
+    big = rem * (base + 1)
+    return (
+        F.when(rn <= big, ((rn - 1) / (base + 1)).cast("long") + 1)
+        .otherwise(rem + ((rn - big - 1) / base).cast("long") + 1)
+        .cast("int")
+    )

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..operators.rank import global_rank, ntile_from_rank
 from ..sources.catalog import load_table
 
 # ---------------------------------------------------------------------------
@@ -288,11 +289,101 @@ SELECT doc_id, bucket, n_tok, seq_no, seq_fill FROM pack
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus mixing weights + curriculum ordering
+# ---------------------------------------------------------------------------
+
+def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source resampling weights that rebalance the corpus toward a
+    uniform domain mix: weight = (total/n_sources)/n_docs — the knob a
+    training pipeline multiplies into per-doc sampling probabilities.
+    Exact integer counts; the single double division is bit-identical
+    across engines. One partial-aggregated shuffle, then a broadcast-size
+    result."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            (
+                (F.col("total").cast("double") / F.col("n_sources").cast("double"))
+                / F.col("n_docs").cast("double")
+            ).alias("weight"),
+        )
+    )
+
+
+SOURCE_MIX_SQL = """
+WITH per AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total, COUNT(*) AS n_sources FROM per)
+SELECT source, n_docs,
+       (CAST(total AS DOUBLE) / CAST(n_sources AS DOUBLE)) / CAST(n_docs AS DOUBLE)
+         AS weight
+FROM per CROSS JOIN tot
+"""
+
+
+CURRICULUM_PHASES = 4
+
+
+def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: rank documents by a deterministic quality
+    proxy (length-normalized distinct-token ratio) and cut the corpus
+    into CURRICULUM_PHASES equal phases, low quality first — the
+    easy→hard schedule. A naive ``ntile() OVER (ORDER BY ...)`` is a
+    single-partition window; here the global rank comes from
+    ``operators.rank.global_rank`` (range repartition → parallel local
+    rank → broadcast prefix offsets) and the tile from integer
+    arithmetic, so no stage ever serializes the corpus through one
+    task. The oracle uses plain ntile — same ANSI bucket sizes."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.tokens(F.col("text")).alias("w")
+    ).filter(F.size("w") >= 1)
+    scored = docs.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct("w")).cast("double") / F.size("w").cast("double")
+        ).alias("quality"),
+    )
+    ranked = global_rank(scored, ["quality", "doc_id"], rank_col="rn")
+    total = scored.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "quality",
+            ntile_from_rank(F.col("rn"), F.col("total"), CURRICULUM_PHASES).alias(
+                "phase"
+            ),
+        )
+    )
+
+
+CURRICULUM_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS quality
+  FROM (SELECT doc_id, {_SQL_W} AS w FROM documents)
+  WHERE len(w) >= 1
+)
+SELECT doc_id, quality,
+       ntile({CURRICULUM_PHASES}) OVER (ORDER BY quality, doc_id) AS phase
+FROM scored
+"""
+
+
 TRAINING2_QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "domain_quota_sample": domain_quota_sample,
     "ohlc_hourly": ohlc_hourly,
     "seq_packing": seq_packing,
+    "source_mix_weights": source_mix_weights,
+    "curriculum_phases": curriculum_phases,
 }
 
 TRAINING2_ORACLE_SQL = {
@@ -300,4 +391,6 @@ TRAINING2_ORACLE_SQL = {
     "domain_quota_sample": DOMAIN_QUOTA_SQL,
     "ohlc_hourly": OHLC_SQL,
     "seq_packing": SEQ_PACKING_SQL,
+    "source_mix_weights": SOURCE_MIX_SQL,
+    "curriculum_phases": CURRICULUM_SQL,
 }

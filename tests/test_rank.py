@@ -1,0 +1,63 @@
+"""global_rank / ntile_from_rank: equivalence with the single-partition
+window idiom, and the plan property that motivates them (no unpartitioned
+window over the data)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_pipeline_who_gho_spark.operators.rank import global_rank, ntile_from_rank
+from data_pipeline_who_gho_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _scored(spark):
+    return load_table(spark, SF, "events").select("event_id", "value")
+
+
+def test_global_rank_matches_window_row_number(spark):
+    df = _scored(spark)
+    got = {
+        (r["event_id"], r["rn"])
+        for r in global_rank(df, ["value", "event_id"], partitions=8).collect()
+    }
+    w = Window.orderBy("value", "event_id")
+    want = {
+        (r["event_id"], r["rn"])
+        for r in df.withColumn("rn", F.row_number().over(w).cast("long")).collect()
+    }
+    assert got == want
+
+
+def test_ntile_from_rank_matches_window_ntile(spark):
+    df = _scored(spark)
+    ranked = global_rank(df, ["value", "event_id"], partitions=8)
+    total = df.agg(F.count(F.lit(1)).alias("total"))
+    got = {
+        (r["event_id"], r["phase"])
+        for r in ranked.crossJoin(F.broadcast(total))
+        .select("event_id", ntile_from_rank(F.col("rn"), F.col("total"), 7).alias("phase"))
+        .collect()
+    }
+    w = Window.orderBy("value", "event_id")
+    want = {
+        (r["event_id"], r["phase"])
+        for r in df.withColumn("phase", F.ntile(7).over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_rank_avoids_single_partition_window(spark):
+    """The whole point: the only window in the plan is partitioned by
+    the range-partition id, so ranking parallelizes. An unpartitioned
+    `row_number() OVER (ORDER BY ...)` would show a windowspecdefinition
+    with no partition expressions over the full data."""
+    plan = global_rank(
+        _scored(spark), ["value", "event_id"], partitions=8
+    )._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "__pid" not in line:
+            # the offsets window runs over #partitions count rows only
+            assert "__n" in line or "__off" in line, line
