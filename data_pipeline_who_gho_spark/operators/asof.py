@@ -4,7 +4,9 @@ compositions first, Pandas UDFs only if semantics force it — they don't).
 
 Semantics (backward as-of): for each left row, attach the single most
 recent right row with ``right.ts <= left.ts`` within the same key group;
-left rows with no prior right row keep nulls.
+left rows with no prior right row keep nulls. Forward direction and a
+match-gap tolerance (pandas ``merge_asof`` parity) are options; the
+``right_order`` tiebreak column, when given, must be numeric.
 
 Plan shape: union the two tagged sides, one shuffle on the key, one
 ordered window pass carrying the right side's payload forward
@@ -32,40 +34,82 @@ def asof_join(
     ts: str = "ts",
     value_cols: Sequence[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_us: int | None = None,
+    right_order: str | None = None,
 ) -> DataFrame:
-    """Backward as-of join. ``value_cols`` are the right-side columns to
-    carry (default: all non-key, non-ts columns). Ties (equal ts) take
-    the right row (<= semantics), matching DuckDB/pandas ``merge_asof``.
+    """As-of join. ``value_cols`` are the right-side columns to carry
+    (default: all non-key, non-ts columns). Ties (equal ts) match in
+    both directions (<= / >= semantics), like DuckDB/pandas
+    ``merge_asof``.
+
+    ``direction``: "backward" (latest right row at-or-before left.ts) or
+    "forward" (earliest right row at-or-after). ``tolerance_us`` caps
+    the match gap in microseconds — a match farther away yields NULLs,
+    merge_asof's ``tolerance``. ``right_order`` names a right column
+    that deterministically breaks ties between right rows sharing a
+    timestamp (largest wins for backward, smallest for forward — the row
+    "nearest" the left row in the window order); without it, equal-ts
+    right rows are picked arbitrarily.
+
+    Plan shape is direction-independent: the forward pass just negates
+    the epoch-µs sort key, so both directions are the same single
+    shuffle + one ordered window pass.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in on and c != ts]
 
+    sign = 1 if direction == "backward" else -1
     l_tag = left.withColumn("__side", F.lit(1))
     # the whole right payload rides as ONE struct: last(ignorenulls) then
     # picks the latest right ROW atomically — a right row whose value
     # column is genuinely NULL still supersedes older rows (merge_asof /
-    # DuckDB ASOF parity), and multiple value columns can never mix rows
+    # DuckDB ASOF parity), and multiple value columns can never mix rows.
+    # The right timestamp rides along for the tolerance check.
     r_tag = right.select(
         *on,
         ts,
-        F.struct(*[F.col(c) for c in value_cols]).alias("__payload"),
+        F.struct(
+            *[F.col(c) for c in value_cols],
+            F.unix_micros(F.col(ts)).alias("__r_us"),
+        ).alias("__payload"),
+        (F.col(right_order) if right_order else F.lit(0)).alias("__rord"),
     ).withColumn("__side", F.lit(0))
 
-    unioned = l_tag.withColumn("__payload", F.lit(None).cast(
-        r_tag.schema["__payload"].dataType
-    )).unionByName(r_tag, allowMissingColumns=True)
+    unioned = (
+        l_tag.withColumn(
+            "__payload", F.lit(None).cast(r_tag.schema["__payload"].dataType)
+        )
+        .withColumn("__rord", F.lit(None).cast(r_tag.schema["__rord"].dataType))
+        .unionByName(r_tag, allowMissingColumns=True)
+    )
     # right rows (side 0) sort before left rows at the same ts ⇒ a right
-    # row at exactly left.ts is visible to that left row (<= semantics)
+    # row at exactly left.ts is visible to that left row (<= / >=
+    # semantics). Among equal-ts right rows, __rord orders them so
+    # last() picks the winner deterministically.
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts), F.col("__side"))
+        .orderBy(
+            (F.unix_micros(F.col(ts)) * F.lit(sign)).alias("__skey"),
+            F.col("__side"),
+            (F.col("__rord") * F.lit(sign)),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = unioned.withColumn(
         "__carried", F.last(F.col("__payload"), ignorenulls=True).over(w)
     )
     out = unioned.filter(F.col("__side") == 1)
+    gap = (F.unix_micros(F.col(ts)) - F.col("__carried.__r_us")) * F.lit(sign)
+    in_tol = (
+        F.lit(True) if tolerance_us is None else gap <= F.lit(int(tolerance_us))
+    )
     for c in value_cols:
-        out = out.withColumn(f"{c}{suffix}", F.col("__carried").getField(c))
-    return out.drop("__side", "__payload", "__carried")
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(in_tol, F.col("__carried").getField(c)),
+        )
+    return out.drop("__side", "__payload", "__carried", "__rord")

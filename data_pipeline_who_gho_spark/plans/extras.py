@@ -41,6 +41,67 @@ ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND p.ts <= c.ts
 """
 
 
+ASOF_TOLERANCE_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def asof_tolerance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 30-minute match tolerance: a stale purchase
+    (older than the window) annotates as NULL. Tolerance is a post-check
+    on the single nearest match — any older candidate is farther away —
+    so the plan is identical to the untolerated join plus one filter."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(
+        clicks, purchases, on=["user_id"], ts="ts", value_cols=["value"],
+        tolerance_us=ASOF_TOLERANCE_US,
+    )
+    return out.select(
+        "event_id", "user_id", F.col("value_asof").alias("recent_purchase_value")
+    )
+
+
+ASOF_TOLERANCE_SQL = f"""
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     purchases AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id,
+       CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= {ASOF_TOLERANCE_US}
+            THEN p.value END AS recent_purchase_value
+FROM clicks c
+ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+
+def asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click annotated with the user's NEXT purchase
+    value (earliest purchase at-or-after the click) — same single
+    shuffle + window plan as backward, just a negated sort key. The
+    oracle replays it as a correlated scalar subquery."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_id"), "value"
+    )
+    out = asof_join(
+        clicks, purchases, on=["user_id"], ts="ts", value_cols=["value"],
+        direction="forward", right_order="p_id",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("value_asof").alias("next_purchase_value")
+    )
+
+
+ASOF_FORWARD_SQL = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     purchases AS (SELECT event_id AS p_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id,
+       (SELECT p.value FROM purchases p
+        WHERE p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.ts, p.p_id LIMIT 1) AS next_purchase_value
+FROM clicks c
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embedding near-dup pairs (cosine >= threshold) with injected duplicates
 # ---------------------------------------------------------------------------
@@ -334,6 +395,8 @@ QUALIFY rank <= 3
 
 EXTRAS_QUERIES = {
     "asof_join_events": asof_join_events,
+    "asof_tolerance_events": asof_tolerance_events,
+    "asof_forward_events": asof_forward_events,
     "embed_neardup_pairs": embed_neardup_pairs,
     "rolling_hash_fingerprint": rolling_hash_fingerprint,
     "q3_shipping_priority": q3_shipping_priority,
@@ -343,6 +406,8 @@ EXTRAS_QUERIES = {
 
 EXTRAS_ORACLE_SQL = {
     "asof_join_events": ASOF_SQL,
+    "asof_tolerance_events": ASOF_TOLERANCE_SQL,
+    "asof_forward_events": ASOF_FORWARD_SQL,
     "embed_neardup_pairs": EMBED_NEARDUP_SQL,
     "rolling_hash_fingerprint": ROLLING_HASH_SQL,
     "q3_shipping_priority": Q3_SQL,

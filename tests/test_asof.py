@@ -69,3 +69,84 @@ def test_asof_keeps_left_columns_and_count(spark):
     assert out.count() == 10  # left-preserving
     vals = {r["id"]: r["price_asof"] for r in out.collect()}
     assert vals[5] is None and vals[6] == 1.0
+
+
+def test_asof_forward_basic(spark):
+    left = _ts(spark.createDataFrame(
+        [(1, "u1", "2024-01-01 10:00:00"),
+         (2, "u1", "2024-01-01 12:00:00"),
+         (3, "u2", "2024-01-01 10:00:00")],
+        "id INT, user STRING, ts STRING"))
+    right = _ts(spark.createDataFrame(
+        [("u1", "2024-01-01 11:00:00", 20.0),
+         ("u1", "2024-01-01 09:00:00", 10.0),
+         ("u2", "2024-01-01 09:30:00", 99.0)],
+        "user STRING, ts STRING, price DOUBLE"))
+    out = {r["id"]: r["price_asof"] for r in
+           asof_join(left, right, on=["user"], ts="ts",
+                     direction="forward").collect()}
+    assert out == {1: 20.0, 2: None, 3: None}  # u2's only price is earlier
+
+
+def test_asof_forward_tie_takes_equal_ts(spark):
+    left = _ts(spark.createDataFrame([(1, "u", "2024-01-01 10:00:00")],
+                                     "id INT, user STRING, ts STRING"))
+    right = _ts(spark.createDataFrame([("u", "2024-01-01 10:00:00", 7.0)],
+                                      "user STRING, ts STRING, price DOUBLE"))
+    out = asof_join(left, right, on=["user"], ts="ts",
+                    direction="forward").first()
+    assert out["price_asof"] == 7.0
+
+
+def test_asof_tolerance_nulls_stale_match(spark):
+    left = _ts(spark.createDataFrame(
+        [(1, "u", "2024-01-01 10:00:00"), (2, "u", "2024-01-01 13:00:00")],
+        "id INT, user STRING, ts STRING"))
+    right = _ts(spark.createDataFrame([("u", "2024-01-01 09:30:00", 5.0)],
+                                      "user STRING, ts STRING, price DOUBLE"))
+    out = {r["id"]: r["price_asof"] for r in
+           asof_join(left, right, on=["user"], ts="ts",
+                     tolerance_us=3600 * 1_000_000).collect()}
+    assert out == {1: 5.0, 2: None}  # 3.5h gap exceeds the 1h tolerance
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized parity with pandas merge_asof, both directions, with
+    and without tolerance."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    left_pd = pd.DataFrame({
+        "user": rng.choice(["a", "b", "c"], 60),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.randint(0, 10_000, 60), unit="s"),
+        "id": np.arange(60),
+    }).sort_values("ts").reset_index(drop=True)
+    right_pd = pd.DataFrame({
+        "user": rng.choice(["a", "b", "c"], 40),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.randint(0, 10_000, 40), unit="s"),
+        "price": rng.rand(40).round(3),
+    }).sort_values("ts").reset_index(drop=True)
+    # merge_asof requires unique ordering; drop exact (user, ts) dup rights
+    right_pd = right_pd.drop_duplicates(["user", "ts"]).reset_index(drop=True)
+
+    left = _ts(spark.createDataFrame(left_pd.assign(ts=left_pd.ts.astype(str))))
+    right = _ts(spark.createDataFrame(right_pd.assign(ts=right_pd.ts.astype(str))))
+
+    for direction, tol in [("backward", None), ("forward", None),
+                           ("backward", 1800 * 1_000_000)]:
+        want_pd = pd.merge_asof(
+            left_pd.sort_values("ts"), right_pd.sort_values("ts"),
+            on="ts", by="user", direction=direction,
+            tolerance=None if tol is None else pd.Timedelta(microseconds=tol),
+        )
+        want = dict(zip(want_pd["id"], want_pd["price"]))
+        got = {r["id"]: r["price_asof"] for r in
+               asof_join(left, right, on=["user"], ts="ts",
+                         direction=direction, tolerance_us=tol).collect()}
+        for k in want:
+            w = want[k]
+            g = got[k]
+            assert (pd.isna(w) and g is None) or w == g, (direction, tol, k, w, g)
