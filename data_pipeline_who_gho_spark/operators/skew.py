@@ -45,3 +45,34 @@ def salted_agg(
         ]
     )
     return final
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Salted equi-join for a skewed big side joined to a table too large
+    to broadcast: salt the big side with a row-id bucket (pure spreading,
+    never affects results), replicate the small side across all buckets,
+    and join on keys + salt — each hot key's rows fan across
+    ``salt_buckets`` reducers instead of one straggler task.
+
+    Cost model: the small side shuffles ``salt_buckets`` times over —
+    worth it exactly when the hot key's single-reducer time dominates.
+    Only inner/left joins are salt-correct (a small-side row with no big
+    match would otherwise surface once per replica); other join types
+    raise.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner|left, got {how!r}")
+    on = list(on)
+    salted_big = big.withColumn(
+        "__salt", (F.monotonically_increasing_id() % salt_buckets).cast("int")
+    )
+    replicated = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    return salted_big.join(replicated, on + ["__salt"], how).drop("__salt")
