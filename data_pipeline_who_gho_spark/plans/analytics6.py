@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..caching import bounded_persist_cache
+from ..operators.interval import interval_overlap_join
 from ..operators.layout import morton2, morton2_sql
 from ..sources.catalog import load_table
 
@@ -386,8 +387,94 @@ TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
 )
 
 
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user — the correct mean for
+    irregularly-sampled series (a value holds until the next sample).
+    Weights are exact integer µs durations; value×duration products
+    accumulate as decimals, so the sum is order-independent and the
+    single double division at the end is bit-identical across engines.
+    One window pass + one partial-aggregated shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    mus = F.unix_micros(F.col("ts"))
+    dur = (F.lead(mus, 1).over(w) - mus).alias("dur")
+    spans = ev.select("user_id", F.col("value"), dur).filter(F.col("dur").isNotNull())
+    prod = F.col("value").cast("string").cast("decimal(12,2)") * F.col("dur")
+    return (
+        spans.groupBy("user_id")
+        .agg(
+            F.sum(prod.cast("decimal(30,2)")).alias("__wsum"),
+            F.sum("dur").alias("span_us"),
+        )
+        .select(
+            "user_id",
+            "span_us",
+            (
+                F.col("__wsum").cast("string").cast("double")
+                / F.col("span_us").cast("double")
+            ).alias("twap"),
+        )
+    )
+
+
+TWAP_SQL = """
+WITH spans AS (
+  SELECT user_id, value,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS dur
+  FROM events
+)
+SELECT user_id, CAST(SUM(dur) AS BIGINT) AS span_us,
+       CAST(CAST(SUM(CAST(CAST(CAST(value AS VARCHAR) AS DECIMAL(12,2)) * dur
+                          AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE)
+         / CAST(SUM(dur) AS DOUBLE) AS twap
+FROM spans WHERE dur IS NOT NULL
+GROUP BY user_id
+"""
+
+
+INTERVAL_BUCKET_US = 3_600_000_000  # 1 hour
+
+
+def interval_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping activity intervals per user: each event opens an
+    interval [ts, ts + value minutes]; report every overlapping pair
+    with its exact µs intersection. Runs on the bucketed interval join
+    (`operators/interval.py`) — equi-join on (user, hour-bucket) instead
+    of an O(n²) theta NLJ; the oracle IS the theta join, proving the
+    bucketed plan loses nothing."""
+    ev = load_table(spark, sf_dir, "events")
+    mus = F.unix_micros(F.col("ts"))
+    iv = ev.select(
+        "user_id",
+        F.col("event_id"),
+        mus.alias("s_us"),
+        (mus + F.floor(F.col("value") * 60_000_000).cast("long")).alias("e_us"),
+    )
+    return interval_overlap_join(
+        iv, key="user_id", id_col="event_id", start_us="s_us", end_us="e_us",
+        bucket_us=INTERVAL_BUCKET_US,
+    )
+
+
+INTERVAL_OVERLAP_SQL = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+         epoch_us(ts) + CAST(FLOOR(value * 60000000) AS BIGINT) AS e_us
+  FROM events
+)
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS overlap_us
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+"""
+
+
 ANALYTICS6_QUERIES = {
     "table_profile": table_profile,
+    "twap_user_value": twap_user_value,
+    "interval_overlap_events": interval_overlap_events,
     "ewma_user_value": ewma_user_value,
     "pagerank_customer_supplier": pagerank_customer_supplier,
     "locf_gap_fill": locf_gap_fill,
@@ -397,6 +484,8 @@ ANALYTICS6_QUERIES = {
 
 ANALYTICS6_ORACLE_SQL = {
     "table_profile": TABLE_PROFILE_SQL,
+    "twap_user_value": TWAP_SQL,
+    "interval_overlap_events": INTERVAL_OVERLAP_SQL,
     "ewma_user_value": EWMA_SQL,
     "pagerank_customer_supplier": PAGERANK_SQL,
     "locf_gap_fill": LOCF_SQL,
