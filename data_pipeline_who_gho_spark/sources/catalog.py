@@ -30,23 +30,61 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as long
-# (nanosAsLong); converted to µs timestamps at load. DuckDB truncates the
-# same way when fetching TIMESTAMP_NS, so oracle parity holds.
-_NANOS_TS_COLUMNS = {"events": ["ts"]}
+# Timestamp columns in the fixtures; generators have shipped them both as
+# parquet TIMESTAMP(NANOS) (Spark reads as long under nanosAsLong) and as
+# TIMESTAMP(MICROS, isAdjustedToUTC=false) (Spark 4 infers TIMESTAMP_NTZ).
+# Both are normalized at load to TIMESTAMP_LTZ whose epoch-micros equal the
+# stored naive value — exactly DuckDB's epoch_us on the same parquet, so
+# oracle parity holds and unix_micros()-based plans work unchanged.
+_TS_COLUMNS = {"events": ["ts"]}
+
+
+# Set only while resolving the read (parquet footer → Spark schema is
+# eager), then restored: leaking them into the session changes how OTHER
+# tables' NTZ columns resolve (e.g. orders.o_orderdate flips NTZ→LTZ,
+# altering its pushed filters). Deferred execution of the returned plan
+# does not re-consult either conf — verified for both the nanos and the
+# micros fixture encodings.
+_READ_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # read isAdjustedToUTC=false micros as LTZ (raw micros = epoch),
+    # tz-independent — no session-zone shift is applied at scan time
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet scan → pushdown/pruning come free."""
-    if name in _NANOS_TS_COLUMNS:
-        # dynamic conf: works even on sessions we didn't build (the
-        # correctness driver hands us its own SparkSession)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for c in _NANOS_TS_COLUMNS.get(name, []):
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name not in _TS_COLUMNS:
+        return spark.read.parquet(path)
+    # dynamic confs: work even on sessions we didn't build (the
+    # correctness driver hands us its own SparkSession)
+    prior: dict[str, str | None] = {}
+    for k, v in _READ_CONFS.items():
+        try:
+            prior[k] = spark.conf.get(k)
+        except Exception:
+            prior[k] = None
+        spark.conf.set(k, v)
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        for k, old in prior.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+    for c in _TS_COLUMNS.get(name, []):
         if isinstance(df.schema[c].dataType, T.LongType):
             # integer div (not /1000.0): epoch-nanos exceed double's 2^53
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(df.schema[c].dataType, T.TimestampNTZType):
+            # fallback if the scan already materialized NTZ (e.g. a view
+            # registered before this conf was set): reinterpret the wall
+            # clock as UTC without shifting — to_utc_timestamp treats the
+            # NTZ value as being in the given zone
+            df = df.withColumn(c, F.to_utc_timestamp(F.col(c), "UTC"))
     return df
 
 
