@@ -1,0 +1,63 @@
+"""Extension batch 3: SimHash pairs, containment near-dup, BM25."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_who_gho_spark.plans.extensions2 import (
+    BM25_TOPK,
+    CONTAINMENT_T,
+    HAMMING_T,
+    bm25_search,
+    dedup_containment,
+    simhash_neardup_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _injected_dups(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    return {
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") % 7 == 0).select("doc_id").collect()
+    }
+
+
+def test_simhash_pairs_find_exact_dups(spark):
+    """Every injected exact duplicate (identical text) has Hamming 0 and
+    must appear — banding at radius 3 over 4 chunks is complete."""
+    pairs = simhash_neardup_pairs(spark, SF).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+    for d in _injected_dups(spark):
+        assert got.get((d, d + 1000000)) == 0
+    assert all(h <= HAMMING_T for h in got.values())
+
+
+def test_containment_scores_exact_dups_at_one(spark):
+    pairs = dedup_containment(spark, SF).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["containment"] for r in pairs}
+    dups = _injected_dups(spark)
+    for d in dups:
+        assert got.get((d, d + 1000000)) == 1.0
+    assert all(c >= CONTAINMENT_T for c in got.values())
+
+
+def test_bm25_topk_ordered_positive(spark):
+    rows = bm25_search(spark, SF).collect()
+    assert 0 < len(rows) <= BM25_TOPK
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_bm25_plan_bounded_topk(spark):
+    """The top-k must plan as TakeOrderedAndProject (bounded per-partition
+    top-k + merge), never a full global sort."""
+    plan = (
+        bm25_search(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
