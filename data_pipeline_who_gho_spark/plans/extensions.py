@@ -62,7 +62,8 @@ _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-5-gram shingles as ROWS: (doc_id, shingle, n_sh).
+    """Distinct word-5-gram shingles as ROWS:
+    (doc_id, shingle, n_sh, df_sh).
 
     Tokenize once per document (posexplode), then assemble shingles with
     window ``lead`` — ~5× cheaper than nested array transforms, which
@@ -74,6 +75,13 @@ def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup queries reference it several times (signature build, both
     join sides, verification); without the cache each reference re-scans
     and re-tokenizes the corpus (8 scans observed in the minhash plan).
+
+    ``df_sh`` (the shingle's corpus document frequency) is computed HERE,
+    in the one persisted build, not per consumer: the skew-guarded
+    candidate generators (ngram, containment) and the prefix filter all
+    need it, and recomputing it per query added an aggregate plus a
+    full-postings join to every consumer — and twice under a self-join,
+    which is exactly the 4× regression BENCH_r02 would otherwise show.
     """
     def build() -> DataFrame:
         corpus = _corpus(spark, sf_dir)
@@ -94,6 +102,8 @@ def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return sh.withColumn(
             "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        ).withColumn(
+            "df_sh", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
         )
 
     return bounded_persist_cache(
@@ -210,9 +220,7 @@ def dedup_ngram_jaccard(
     division → bit-identical across engines.
     """
     sh = _shingle_table(spark, sf_dir)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_sh"))
-    shf = sh.join(freq, "shingle")
-    cold = shf.filter(F.col("df_sh") <= F.lit(df_cutoff)).select(
+    cold = sh.filter(F.col("df_sh") <= F.lit(df_cutoff)).select(
         "doc_id", "shingle", "n_sh"
     )
     a, b = cold.alias("a"), cold.alias("b")
@@ -238,7 +246,7 @@ def dedup_ngram_jaccard(
     # columns to the candidate pairs — one linear pipeline, no second pass
     # over the postings and no hot×hot posting join anywhere.
     hot_by_doc = (
-        shf.filter(F.col("df_sh") > F.lit(df_cutoff))
+        sh.filter(F.col("df_sh") > F.lit(df_cutoff))
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("hot_sh"))
     )
@@ -268,32 +276,52 @@ def dedup_ngram_jaccard(
     return _jaccard_filtered(pairs)
 
 
-def _verify_candidates(cand: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact Jaccard verification of (doc_a, doc_b) candidates: count the
-    true shared-shingle intersection via two postings joins over the full
-    shingle ROW table (no arrays through the shuffle), then threshold.
-    Shared by the inverted-index, prefix-filter, and MinHash-LSH plans —
-    whatever the candidate generator's recall/pruning trade-off, the pairs
-    it emits carry exact Jaccard. (At extreme dedup density one could
-    semi-join the postings down to candidate docs first, but that either
-    re-executes candidate generation per reference or forces an eager
-    checkpoint — worse failure modes than a shuffled postings join, which
-    AQE sizes at runtime.)"""
-    sa = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"), F.col("n_sh").alias("n_a")
+_ARRAYS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc shingle ARRAYS (doc_id, sh_arr, n_sh), persisted per
+    (application, sf_dir) like the row table. This is the verification-
+    side shape: candidate pairs are few, so joining them against per-doc
+    arrays via a broadcast of the candidates touches no postings shuffle
+    at all — where the previous postings-join verify re-shuffled and
+    re-sorted the ENTIRE shingle table twice per verifying query (the
+    dominant cost in the minhash and prefix-filter plans at sf0.1).
+    Array rows are bounded by document length, same as the row table."""
+    def build() -> DataFrame:
+        sh = _shingle_table(spark, sf_dir)
+        return sh.groupBy("doc_id").agg(
+            F.collect_list("shingle").alias("sh_arr"),
+            F.max("n_sh").alias("n_sh"),  # constant per doc: max = the value
+        )
+
+    return bounded_persist_cache(
+        _ARRAYS_CACHE, (spark.sparkContext.applicationId, sf_dir), build
     )
-    sb = sh.select(
-        F.col("doc_id").alias("__b_id"), F.col("shingle").alias("sh_b"), F.col("n_sh").alias("n_b")
+
+
+def _verify_candidates(cand: DataFrame, arrays: DataFrame) -> DataFrame:
+    """Exact Jaccard verification of (doc_a, doc_b) candidates against the
+    persisted per-doc shingle arrays: broadcast the (small) candidate
+    set, hash-join the arrays twice map-side, and count the intersection
+    with ``array_intersect`` — shuffle-free on the postings side. Shared
+    by the prefix-filter and MinHash-LSH plans — whatever the candidate
+    generator's recall/pruning trade-off, the pairs it emits carry exact
+    Jaccard. (If a pathological corpus ever produced a candidate set too
+    large to broadcast, dropping the hint lets AQE fall back to a
+    shuffled join; the arrays relation is no wider than the postings.)"""
+    a = arrays.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a"), F.col("n_sh").alias("n_a")
+    )
+    b = arrays.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b"), F.col("n_sh").alias("n_b")
     )
     pairs = (
-        cand.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("__b_id")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_inter"),
-            F.max("n_a").alias("n_a"),  # constant per doc: max = the value
-            F.max("n_b").alias("n_b"),
-        )
+        F.broadcast(cand)
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b")
     )
     return _jaccard_filtered(pairs)
 
@@ -352,6 +380,9 @@ _HASH_A = [((2 * i + 1) * 2654435761 % _MERSENNE_P) or 1 for i in range(1, NUM_H
 _HASH_B = [(i * 40503 * 65537 + 11) % _MERSENNE_P for i in range(1, NUM_HASHES + 1)]
 
 
+_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _minhash_signatures(sh: DataFrame) -> DataFrame:
     """MinHash signatures from the shingle ROW table: hash each shingle
     once (murmur3 folded into [0, 2^31)), then 96 partial-aggregated MINs
@@ -386,12 +417,10 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates verify exactly like dedup_minhash_lsh.
     """
     sh = _shingle_table(spark, sf_dir)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_sh"))
     w = Window.partitionBy("doc_id").orderBy("df_sh", "shingle")
     prefix_len = F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(JACCARD_THRESHOLD)) + 1
     prefix = (
-        sh.join(freq, "shingle")
-        .withColumn("rk", F.row_number().over(w))
+        sh.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= prefix_len)
         .select("doc_id", "shingle", "n_sh")
     )
@@ -412,7 +441,7 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return _verify_candidates(cand, sh)
+    return _verify_candidates(cand, _doc_shingle_arrays(spark, sf_dir))
 
 
 DEDUP_PREFIX_SQL = DEDUP_NGRAM_SQL  # exact pair set — completeness is provable
@@ -426,9 +455,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_intersect on the candidates only. With 32×3 banding, recall at
     j≥0.6 is ≈ 99.96%, and verification makes precision exact, so the
     DuckDB oracle is the exact-Jaccard pair set.
+
+    The signature table is persisted per (application, sf_dir): it is
+    referenced by BOTH sides of the band self-join, and Spark does not
+    reuse the aggregate's exchange across the two aliased sides — without
+    the cache the 96-min aggregation (the most expensive map stage in the
+    query) runs twice. Persisting signatures is also the 100 TB posture:
+    ~800 bytes/doc, the standard reusable artifact of a minhash pipeline.
     """
     sh = _shingle_table(spark, sf_dir)
-    sig = _minhash_signatures(sh)
+    sig = bounded_persist_cache(
+        _SIG_CACHE,
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: _minhash_signatures(sh),
+    )
 
     # Band keys WITHOUT any shingle payload: the self-join shuffles only
     # (band, key-hash, doc_id) — at 100 TB carrying shingle data through
@@ -459,7 +499,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return _verify_candidates(cand, sh)
+    return _verify_candidates(cand, _doc_shingle_arrays(spark, sf_dir))
 
 
 # Oracle: the exact pair set (LSH verified-candidates ⊆ exact; banding

@@ -185,9 +185,7 @@ def dedup_containment(
     → bit-identical across engines.
     """
     sh = _shingle_table(spark, sf_dir)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_sh"))
-    shf = sh.join(freq, "shingle")
-    cold = shf.filter(F.col("df_sh") <= F.lit(df_cutoff)).select(
+    cold = sh.filter(F.col("df_sh") <= F.lit(df_cutoff)).select(
         "doc_id", "shingle", "n_sh"
     )
     a, b = cold.alias("a"), cold.alias("b")
@@ -205,7 +203,7 @@ def dedup_containment(
         )
     )
     hot_by_doc = (
-        shf.filter(F.col("df_sh") > F.lit(df_cutoff))
+        sh.filter(F.col("df_sh") > F.lit(df_cutoff))
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("hot_sh"))
     )

@@ -39,9 +39,7 @@ def test_df_cutoff_contract(spark):
     # every lost pair shares ONLY hot shingles (df > cutoff)
     lost = full - pruned
     assert lost, "fixture should exercise the guard at cutoff=3"
-    sh = _shingle_table(spark, SF)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_sh"))
-    shf = sh.join(freq, "shingle")
+    shf = _shingle_table(spark, SF)  # df_sh is built into the cached table
     for doc_a, doc_b, _ in lost:
         shared_min_df = (
             shf.filter(F.col("doc_id") == doc_a)
@@ -57,11 +55,10 @@ def test_df_cutoff_prunes_hot_postings(spark):
     """The candidate index under a low cutoff is a strict subset of the
     postings — the hottest (biggest-bucket) shuffle keys are the ones
     removed."""
-    sh = _shingle_table(spark, SF)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_sh"))
-    hot = freq.filter(F.col("df_sh") > 3).count()
+    sh = _shingle_table(spark, SF)  # df_sh is built into the cached table
+    hot = sh.filter(F.col("df_sh") > 3).select("shingle").distinct().count()
     assert hot > 0  # the fixture actually exercises the guard
-    pruned = sh.join(freq.filter(F.col("df_sh") <= 3), "shingle").count()
+    pruned = sh.filter(F.col("df_sh") <= 3).count()
     assert pruned < sh.count()
 
 
@@ -70,16 +67,14 @@ def test_prefix_join_moves_fewer_postings(spark):
     threshold t only ~(1-t) of each doc's shingles survive, and the
     commonest shingles (the biggest join buckets) sort last so they are
     pruned first."""
-    sh = _shingle_table(spark, SF)
+    sh = _shingle_table(spark, SF)  # df_sh is built into the cached table
     full_postings = sh.count()
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_sh"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy("df_sh", "shingle")
     plen = F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(JACCARD_THRESHOLD)) + 1
     prefix_postings = (
-        sh.join(freq, "shingle")
-        .withColumn("rk", F.row_number().over(w))
+        sh.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= plen)
         .count()
     )
