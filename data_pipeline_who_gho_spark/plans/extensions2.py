@@ -351,14 +351,108 @@ LIMIT {BM25_TOPK}
 BM25_SQL = _bm25_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# Bigram language-model quality scoring (CCNet/KenLM-style LM filtering)
+# ---------------------------------------------------------------------------
+
+_LM_SCALE = 1_000_000.0  # micro-nats: fixed-point so per-doc sums are integer
+
+
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fluency score under a corpus-trained bigram LM with
+    add-one smoothing — the LM-perplexity quality filter of a training
+    pipeline, exact across engines.
+
+    Float discipline: ln() is rounded to integer micro-nats ONCE PER
+    BIGRAM TYPE (the LM table, vocab²-bounded), so per-document scores
+    are INTEGER sums — immune to the engine-dependent addition order
+    that makes naive Σ log p irreproducible. The final avg is a single
+    integer/integer division. A boundary-sensitive rounding would need
+    the true value within ~1 ulp of a half-micro-nat, across only |V|²
+    table entries — not the corpus's billions of token instances.
+
+    Scale: bigram extraction is map-only (array slice + zip, no window
+    shuffle); the LM table is vocab²-bounded and broadcast; the one data
+    shuffle is the per-doc score aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = TX.tokens(F.col("text"))
+    n = F.size(ws)
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(ws, 1, n - 1).alias("w1"), F.slice(ws, 2, n - 1).alias("w2")
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    v = big.agg(F.countDistinct("w1").alias("v"))
+    lp = F.round(
+        F.log(
+            (F.col("c12").cast("double") + 1.0)
+            / (F.col("c1").cast("double") + F.col("v").cast("double"))
+        )
+        * F.lit(_LM_SCALE)
+    ).cast("long")
+    lm = (
+        c12.join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .select("w1", "w2", lp.alias("lp"))
+    )
+    scored = (
+        big.join(F.broadcast(lm), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.sum("lp").alias("sum_lp_micronats"), F.count(F.lit(1)).alias("n_bigrams"))
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "sum_lp_micronats",
+        (
+            F.col("sum_lp_micronats").cast("double") / F.col("n_bigrams").cast("double")
+        ).alias("avg_lp_micronats"),
+    )
+
+
+BIGRAM_LM_SQL = f"""
+WITH ws AS (
+  SELECT doc_id, {_sql_tokens()} AS w FROM documents
+),
+big AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM ws, UNNEST(range(1, len(w))) AS t(i)
+),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+v AS (SELECT COUNT(DISTINCT w1) AS v FROM big),
+lm AS (
+  SELECT w1, w2,
+         CAST(ROUND(ln((CAST(c12 AS DOUBLE) + 1.0)
+                       / (CAST(c1 AS DOUBLE) + CAST(v.v AS DOUBLE)))
+                    * {_LM_SCALE}) AS BIGINT) AS lp
+  FROM c12 JOIN c1 USING (w1), v
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       SUM(lm.lp) AS sum_lp_micronats,
+       CAST(SUM(lm.lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_lp_micronats
+FROM big b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+GROUP BY b.doc_id
+"""
+
+
 EXTENSION2_QUERIES = {
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "dedup_containment": dedup_containment,
     "bm25_search": bm25_search,
+    "bigram_lm_score": bigram_lm_score,
 }
 
 EXTENSION2_ORACLE_SQL = {
     "simhash_neardup_pairs": SIMHASH_PAIRS_SQL,
     "dedup_containment": CONTAINMENT_SQL,
     "bm25_search": BM25_SQL,
+    "bigram_lm_score": BIGRAM_LM_SQL,
 }

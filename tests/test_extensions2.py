@@ -8,6 +8,7 @@ from data_pipeline_who_gho_spark.plans.extensions2 import (
     BM25_TOPK,
     CONTAINMENT_T,
     HAMMING_T,
+    bigram_lm_score,
     bm25_search,
     dedup_containment,
     simhash_neardup_pairs,
@@ -49,6 +50,30 @@ def test_bm25_topk_ordered_positive(spark):
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
+
+
+def test_bigram_lm_scores_are_integer_sums(spark):
+    """Scores are negative log-probs; the micro-nat sum over n bigrams
+    bounds the average; identical docs (injected dups' source texts)
+    score identically because the LM table is shared."""
+    rows = bigram_lm_score(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["sum_lp_micronats"] < 0
+        assert r["n_bigrams"] > 0
+        assert abs(r["avg_lp_micronats"] * r["n_bigrams"] - r["sum_lp_micronats"]) < 1e-3
+
+
+def test_bigram_lm_plan_broadcasts_model(spark):
+    """The LM table must broadcast — the per-doc scoring join never
+    shuffles the bigram stream on (w1, w2)."""
+    plan = (
+        bigram_lm_score(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
 
 
 def test_bm25_plan_bounded_topk(spark):
