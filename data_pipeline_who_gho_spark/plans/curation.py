@@ -1,0 +1,193 @@
+"""Corpus-curation workflow operators: incremental dedup against a
+historical corpus, the quality-filter funnel report, and table snapshot
+diff.
+
+These are the operational glue of a recurring training-data pipeline
+(generalizing the reference's single-shot clean→validate→load run,
+``/root/reference/etl/transform.py`` / ``load.py``): each ingest batch is
+deduplicated against everything already admitted, the filter cascade is
+monitored stage by stage, and any two table snapshots can be diffed for
+audit.
+
+Scale design
+------------
+- ``dedup_incremental``: batch ANTI-JOIN historical on the md5
+  fingerprint. The shuffle is keyed by fingerprint (uniform by
+  construction — no skew); at 100 TB the historical side stays
+  partitioned/bucketed by fingerprint so only the (small) batch moves,
+  and AQE's runtime bloom filter prunes historical partitions first
+  (pinned by tests/test_adaptive.py for this join shape).
+- ``corpus_filter_funnel``: ONE scan, one 4-conditional aggregate, then
+  a constant-width unpivot — the stage counts never require one pass
+  per stage.
+- ``table_diff``: full outer join keyed on the primary key — one
+  shuffle per side, co-partitioned; at scale both snapshots share the
+  warehouse's bucket layout so the diff is shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..sources.catalog import load_table
+from .extensions import _sql_hits, _sql_lang_id, _sql_tokens
+
+# ---------------------------------------------------------------------------
+# Incremental exact dedup: admit only batch docs unseen in the historical
+# corpus. Fixture split: historical = even doc_id; batch = the injected
+# re-crawls (source doc_id % 7 == 0, re-keyed +1_000_000), so a batch doc
+# collides iff its source was even — roughly half admitted, half rejected.
+# ---------------------------------------------------------------------------
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch docs whose fingerprint is NOT already in the historical
+    corpus (left-anti join on md5). Intra-batch dups are the province of
+    ``dedup_exact``; this is the cross-run incremental admit step."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 2 == 0).select(
+        TX.fingerprint_md5("text").alias("fingerprint")
+    )
+    batch = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        TX.fingerprint_md5("text").alias("fingerprint"),
+    )
+    return batch.join(hist, "fingerprint", "left_anti").select("doc_id", "fingerprint")
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH hist AS (SELECT md5(text) AS fingerprint FROM documents WHERE doc_id % 2 = 0),
+batch AS (SELECT doc_id + 1000000 AS doc_id, md5(text) AS fingerprint
+          FROM documents WHERE doc_id % 7 = 0)
+SELECT doc_id, fingerprint
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fingerprint = b.fingerprint)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter funnel: survivor counts through the filter cascade
+# ---------------------------------------------------------------------------
+
+FUNNEL_MIN_TOKENS = 30
+FUNNEL_MIN_QUALITY = 0.45
+
+
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivors after each stage of the cumulative filter cascade
+    (length → quality → language), plus the unfiltered base — the
+    monitoring report every production filter pipeline emits. One scan,
+    one aggregate; stages are nested conditional counts, not passes."""
+    docs = load_table(spark, sf_dir, "documents")
+    c1 = TX.token_count("text") >= FUNNEL_MIN_TOKENS
+    c2 = c1 & (TX.quality_score("text", "n_chars") >= FUNNEL_MIN_QUALITY)
+    c3 = c2 & (TX.lang_id("text") == "en")
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count_if(c1).alias("n1"),
+        F.count_if(c2).alias("n2"),
+        F.count_if(c3).alias("n3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 0, 'all', n0, 1, 'min_tokens', n1,"
+            " 2, 'quality', n2, 3, 'lang_en', n3)"
+        ).alias("stage", "filter_name", "n_docs")
+    )
+
+
+def _funnel_sql() -> str:
+    n_tok = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_tokens()}) END"
+    quality = f"""
+      least(CAST({n_tok} AS DOUBLE) / 100.0, 1.0) * 0.4
+      + (CASE WHEN {n_tok} > 0
+              THEN CAST({_sql_hits('en')} AS DOUBLE) / CAST({n_tok} AS DOUBLE)
+              ELSE 0.0 END) * 0.3
+      + least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.3
+    """
+    c1 = f"({n_tok} >= {FUNNEL_MIN_TOKENS})"
+    c2 = f"({c1} AND ({quality}) >= {FUNNEL_MIN_QUALITY})"
+    c3 = f"({c2} AND ({_sql_lang_id()}) = 'en')"
+    return f"""
+WITH agg AS (
+  SELECT COUNT(*) AS n0,
+         COUNT(*) FILTER (WHERE {c1}) AS n1,
+         COUNT(*) FILTER (WHERE {c2}) AS n2,
+         COUNT(*) FILTER (WHERE {c3}) AS n3
+  FROM documents
+)
+SELECT 0 AS stage, 'all' AS filter_name, n0 AS n_docs FROM agg
+UNION ALL SELECT 1, 'min_tokens', n1 FROM agg
+UNION ALL SELECT 2, 'quality', n2 FROM agg
+UNION ALL SELECT 3, 'lang_en', n3 FROM agg
+"""
+
+
+CORPUS_FILTER_FUNNEL_SQL = _funnel_sql()
+
+
+# ---------------------------------------------------------------------------
+# Table snapshot diff
+# ---------------------------------------------------------------------------
+
+
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff of two table snapshots (added / removed / changed),
+    keyed on the primary key. Snapshots are simulated deterministically
+    from orders: v1 omits o_orderkey % 97 == 0; v2 omits % 89 == 0 and
+    bumps o_totalprice on % 101 == 0 — so all three statuses occur."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v1 = orders.filter(F.col("o_orderkey") % 97 != 0)
+    v2 = orders.filter(F.col("o_orderkey") % 89 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
+        .when(F.col("a.o_totalprice") != F.col("b.o_totalprice"), F.lit("changed"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+            status.alias("status"),
+        )
+        .filter(F.col("status").isNotNull())
+    )
+
+
+TABLE_DIFF_SQL = """
+WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 97 != 0),
+v2 AS (SELECT o_orderkey,
+              CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+                   ELSE o_totalprice END AS o_totalprice
+       FROM orders WHERE o_orderkey % 89 != 0)
+SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'removed'
+            WHEN a.o_totalprice != b.o_totalprice THEN 'changed' END AS status
+FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+WHERE (CASE WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'removed'
+            WHEN a.o_totalprice != b.o_totalprice THEN 'changed' END) IS NOT NULL
+"""
+
+
+CURATION_QUERIES = {
+    "dedup_incremental": dedup_incremental,
+    "corpus_filter_funnel": corpus_filter_funnel,
+    "table_diff": table_diff,
+}
+
+CURATION_ORACLE_SQL = {
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+    "corpus_filter_funnel": CORPUS_FILTER_FUNNEL_SQL,
+    "table_diff": TABLE_DIFF_SQL,
+}

@@ -1,0 +1,42 @@
+"""Curation workflow ops: incremental dedup, filter funnel, table diff."""
+
+from __future__ import annotations
+
+from data_pipeline_who_gho_spark.plans.curation import (
+    corpus_filter_funnel,
+    dedup_incremental,
+    table_diff,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_incremental_admits_only_unseen(spark):
+    """Batch docs sourced from EVEN doc_ids collide with the historical
+    half and must be rejected; odd-sourced batch docs are admitted."""
+    admitted = {r["doc_id"] for r in dedup_incremental(spark, SF).collect()}
+    assert admitted, "fixture should admit some batch docs"
+    for d in admitted:
+        src = d - 1000000
+        assert src % 7 == 0 and src % 2 == 1
+
+
+def test_funnel_counts_are_monotone(spark):
+    rows = {r["stage"]: r["n_docs"] for r in corpus_filter_funnel(spark, SF).collect()}
+    assert list(rows) == [0, 1, 2, 3] or set(rows) == {0, 1, 2, 3}
+    assert rows[0] >= rows[1] >= rows[2] >= rows[3]
+    assert rows[0] > rows[3] >= 0  # the cascade actually filters
+
+
+def test_table_diff_statuses(spark):
+    rows = table_diff(spark, SF).collect()
+    by_status: dict[str, set] = {}
+    for r in rows:
+        by_status.setdefault(r["status"], set()).add(r["o_orderkey"])
+    assert set(by_status) == {"added", "removed", "changed"}
+    for k in by_status["added"]:
+        assert k % 97 == 0 and k % 89 != 0
+    for k in by_status["removed"]:
+        assert k % 89 == 0 and k % 97 != 0
+    for k in by_status["changed"]:
+        assert k % 101 == 0
