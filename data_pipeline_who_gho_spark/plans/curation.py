@@ -180,14 +180,94 @@ WHERE (CASE WHEN a.o_orderkey IS NULL THEN 'added'
 """
 
 
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): embedding near-dup graph → connected
+# components → one canonical representative per semantic cluster
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-duplicate clusters over the embedding space: cosine ≥ 0.95
+    pairs (``embed_neardup_pairs`` — the exact baseline; ``ann_lsh_buckets``
+    is the candidate path at scale) become edges, connected components
+    collapse transitive near-dups, and each clustered vector maps to its
+    canonical (min vec_id) representative with the cluster size — the
+    keep/drop table of embedding-based corpus dedup.
+
+    Same iterative min-label-propagation vs recursive-CTE-oracle pairing
+    as ``dedup_clusters``; edges are localCheckpoint'd because every CC
+    iteration re-reads them.
+    """
+    from ..operators.components import connected_components
+    from .extras import embed_neardup_pairs
+
+    pairs = (
+        embed_neardup_pairs(spark, sf_dir)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        pairs.select(F.col("src").alias("id"))
+        .unionByName(pairs.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    cc = connected_components(verts, pairs)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.col("id").alias("vec_id"),
+        F.col("component").alias("canonical_id"),
+        "cluster_size",
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    from .extras import NEARDUP_COS
+
+    return f"""
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+corpus AS (
+  SELECT vec_id, v FROM e
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, v FROM e WHERE vec_id % 11 = 0
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+        / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+           * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= {NEARDUP_COS}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+verts AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a
+),
+comp AS (SELECT src AS vec_id, MIN(dst) AS canonical_id FROM reach GROUP BY src)
+SELECT c.vec_id, c.canonical_id, s.cluster_size
+FROM comp c
+JOIN (SELECT canonical_id, COUNT(*) AS cluster_size FROM comp GROUP BY canonical_id) s
+  ON c.canonical_id = s.canonical_id
+"""
+
+
+SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
+
+
 CURATION_QUERIES = {
     "dedup_incremental": dedup_incremental,
     "corpus_filter_funnel": corpus_filter_funnel,
     "table_diff": table_diff,
+    "semantic_dedup_reps": semantic_dedup_reps,
 }
 
 CURATION_ORACLE_SQL = {
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "corpus_filter_funnel": CORPUS_FILTER_FUNNEL_SQL,
     "table_diff": TABLE_DIFF_SQL,
+    "semantic_dedup_reps": SEMANTIC_DEDUP_SQL,
 }

@@ -5,6 +5,7 @@ from __future__ import annotations
 from data_pipeline_who_gho_spark.plans.curation import (
     corpus_filter_funnel,
     dedup_incremental,
+    semantic_dedup_reps,
     table_diff,
 )
 
@@ -40,3 +41,19 @@ def test_table_diff_statuses(spark):
         assert k % 89 == 0 and k % 97 != 0
     for k in by_status["changed"]:
         assert k % 101 == 0
+
+
+def test_semantic_dedup_clusters_injected_vectors(spark):
+    """Every injected duplicate vector (vec_id % 11 == 0 re-keyed
+    +1_000_000) must land in its source's cluster with the source as
+    canonical; canonical ids are cluster minima."""
+    rows = semantic_dedup_reps(spark, SF).collect()
+    canon = {r["vec_id"]: r["canonical_id"] for r in rows}
+    assert canon, "fixture should produce clusters"
+    for vid, c in canon.items():
+        assert c <= vid
+        assert canon[c] == c  # the canonical is its own representative
+    dups = [v for v in canon if v >= 1000000]
+    assert dups
+    for d in dups:
+        assert canon[d] == canon[d - 1000000]
