@@ -30,9 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import bounded_persist_cache
 from ..functions import text as TX
 from ..sources.catalog import load_table
-from .extensions import _sql_hits, _sql_lang_id, _sql_tokens
+from .extensions import _sql_lang_id, _sql_n_tokens, _sql_quality
 
 # ---------------------------------------------------------------------------
 # Incremental exact dedup: admit only batch docs unseen in the historical
@@ -99,14 +100,8 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _funnel_sql() -> str:
-    n_tok = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_tokens()}) END"
-    quality = f"""
-      least(CAST({n_tok} AS DOUBLE) / 100.0, 1.0) * 0.4
-      + (CASE WHEN {n_tok} > 0
-              THEN CAST({_sql_hits('en')} AS DOUBLE) / CAST({n_tok} AS DOUBLE)
-              ELSE 0.0 END) * 0.3
-      + least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.3
-    """
+    n_tok = _sql_n_tokens()
+    quality = _sql_quality()
     c1 = f"({n_tok} >= {FUNNEL_MIN_TOKENS})"
     c2 = f"({c1} AND ({quality}) >= {FUNNEL_MIN_QUALITY})"
     c3 = f"({c2} AND ({_sql_lang_id()}) = 'en')"
@@ -186,70 +181,94 @@ WHERE (CASE WHEN a.o_orderkey IS NULL THEN 'added'
 # ---------------------------------------------------------------------------
 
 
-_SEM_CHUNKS = 8  # blocked all-pairs: C²/2+C GEMM tasks of (n/C)² dots each
+_SEM_TILE_ROWS = 1024  # target vectors per chunk (bounds the per-row arrays)
+_BLOCKED_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def embed_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine ≥ 0.95 pairs via a BLOCKED matrix self-join: vectors
     are grouped into C chunks (map-side hash, one shuffle to assemble
-    per-chunk matrices), chunk pairs cross-join (C²/2+C rows), and each
+    per-chunk matrices), chunk pairs cross-join (C²/2+C tiles), and each
     task runs one numpy float64 GEMM inside ``mapInPandas`` — the
     vectorized exact form of ``embed_neardup_pairs``' interpreted
-    expression-tree nested loop (45 s → sub-second at sf0.1), and the
-    100 TB shape for exact all-pairs: work is O(n²) either way, but it is
-    distributed as dense BLAS tiles with no driver-side collect.
+    expression-tree nested loop (45 s → sub-second at sf0.1). Work is
+    O(n²) either way, but it distributes as dense BLAS tiles with no
+    driver-side collect, and C grows with the corpus (≈n/1024, from a
+    metadata-cheap count) so a chunk's collect_list stays bounded
+    (~1024 × dim doubles) at any corpus size; the task count grows as
+    C², which is the honest cost of EXACT all-pairs — the sub-quadratic
+    path is ann_lsh_buckets / ann_ivf_*.
+
+    Cross-chunk pairs are emitted as (min, max) id — the upper-triangle
+    filter applies only inside diagonal tiles, where both orientations
+    of a pair would otherwise both survive. (A plain id_a < id_b filter
+    over a.chunk ≤ b.chunk tiling silently drops every cross-chunk pair
+    whose smaller id lives in the higher-numbered chunk.)
 
     Float note: numpy's pairwise-summed dot can differ from a sequential
     fold in the last ulp; at the 0.95 threshold the fixture margins are
     enormous (non-dup pairs ≲ 0.75, injected dups = 1.0), so the emitted
     pair set and round(cos, 6) values are engine-stable.
+
+    Persisted per (application, sf_dir): ``semantic_dedup_reps`` and the
+    registered query itself both consume the pair set.
     """
     import numpy as np
     import pandas as pd
 
-    from ..functions import vectors as VEC
+    from .extras import _vec_corpus
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", VEC.as_double("embedding").alias("v")
-    )
-    dup = emb.filter(F.col("vec_id") % 11 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"), "v"
-    )
-    corpus = emb.unionByName(dup)
-    chunks = corpus.groupBy((F.col("vec_id") % _SEM_CHUNKS).alias("chunk")).agg(
-        F.collect_list("vec_id").alias("ids"), F.collect_list("v").alias("vecs")
-    )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    tiles = a.join(b, F.col("a.chunk") <= F.col("b.chunk")).select(
-        F.col("a.ids").alias("ids_a"),
-        F.col("a.vecs").alias("vecs_a"),
-        F.col("b.ids").alias("ids_b"),
-        F.col("b.vecs").alias("vecs_b"),
-    )
-    threshold = NEARDUP_COS
+    def build() -> DataFrame:
+        corpus = _vec_corpus(spark, sf_dir)
+        n = corpus.count()  # parquet metadata count — cheap
+        n_chunks = max(8, -(-n // _SEM_TILE_ROWS))
+        chunks = corpus.groupBy((F.col("vec_id") % n_chunks).alias("chunk")).agg(
+            F.collect_list("vec_id").alias("ids"), F.collect_list("v").alias("vecs")
+        )
+        a, b = chunks.alias("a"), chunks.alias("b")
+        tiles = a.join(b, F.col("a.chunk") <= F.col("b.chunk")).select(
+            (F.col("a.chunk") == F.col("b.chunk")).alias("diag"),
+            F.col("a.ids").alias("ids_a"),
+            F.col("a.vecs").alias("vecs_a"),
+            F.col("b.ids").alias("ids_b"),
+            F.col("b.vecs").alias("vecs_b"),
+        )
+        threshold = NEARDUP_COS
 
-    def gemm(batches):
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                ia = np.asarray(row["ids_a"], dtype=np.int64)
-                ib = np.asarray(row["ids_b"], dtype=np.int64)
-                ma = np.stack([np.asarray(x, dtype=np.float64) for x in row["vecs_a"]])
-                mb = np.stack([np.asarray(x, dtype=np.float64) for x in row["vecs_b"]])
-                na = np.linalg.norm(ma, axis=1)
-                nb = np.linalg.norm(mb, axis=1)
-                cos = (ma @ mb.T) / np.outer(na, nb)
-                ii, jj = np.nonzero(cos >= threshold)
-                id_a, id_b = ia[ii], ib[jj]
-                keep = id_a < id_b  # upper triangle (also kills self-pairs)
-                yield pd.DataFrame(
-                    {
-                        "id_a": id_a[keep],
-                        "id_b": id_b[keep],
-                        "cosine": np.round(cos[ii, jj][keep], 6),
-                    }
-                )
+        def gemm(batches):
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    ia = np.asarray(row["ids_a"], dtype=np.int64)
+                    ib = np.asarray(row["ids_b"], dtype=np.int64)
+                    ma = np.stack(
+                        [np.asarray(x, dtype=np.float64) for x in row["vecs_a"]]
+                    )
+                    mb = np.stack(
+                        [np.asarray(x, dtype=np.float64) for x in row["vecs_b"]]
+                    )
+                    na = np.linalg.norm(ma, axis=1)
+                    nb = np.linalg.norm(mb, axis=1)
+                    cos = (ma @ mb.T) / np.outer(na, nb)
+                    ii, jj = np.nonzero(cos >= threshold)
+                    id_a, id_b = ia[ii], ib[jj]
+                    if row["diag"]:
+                        keep = id_a < id_b  # dedupe orientations + self-pairs
+                        id_a, id_b, vals = id_a[keep], id_b[keep], cos[ii, jj][keep]
+                    else:
+                        vals = cos[ii, jj]  # distinct chunks: every pair once
+                    yield pd.DataFrame(
+                        {
+                            "id_a": np.minimum(id_a, id_b),
+                            "id_b": np.maximum(id_a, id_b),
+                            "cosine": np.round(vals, 6),
+                        }
+                    )
 
-    return tiles.mapInPandas(gemm, "id_a long, id_b long, cosine double")
+        return tiles.mapInPandas(gemm, "id_a long, id_b long, cosine double")
+
+    return bounded_persist_cache(
+        _BLOCKED_PAIRS_CACHE, (spark.sparkContext.applicationId, sf_dir), build
+    )
 
 
 # Output-identical to the expression-tree baseline, so it shares its oracle.
@@ -291,15 +310,10 @@ def semantic_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_dedup_sql() -> str:
-    from .extras import NEARDUP_COS
+    from .extras import NEARDUP_COS, VEC_CORPUS_SQL
 
     return f"""
-WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-corpus AS (
-  SELECT vec_id, v FROM e
-  UNION ALL
-  SELECT vec_id + 1000000 AS vec_id, v FROM e WHERE vec_id % 11 = 0
-),
+WITH RECURSIVE {VEC_CORPUS_SQL},
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id

@@ -146,16 +146,28 @@ def _sql_lang_id() -> str:
     return f"CASE {whens} ELSE 'und' END"
 
 
+def _sql_n_tokens() -> str:
+    return f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_tokens()}) END"
+
+
+def _sql_quality() -> str:
+    """SQL twin of TX.quality_score — the ONE definition shared by every
+    oracle that scores quality (text_stats, corpus_filter_funnel); keep
+    in sync with functions/text.py."""
+    n_tok = _sql_n_tokens()
+    return f"""least(CAST({n_tok} AS DOUBLE) / 100.0, 1.0) * 0.4
+       + (CASE WHEN {n_tok} > 0
+               THEN CAST({_sql_hits('en')} AS DOUBLE)
+                    / CAST({n_tok} AS DOUBLE)
+               ELSE 0.0 END) * 0.3
+       + least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.3"""
+
+
 TEXT_STATS_SQL = f"""
 SELECT doc_id,
-       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_tokens()}) END AS n_tokens,
+       {_sql_n_tokens()} AS n_tokens,
        len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_tokens_bpe,
-       least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_tokens()}) END AS DOUBLE) / 100.0, 1.0) * 0.4
-       + (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_tokens()}) END) > 0
-               THEN CAST({_sql_hits('en')} AS DOUBLE)
-                    / CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_sql_tokens()}) END AS DOUBLE)
-               ELSE 0.0 END) * 0.3
-       + least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.3 AS quality,
+       {_sql_quality()} AS quality,
        {_sql_lang_id()} AS lang_guess
 FROM documents
 """

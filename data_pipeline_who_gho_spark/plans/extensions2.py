@@ -23,10 +23,12 @@ Scale design
   distance ≤ 3 of a 64-bit fingerprint MUST agree on one of the 4 chunks
   (pigeonhole), so banding is a complete candidate generator and the
   Hamming filter makes the result exact, never probabilistic.
-- Containment reuses the shared shingle ROW table and the same hot-shingle
-  df-cutoff skew guard as ``dedup_ngram_jaccard`` — but NOT its size-
-  compatibility prune, which is exactly what containment must keep (a
-  100-shingle doc inside a 10 000-shingle doc is the target, not noise).
+- Containment reuses the shared shingle ROW table but runs EXACT by
+  default (the ngram hot-shingle guard is opt-in only): hot-only pairs
+  are containment's target case, and the registered query must equal its
+  unguarded oracle. It also drops the size-compatibility prune, which is
+  exactly what containment must not have (a 100-shingle doc inside a
+  10 000-shingle doc is the target, not noise).
 - BM25 keeps the posting lists pruned to the query terms *before* any
   shuffle (predicate on the exploded token stream — pushed inside the
   scan-side stage), broadcasts the df/idf side, and resolves the top-k
@@ -47,7 +49,6 @@ from .extensions import (
     _corpus,
     _shingle_table,
     _sql_tokens,
-    NGRAM_DF_CUTOFF,
 )
 
 # ---------------------------------------------------------------------------
@@ -174,17 +175,28 @@ CONTAINMENT_T = 0.5
 
 
 def dedup_containment(
-    spark: SparkSession, sf_dir: str, df_cutoff: int = NGRAM_DF_CUTOFF
+    spark: SparkSession, sf_dir: str, df_cutoff: int | None = None
 ) -> DataFrame:
     """Pairs with shingle containment |A∩B| / min(|A|,|B|) ≥ 0.5.
 
-    Same inverted-index candidate plan and hot-shingle skew guard as
-    ``dedup_ngram_jaccard`` (see that docstring for the 100 TB argument),
-    minus the size-compatibility prune — containment's whole point is
+    Same inverted-index candidate plan as ``dedup_ngram_jaccard``, minus
+    the size-compatibility prune — containment's whole point is
     size-asymmetric pairs. Integer counts, one double division at the end
     → bit-identical across engines.
+
+    ``df_cutoff`` (opt-in) applies the hot-shingle skew guard to
+    candidate generation. Unlike Jaccard, the default here is EXACT (no
+    cutoff): a pair whose every shared shingle is boilerplate is
+    precisely containment's target case (a small template-heavy doc
+    embedded in a big one), so the ngram recall argument does not
+    transfer — a user who needs the guard at extreme scale accepts that
+    documented recall trade or routes through a prefix-filter variant.
+    The registered query runs exact, keeping Spark output identical to
+    the unguarded oracle by construction.
     """
     sh = _shingle_table(spark, sf_dir)
+    if df_cutoff is None:
+        df_cutoff = 1 << 62  # exact: no posting is "hot"
     cold = sh.filter(F.col("df_sh") <= F.lit(df_cutoff)).select(
         "doc_id", "shingle", "n_sh"
     )

@@ -109,6 +109,20 @@ FROM clicks c
 NEARDUP_COS = 0.95
 
 
+def _vec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with deterministic duplicates injected (vec_id % 11 == 0
+    re-keyed +1_000_000) — the one definition shared by the expression
+    baseline, the blocked GEMM form, and their SQL oracles (keep the rule
+    in sync with the ``corpus AS`` CTE in EMBED_NEARDUP_SQL)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", VEC.as_double("embedding").alias("v")
+    )
+    dup = emb.filter(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "v"
+    )
+    return emb.unionByName(dup)
+
+
 def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All vector pairs with cosine ≥ 0.95. Corpus = embeddings plus
     deterministic duplicates (vec_id % 11 == 0 re-appears under
@@ -117,11 +131,7 @@ def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact all-pairs here (the verification baseline); ann_lsh_buckets is
     the candidate-generation scale path for the same operator.
     """
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", VEC.as_double("embedding").alias("v"))
-    dup = emb.filter(F.col("vec_id") % 11 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"), "v"
-    )
-    corpus = emb.unionByName(dup)
+    corpus = _vec_corpus(spark, sf_dir)
     a = corpus.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     b = corpus.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -133,13 +143,17 @@ def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMBED_NEARDUP_SQL = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+# SQL twin of _vec_corpus — shared by EMBED_NEARDUP_SQL and the
+# semantic-dedup oracle in plans/curation.py.
+VEC_CORPUS_SQL = """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 corpus AS (
   SELECT vec_id, v FROM e
   UNION ALL
   SELECT vec_id + 1000000 AS vec_id, v FROM e WHERE vec_id % 11 = 0
-),
+)"""
+
+EMBED_NEARDUP_SQL = f"""
+WITH {VEC_CORPUS_SQL},
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))

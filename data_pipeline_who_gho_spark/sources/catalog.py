@@ -53,6 +53,20 @@ _READ_CONFS = {
 }
 
 
+def ntz_as_utc(col):
+    """Reinterpret a TIMESTAMP_NTZ wall clock as a UTC instant.
+
+    NOT ``to_utc_timestamp(col, 'UTC')`` — Spark first implicitly casts
+    NTZ→LTZ via the SESSION zone, after which to_utc_timestamp(·,'UTC')
+    is the identity, leaving the value shifted by the session offset.
+    ``convert_timezone`` moves the NTZ wall clock UTC→session zone first,
+    so the implicit cast lands on the correct instant under any session
+    timezone."""
+    return F.convert_timezone(F.lit("UTC"), F.expr("current_timezone()"), col).cast(
+        "timestamp"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet scan → pushdown/pruning come free."""
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -81,10 +95,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         elif isinstance(df.schema[c].dataType, T.TimestampNTZType):
             # fallback if the scan already materialized NTZ (e.g. a view
-            # registered before this conf was set): reinterpret the wall
-            # clock as UTC without shifting — to_utc_timestamp treats the
-            # NTZ value as being in the given zone
-            df = df.withColumn(c, F.to_utc_timestamp(F.col(c), "UTC"))
+            # registered before this conf was set)
+            df = df.withColumn(c, ntz_as_utc(F.col(c)))
     return df
 
 

@@ -57,3 +57,27 @@ def test_semantic_dedup_clusters_injected_vectors(spark):
     assert dups
     for d in dups:
         assert canon[d] == canon[d - 1000000]
+
+
+def test_blocked_pairs_survive_cross_chunk_split(spark, monkeypatch):
+    """Regression: a near-dup pair whose smaller vec_id hashes into a
+    HIGHER-numbered chunk than its partner must still be emitted (the
+    a.chunk <= b.chunk tiling plus a naive id_a < id_b filter silently
+    dropped such pairs). One-hot synthetic vectors: only ids 3 (chunk 3)
+    and 10 (chunk 2) are identical."""
+    from data_pipeline_who_gho_spark.plans import curation, extras
+
+    rows = [
+        (i, [1.0 if d == (3 if i in (3, 10) else i) else 0.0 for d in range(16)])
+        for i in range(16)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    monkeypatch.setattr(extras, "_t", lambda s, d, n: df)
+    curation._BLOCKED_PAIRS_CACHE.clear()
+    try:
+        out = curation.embed_neardup_blocked(spark, "synthetic://cross-chunk")
+        pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()}
+        # (0, 1000000) and (11, 1000011) are _vec_corpus's injected dups
+        assert pairs == {(3, 10): 1.0, (0, 1000000): 1.0, (11, 1000011): 1.0}
+    finally:
+        curation._BLOCKED_PAIRS_CACHE.clear()
