@@ -455,11 +455,75 @@ GROUP BY b.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Byte-entropy stats (compression-proxy quality signal; multimodal-adjacent:
+# the same statistic applies to any binary payload column)
+# ---------------------------------------------------------------------------
+
+_ENT_SCALE = 1_000_000.0
+
+
+def byte_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the byte distribution — the
+    classic compression-ratio proxy used to flag machine-generated /
+    binary-junk text, and the oracle-checkable twin of the byte-histogram
+    feature extractor (``operators/multimodal.extract_byte_features``,
+    which serves arbitrary binary payloads via mapInPandas/mapInArrow).
+
+    Entropy terms are fixed-pointed to integer micro-nats PER BYTE TYPE
+    (≤ 256 per doc) so the per-doc sum is an exact integer — the same
+    float discipline as ``bigram_lm_score``. Fixture payloads are ASCII,
+    so the char stream equals the byte stream; both engines tokenize the
+    same way.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
+    ).filter(F.col("c") != "")
+    cnt = ch.groupBy("doc_id", F.ascii("c").alias("byte")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    term = F.round(
+        (F.col("c").cast("double") / F.col("n").cast("double"))
+        * F.log(F.col("n").cast("double") / F.col("c").cast("double"))
+        * F.lit(_ENT_SCALE)
+    ).cast("long")
+    return (
+        cnt.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_bytes"),  # constant per doc
+            F.count(F.lit(1)).alias("n_distinct_bytes"),
+            F.sum(term).alias("entropy_micronats"),
+        )
+    )
+
+
+BYTE_ENTROPY_SQL = f"""
+WITH ch AS (
+  SELECT doc_id, substr(text, i, 1) AS c
+  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+),
+cnt AS (SELECT doc_id, ord(c) AS byte, COUNT(*) AS c FROM ch GROUP BY doc_id, ord(c)),
+n AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY doc_id)
+SELECT cnt.doc_id,
+       CAST(MAX(n.n) AS BIGINT) AS n_bytes,
+       COUNT(*) AS n_distinct_bytes,
+       SUM(CAST(ROUND((CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE))
+           * ln(CAST(n.n AS DOUBLE) / CAST(c AS DOUBLE)) * {_ENT_SCALE}) AS BIGINT))
+         AS entropy_micronats
+FROM cnt JOIN n ON cnt.doc_id = n.doc_id
+GROUP BY cnt.doc_id
+"""
+
+
 EXTENSION2_QUERIES = {
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "dedup_containment": dedup_containment,
     "bm25_search": bm25_search,
     "bigram_lm_score": bigram_lm_score,
+    "byte_entropy_stats": byte_entropy_stats,
 }
 
 EXTENSION2_ORACLE_SQL = {
@@ -467,4 +531,5 @@ EXTENSION2_ORACLE_SQL = {
     "dedup_containment": CONTAINMENT_SQL,
     "bm25_search": BM25_SQL,
     "bigram_lm_score": BIGRAM_LM_SQL,
+    "byte_entropy_stats": BYTE_ENTROPY_SQL,
 }

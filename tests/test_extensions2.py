@@ -86,3 +86,32 @@ def test_bm25_plan_bounded_topk(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_byte_entropy_matches_python(spark):
+    """Spot-check the fixed-point entropy against a pure-Python recompute
+    for a handful of documents."""
+    import collections
+    import math
+
+    from data_pipeline_who_gho_spark.plans.extensions2 import byte_entropy_stats
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").limit(5).collect()
+    }
+    got = {
+        r["doc_id"]: r
+        for r in byte_entropy_stats(spark, SF).collect()
+        if r["doc_id"] in docs
+    }
+    for doc_id, text in docs.items():
+        counts = collections.Counter(text.encode())
+        n = sum(counts.values())
+        want = sum(
+            int(round((c / n) * math.log(n / c) * 1_000_000)) for c in counts.values()
+        )
+        row = got[doc_id]
+        assert row["n_bytes"] == n
+        assert row["n_distinct_bytes"] == len(counts)
+        assert row["entropy_micronats"] == want
