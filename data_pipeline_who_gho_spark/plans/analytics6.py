@@ -471,7 +471,49 @@ FROM iv a JOIN iv b
 """
 
 
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE): BFS over the nation trade graph
+# ---------------------------------------------------------------------------
+
+# ONE SQL text, run verbatim by BOTH engines — the strongest possible
+# A5-surface parity statement. The graph is nation-level (≤ 25 nodes), so
+# the UNION ALL recursion with a hop bound stays tiny while the recursive
+# join exercises the real iterative executor; min-hop per node = BFS
+# distance from nation 0.
+RECURSIVE_REACH_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(node, hop) AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS hop
+  UNION ALL
+  SELECT CAST(e.dst AS BIGINT) AS node, r.hop + 1 AS hop
+  FROM reach r JOIN sym e ON e.src = r.node
+  WHERE r.hop < 2
+)
+SELECT node, CAST(MIN(hop) AS BIGINT) AS min_hop
+FROM reach GROUP BY node
+"""
+
+
+def recursive_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS distances from nation 0 over the customer→supplier trade graph
+    via Spark 4's native WITH RECURSIVE — the declarative alternative to
+    the hand-rolled iteration in ``operators/components.py``/PageRank for
+    recursions the optimizer can manage itself. The oracle runs the SAME
+    SQL string (see RECURSIVE_REACH_SQL) — dialect-identical recursion."""
+    for t in ["orders", "lineitem", "customer", "supplier"]:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(RECURSIVE_REACH_SQL)
+
+
 ANALYTICS6_QUERIES = {
+    "recursive_trade_reach": recursive_trade_reach,
     "table_profile": table_profile,
     "twap_user_value": twap_user_value,
     "interval_overlap_events": interval_overlap_events,
@@ -483,6 +525,7 @@ ANALYTICS6_QUERIES = {
 }
 
 ANALYTICS6_ORACLE_SQL = {
+    "recursive_trade_reach": RECURSIVE_REACH_SQL,
     "table_profile": TABLE_PROFILE_SQL,
     "twap_user_value": TWAP_SQL,
     "interval_overlap_events": INTERVAL_OVERLAP_SQL,
