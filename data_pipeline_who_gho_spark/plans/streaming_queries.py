@@ -267,7 +267,35 @@ GROUP BY 1, 2
 """
 
 
+def stream_paged_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paged HTTP source as a REAL stream: Spark 4's Python
+    ``SimpleDataSourceStreamReader`` drives the per-key page loop with
+    streaming offsets as the next-page checkpoint (the reference's
+    hand-rolled resume state, ``etl/extract.py:80-87``, replaced by the
+    engine's checkpointLocation). availableNow drains every key to its
+    short page; over the deterministic fixture fetcher the materialized
+    rows equal the batch read, so the oracle is plain SQL and the
+    offset/commit machinery itself sits under the correctness gate."""
+    from ..sources.paged_datasource import register_paged_source
+
+    register_paged_source(spark)
+    stream = (
+        spark.readStream.format("paged")
+        .option("keys", "alpha,beta,gamma")
+        .option("page_size", "2")
+        .load()
+    )
+    return _run_to_df(spark, stream, mode="append")
+
+
+STREAM_PAGED_SQL = """
+SELECT k AS key, CAST(i AS INT) AS idx
+FROM (VALUES ('alpha'), ('beta'), ('gamma')) t(k) CROSS JOIN range(5) r(i)
+"""
+
+
 STREAMING_QUERIES = {
+    "stream_paged_fetch": stream_paged_fetch,
     "sliding_window_counts": sliding_window_counts,
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_sessions": stream_sessions,
@@ -277,6 +305,7 @@ STREAMING_QUERIES = {
 }
 
 STREAMING_ORACLE_SQL = {
+    "stream_paged_fetch": STREAM_PAGED_SQL,
     "sliding_window_counts": SLIDING_WINDOW_SQL,
     "stream_tumbling_counts": STREAM_TUMBLING_SQL,
     "stream_sessions": STREAM_SESSIONS_SQL,
