@@ -518,12 +518,88 @@ GROUP BY cnt.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# PMI collocations (lexical statistics: which word pairs co-occur more
+# than chance — phrase mining for tokenizer/vocab construction)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-word collocations by pointwise mutual information:
+    pmi(w1,w2) = ln(N·c12 / (c1·c2)) over bigram-position counts, with a
+    min-count support filter. PMI is fixed-pointed to integer micro-nats
+    per bigram TYPE (the only float op is one ln on a rational of
+    corpus-level integers), so ranking and values are engine-exact;
+    deterministic (pmi desc, w1, w2) tie-break bounds the top-k as
+    TakeOrderedAndProject.
+
+    Scale: bigram extraction is map-only (array slice + zip); the three
+    count aggregates shuffle (w1,w2)/(w1)/(w2) keyed rows with partial
+    aggregation; position-marginal tables broadcast back.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = TX.tokens(F.col("text"))
+    n = F.size(ws)
+    big = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(ws, 1, n - 1).alias("w1"), F.slice(ws, 2, n - 1).alias("w2")
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = big.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    n_big = big.agg(F.count(F.lit(1)).alias("n_bigrams"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_bigrams").cast("double") * F.col("c12").cast("double"))
+            / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+        )
+        * F.lit(_LM_SCALE)
+    ).cast("long")
+    return (
+        c12.filter(F.col("c12") >= PMI_MIN_COUNT)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(n_big))
+        .select("w1", "w2", "c12", pmi.alias("pmi_micronats"))
+        .orderBy(F.desc("pmi_micronats"), "w1", "w2")
+        .limit(PMI_TOPK)
+    )
+
+
+PMI_SQL = f"""
+WITH ws AS (SELECT doc_id, {_sql_tokens()} AS w FROM documents),
+big AS (
+  SELECT w[i] AS w1, w[i+1] AS w2
+  FROM ws, UNNEST(range(1, len(w))) AS t(i)
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+c2 AS (SELECT w2, COUNT(*) AS c2 FROM big GROUP BY w2),
+n AS (SELECT COUNT(*) AS n_bigrams FROM big)
+SELECT w1, w2, c12,
+       CAST(ROUND(ln((CAST(n.n_bigrams AS DOUBLE) * CAST(c12 AS DOUBLE))
+                     / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))
+                  * {_LM_SCALE}) AS BIGINT) AS pmi_micronats
+FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), n
+WHERE c12 >= {PMI_MIN_COUNT}
+ORDER BY pmi_micronats DESC, w1, w2
+LIMIT {PMI_TOPK}
+"""
+
+
 EXTENSION2_QUERIES = {
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "dedup_containment": dedup_containment,
     "bm25_search": bm25_search,
     "bigram_lm_score": bigram_lm_score,
     "byte_entropy_stats": byte_entropy_stats,
+    "pmi_collocations": pmi_collocations,
 }
 
 EXTENSION2_ORACLE_SQL = {
@@ -532,4 +608,5 @@ EXTENSION2_ORACLE_SQL = {
     "bm25_search": BM25_SQL,
     "bigram_lm_score": BIGRAM_LM_SQL,
     "byte_entropy_stats": BYTE_ENTROPY_SQL,
+    "pmi_collocations": PMI_SQL,
 }

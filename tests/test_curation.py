@@ -81,3 +81,20 @@ def test_blocked_pairs_survive_cross_chunk_split(spark, monkeypatch):
         assert pairs == {(3, 10): 1.0, (0, 1000000): 1.0, (11, 1000011): 1.0}
     finally:
         curation._BLOCKED_PAIRS_CACHE.clear()
+
+
+def test_blocked_equals_expression_baseline(spark):
+    """The GEMM-tiled form and the expression-tree baseline must produce
+    the identical pair set and (rounded) cosines at sf0.001."""
+    from data_pipeline_who_gho_spark.plans.curation import embed_neardup_blocked
+    from data_pipeline_who_gho_spark.plans.extras import embed_neardup_pairs
+
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embed_neardup_blocked(spark, SF).collect()
+    }
+    baseline = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embed_neardup_pairs(spark, SF).collect()
+    }
+    assert blocked == baseline

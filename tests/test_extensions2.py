@@ -115,3 +115,47 @@ def test_byte_entropy_matches_python(spark):
         assert row["n_bytes"] == n
         assert row["n_distinct_bytes"] == len(counts)
         assert row["entropy_micronats"] == want
+
+
+def test_simhash_banding_is_complete_at_radius(spark):
+    """Pigeonhole theorem check on real fingerprints: recompute all-pairs
+    Hamming distances from the banded query's own candidates' source
+    (driver-side, small sf) and assert every pair within the radius was
+    emitted by the banded join."""
+    from data_pipeline_who_gho_spark.plans.extensions2 import (
+        _corpus,
+        simhash_neardup_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    emitted = {
+        (r["doc_a"], r["doc_b"]) for r in simhash_neardup_pairs(spark, SF).collect()
+    }
+    # rebuild fingerprints exactly as the query does, via its own plan
+    # prefix: corpus -> tokens -> md5 halves -> votes -> fp (reuse the
+    # query but strip banding by brute-forcing pairs in python)
+    import hashlib
+
+    docs = _corpus(spark, SF).collect()
+    fps = {}
+    for row in docs:
+        toks = row["text"].strip().lower().split()
+        votes = [0] * 64
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            h1, h2 = int(h[:8], 16), int(h[8:16], 16)
+            for j in range(32):
+                votes[j] += 1 if (h1 >> j) & 1 else -1
+                votes[32 + j] += 1 if (h2 >> j) & 1 else -1
+        fp = 0
+        for j in range(64):
+            if votes[j] > 0:
+                fp |= 1 << j
+        fps[row["doc_id"]] = fp
+    ids = sorted(fps)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(fps[a] ^ fps[b]).count("1") <= HAMMING_T:
+                want.add((a, b))
+    assert want == emitted
