@@ -593,6 +593,95 @@ LIMIT {PMI_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup (SNM): the third blocking family
+# ---------------------------------------------------------------------------
+
+SNM_WINDOW = 5
+SNM_KEY_LEN = 30
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking: docs sorted by a semantic key (the
+    normalized 30-char text prefix), candidates = pairs within 5 sort
+    positions, then exact-Jaccard verification — the classic
+    merge/purge alternative to LSH and inverted-index blocking (recall
+    depends on sort-key locality; exact dups always collide on the key,
+    so every injected duplicate pair is adjacent and found).
+
+    Scale: the global sort position comes from ``operators/rank.py
+    global_rank`` (range repartition + per-partition rank + broadcast
+    offsets — no single-partition window); the neighbor join is an
+    EQUI-join on position (explode of the 1..w offsets), never a
+    nested-loop range join; verification is the shared broadcast
+    candidates × persisted arrays path.
+    """
+    from ..operators.rank import global_rank
+    from .extensions import _doc_shingle_arrays, _verify_candidates
+
+    corpus = _corpus(spark, sf_dir)
+    keyed = corpus.select(
+        "doc_id",
+        F.substring(F.trim(F.lower(F.col("text"))), 1, SNM_KEY_LEN).alias("skey"),
+    )
+    ranked = global_rank(keyed, ["skey", "doc_id"], rank_col="pos").select(
+        "doc_id", "pos"
+    )
+    probe = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        "pos",
+        F.explode(F.sequence(F.lit(1), F.lit(SNM_WINDOW))).alias("j"),
+    ).select("id_a", (F.col("pos") + F.col("j")).alias("pos_b"))
+    cand = (
+        probe.join(
+            ranked.select(F.col("doc_id").alias("id_b"), F.col("pos").alias("pos_b")),
+            "pos_b",
+        )
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+        )
+    )
+    return _verify_candidates(cand, _doc_shingle_arrays(spark, sf_dir))
+
+
+def _snm_oracle_sql() -> str:
+    from .extensions import JACCARD_THRESHOLD
+
+    return f"""
+WITH corpus AS ({_CORPUS_SQL}),
+sh AS ({_SHINGLES_SQL}),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY substr(trim(lower(text)), 1, {SNM_KEY_LEN}), doc_id) AS pos
+  FROM corpus
+),
+cand AS (
+  SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
+  FROM ranked a JOIN ranked b
+    ON b.pos > a.pos AND b.pos <= a.pos + {SNM_WINDOW}
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN inv a ON a.doc_id = c.doc_a
+  JOIN inv b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
+
+
+SNM_SQL = _snm_oracle_sql()
+
+
 EXTENSION2_QUERIES = {
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "dedup_containment": dedup_containment,
@@ -600,6 +689,7 @@ EXTENSION2_QUERIES = {
     "bigram_lm_score": bigram_lm_score,
     "byte_entropy_stats": byte_entropy_stats,
     "pmi_collocations": pmi_collocations,
+    "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
 }
 
 EXTENSION2_ORACLE_SQL = {
@@ -609,4 +699,5 @@ EXTENSION2_ORACLE_SQL = {
     "bigram_lm_score": BIGRAM_LM_SQL,
     "byte_entropy_stats": BYTE_ENTROPY_SQL,
     "pmi_collocations": PMI_SQL,
+    "dedup_sorted_neighborhood": SNM_SQL,
 }

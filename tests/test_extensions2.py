@@ -159,3 +159,18 @@ def test_simhash_banding_is_complete_at_radius(spark):
             if bin(fps[a] ^ fps[b]).count("1") <= HAMMING_T:
                 want.add((a, b))
     assert want == emitted
+
+
+def test_snm_finds_all_exact_dups(spark):
+    """Exact duplicates share the full sort key, so they are adjacent in
+    the sorted order and must always survive SNM blocking."""
+    from data_pipeline_who_gho_spark.plans.extensions2 import (
+        dedup_sorted_neighborhood,
+    )
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_sorted_neighborhood(spark, SF).collect()
+    }
+    for d in _injected_dups(spark):
+        assert got.get((d, d + 1000000)) == 1.0
