@@ -132,6 +132,13 @@ _PRIORITY = [
     "tfidf_top_term",
     # streaming + text (window filler for round 2)
     "stream_tumbling_counts", "text_stats",
+    # round-2 additions (beyond the r2 window): rank them ahead of the
+    # remaining never-green backlog so round 3's window picks them up
+    "simhash_neardup_pairs", "dedup_containment", "dedup_sorted_neighborhood",
+    "bm25_search", "bigram_lm_score", "byte_entropy_stats", "pmi_collocations",
+    "dedup_incremental", "corpus_filter_funnel", "table_diff",
+    "semantic_dedup_reps", "embed_neardup_blocked", "recursive_trade_reach",
+    "stream_paged_fetch",
 ]
 
 
