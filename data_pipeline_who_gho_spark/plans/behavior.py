@@ -99,12 +99,64 @@ GROUP BY cohort_day, CAST(date_trunc('day', ts) AS TIMESTAMP)
 """
 
 
+DECAY_LAMBDA = 0.05  # per-hour decay rate
+_DECAY_SCALE = 1_000_000.0
+
+
+def trending_users_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed activity score — the trending
+    ranker: score = Σ_events e^(−λ·age_hours), with age measured from the
+    corpus max timestamp (deterministic, no wall clock).
+
+    Float discipline: events are bucketed to integer hour ages, the decay
+    weight is fixed-pointed to integer micro-units ONCE PER AGE BUCKET
+    (≤ ~750 buckets for the month-long fixture), and per-user scores are
+    exact integer sums — no order-dependent float aggregation. Plan: one
+    1-row broadcast scalar (max ts), two partial-agg'd shuffles keyed
+    (user, age) then (user).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    mx = ev.agg(F.max("ts").alias("mx"))
+    aged = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.floor(
+            (F.unix_micros("mx") - F.unix_micros("ts")) / F.lit(3_600_000_000.0)
+        ).alias("age_h"),
+    )
+    cnt = aged.groupBy("user_id", "age_h").agg(F.count(F.lit(1)).alias("c"))
+    w = F.round(
+        F.exp(F.lit(-DECAY_LAMBDA) * F.col("age_h").cast("double")) * F.lit(_DECAY_SCALE)
+    ).cast("long")
+    return cnt.groupBy("user_id").agg(
+        F.sum(F.col("c") * w).alias("decayed_micro"),
+        F.sum("c").alias("n_events"),
+    )
+
+
+TRENDING_DECAYED_SQL = f"""
+WITH mx AS (SELECT MAX(ts) AS mx FROM events),
+b AS (
+  SELECT user_id,
+         CAST(FLOOR((epoch_us(mx.mx) - epoch_us(ts)) / 3600000000.0) AS BIGINT) AS age_h
+  FROM events, mx
+),
+cnt AS (SELECT user_id, age_h, COUNT(*) AS c FROM b GROUP BY user_id, age_h)
+SELECT user_id,
+       SUM(c * CAST(ROUND(exp(-{DECAY_LAMBDA} * CAST(age_h AS DOUBLE)) * {_DECAY_SCALE}) AS BIGINT))
+         AS decayed_micro,
+       SUM(c) AS n_events
+FROM cnt GROUP BY user_id
+"""
+
+
 BEHAVIOR_QUERIES = {
+    "trending_users_decayed": trending_users_decayed,
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
 }
 
 BEHAVIOR_ORACLE_SQL = {
+    "trending_users_decayed": TRENDING_DECAYED_SQL,
     "funnel_conversion": FUNNEL_SQL,
     "cohort_retention": COHORT_SQL,
 }
