@@ -536,9 +536,11 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (pmi desc, w1, w2) tie-break bounds the top-k as
     TakeOrderedAndProject.
 
-    Scale: bigram extraction is map-only (array slice + zip); the three
-    count aggregates shuffle (w1,w2)/(w1)/(w2) keyed rows with partial
-    aggregation; position-marginal tables broadcast back.
+    Scale: bigram extraction is map-only (array slice + zip) and the
+    corpus is scanned ONCE — the single heavy aggregate is the
+    bigram-TYPE count (vocab²-bounded), from which both position
+    marginals and the grand total re-aggregate (c1 = Σ c12 by w1, etc.);
+    the tiny marginal tables broadcast back.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ws = TX.tokens(F.col("text"))
@@ -550,10 +552,12 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b")
     ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    c2 = big.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
-    n_big = big.agg(F.count(F.lit(1)).alias("n_bigrams"))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).localCheckpoint(
+        eager=False
+    )  # four consumers; the type table is tiny and must not re-scan the corpus
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n_big = c12.agg(F.sum("c12").alias("n_bigrams"))
     pmi = F.round(
         F.log(
             (F.col("n_bigrams").cast("double") * F.col("c12").cast("double"))
@@ -605,9 +609,13 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking: docs sorted by a semantic key (the
     normalized 30-char text prefix), candidates = pairs within 5 sort
     positions, then exact-Jaccard verification — the classic
-    merge/purge alternative to LSH and inverted-index blocking (recall
-    depends on sort-key locality; exact dups always collide on the key,
-    so every injected duplicate pair is adjacent and found).
+    merge/purge alternative to LSH and inverted-index blocking. Recall
+    is DATA-DEPENDENT: exact dups collide on the key, but a pair is
+    adjacent only while fewer than SNM_WINDOW other docs tie the same
+    key between them (fixture max key-tie group is 5 across all sfs, so
+    every injected duplicate pair lands in-window here; a production
+    deployment sizes the window to the observed max key-tie group, or
+    does the standard multi-pass SNM with a second sort key).
 
     Scale: the global sort position comes from ``operators/rank.py
     global_rank`` (range repartition + per-partition rank + broadcast

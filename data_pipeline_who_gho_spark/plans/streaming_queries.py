@@ -278,7 +278,9 @@ def stream_paged_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset/commit machinery itself sits under the correctness gate."""
     from ..sources.paged_datasource import register_paged_source
 
-    register_paged_source(spark)
+    # the stream reader never pushes filters — don't flip the session-wide
+    # python.filterPushdown conf from inside a query
+    register_paged_source(spark, enable_pushdown=False)
     stream = (
         spark.readStream.format("paged")
         .option("keys", "alpha,beta,gamma")
