@@ -138,7 +138,7 @@ _PRIORITY = [
     "bm25_search", "bigram_lm_score", "byte_entropy_stats", "pmi_collocations",
     "dedup_incremental", "corpus_filter_funnel", "table_diff",
     "semantic_dedup_reps", "embed_neardup_blocked", "recursive_trade_reach",
-    "stream_paged_fetch", "trending_users_decayed",
+    "stream_paged_fetch", "trending_users_decayed", "stream_stateful_totals",
 ]
 
 

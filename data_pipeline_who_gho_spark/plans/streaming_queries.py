@@ -296,8 +296,38 @@ FROM (VALUES ('alpha'), ('beta'), ('gamma')) t(k) CROSS JOIN range(5) r(i)
 """
 
 
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful operator (``applyInPandasWithState`` running
+    per-user totals, streaming/stateful.py) under the correctness gate:
+    single staged file → one micro-batch → each user's final state row.
+    The state-counted ``n_events`` and state-tracked ``last_ts`` are
+    exact; the float running sum is arrival-order-dependent, so the
+    reported total re-derives decimal-exactly batch-side — the same
+    parity pattern as stream_tumbling_counts."""
+    from ..streaming.stateful import running_user_totals
+
+    stream, _ = _events_stream(spark, sf_dir)
+    res = _run_to_df(spark, running_user_totals(stream), mode="update")
+    exact_total = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value")
+        )
+    )
+    return res.select("user_id", "n_events", "last_ts").join(exact_total, "user_id")
+
+
+STREAM_STATEFUL_SQL = """
+SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 STREAMING_QUERIES = {
     "stream_paged_fetch": stream_paged_fetch,
+    "stream_stateful_totals": stream_stateful_totals,
     "sliding_window_counts": sliding_window_counts,
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_sessions": stream_sessions,
@@ -308,6 +338,7 @@ STREAMING_QUERIES = {
 
 STREAMING_ORACLE_SQL = {
     "stream_paged_fetch": STREAM_PAGED_SQL,
+    "stream_stateful_totals": STREAM_STATEFUL_SQL,
     "sliding_window_counts": SLIDING_WINDOW_SQL,
     "stream_tumbling_counts": STREAM_TUMBLING_SQL,
     "stream_sessions": STREAM_SESSIONS_SQL,
