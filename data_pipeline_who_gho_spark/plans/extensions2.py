@@ -1,5 +1,4 @@
-"""Extension batch 3: oracle-checkable SimHash pair-dedup, containment
-near-dup (decontamination semantics), and BM25 top-k retrieval.
+"""Extension batch 3: the second dedup/retrieval/lexical-statistics wave.
 
 These extend the dedup/search families of ``plans/extensions.py`` (the
 reference — a pandas ETL, ``/root/reference/etl/transform.py:60-80`` — has
@@ -12,8 +11,15 @@ only keyed dedup; these are the LLM-corpus generalizations):
   the asymmetric measure that catches a small document embedded inside a
   large one (the case Jaccard misses by construction; this is the standard
   train/test decontamination check).
+- ``dedup_sorted_neighborhood``: merge/purge blocking — the third
+  candidate-generation family alongside LSH and the inverted index.
 - ``bm25_search``: Okapi BM25 top-k over an inverted index — the retrieval
   primitive on top of the tf/df machinery of ``plans/training.py``.
+- ``bigram_lm_score`` / ``pmi_collocations`` / ``byte_entropy_stats``:
+  LM-based quality filtering, collocation mining, and byte-entropy junk
+  detection — all float-disciplined via integer fixed point rounded once
+  per TYPE (bigram / age bucket / byte), so aggregates are exact integer
+  sums in any execution order.
 
 Scale design
 ------------
