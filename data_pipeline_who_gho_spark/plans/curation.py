@@ -342,12 +342,59 @@ JOIN (SELECT canonical_id, COUNT(*) AS cluster_size FROM comp GROUP BY canonical
 SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
 
 
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis, deterministic)
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 50
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sample of K documents WITHOUT replacement via
+    exponential sort keys: key_i = −ln(u_i) / w_i with u_i a
+    deterministic md5-derived uniform — the K smallest keys are exactly
+    a weighted sample without replacement (Efraimidis–Spirakis A-Res).
+    Here w = n_chars (longer docs proportionally likelier), u seeded
+    from md5(doc_id) so the draw is reproducible and oracle-checkable.
+
+    This is the one-pass DISTRIBUTED weighted sampler: no sequential
+    cumulative-weight walk, no driver state — each row computes its key
+    map-side and a bounded top-k (TakeOrderedAndProject) resolves the
+    sample. At 100 TB that is a scan plus a K-row merge.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / F.lit(4294967297.0)
+    key = -F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.select("doc_id", "n_chars", key.alias("k"))
+        .orderBy("k", "doc_id")
+        .limit(WSAMPLE_K)
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0)
+             / 4294967297.0)
+           / CAST(n_chars AS DOUBLE) AS k
+  FROM documents
+)
+SELECT doc_id, n_chars, k FROM keyed ORDER BY k, doc_id LIMIT {WSAMPLE_K}
+"""
+
+
 CURATION_QUERIES = {
     "dedup_incremental": dedup_incremental,
     "corpus_filter_funnel": corpus_filter_funnel,
     "table_diff": table_diff,
     "semantic_dedup_reps": semantic_dedup_reps,
     "embed_neardup_blocked": embed_neardup_blocked,
+    "weighted_sample_docs": weighted_sample_docs,
 }
 
 CURATION_ORACLE_SQL = {
@@ -356,4 +403,5 @@ CURATION_ORACLE_SQL = {
     "table_diff": TABLE_DIFF_SQL,
     "semantic_dedup_reps": SEMANTIC_DEDUP_SQL,
     "embed_neardup_blocked": EMBED_NEARDUP_BLOCKED_SQL,
+    "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
 }

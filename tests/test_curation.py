@@ -98,3 +98,22 @@ def test_blocked_equals_expression_baseline(spark):
         for r in embed_neardup_pairs(spark, SF).collect()
     }
     assert blocked == baseline
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    """Same draw every run (md5-seeded); long documents must be
+    overrepresented relative to their population share."""
+    from data_pipeline_who_gho_spark.plans.curation import (
+        WSAMPLE_K,
+        weighted_sample_docs,
+    )
+
+    s1 = [r["doc_id"] for r in weighted_sample_docs(spark, SF).collect()]
+    s2 = [r["doc_id"] for r in weighted_sample_docs(spark, SF).collect()]
+    assert s1 == s2 and len(s1) == WSAMPLE_K
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "n_chars")
+    pop_mean = docs.agg({"n_chars": "avg"}).collect()[0][0]
+    sample_mean = (
+        docs.filter(docs.doc_id.isin(s1)).agg({"n_chars": "avg"}).collect()[0][0]
+    )
+    assert sample_mean > pop_mean  # length-weighted draw skews long
