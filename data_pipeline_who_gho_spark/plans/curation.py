@@ -361,6 +361,13 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative-weight walk, no driver state — each row computes its key
     map-side and a bounded top-k (TakeOrderedAndProject) resolves the
     sample. At 100 TB that is a scan plus a K-row merge.
+
+    Float discipline: −ln(u) is fixed-pointed to integer nano-nats ONCE
+    per doc (the repo's per-type rounding rule), and the sort key is
+    that integer divided by the integer weight — division of two
+    exactly-representable integers is correctly rounded, hence
+    bit-identical across engines, so both the rank order at the K
+    boundary and the emitted key hash-match.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     u = (
@@ -368,7 +375,8 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         + 1.0
     ) / F.lit(4294967297.0)
-    key = -F.log(u) / F.col("n_chars").cast("double")
+    ln_nano = F.round(-F.log(u) * F.lit(1e9)).cast("long")
+    key = ln_nano.cast("double") / F.col("n_chars").cast("double")
     return (
         docs.select("doc_id", "n_chars", key.alias("k"))
         .orderBy("k", "doc_id")
@@ -379,8 +387,8 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEIGHTED_SAMPLE_SQL = f"""
 WITH keyed AS (
   SELECT doc_id, n_chars,
-         -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0)
-             / 4294967297.0)
+         CAST(CAST(ROUND(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0)
+                             / 4294967297.0) * 1e9) AS BIGINT) AS DOUBLE)
            / CAST(n_chars AS DOUBLE) AS k
   FROM documents
 )

@@ -24,11 +24,17 @@ from ..streaming.incremental import stream_event_counts, stream_session_windows
 _EVENT_SCHEMA = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
+def _events_stream(
+    spark: SparkSession, sf_dir: str, single_file: bool = False
+) -> tuple[DataFrame, str]:
     """Stage the events table as a file-source stream (timestamps already
-    µs-normalized by the catalog), return (stream, staging dir)."""
+    µs-normalized by the catalog), return (stream, staging dir).
+    ``single_file=True`` coalesces the staging write so queries whose
+    sink semantics require EXACTLY one micro-batch (update-mode memory
+    sinks: one emission per key per batch) actually get one."""
     stage = os.path.join(tempfile.gettempdir(), f"stream-src-{uuid.uuid4().hex[:8]}")
-    load_table(spark, sf_dir, "events").write.parquet(stage)
+    ev = load_table(spark, sf_dir, "events")
+    (ev.coalesce(1) if single_file else ev).write.parquet(stage)
     stream = spark.readStream.schema(_EVENT_SCHEMA).parquet(stage)
     return stream, stage
 
@@ -299,14 +305,18 @@ FROM (VALUES ('alpha'), ('beta'), ('gamma')) t(k) CROSS JOIN range(5) r(i)
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CUSTOM stateful operator (``applyInPandasWithState`` running
     per-user totals, streaming/stateful.py) under the correctness gate:
-    single staged file → one micro-batch → each user's final state row.
-    The state-counted ``n_events`` and state-tracked ``last_ts`` are
-    exact; the float running sum is arrival-order-dependent, so the
-    reported total re-derives decimal-exactly batch-side — the same
-    parity pattern as stream_tumbling_counts."""
+    the staging write is coalesced to ONE file so availableNow runs
+    exactly one micro-batch and the update-mode memory sink holds one
+    final state row per user (update mode APPENDS per batch — without
+    the single-file guard a user active in two batches would emit twice
+    and fan out the join). The state-counted ``n_events`` and
+    state-tracked ``last_ts`` are exact; the float running sum is
+    arrival-order-dependent, so the reported total re-derives
+    decimal-exactly batch-side — the same parity pattern as
+    stream_tumbling_counts."""
     from ..streaming.stateful import running_user_totals
 
-    stream, _ = _events_stream(spark, sf_dir)
+    stream, _ = _events_stream(spark, sf_dir, single_file=True)
     res = _run_to_df(spark, running_user_totals(stream), mode="update")
     exact_total = (
         load_table(spark, sf_dir, "events")

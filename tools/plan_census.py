@@ -56,8 +56,15 @@ def main() -> None:
     for name, fn in entrymod.queries().items():
         try:
             df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            # Execute through the Dataset's OWN QueryExecution (collect),
+            # not a separate write job: only then is the AdaptiveSparkPlan
+            # finalized, so the census sees AQE's runtime join demotions
+            # and coalescing. The executed string then contains BOTH the
+            # final and the initial plan — count stats on the final
+            # section only or every operator double-counts.
+            df.collect()
             plan = df._jdf.queryExecution().executedPlan().toString()
+            plan = plan.split("== Initial Plan ==")[0]
             out[name] = census(plan)
         except Exception as exc:  # streaming/materialized queries may differ
             out[name] = {"error": str(exc)[:200]}
