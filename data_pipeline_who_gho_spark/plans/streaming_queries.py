@@ -182,6 +182,33 @@ SELECT event_id, user_id, event_type FROM events
 """
 
 
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED-STATE form of streaming dedup:
+    ``dropDuplicatesWithinWatermark`` keeps a key's state only for the
+    watermark delay instead of forever — the remedy
+    ``stream_dedup_events``' docstring prescribes for continuous
+    streams, demonstrated here. Duplicates are injected at the same
+    event time as their originals, so they fall inside any delay and
+    the single-batch result is exactly the distinct set (same oracle
+    as the unbounded form)."""
+    stage = os.path.join(tempfile.gettempdir(), f"stream-src-{uuid.uuid4().hex[:8]}")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.unionByName(ev.filter(F.col("event_id") % 5 == 0)).coalesce(1).write.parquet(stage)
+    stream = spark.readStream.schema(_EVENT_SCHEMA).parquet(stage)
+    deduped = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return _run_to_df(spark, deduped, mode="append")
+
+
+STREAM_DEDUP_WWM_SQL = STREAM_DEDUP_SQL
+
+
+
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join: each signup event joined
     to the same user's purchase events within the following 2 hours —
@@ -342,6 +369,7 @@ STREAMING_QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_sessions": stream_sessions,
     "stream_dedup_events": stream_dedup_events,
+    "stream_dedup_within_watermark": stream_dedup_within_watermark,
     "stream_stream_join": stream_stream_join,
     "stream_static_enrich": stream_static_enrich,
 }
@@ -353,6 +381,7 @@ STREAMING_ORACLE_SQL = {
     "stream_tumbling_counts": STREAM_TUMBLING_SQL,
     "stream_sessions": STREAM_SESSIONS_SQL,
     "stream_dedup_events": STREAM_DEDUP_SQL,
+    "stream_dedup_within_watermark": STREAM_DEDUP_WWM_SQL,
     "stream_stream_join": STREAM_STREAM_JOIN_SQL,
     "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
 }
