@@ -139,7 +139,7 @@ _PRIORITY = [
     "dedup_incremental", "corpus_filter_funnel", "table_diff",
     "semantic_dedup_reps", "embed_neardup_blocked", "recursive_trade_reach",
     "stream_paged_fetch", "trending_users_decayed", "stream_stateful_totals",
-    "weighted_sample_docs", "stream_dedup_within_watermark",
+    "weighted_sample_docs", "stream_dedup_within_watermark", "dataset_card_stats",
 ]
 
 

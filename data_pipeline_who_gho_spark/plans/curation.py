@@ -396,6 +396,45 @@ SELECT doc_id, n_chars, k FROM keyed ORDER BY k, doc_id LIMIT {WSAMPLE_K}
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Dataset card: the one-row release summary of a corpus
+# ---------------------------------------------------------------------------
+
+
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The summary table a corpus release ships with: document / source /
+    language cardinalities, token and character volume, and the unique-
+    text count (1 - n_unique/n_docs = exact-dup rate). ONE scan, one
+    aggregate — every statistic is a partial-agg'd count/sum, and the
+    distinct counts are exact (at extreme cardinality swap in
+    approx_count_distinct, the HLL path tests/test_sketches.py pins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(TX.token_count("text")).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct(TX.fingerprint_md5("text")).alias("n_unique_texts"),
+    )
+
+
+def _dataset_card_sql() -> str:
+    return f"""
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       COUNT(DISTINCT lang) AS n_langs,
+       SUM({_sql_n_tokens()}) AS total_tokens,
+       SUM(n_chars) AS total_chars,
+       COUNT(DISTINCT md5(text)) AS n_unique_texts
+FROM documents
+"""
+
+
+DATASET_CARD_SQL = _dataset_card_sql()
+
+
 CURATION_QUERIES = {
     "dedup_incremental": dedup_incremental,
     "corpus_filter_funnel": corpus_filter_funnel,
@@ -403,6 +442,7 @@ CURATION_QUERIES = {
     "semantic_dedup_reps": semantic_dedup_reps,
     "embed_neardup_blocked": embed_neardup_blocked,
     "weighted_sample_docs": weighted_sample_docs,
+    "dataset_card_stats": dataset_card_stats,
 }
 
 CURATION_ORACLE_SQL = {
@@ -412,4 +452,5 @@ CURATION_ORACLE_SQL = {
     "semantic_dedup_reps": SEMANTIC_DEDUP_SQL,
     "embed_neardup_blocked": EMBED_NEARDUP_BLOCKED_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
+    "dataset_card_stats": DATASET_CARD_SQL,
 }
