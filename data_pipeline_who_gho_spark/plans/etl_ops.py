@@ -335,9 +335,18 @@ def etl_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("DEBT").alias("segment"),
         F.lit("1996-01-01 00:00:00").cast("timestamp").alias("effective_ts"),
     )
-    return scd2_merge(target, changes, ["custkey"], ["segment"]).orderBy(
-        "custkey", "valid_from"
-    )
+    merged = scd2_merge(target, changes, ["custkey"], ["segment"])
+    # Registered result casts valid_to to STRING: the open-version sentinel
+    # 9999-12-31 overflows pandas datetime64[ns] (max 2262-04-11) in the
+    # driver's canonicalizer. The timestamp encoding stays internal to
+    # scd2_merge; only the query surface is stringly.
+    return merged.select(
+        "custkey",
+        "segment",
+        "valid_from",
+        F.col("valid_to").cast("string").alias("valid_to"),
+        "is_current",
+    ).orderBy("custkey", "valid_from")
 
 
 ETL_SCD2_SQL = """
@@ -358,12 +367,13 @@ WITH target AS (
   FROM target t LEFT JOIN changes c ON t.custkey = c.custkey
 )
 SELECT custkey, t_seg AS segment, valid_from,
-       CASE WHEN changed THEN effective_ts ELSE valid_to END AS valid_to,
+       strftime(CASE WHEN changed THEN effective_ts ELSE valid_to END,
+                '%Y-%m-%d %H:%M:%S') AS valid_to,
        CASE WHEN changed THEN FALSE ELSE is_current END AS is_current
 FROM joined
 UNION ALL
 SELECT custkey, c_seg AS segment, effective_ts AS valid_from,
-       TIMESTAMP '9999-12-31' AS valid_to, TRUE AS is_current
+       '9999-12-31 00:00:00' AS valid_to, TRUE AS is_current
 FROM joined WHERE changed
 ORDER BY custkey, valid_from
 """

@@ -520,28 +520,78 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_MINHASH_SQL = DEDUP_NGRAM_SQL
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprint per document (rows-only check: xxhash64
-    is Spark-specific, not reproducible in the oracle).
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit tf-weighted SimHash per document as two non-negative 32-bit
+    halves (fp1 = bits 0-31, fp2 = bits 32-63).
 
-    bit j of simhash = sign of Σ_tokens (±1 per token's xxhash64 bit j).
+    bit j of fp = sign of Σ_token-occurrences (±1 per bit j of
+    md5(token)). md5-seeded (not xxhash64) so DuckDB rebuilds the exact
+    bits — both engines slice the same two md5 hex halves. One narrow
+    aggregation: the shuffle carries 64 partial-agg'd ints per doc
+    regardless of document length.
     """
     corpus = _corpus(spark, sf_dir)
-    toks = F.array_distinct(TX.tokens(F.col("text")))
+    md5h = F.md5(F.col("tok").cast("binary"))
+    tok = corpus.select("doc_id", F.explode(TX.tokens("text")).alias("tok")).select(
+        "doc_id",
+        F.conv(F.substring(md5h, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(md5h, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col(h), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{hi * 32 + j}")
+        for hi, h in enumerate(("h1", "h2"))
+        for j in range(32)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
 
-    def bit(j: int) -> Column:
-        votes = F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        return F.when(votes > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    def fold(base: int) -> Column:
+        out = F.lit(0).cast("long")
+        for j in range(32):
+            out = out + F.when(
+                F.col(f"v{base + j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+            ).otherwise(F.lit(0).cast("long"))
+        return out
 
-    fp = F.lit(0).cast("long")
-    for j in range(64):
-        fp = fp + F.shiftleft(bit(j), j)
-    return corpus.select("doc_id", fp.alias("simhash"))
+    return agg.select("doc_id", fold(0).alias("fp1"), fold(32).alias("fp2"))
+
+
+def _simhash_fp_sql() -> str:
+    """DuckDB CTE chain ending in ``fp(doc_id, fp1, fp2)`` — the exact
+    twin of :func:`simhash_fingerprints`."""
+    sums = ",".join(
+        f"SUM(CASE WHEN ({h} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{hi * 32 + j}"
+        for hi, h in enumerate(("h1", "h2"))
+        for j in range(32)
+    )
+    fp1 = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END" for j in range(32)
+    )
+    fp2 = " + ".join(
+        f"CASE WHEN v{32 + j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END" for j in range(32)
+    )
+    return f"""
+WITH corpus AS ({_CORPUS_SQL}),
+tok AS (SELECT doc_id, unnest({_sql_tokens()}) AS tok FROM corpus),
+th AS (SELECT doc_id,
+        ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h1,
+        ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h2 FROM tok),
+votes AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
+fp AS (SELECT doc_id, {fp1} AS fp1, {fp2} AS fp2 FROM votes)"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 64-bit SimHash fingerprint (two 32-bit halves).
+
+    Round 2 used xxhash64 (engine-specific — rows-only check); this is
+    the md5-seeded recipe proven in ``simhash_neardup_pairs``, so the
+    fingerprint bits themselves are oracle-checked end-to-end.
+    """
+    return simhash_fingerprints(spark, sf_dir).orderBy("doc_id")
+
+
+DEDUP_SIMHASH_SQL = _simhash_fp_sql() + "\nSELECT doc_id, fp1, fp2 FROM fp"
 
 
 # ---------------------------------------------------------------------------
@@ -804,7 +854,7 @@ EXTENSION_ORACLE_SQL = {
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_prefix_filter": DEDUP_PREFIX_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
-    # dedup_simhash: rows-only (engine-specific xxhash64)
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
     "ann_cosine_topk": ANN_COSINE_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,

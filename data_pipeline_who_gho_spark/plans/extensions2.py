@@ -4,9 +4,9 @@ These extend the dedup/search families of ``plans/extensions.py`` (the
 reference — a pandas ETL, ``/root/reference/etl/transform.py:60-80`` — has
 only keyed dedup; these are the LLM-corpus generalizations):
 
-- ``simhash_neardup_pairs``: unlike ``dedup_simhash`` (xxhash64, rows-only
-  check), the fingerprint here is md5-seeded, so DuckDB rebuilds the exact
-  bits and the full pair set is hash-checked end-to-end.
+- ``simhash_neardup_pairs``: banded self-join over the shared md5-seeded
+  fingerprint table (``extensions.simhash_fingerprints``) — DuckDB rebuilds
+  the exact bits, so the full pair set is hash-checked end-to-end.
 - ``dedup_containment``: scores |A∩B| / min(|A|,|B|) instead of Jaccard —
   the asymmetric measure that catches a small document embedded inside a
   large one (the case Jaccard misses by construction; this is the standard
@@ -54,7 +54,9 @@ from .extensions import (
     _SHINGLES_SQL,
     _corpus,
     _shingle_table,
+    _simhash_fp_sql,
     _sql_tokens,
+    simhash_fingerprints,
 )
 
 # ---------------------------------------------------------------------------
@@ -73,33 +75,10 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence (not distinct-set) weighting is the classic tf-weighted
     SimHash and keeps fingerprints informative even on small vocabularies.
     The two 32-bit fingerprint halves are built from the two md5 hex
-    halves, which both engines can extract bit-for-bit.
+    halves, which both engines can extract bit-for-bit. The fingerprint
+    table is shared with ``dedup_simhash`` (extensions.py).
     """
-    corpus = _corpus(spark, sf_dir)
-    md5h = F.md5(F.col("tok").cast("binary"))
-    tok = corpus.select("doc_id", F.explode(TX.tokens("text")).alias("tok")).select(
-        "doc_id",
-        F.conv(F.substring(md5h, 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(md5h, 9, 8), 16, 10).cast("long").alias("h2"),
-    )
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col(h), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{hi * 32 + j}")
-        for hi, h in enumerate(("h1", "h2"))
-        for j in range(32)
-    ]
-    agg = tok.groupBy("doc_id").agg(*votes)
-
-    def fold(base: int) -> Column:
-        out = F.lit(0).cast("long")
-        for j in range(32):
-            out = out + F.when(
-                F.col(f"v{base + j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
-            ).otherwise(F.lit(0).cast("long"))
-        return out
-
-    fp = agg.select("doc_id", fold(0).alias("fp1"), fold(32).alias("fp2"))
+    fp = simhash_fingerprints(spark, sf_dir)
 
     # 16-bit band chunks: the self-join key is (chunk index, chunk value)
     # only — plus the fingerprint halves needed for the exact verify, so
@@ -144,26 +123,8 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle_sql() -> str:
-    sums = ",".join(
-        f"SUM(CASE WHEN ({h} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{hi * 32 + j}"
-        for hi, h in enumerate(("h1", "h2"))
-        for j in range(32)
-    )
-    fp1 = " + ".join(
-        f"CASE WHEN v{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END" for j in range(32)
-    )
-    fp2 = " + ".join(
-        f"CASE WHEN v{32 + j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END" for j in range(32)
-    )
     ham = "bit_count(xor(a.fp1, b.fp1)) + bit_count(xor(a.fp2, b.fp2))"
-    return f"""
-WITH corpus AS ({_CORPUS_SQL}),
-tok AS (SELECT doc_id, unnest({_sql_tokens()}) AS tok FROM corpus),
-th AS (SELECT doc_id,
-        ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h1,
-        ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h2 FROM tok),
-votes AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
-fp AS (SELECT doc_id, {fp1} AS fp1, {fp2} AS fp2 FROM votes)
+    return f"""{_simhash_fp_sql()}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST({ham} AS BIGINT) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE {ham} <= {HAMMING_T}

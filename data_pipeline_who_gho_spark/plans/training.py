@@ -78,7 +78,7 @@ _SPLIT_BUCKET_SQL = (
 )
 
 TRAIN_SPLIT_SQL = f"""
-SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
 FROM (
   SELECT *, CASE WHEN {_SPLIT_BUCKET_SQL} <= 7 THEN 'train'

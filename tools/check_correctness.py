@@ -5,6 +5,22 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 then compares row count, column names, and an order-insensitive value
 hash (rows sorted, columns sorted by name, values canonicalized).
 
+Canonicalization is deliberately DRIVER-FAITHFUL (dtype-sensitive,
+pandas-mediated), not value-stringifying:
+
+* Both results pass through pandas. Spark rows are collected and each
+  column containing datetime/date objects is converted with
+  ``pd.to_datetime`` — so an out-of-``datetime64[ns]``-bounds sentinel
+  (e.g. 9999-12-31) raises ``OutOfBoundsDatetime`` here exactly like it
+  does in the driver's canonicalizer. DuckDB results go through
+  ``.df()`` — so HUGEINT (un-cast integer SUMs) and DECIMAL surface as
+  float64 while Spark's BIGINT stays int64.
+* Cell canon strings are dtype-tagged (``i:``/``f:``/``b:``/``t:``), so
+  an int64-vs-float64 divergence FAILS even when the numeric values are
+  equal.  Round 2's two driver failures (HUGEINT ``SUM``, year-9999
+  timestamp) were masked by the old stringifying canon; this one
+  reproduces both.
+
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
@@ -18,6 +34,8 @@ from datetime import date, datetime
 sys.path.insert(0, "/root/repo")
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 import __spark_entry__ as entrymod
 from data_pipeline_who_gho_spark.session import get_spark
@@ -26,7 +44,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(v):
+def canon_obj(v):
+    """Value-based canon for object-dtype cells (strings, lists, bytes)."""
     if v is None:
         return "NULL"
     if isinstance(v, float):
@@ -35,22 +54,74 @@ def canon(v):
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(round(v, 9))
-    if isinstance(v, datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
-    if isinstance(v, date):
-        return v.strftime("%Y-%m-%d")
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(canon_obj(x) for x in v) + "]"
     if isinstance(v, bytes):
         return v.hex()
+    if isinstance(v, datetime):
+        return "t:" + v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, date):
+        return "t:" + v.strftime("%Y-%m-%d 00:00:00.000000")
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
     return str(v)
 
 
-def table_sig(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    sorted_cols = [cols[i] for i in order]
-    body = sorted("|".join(canon(r[i]) for i in order) for r in rows)
-    return sorted_cols, body
+def _isnull(v):
+    if v is None or v is pd.NaT:
+        return True
+    if isinstance(v, float) and math.isnan(v):
+        return True
+    return False
+
+
+def canon_series(s: pd.Series) -> list[str]:
+    """Dtype-tagged canon of one pandas column — the driver-faithful part."""
+    if pd.api.types.is_bool_dtype(s.dtype):
+        return [f"b:{bool(v)}" for v in s]
+    if pd.api.types.is_integer_dtype(s.dtype):
+        return [f"i:{int(v)}" for v in s]
+    if pd.api.types.is_float_dtype(s.dtype):
+        out = []
+        for v in s:
+            f = float(v)
+            out.append("NULL" if math.isnan(f) else "f:" + repr(round(f, 9)))
+        return out
+    if pd.api.types.is_datetime64_any_dtype(s.dtype):
+        return ["NULL" if pd.isna(v)
+                else "t:" + pd.Timestamp(v).strftime("%Y-%m-%d %H:%M:%S.%f")
+                for v in s]
+    return ["NULL" if _isnull(v) else canon_obj(v) for v in s]
+
+
+def spark_to_pdf(sdf) -> pd.DataFrame:
+    """Collect a Spark DataFrame into pandas the way the driver does:
+    Python objects -> pandas inference, with datetime columns forced
+    through ``pd.to_datetime`` (raises OutOfBoundsDatetime past 2262)."""
+    cols = sdf.columns
+    rows = [tuple(r) for r in sdf.collect()]
+    data = {}
+    for i, c in enumerate(cols):
+        vals = [r[i] for r in rows]
+        s = pd.Series(vals, dtype=object) if not vals else pd.Series(vals)
+        if s.dtype == object and any(
+            isinstance(v, (datetime, date)) for v in vals if v is not None
+        ):
+            s = pd.to_datetime(s)
+        data[i] = s
+    pdf = pd.DataFrame(data)
+    pdf.columns = [c.lower() for c in cols]
+    return pdf
+
+
+def table_sig(pdf: pd.DataFrame):
+    cols = sorted(pdf.columns)
+    canon_cols = [canon_series(pdf[c]) for c in cols]
+    body = sorted("|".join(col[r] for col in canon_cols)
+                  for r in range(len(pdf)))
+    return cols, body
 
 
 def main():
@@ -72,29 +143,26 @@ def main():
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = spark_to_pdf(fn(spark, sf_dir))
         except Exception as e:
-            failures.append((name, f"SPARK ERROR: {e}"))
-            print(f"FAIL  {name}: spark error {e}")
+            failures.append((name, f"SPARK/CANON ERROR: {e}"))
+            print(f"FAIL  {name}: spark/canon error {type(e).__name__}: {e}")
             continue
         sql = oracles.get(name)
         if not sql:
-            print(f"skip  {name}: no oracle (rows-only) rows={len(srows)} [{time.time()-t0:.1f}s]")
+            print(f"skip  {name}: no oracle (rows-only) rows={len(spdf)} [{time.time()-t0:.1f}s]")
             skipped += 1
             continue
         try:
-            res = con.sql(sql)
-            dcols = [c.lower() for c in res.columns]
-            drows = res.fetchall()
+            dpdf = con.sql(sql).df()
+            dpdf.columns = [c.lower() for c in dpdf.columns]
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL  {name}: duckdb error {e}")
             continue
 
-        sc, sb = table_sig([c.lower() for c in scols], srows)
-        dc, db_ = table_sig(dcols, drows)
+        sc, sb = table_sig(spdf)
+        dc, db_ = table_sig(dpdf)
         if sc != dc:
             failures.append((name, f"columns differ: spark={sc} duck={dc}"))
             print(f"FAIL  {name}: columns {sc} vs {dc}")
@@ -111,6 +179,9 @@ def main():
 
     print(f"\n{passed} passed, {skipped} rows-only, {len(failures)} failed")
     if failures:
+        print("FAILED QUERIES:")
+        for name, why in failures:
+            print(f"  {name}: {why[:200]}")
         sys.exit(1)
 
 
