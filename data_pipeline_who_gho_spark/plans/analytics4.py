@@ -140,7 +140,7 @@ WITH deltas AS (
   SELECT event_type, t, SUM(d) AS net FROM deltas GROUP BY event_type, t
 )
 SELECT event_type,
-       MAX(running) AS max_concurrent
+       CAST(MAX(running) AS BIGINT) AS max_concurrent
 FROM (
   SELECT event_type,
          SUM(net) OVER (PARTITION BY event_type ORDER BY t
@@ -179,11 +179,15 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_total"),
             F.sum(sampled.cast("int")).alias("n_sampled"),
+            # decimal-exact sum, surfaced as double (driver canonicalizes
+            # Decimal objects differently from DuckDB's float64)
             F.sum(
                 F.when(sampled, F.col("o_totalprice").cast("decimal(14,2)")).otherwise(
                     F.lit(None)
                 )
-            ).alias("sampled_revenue"),
+            )
+            .cast("double")
+            .alias("sampled_revenue"),
         )
         .orderBy("o_orderpriority")
     )
@@ -192,9 +196,10 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_HASH_STRATIFIED_SQL = f"""
 SELECT o_orderpriority,
        COUNT(*) AS n_total,
-       SUM(CASE WHEN {_BUCKET_SQL} < 10 THEN 1 ELSE 0 END) AS n_sampled,
-       SUM(CASE WHEN {_BUCKET_SQL} < 10
-                THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS sampled_revenue
+       CAST(SUM(CASE WHEN {_BUCKET_SQL} < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(CAST(SUM(CASE WHEN {_BUCKET_SQL} < 10
+                THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS VARCHAR) AS DOUBLE)
+         AS sampled_revenue
 FROM (SELECT o_orderpriority, o_totalprice,
              md5(CAST(o_orderkey AS VARCHAR)) AS h
       FROM orders)

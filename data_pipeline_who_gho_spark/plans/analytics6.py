@@ -156,7 +156,7 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_ITER = """
 r{i} AS (
   SELECT e.dst AS node,
-         CAST({base} AS BIGINT) + 85 * SUM(r.rank // e.deg) // 100 AS rank
+         CAST(CAST({base} AS BIGINT) + 85 * SUM(r.rank // e.deg) // 100 AS BIGINT) AS rank
   FROM edges_deg e JOIN r{prev} r ON e.src = r.node
   GROUP BY e.dst
 )"""

@@ -142,9 +142,9 @@ b AS (
 ),
 cnt AS (SELECT user_id, age_h, COUNT(*) AS c FROM b GROUP BY user_id, age_h)
 SELECT user_id,
-       SUM(c * CAST(ROUND(exp(-{DECAY_LAMBDA} * CAST(age_h AS DOUBLE)) * {_DECAY_SCALE}) AS BIGINT))
-         AS decayed_micro,
-       SUM(c) AS n_events
+       CAST(SUM(c * CAST(ROUND(exp(-{DECAY_LAMBDA} * CAST(age_h AS DOUBLE)) * {_DECAY_SCALE}) AS BIGINT))
+         AS BIGINT) AS decayed_micro,
+       CAST(SUM(c) AS BIGINT) AS n_events
 FROM cnt GROUP BY user_id
 """
 

@@ -425,8 +425,8 @@ def _dataset_card_sql() -> str:
 SELECT COUNT(*) AS n_docs,
        COUNT(DISTINCT source) AS n_sources,
        COUNT(DISTINCT lang) AS n_langs,
-       SUM({_sql_n_tokens()}) AS total_tokens,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM({_sql_n_tokens()}) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        COUNT(DISTINCT md5(text)) AS n_unique_texts
 FROM documents
 """

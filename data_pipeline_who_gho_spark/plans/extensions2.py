@@ -415,7 +415,7 @@ lm AS (
 )
 SELECT b.doc_id,
        COUNT(*) AS n_bigrams,
-       SUM(lm.lp) AS sum_lp_micronats,
+       CAST(SUM(lm.lp) AS BIGINT) AS sum_lp_micronats,
        CAST(SUM(lm.lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_lp_micronats
 FROM big b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
 GROUP BY b.doc_id
@@ -477,9 +477,9 @@ n AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY doc_id)
 SELECT cnt.doc_id,
        CAST(MAX(n.n) AS BIGINT) AS n_bytes,
        COUNT(*) AS n_distinct_bytes,
-       SUM(CAST(ROUND((CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE))
+       CAST(SUM(CAST(ROUND((CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE))
            * ln(CAST(n.n AS DOUBLE) / CAST(c AS DOUBLE)) * {_ENT_SCALE}) AS BIGINT))
-         AS entropy_micronats
+         AS BIGINT) AS entropy_micronats
 FROM cnt JOIN n ON cnt.doc_id = n.doc_id
 GROUP BY cnt.doc_id
 """
