@@ -140,6 +140,10 @@ _PRIORITY = [
     "semantic_dedup_reps", "embed_neardup_blocked", "recursive_trade_reach",
     "stream_paged_fetch", "trending_users_decayed", "stream_stateful_totals",
     "weighted_sample_docs", "stream_dedup_within_watermark", "dataset_card_stats",
+    # training2 (LLM-corpus second wave) — judge-named for the r03 window,
+    # ahead of the analytics3-6 backlog (deferred to round 4)
+    "doc_repetition_stats", "domain_quota_sample", "seq_packing",
+    "source_mix_weights", "curriculum_phases",
 ]
 
 
