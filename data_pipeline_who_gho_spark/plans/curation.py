@@ -222,7 +222,11 @@ def embed_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus = _vec_corpus(spark, sf_dir)
         n = corpus.count()  # parquet metadata count — cheap
         n_chunks = max(8, -(-n // _SEM_TILE_ROWS))
-        chunks = corpus.groupBy((F.col("vec_id") % n_chunks).alias("chunk")).agg(
+        # hash (not raw modulo) chunking: strided/offset id patterns (e.g.
+        # injected-dup ids at source_id + 1e6) skew modulo chunks past the
+        # ~_SEM_TILE_ROWS bound; xxhash64 spreads any id pattern uniformly
+        chunk = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_chunks))
+        chunks = corpus.groupBy(chunk.alias("chunk")).agg(
             F.collect_list("vec_id").alias("ids"), F.collect_list("v").alias("vecs")
         )
         a, b = chunks.alias("a"), chunks.alias("b")

@@ -314,14 +314,16 @@ def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _verify_candidates(cand: DataFrame, arrays: DataFrame) -> DataFrame:
     """Exact Jaccard verification of (doc_a, doc_b) candidates against the
-    persisted per-doc shingle arrays: broadcast the (small) candidate
-    set, hash-join the arrays twice map-side, and count the intersection
-    with ``array_intersect`` — shuffle-free on the postings side. Shared
-    by the prefix-filter and MinHash-LSH plans — whatever the candidate
+    persisted per-doc shingle arrays: hash-join the arrays twice and
+    count the intersection with ``array_intersect``. Shared by the
+    prefix-filter, MinHash-LSH and SNM plans — whatever the candidate
     generator's recall/pruning trade-off, the pairs it emits carry exact
-    Jaccard. (If a pathological corpus ever produced a candidate set too
-    large to broadcast, dropping the hint lets AQE fall back to a
-    shuffled join; the arrays relation is no wider than the postings.)"""
+    Jaccard. The candidate side is deliberately NOT hint-broadcast: a
+    dense-dup corpus at the 100 TB posture can emit a candidate set past
+    Spark's broadcast hard limit, turning a gracefully-shuffled join
+    into a job failure — AQE converts to broadcast at runtime whenever
+    the actual candidate size is under the threshold, which is the same
+    plan the hint bought at test scale without the cliff."""
     a = arrays.select(
         F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a"), F.col("n_sh").alias("n_a")
     )
@@ -329,7 +331,7 @@ def _verify_candidates(cand: DataFrame, arrays: DataFrame) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b"), F.col("n_sh").alias("n_b")
     )
     pairs = (
-        F.broadcast(cand)
+        cand
         .join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))

@@ -11,8 +11,12 @@ gate rather than only in unit tests.
 
 from __future__ import annotations
 
+import atexit
+import hashlib
 import os
+import shutil
 import tempfile
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,6 +27,36 @@ from ..streaming.incremental import stream_event_counts, stream_session_windows
 
 _EVENT_SCHEMA = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
 
+# Staging parquet copies and checkpoints previously used a fresh uuid dir
+# per run and never cleaned up — repeated driver/bench/census runs
+# accumulated unbounded temp data. Staging dirs are now deterministic per
+# (application, variant, sf_dir) and REUSED within a session (repeat runs
+# skip the staging write entirely); checkpoints are removed as soon as the
+# query terminates, and everything this process created is removed atexit.
+_STAGE_LOCK = threading.Lock()
+_CLEANUP_PATHS: set[str] = set()
+
+
+def _cleanup_temp_paths() -> None:
+    for p in list(_CLEANUP_PATHS):
+        shutil.rmtree(p, ignore_errors=True)
+
+
+atexit.register(_cleanup_temp_paths)
+
+
+def _staged_write(spark: SparkSession, variant: str, sf_dir: str, write) -> str:
+    """Run ``write(path)`` once per (app, variant, sf_dir); reuse after."""
+    app = spark.sparkContext.applicationId
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"stream-src-{app}-{variant}-{tag}")
+    with _STAGE_LOCK:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            shutil.rmtree(path, ignore_errors=True)  # partial prior write
+            write(path)
+        _CLEANUP_PATHS.add(path)
+    return path
+
 
 def _events_stream(
     spark: SparkSession, sf_dir: str, single_file: bool = False
@@ -32,30 +66,50 @@ def _events_stream(
     ``single_file=True`` coalesces the staging write so queries whose
     sink semantics require EXACTLY one micro-batch (update-mode memory
     sinks: one emission per key per batch) actually get one."""
-    stage = os.path.join(tempfile.gettempdir(), f"stream-src-{uuid.uuid4().hex[:8]}")
-    ev = load_table(spark, sf_dir, "events")
-    (ev.coalesce(1) if single_file else ev).write.parquet(stage)
+    def write(path: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        (ev.coalesce(1) if single_file else ev).write.parquet(path)
+
+    stage = _staged_write(spark, "1f" if single_file else "nf", sf_dir, write)
     stream = spark.readStream.schema(_EVENT_SCHEMA).parquet(stage)
     return stream, stage
 
 
+def _dup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events plus re-injected duplicates (every event_id % 5 == 0),
+    staged as ONE file → one micro-batch; shared by both dedup demos."""
+    def write(path: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        ev.unionByName(ev.filter(F.col("event_id") % 5 == 0)).coalesce(1).write.parquet(path)
+
+    stage = _staged_write(spark, "dup", sf_dir, write)
+    return spark.readStream.schema(_EVENT_SCHEMA).parquet(stage)
+
+
 def _run_to_df(spark: SparkSession, out: DataFrame, mode: str = "complete") -> DataFrame:
     name = "q" + uuid.uuid4().hex[:10]
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt-{name}")
     q = (
         out.writeStream.format("memory")
         .queryName(name)
         .outputMode(mode)
         .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt-{name}"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
-    finished = q.awaitTermination(300)
-    if not finished:
-        q.stop()
-        raise TimeoutError(
-            "streaming query did not complete within 300s — refusing to "
-            "return a partially-populated memory sink"
-        )
+    try:
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not complete within 300s — refusing to "
+                "return a partially-populated memory sink"
+            )
+    finally:
+        # the memory sink holds the result; the checkpoint is dead weight
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -165,10 +219,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     here (one batch), but a continuous stream should either include the
     event-time column in the keys or use
     ``dropDuplicatesWithinWatermark`` to get bounded state."""
-    stage = os.path.join(tempfile.gettempdir(), f"stream-src-{uuid.uuid4().hex[:8]}")
-    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
-    ev.unionByName(ev.filter(F.col("event_id") % 5 == 0)).coalesce(1).write.parquet(stage)
-    stream = spark.readStream.schema(_EVENT_SCHEMA).parquet(stage)
+    stream = _dup_events_stream(spark, sf_dir)
     deduped = (
         stream.withWatermark("ts", "2 hours")
         .dropDuplicates(["event_id"])
@@ -191,12 +242,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     event time as their originals, so they fall inside any delay and
     the single-batch result is exactly the distinct set (same oracle
     as the unbounded form)."""
-    stage = os.path.join(tempfile.gettempdir(), f"stream-src-{uuid.uuid4().hex[:8]}")
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    ev.unionByName(ev.filter(F.col("event_id") % 5 == 0)).coalesce(1).write.parquet(stage)
-    stream = spark.readStream.schema(_EVENT_SCHEMA).parquet(stage)
+    stream = _dup_events_stream(spark, sf_dir)
     deduped = (
         stream.withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark(["event_id"])

@@ -9,6 +9,7 @@ Catalyst. Register once per session; every query plans against the views.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,6 +53,11 @@ _READ_CONFS = {
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
+# The confs are session-wide: a concurrent schema resolution on another
+# thread (threaded driver, parallel bench) inside the set/restore window
+# would see NTZ columns resolve as LTZ. Serialize the window.
+_READ_CONF_LOCK = threading.Lock()
+
 
 def ntz_as_utc(col):
     """Reinterpret a TIMESTAMP_NTZ wall clock as a UTC instant.
@@ -74,21 +80,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return spark.read.parquet(path)
     # dynamic confs: work even on sessions we didn't build (the
     # correctness driver hands us its own SparkSession)
-    prior: dict[str, str | None] = {}
-    for k, v in _READ_CONFS.items():
+    with _READ_CONF_LOCK:
+        prior: dict[str, str | None] = {}
+        for k, v in _READ_CONFS.items():
+            try:
+                prior[k] = spark.conf.get(k)
+            except Exception:
+                prior[k] = None
+            spark.conf.set(k, v)
         try:
-            prior[k] = spark.conf.get(k)
-        except Exception:
-            prior[k] = None
-        spark.conf.set(k, v)
-    try:
-        df = spark.read.parquet(path)
-    finally:
-        for k, old in prior.items():
-            if old is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, old)
+            df = spark.read.parquet(path)
+        finally:
+            for k, old in prior.items():
+                if old is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, old)
     for c in _TS_COLUMNS.get(name, []):
         if isinstance(df.schema[c].dataType, T.LongType):
             # integer div (not /1000.0): epoch-nanos exceed double's 2^53

@@ -36,7 +36,12 @@ def census(plan: str) -> dict:
         "cached_scans": plan.count("InMemoryTableScan"),
         "take_ordered": plan.count("TakeOrderedAndProject"),
         "window_group_limit": plan.count("WindowGroupLimit"),
-        "partial_agg": "partial_" in plan,
+        # anchored to aggregate-operator lines — a bare "partial_"
+        # substring over the whole plan can false-positive on unrelated
+        # operator text
+        "partial_agg": any(
+            "partial_" in ln and "Aggregate" in ln for ln in plan.splitlines()
+        ),
         "python_eval": plan.count("ArrowEvalPython")
         + plan.count("FlatMapGroupsInPandas")
         + plan.count("MapInPandas")
@@ -73,6 +78,7 @@ def main() -> None:
         json.dump(out, fh, indent=1, sort_keys=True)
 
     ok = {k: v for k, v in out.items() if "error" not in v}
+    bad = {k: v for k, v in out.items() if "error" in v}
     n_smj = sum(1 for v in ok.values() if v["smj"])
     n_rowpy = sum(1 for v in ok.values() if v["row_at_a_time_python"])
     n_cart = sum(1 for v in ok.values() if v["cartesian"])
@@ -83,6 +89,13 @@ def main() -> None:
     worst = sorted(ok.items(), key=lambda kv: -kv[1]["exchanges"])[:10]
     for name, v in worst:
         print(f"  {name}: exchanges={v['exchanges']} smj={v['smj']} bhj={v['bhj']}")
+    if bad:
+        # a query that fails OUTRIGHT must not hide inside a benign
+        # "N/M audited" line — fail the census loudly
+        print(f"FAILED ({len(bad)}):")
+        for name, v in bad.items():
+            print(f"  {name}: {v['error']}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
