@@ -137,7 +137,8 @@ _PRIORITY = [
     "simhash_neardup_pairs", "dedup_containment", "dedup_sorted_neighborhood",
     "bm25_search", "bigram_lm_score", "byte_entropy_stats", "pmi_collocations",
     "dedup_incremental", "corpus_filter_funnel", "table_diff",
-    "semantic_dedup_reps", "embed_neardup_blocked", "recursive_trade_reach",
+    "semantic_dedup_reps", "embed_neardup_blocked", "embed_neardup_bucketed",
+    "recursive_trade_reach",
     "stream_paged_fetch", "trending_users_decayed", "stream_stateful_totals",
     "weighted_sample_docs", "stream_dedup_within_watermark", "dataset_card_stats",
     # training2 (LLM-corpus second wave) — judge-named for the r03 window,

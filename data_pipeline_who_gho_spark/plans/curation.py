@@ -183,6 +183,44 @@ WHERE (CASE WHEN a.o_orderkey IS NULL THEN 'added'
 
 _SEM_TILE_ROWS = 1024  # target vectors per chunk (bounds the per-row arrays)
 _BLOCKED_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_BUCKETED_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _tile_gemm(tiles: DataFrame, threshold: float) -> DataFrame:
+    """Run one numpy float64 GEMM per tile row and emit the (min,max)-id
+    pairs with cosine ≥ threshold. Tile schema: ``diag`` marks a
+    self-tile (upper-triangle filter applies there; cross tiles emit
+    every pair once). Shared by the exact blocked self-join and the
+    LSH-bucketed candidate generator."""
+    import numpy as np
+    import pandas as pd
+
+    def gemm(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ia = np.asarray(row["ids_a"], dtype=np.int64)
+                ib = np.asarray(row["ids_b"], dtype=np.int64)
+                ma = np.stack([np.asarray(x, dtype=np.float64) for x in row["vecs_a"]])
+                mb = np.stack([np.asarray(x, dtype=np.float64) for x in row["vecs_b"]])
+                na = np.linalg.norm(ma, axis=1)
+                nb = np.linalg.norm(mb, axis=1)
+                cos = (ma @ mb.T) / np.outer(na, nb)
+                ii, jj = np.nonzero(cos >= threshold)
+                id_a, id_b = ia[ii], ib[jj]
+                if row["diag"]:
+                    keep = id_a < id_b  # dedupe orientations + self-pairs
+                    id_a, id_b, vals = id_a[keep], id_b[keep], cos[ii, jj][keep]
+                else:
+                    vals = cos[ii, jj]  # distinct chunks: every pair once
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.minimum(id_a, id_b),
+                        "id_b": np.maximum(id_a, id_b),
+                        "cosine": np.round(vals, 6),
+                    }
+                )
+
+    return tiles.mapInPandas(gemm, "id_a long, id_b long, cosine double")
 
 
 def embed_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,9 +251,6 @@ def embed_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     Persisted per (application, sf_dir): ``semantic_dedup_reps`` and the
     registered query itself both consume the pair set.
     """
-    import numpy as np
-    import pandas as pd
-
     from .extras import _vec_corpus
 
     def build() -> DataFrame:
@@ -237,41 +272,71 @@ def embed_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.ids").alias("ids_b"),
             F.col("b.vecs").alias("vecs_b"),
         )
-        threshold = NEARDUP_COS
-
-        def gemm(batches):
-            for pdf in batches:
-                for _, row in pdf.iterrows():
-                    ia = np.asarray(row["ids_a"], dtype=np.int64)
-                    ib = np.asarray(row["ids_b"], dtype=np.int64)
-                    ma = np.stack(
-                        [np.asarray(x, dtype=np.float64) for x in row["vecs_a"]]
-                    )
-                    mb = np.stack(
-                        [np.asarray(x, dtype=np.float64) for x in row["vecs_b"]]
-                    )
-                    na = np.linalg.norm(ma, axis=1)
-                    nb = np.linalg.norm(mb, axis=1)
-                    cos = (ma @ mb.T) / np.outer(na, nb)
-                    ii, jj = np.nonzero(cos >= threshold)
-                    id_a, id_b = ia[ii], ib[jj]
-                    if row["diag"]:
-                        keep = id_a < id_b  # dedupe orientations + self-pairs
-                        id_a, id_b, vals = id_a[keep], id_b[keep], cos[ii, jj][keep]
-                    else:
-                        vals = cos[ii, jj]  # distinct chunks: every pair once
-                    yield pd.DataFrame(
-                        {
-                            "id_a": np.minimum(id_a, id_b),
-                            "id_b": np.maximum(id_a, id_b),
-                            "cosine": np.round(vals, 6),
-                        }
-                    )
-
-        return tiles.mapInPandas(gemm, "id_a long, id_b long, cosine double")
+        return _tile_gemm(tiles, NEARDUP_COS)
 
     return bounded_persist_cache(
         _BLOCKED_PAIRS_CACHE, (spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
+def embed_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair generation with LINEAR tile count — the 100 TB path
+    ``semantic_dedup_reps`` consumes (``embed_neardup_blocked`` is the
+    exact all-pairs baseline whose C² tiling is the honest cost of
+    exactness but a scale-killer for web corpora).
+
+    Plan: every vector gets its 16-bit hyperplane LSH code
+    (``extensions.lsh_code_column`` — exact decimal projections), hot
+    codes are sub-split by hashed id to ≤ ~_SEM_TILE_ROWS rows, and the
+    exact GEMM (same ``_tile_gemm`` kernel) runs ONLY on tiles inside a
+    bucket. With s_b the size of bucket b and W the tile width, tile
+    count is Σ_b ceil(s_b/W)·(ceil(s_b/W)+1)/2 — linear in corpus size
+    at fixed bucket width (tests/test_curation.py pins this), vs the
+    all-pairs form's quadratic C². Each vector lives in exactly one
+    (bucket, sub-chunk), so every candidate pair is examined once and
+    the output needs no dedup.
+
+    Recall contract (SemDeDup-style cluster-local dedup): a pair is
+    examined iff both vectors share the 16-bit code. A scalar multiple
+    never flips a projection sign, so EXACT duplicates always collide —
+    recall 1.0 for the fixture's injected dups, hence the exact-pairs
+    oracle holds verbatim at test scale. A borderline pair (cosine just
+    over the threshold) can straddle buckets with probability
+    1-(1-θ/π)^16; production tuning trades that via plane count /
+    banding, exactly like ``dedup_minhash_lsh``'s banding parameters.
+    """
+    from .extensions import lsh_code_column
+    from .extras import _vec_corpus
+
+    def build() -> DataFrame:
+        corpus = _vec_corpus(spark, sf_dir).withColumn(
+            "bucket", lsh_code_column(F.col("v"))
+        )
+        # bucket census (≤ 2^16 rows) broadcasts back to size sub-chunks
+        sizes = corpus.groupBy("bucket").agg(F.count(F.lit(1)).alias("s_b"))
+        n_sub = F.greatest(F.lit(1), F.ceil(F.col("s_b") / F.lit(_SEM_TILE_ROWS)))
+        chunks = (
+            corpus.join(F.broadcast(sizes), "bucket")
+            .withColumn("sub", F.pmod(F.xxhash64(F.col("vec_id")), n_sub))
+            .groupBy("bucket", "sub")
+            .agg(F.collect_list("vec_id").alias("ids"), F.collect_list("v").alias("vecs"))
+        )
+        a, b = chunks.alias("a"), chunks.alias("b")
+        tiles = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))  # equi-join: bucket-local
+            & (F.col("a.sub") <= F.col("b.sub")),
+        ).select(
+            (F.col("a.sub") == F.col("b.sub")).alias("diag"),
+            F.col("a.ids").alias("ids_a"),
+            F.col("a.vecs").alias("vecs_a"),
+            F.col("b.ids").alias("ids_b"),
+            F.col("b.vecs").alias("vecs_b"),
+        )
+        return _tile_gemm(tiles, NEARDUP_COS)
+
+    return bounded_persist_cache(
+        _BUCKETED_PAIRS_CACHE, (spark.sparkContext.applicationId, sf_dir), build
     )
 
 
@@ -290,12 +355,15 @@ def semantic_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same iterative min-label-propagation vs recursive-CTE-oracle pairing
     as ``dedup_clusters``; edges are localCheckpoint'd because every CC
-    iteration re-reads them.
+    iteration re-reads them. Pair generation is the LSH-bucketed linear-
+    tile path (``embed_neardup_bucketed``) — identical to the exact
+    blocked form on the fixtures (regression-tested), sub-quadratic at
+    corpus scale, which is the whole point of semantic dedup.
     """
     from ..operators.components import connected_components
 
     pairs = (
-        embed_neardup_blocked(spark, sf_dir)
+        embed_neardup_bucketed(spark, sf_dir)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .localCheckpoint(eager=True)
     )
@@ -445,6 +513,7 @@ CURATION_QUERIES = {
     "table_diff": table_diff,
     "semantic_dedup_reps": semantic_dedup_reps,
     "embed_neardup_blocked": embed_neardup_blocked,
+    "embed_neardup_bucketed": embed_neardup_bucketed,
     "weighted_sample_docs": weighted_sample_docs,
     "dataset_card_stats": dataset_card_stats,
 }
@@ -455,6 +524,9 @@ CURATION_ORACLE_SQL = {
     "table_diff": TABLE_DIFF_SQL,
     "semantic_dedup_reps": SEMANTIC_DEDUP_SQL,
     "embed_neardup_blocked": EMBED_NEARDUP_BLOCKED_SQL,
+    # recall 1.0 on the fixture (exact-copy dups share LSH codes), so the
+    # exact-pairs oracle applies verbatim
+    "embed_neardup_bucketed": EMBED_NEARDUP_BLOCKED_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
     "dataset_card_stats": DATASET_CARD_SQL,
 }

