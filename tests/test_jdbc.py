@@ -1,10 +1,15 @@
 """JDBC sink: merge-SQL construction and real upsert semantics, executed
-against stdlib sqlite3 standing in for the warehouse (no JDBC jar needed
-— the writer/statement effects are injected)."""
+against TWO live SQL engines standing in for the warehouse — stdlib
+sqlite3 and DuckDB (whose parser/executor is Postgres-flavored, so the
+postgres dialect's generated statements run verbatim). No JDBC jar
+needed — the writer/statement transports are injected, but every merge
+statement the operator generates is genuinely parsed and executed."""
 
 from __future__ import annotations
 
 import sqlite3
+
+import duckdb
 
 from data_pipeline_who_gho_spark.operators.jdbc import build_upsert_sql, upsert_jdbc
 
@@ -88,3 +93,82 @@ def test_upsert_jdbc_updates_win_and_rerun_is_noop(spark):
         writer=writer, statement_runner=runner,
     )
     assert snapshot() == [("a", 1.0), ("b", 20.0), ("c", 3.0)]
+
+
+def _duckdb_effects(con):
+    """writer + statement_runner on a DuckDB connection: the staging
+    write materializes the Spark batch through Arrow, and the runner
+    hands the operator's generated SQL to DuckDB verbatim — a live
+    dialect check for the postgres-flavored merge statement."""
+
+    def writer(df, url, staging, options):
+        pdf = df.toPandas()
+        con.register("__batch", pdf)
+        con.sql(f'DROP TABLE IF EXISTS "{staging}"')
+        con.sql(f'CREATE TABLE "{staging}" AS SELECT * FROM __batch')
+        con.unregister("__batch")
+
+    def runner(*statements):
+        for sql in statements:
+            con.sql(sql)
+
+    return writer, runner
+
+
+def test_upsert_postgres_dialect_executes_on_duckdb(spark):
+    """The postgres-dialect INSERT .. ON CONFLICT DO UPDATE statement —
+    the reference's exact load statement (etl/load.py:36-44) — must
+    parse and execute end-to-end on a live engine, with updates winning
+    on shared keys, inserts elsewhere, and idempotent replay."""
+    con = duckdb.connect()
+    con.sql(
+        'CREATE TABLE "fact" ("obs_id" BIGINT PRIMARY KEY, '
+        '"indicator" VARCHAR, "value" DOUBLE)'
+    )
+    con.sql("INSERT INTO fact VALUES (1, 'WHS', 10.0), (2, 'MDG', 20.0)")
+    writer, runner = _duckdb_effects(con)
+
+    batch = spark.createDataFrame(
+        [(2, "MDG", 99.0), (3, "SDG", 30.0)],
+        "obs_id LONG, indicator STRING, value DOUBLE",
+    )
+    sql = upsert_jdbc(
+        batch, "jdbc:duckdb:", "fact", ["obs_id"], dialect="postgres",
+        writer=writer, statement_runner=runner,
+    )
+    assert "ON CONFLICT" in sql and "EXCLUDED" in sql
+
+    def snapshot():
+        return sorted(con.sql("SELECT obs_id, indicator, value FROM fact").fetchall())
+
+    assert snapshot() == [(1, "WHS", 10.0), (2, "MDG", 99.0), (3, "SDG", 30.0)]
+    # staging table dropped by the operator's own DROP statement
+    assert con.sql(
+        "SELECT table_name FROM information_schema.tables "
+        "WHERE table_name = 'fact_staging'"
+    ).fetchall() == []
+
+    # idempotent replay on a real engine
+    upsert_jdbc(
+        batch, "jdbc:duckdb:", "fact", ["obs_id"], dialect="postgres",
+        writer=writer, statement_runner=runner,
+    )
+    assert snapshot() == [(1, "WHS", 10.0), (2, "MDG", 99.0), (3, "SDG", 30.0)]
+
+
+def test_upsert_key_only_do_nothing_executes_on_duckdb(spark):
+    """The key-only degenerate (DO NOTHING) must also run end-to-end."""
+    con = duckdb.connect()
+    con.sql('CREATE TABLE "dim" ("code" VARCHAR PRIMARY KEY)')
+    con.sql("INSERT INTO dim VALUES ('AFG'), ('ALB')")
+    writer, runner = _duckdb_effects(con)
+
+    batch = spark.createDataFrame([("ALB",), ("DZA",)], "code STRING")
+    sql = upsert_jdbc(
+        batch, "jdbc:duckdb:", "dim", ["code"], dialect="postgres",
+        writer=writer, statement_runner=runner,
+    )
+    assert sql.endswith("DO NOTHING")
+    assert sorted(con.sql("SELECT code FROM dim").fetchall()) == [
+        ("AFG",), ("ALB",), ("DZA",),
+    ]
