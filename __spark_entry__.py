@@ -136,7 +136,8 @@ _PRIORITY = [
     # remaining never-green backlog so round 3's window picks them up
     "simhash_neardup_pairs", "dedup_containment", "dedup_sorted_neighborhood",
     "bm25_search", "bigram_lm_score", "byte_entropy_stats", "pmi_collocations",
-    "dedup_incremental", "corpus_filter_funnel", "table_diff",
+    "dedup_incremental", "dedup_incremental_neardup",
+    "corpus_filter_funnel", "table_diff",
     "semantic_dedup_reps", "embed_neardup_blocked", "embed_neardup_bucketed",
     "recursive_trade_reach",
     "stream_paged_fetch", "trending_users_decayed", "stream_stateful_totals",

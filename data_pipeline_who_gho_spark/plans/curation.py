@@ -58,6 +58,91 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(hist, "fingerprint", "left_anti").select("doc_id", "fingerprint")
 
 
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup admission — the production shape of recurring
+    crawl ingestion: every batch document is checked for word-5-gram
+    Jaccard ≥ 0.6 against the HISTORICAL corpus (even base doc_ids, the
+    same split as ``dedup_incremental``), not just for exact fingerprint
+    collisions. Returns (doc_id, admitted) for the whole batch.
+
+    Plan: the historical side's MinHash signatures/band keys are the
+    persisted index artifact (``extensions._cached_signatures`` — at
+    100 TB they live bucketed by band key and only the small batch
+    shuffles); candidate pairs come from a batch×historical band join
+    (one shuffle, payload-free), and exact Jaccard verification against
+    the full shingle arrays makes the admit decision exact for every
+    candidate. Banding recall at the threshold is the same ≈ 99.96%
+    contract as ``dedup_minhash_lsh`` — and certain for the fixture's
+    exact-copy re-crawls.
+    """
+    from .extensions import (
+        _band_keys,
+        _cached_signatures,
+        _corpus,
+        _doc_shingle_arrays,
+        _verify_candidates,
+    )
+
+    sig = _cached_signatures(spark, sf_dir)
+    hist_bands = _band_keys(
+        sig.filter((F.col("doc_id") < 1000000) & (F.col("doc_id") % 2 == 0))
+    )
+    batch_bands = _band_keys(sig.filter(F.col("doc_id") >= 1000000))
+    cand = (
+        batch_bands.alias("a")
+        .join(
+            hist_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    rejected = (
+        _verify_candidates(cand, _doc_shingle_arrays(spark, sf_dir))
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("__rej", F.lit(True))
+    )
+    batch_ids = _corpus(spark, sf_dir).filter(F.col("doc_id") >= 1000000).select("doc_id")
+    return (
+        batch_ids.join(rejected, "doc_id", "left")
+        .select("doc_id", F.col("__rej").isNull().alias("admitted"))
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_incremental_neardup_sql() -> str:
+    from .extensions import _CORPUS_SQL, _SHINGLES_SQL, JACCARD_THRESHOLD
+
+    return f"""
+WITH corpus AS ({_CORPUS_SQL}),
+sh AS ({_SHINGLES_SQL}),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT b.doc_id AS batch_id, h.doc_id AS hist_id, COUNT(*) AS n_inter
+  FROM inv b JOIN inv h ON b.shingle = h.shingle
+  WHERE b.doc_id >= 1000000 AND h.doc_id < 1000000 AND h.doc_id % 2 = 0
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+rejected AS (
+  SELECT DISTINCT batch_id
+  FROM inter
+  JOIN sizes sb ON sb.doc_id = batch_id
+  JOIN sizes sh2 ON sh2.doc_id = hist_id
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sb.n_sh + sh2.n_sh - n_inter AS DOUBLE)
+        >= {JACCARD_THRESHOLD}
+)
+SELECT c.doc_id, r.batch_id IS NULL AS admitted
+FROM (SELECT doc_id FROM corpus WHERE doc_id >= 1000000) c
+LEFT JOIN rejected r ON c.doc_id = r.batch_id
+ORDER BY c.doc_id
+"""
+
+
+DEDUP_INCREMENTAL_NEARDUP_SQL = _dedup_incremental_neardup_sql()
+
+
 DEDUP_INCREMENTAL_SQL = """
 WITH hist AS (SELECT md5(text) AS fingerprint FROM documents WHERE doc_id % 2 = 0),
 batch AS (SELECT doc_id + 1000000 AS doc_id, md5(text) AS fingerprint
@@ -509,6 +594,7 @@ DATASET_CARD_SQL = _dataset_card_sql()
 
 CURATION_QUERIES = {
     "dedup_incremental": dedup_incremental,
+    "dedup_incremental_neardup": dedup_incremental_neardup,
     "corpus_filter_funnel": corpus_filter_funnel,
     "table_diff": table_diff,
     "semantic_dedup_reps": semantic_dedup_reps,
@@ -520,6 +606,7 @@ CURATION_QUERIES = {
 
 CURATION_ORACLE_SQL = {
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+    "dedup_incremental_neardup": DEDUP_INCREMENTAL_NEARDUP_SQL,
     "corpus_filter_funnel": CORPUS_FILTER_FUNNEL_SQL,
     "table_diff": TABLE_DIFF_SQL,
     "semantic_dedup_reps": SEMANTIC_DEDUP_SQL,

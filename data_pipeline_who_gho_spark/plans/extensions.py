@@ -461,6 +461,39 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_PREFIX_SQL = DEDUP_NGRAM_SQL  # exact pair set — completeness is provable
 
 
+def _cached_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted MinHash signature table per (application, sf_dir) —
+    the reusable index artifact (~800 B/doc) consumed by the LSH
+    self-join AND the incremental batch-vs-historical variant."""
+    sh = _shingle_table(spark, sf_dir)
+    return bounded_persist_cache(
+        _SIG_CACHE,
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: _minhash_signatures(sh),
+    )
+
+
+def _band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band keys WITHOUT any shingle payload:
+    band joins shuffle only (band, key-hash, doc_id) — at 100 TB
+    carrying shingle data through the candidate exchange would dominate
+    the job."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(
+                        bi, F.concat_ws("_", F.slice(F.col("sig"), bi * LSH_ROWS + 1, LSH_ROWS))
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate generation + exact Jaccard verification.
 
@@ -477,31 +510,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     query) runs twice. Persisting signatures is also the 100 TB posture:
     ~800 bytes/doc, the standard reusable artifact of a minhash pipeline.
     """
-    sh = _shingle_table(spark, sf_dir)
-    sig = bounded_persist_cache(
-        _SIG_CACHE,
-        (spark.sparkContext.applicationId, sf_dir),
-        lambda: _minhash_signatures(sh),
-    )
-
-    # Band keys WITHOUT any shingle payload: the self-join shuffles only
-    # (band, key-hash, doc_id) — at 100 TB carrying shingle data through
-    # the candidate exchange would dominate the job.
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.xxhash64(
-                        bi, F.concat_ws("_", F.slice(F.col("sig"), bi * LSH_ROWS + 1, LSH_ROWS))
-                    ).alias("key"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-
+    bands = _band_keys(_cached_signatures(spark, sf_dir))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

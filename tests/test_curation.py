@@ -22,6 +22,29 @@ def test_incremental_admits_only_unseen(spark):
         assert src % 7 == 0 and src % 2 == 1
 
 
+def test_incremental_neardup_rejects_exact_recrawls(spark):
+    """Every batch doc whose source is EVEN (hence an exact copy exists
+    in the historical corpus) and long enough to shingle (≥ 5 tokens)
+    must be rejected; the decision table covers the full batch."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_who_gho_spark.plans.curation import dedup_incremental_neardup
+
+    rows = {r["doc_id"]: r["admitted"] for r in dedup_incremental_neardup(spark, SF).collect()}
+    assert rows and any(rows.values()) and not all(rows.values())
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n_tok"))
+        .collect()
+    )
+    n_tok = {r["doc_id"]: r["n_tok"] for r in docs}
+    for d, admitted in rows.items():
+        src = d - 1000000
+        assert src % 7 == 0  # the batch is exactly the injected re-crawls
+        if src % 2 == 0 and n_tok[src] >= 5:
+            assert not admitted, f"exact historical copy {d} was admitted"
+
+
 def test_funnel_counts_are_monotone(spark):
     rows = {r["stage"]: r["n_docs"] for r in corpus_filter_funnel(spark, SF).collect()}
     assert list(rows) == [0, 1, 2, 3] or set(rows) == {0, 1, 2, 3}
