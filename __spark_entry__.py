@@ -137,7 +137,7 @@ _PRIORITY = [
     "simhash_neardup_pairs", "dedup_containment", "dedup_sorted_neighborhood",
     "bm25_search", "bigram_lm_score", "byte_entropy_stats", "pmi_collocations",
     "dedup_incremental", "dedup_incremental_neardup",
-    "corpus_filter_funnel", "table_diff",
+    "corpus_admission_pipeline", "corpus_filter_funnel", "table_diff",
     "semantic_dedup_reps", "embed_neardup_blocked", "embed_neardup_bucketed",
     "recursive_trade_reach",
     "stream_paged_fetch", "trending_users_decayed", "stream_stateful_totals",

@@ -35,6 +35,9 @@ from ..functions import text as TX
 from ..sources.catalog import load_table
 from .extensions import _sql_lang_id, _sql_n_tokens, _sql_quality
 
+FUNNEL_MIN_TOKENS = 30
+FUNNEL_MIN_QUALITY = 0.45
+
 # ---------------------------------------------------------------------------
 # Incremental exact dedup: admit only batch docs unseen in the historical
 # corpus. Fixture split: historical = even doc_id; batch = the injected
@@ -143,6 +146,112 @@ ORDER BY c.doc_id
 DEDUP_INCREMENTAL_NEARDUP_SQL = _dedup_incremental_neardup_sql()
 
 
+def corpus_admission_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END batch admission report — the cascade a recurring
+    ingest run actually executes, composed from this module's operators:
+    quality gates (length → quality score), then EXACT dedup against the
+    historical corpus (md5 anti-lookup), then NEAR-dup admission
+    (``dedup_incremental_neardup``'s MinHash-LSH verdict). Emits the
+    survivor count after each cumulative stage — the monitoring funnel
+    for the full admit decision, not just the content filters.
+
+    Plan: one scan builds all per-doc flags (the dedup verdicts join in
+    as boolean columns — broadcastable at batch scale), one aggregate of
+    nested conditional counts, constant-width unpivot. The historical
+    fingerprint set and LSH index are the persisted artifacts the
+    incremental operators already maintain.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    batch = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "n_chars"
+    )
+    hist_fp = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(TX.fingerprint_md5("text").alias("fingerprint"))
+        .distinct()
+        .withColumn("__exact_hit", F.lit(True))
+    )
+    near = dedup_incremental_neardup(spark, sf_dir).select(
+        "doc_id", F.col("admitted").alias("__near_ok")
+    )
+    b = (
+        batch.withColumn("fingerprint", TX.fingerprint_md5("text"))
+        .join(hist_fp, "fingerprint", "left")
+        .join(near, "doc_id")
+    )
+    c1 = TX.token_count("text") >= FUNNEL_MIN_TOKENS
+    c2 = c1 & (TX.quality_score("text", "n_chars") >= FUNNEL_MIN_QUALITY)
+    c3 = c2 & F.col("__exact_hit").isNull()
+    c4 = c3 & F.col("__near_ok")
+    agg = b.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count_if(c1).alias("n1"),
+        F.count_if(c2).alias("n2"),
+        F.count_if(c3).alias("n3"),
+        F.count_if(c4).alias("n4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, 0, 'batch', n0, 1, 'min_tokens', n1, 2, 'quality', n2,"
+            " 3, 'exact_dedup', n3, 4, 'near_dedup', n4)"
+        ).alias("stage", "filter_name", "n_docs")
+    )
+
+
+def _admission_sql() -> str:
+    from .extensions import _CORPUS_SQL, _SHINGLES_SQL, JACCARD_THRESHOLD
+
+    n_tok = _sql_n_tokens()
+    quality = _sql_quality()
+    c1 = f"({n_tok} >= {FUNNEL_MIN_TOKENS})"
+    c2 = f"({c1} AND ({quality}) >= {FUNNEL_MIN_QUALITY})"
+    c3 = f"({c2} AND NOT exact_hit)"
+    c4 = f"({c3} AND near_ok)"
+    return f"""
+WITH corpus AS ({_CORPUS_SQL}),
+sh AS ({_SHINGLES_SQL}),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT b.doc_id AS batch_id, h.doc_id AS hist_id, COUNT(*) AS n_inter
+  FROM inv b JOIN inv h ON b.shingle = h.shingle
+  WHERE b.doc_id >= 1000000 AND h.doc_id < 1000000 AND h.doc_id % 2 = 0
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+near_rejected AS (
+  SELECT DISTINCT batch_id
+  FROM inter
+  JOIN sizes sb ON sb.doc_id = batch_id
+  JOIN sizes sh2 ON sh2.doc_id = hist_id
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sb.n_sh + sh2.n_sh - n_inter AS DOUBLE)
+        >= {JACCARD_THRESHOLD}
+),
+hist_fp AS (SELECT DISTINCT md5(text) AS fingerprint FROM documents WHERE doc_id % 2 = 0),
+b AS (
+  SELECT d.doc_id + 1000000 AS doc_id, d.text, d.n_chars,
+         md5(d.text) IN (SELECT fingerprint FROM hist_fp) AS exact_hit,
+         d.doc_id + 1000000 NOT IN (SELECT batch_id FROM near_rejected) AS near_ok
+  FROM documents d WHERE d.doc_id % 7 = 0
+),
+agg AS (
+  SELECT COUNT(*) AS n0,
+         COUNT(*) FILTER (WHERE {c1}) AS n1,
+         COUNT(*) FILTER (WHERE {c2}) AS n2,
+         COUNT(*) FILTER (WHERE {c3}) AS n3,
+         COUNT(*) FILTER (WHERE {c4}) AS n4
+  FROM b
+)
+SELECT 0 AS stage, 'batch' AS filter_name, n0 AS n_docs FROM agg
+UNION ALL SELECT 1, 'min_tokens', n1 FROM agg
+UNION ALL SELECT 2, 'quality', n2 FROM agg
+UNION ALL SELECT 3, 'exact_dedup', n3 FROM agg
+UNION ALL SELECT 4, 'near_dedup', n4 FROM agg
+"""
+
+
+CORPUS_ADMISSION_SQL = _admission_sql()
+
+
 DEDUP_INCREMENTAL_SQL = """
 WITH hist AS (SELECT md5(text) AS fingerprint FROM documents WHERE doc_id % 2 = 0),
 batch AS (SELECT doc_id + 1000000 AS doc_id, md5(text) AS fingerprint
@@ -156,10 +265,6 @@ WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fingerprint = b.fingerprint)
 # ---------------------------------------------------------------------------
 # Quality-filter funnel: survivor counts through the filter cascade
 # ---------------------------------------------------------------------------
-
-FUNNEL_MIN_TOKENS = 30
-FUNNEL_MIN_QUALITY = 0.45
-
 
 def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivors after each stage of the cumulative filter cascade
@@ -595,6 +700,7 @@ DATASET_CARD_SQL = _dataset_card_sql()
 CURATION_QUERIES = {
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_neardup": dedup_incremental_neardup,
+    "corpus_admission_pipeline": corpus_admission_pipeline,
     "corpus_filter_funnel": corpus_filter_funnel,
     "table_diff": table_diff,
     "semantic_dedup_reps": semantic_dedup_reps,
@@ -607,6 +713,7 @@ CURATION_QUERIES = {
 CURATION_ORACLE_SQL = {
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "dedup_incremental_neardup": DEDUP_INCREMENTAL_NEARDUP_SQL,
+    "corpus_admission_pipeline": CORPUS_ADMISSION_SQL,
     "corpus_filter_funnel": CORPUS_FILTER_FUNNEL_SQL,
     "table_diff": TABLE_DIFF_SQL,
     "semantic_dedup_reps": SEMANTIC_DEDUP_SQL,

@@ -45,6 +45,19 @@ def test_incremental_neardup_rejects_exact_recrawls(spark):
             assert not admitted, f"exact historical copy {d} was admitted"
 
 
+def test_admission_pipeline_monotone_and_consistent(spark):
+    """Cumulative survivor counts must be monotone, end below the batch
+    size, and the dedup stages must actually reject something (the
+    fixture guarantees exact re-crawls of historical docs)."""
+    from data_pipeline_who_gho_spark.plans.curation import corpus_admission_pipeline
+
+    rows = {r["stage"]: r["n_docs"] for r in corpus_admission_pipeline(spark, SF).collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    assert rows[0] >= rows[1] >= rows[2] >= rows[3] >= rows[4] >= 0
+    assert rows[3] < rows[2]  # exact dedup rejects the even-sourced copies
+    assert rows[0] > rows[4]
+
+
 def test_funnel_counts_are_monotone(spark):
     rows = {r["stage"]: r["n_docs"] for r in corpus_filter_funnel(spark, SF).collect()}
     assert list(rows) == [0, 1, 2, 3] or set(rows) == {0, 1, 2, 3}
