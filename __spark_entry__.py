@@ -140,7 +140,8 @@ _PRIORITY = [
     "corpus_admission_pipeline", "corpus_filter_funnel", "table_diff",
     "semantic_dedup_reps", "embed_neardup_blocked", "embed_neardup_bucketed",
     "recursive_trade_reach",
-    "stream_paged_fetch", "trending_users_decayed", "stream_stateful_totals",
+    "stream_paged_fetch", "etl_checkpoint_resume",
+    "trending_users_decayed", "stream_stateful_totals",
     "weighted_sample_docs", "stream_dedup_within_watermark", "dataset_card_stats",
     # training2 (LLM-corpus second wave) — judge-named for the r03 window,
     # ahead of the analytics3-6 backlog (deferred to round 4)

@@ -425,6 +425,66 @@ FROM range(10) t(i) CROSS JOIN range(5) u(j)
 """
 
 
+def etl_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 under the correctness gate: a checkpointed paged fetch is
+    interrupted between key-batches, then RESUMED from the persisted
+    state (reference: the hand-rolled resume loop, etl/extract.py:80-87).
+    Run 1 lands batch 0 (5 keys), checkpoints it, and "crashes" entering
+    batch 1; run 2 must start exactly at the stored next_batch and
+    process ONLY the remaining batch (enforced — a wrong resume point
+    raises). The union of rows sunk across both runs must equal the
+    uninterrupted fetch: no loss, no dupes, at batch granularity.
+    """
+    import shutil
+    import tempfile
+
+    from ..sources.paged import fetch_with_checkpoint
+    from ..sources.state import EtlStateRepository
+    from ..sources.testing import pages_fetcher
+
+    keys = [f"k{i}" for i in range(10)]
+    schema = "key STRING, idx INT"
+    state_dir = tempfile.mkdtemp(prefix="gate-resume-")
+    sunk: list[DataFrame] = []
+
+    class _Interrupt(Exception):
+        pass
+
+    def crashing_sink(df: DataFrame, bi: int) -> None:
+        if bi == 1:
+            raise _Interrupt()  # crash AFTER batch 0 checkpointed
+        sunk.append(df)
+
+    try:
+        state = EtlStateRepository(spark, state_dir)
+        try:
+            fetch_with_checkpoint(
+                spark, keys, pages_fetcher, schema, state, "gate_resume",
+                page_size=2, batch_size=5, sink=crashing_sink,
+            )
+        except _Interrupt:
+            pass
+        resumed = fetch_with_checkpoint(
+            spark, keys, pages_fetcher, schema, state, "gate_resume",
+            page_size=2, batch_size=5, sink=lambda df, bi: sunk.append(df),
+        )
+        if resumed != 1:
+            raise RuntimeError(
+                f"resume processed {resumed} batches, expected exactly the "
+                "one unfinished batch — checkpoint state was not honored"
+            )
+        out = sunk[0]
+        for df in sunk[1:]:
+            out = out.unionByName(df)
+        return out.orderBy("key", "idx")
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+# the interrupted+resumed fetch must equal the uninterrupted one
+ETL_CHECKPOINT_RESUME_SQL = ETL_PAGED_SQL
+
+
 def etl_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Python DataSource V2 form of the paged source (S1/S3/S5/S6 as
     a registered `format("paged")` reader): per-key input partitions,
@@ -452,6 +512,7 @@ FROM (VALUES ('alpha'), ('beta')) t(k) CROSS JOIN range(5) r(i)
 
 ETL_QUERIES = {
     "etl_paged_fetch": etl_paged_fetch,
+    "etl_checkpoint_resume": etl_checkpoint_resume,
     "etl_datasource_read": etl_datasource_read,
     "etl_clean_observations": etl_clean_observations,
     "etl_validate_good": etl_validate_good,
@@ -467,6 +528,7 @@ ETL_QUERIES = {
 
 ETL_ORACLE_SQL = {
     "etl_paged_fetch": ETL_PAGED_SQL,
+    "etl_checkpoint_resume": ETL_CHECKPOINT_RESUME_SQL,
     "etl_datasource_read": ETL_DATASOURCE_SQL,
     "etl_clean_observations": ETL_CLEAN_SQL,
     "etl_validate_good": ETL_VALIDATE_GOOD_SQL,
