@@ -103,9 +103,17 @@ _ID_PROBE_CACHE_MAX = 64
 
 def _id_usable(df: DataFrame) -> bool:
     """Existence probe for a non-null Id, memoized on the analyzed-plan
-    semantic hash (driver-side; no job when the same input recurs)."""
+    semantic hash PLUS the input-file snapshot (driver-side; no job when
+    the same input recurs). semanticHash alone hashes the plan, not the
+    data — a rewrite at the same path keeps the hash, but Spark writes
+    fresh uuid part-file names, so inputFiles() changes and invalidates
+    the memo."""
     try:
-        key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            df.semanticHash(),
+            hash(tuple(sorted(df.inputFiles()))),
+        )
     except Exception:  # pragma: no cover - semanticHash unavailable
         key = None
     if key is not None and key in _ID_PROBE_CACHE:

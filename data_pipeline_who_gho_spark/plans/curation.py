@@ -114,11 +114,15 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_incremental_neardup_sql() -> str:
+def _near_rejected_ctes() -> str:
+    """CTE chain ending in ``near_rejected(batch_id)`` — batch docs with
+    word-5-gram Jaccard ≥ threshold against any historical doc. ONE
+    definition shared by the incremental near-dup oracle and the
+    admission-funnel oracle, so a threshold or split-rule change can
+    never desynchronize them."""
     from .extensions import _CORPUS_SQL, _SHINGLES_SQL, JACCARD_THRESHOLD
 
-    return f"""
-WITH corpus AS ({_CORPUS_SQL}),
+    return f"""corpus AS ({_CORPUS_SQL}),
 sh AS ({_SHINGLES_SQL}),
 inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
 inter AS (
@@ -128,17 +132,22 @@ inter AS (
   GROUP BY 1, 2
 ),
 sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
-rejected AS (
+near_rejected AS (
   SELECT DISTINCT batch_id
   FROM inter
   JOIN sizes sb ON sb.doc_id = batch_id
   JOIN sizes sh2 ON sh2.doc_id = hist_id
   WHERE CAST(n_inter AS DOUBLE) / CAST(sb.n_sh + sh2.n_sh - n_inter AS DOUBLE)
         >= {JACCARD_THRESHOLD}
-)
+)"""
+
+
+def _dedup_incremental_neardup_sql() -> str:
+    return f"""
+WITH {_near_rejected_ctes()}
 SELECT c.doc_id, r.batch_id IS NULL AS admitted
 FROM (SELECT doc_id FROM corpus WHERE doc_id >= 1000000) c
-LEFT JOIN rejected r ON c.doc_id = r.batch_id
+LEFT JOIN near_rejected r ON c.doc_id = r.batch_id
 ORDER BY c.doc_id
 """
 
@@ -199,8 +208,6 @@ def corpus_admission_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _admission_sql() -> str:
-    from .extensions import _CORPUS_SQL, _SHINGLES_SQL, JACCARD_THRESHOLD
-
     n_tok = _sql_n_tokens()
     quality = _sql_quality()
     c1 = f"({n_tok} >= {FUNNEL_MIN_TOKENS})"
@@ -208,24 +215,7 @@ def _admission_sql() -> str:
     c3 = f"({c2} AND NOT exact_hit)"
     c4 = f"({c3} AND near_ok)"
     return f"""
-WITH corpus AS ({_CORPUS_SQL}),
-sh AS ({_SHINGLES_SQL}),
-inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-inter AS (
-  SELECT b.doc_id AS batch_id, h.doc_id AS hist_id, COUNT(*) AS n_inter
-  FROM inv b JOIN inv h ON b.shingle = h.shingle
-  WHERE b.doc_id >= 1000000 AND h.doc_id < 1000000 AND h.doc_id % 2 = 0
-  GROUP BY 1, 2
-),
-sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
-near_rejected AS (
-  SELECT DISTINCT batch_id
-  FROM inter
-  JOIN sizes sb ON sb.doc_id = batch_id
-  JOIN sizes sh2 ON sh2.doc_id = hist_id
-  WHERE CAST(n_inter AS DOUBLE) / CAST(sb.n_sh + sh2.n_sh - n_inter AS DOUBLE)
-        >= {JACCARD_THRESHOLD}
-),
+WITH {_near_rejected_ctes()},
 hist_fp AS (SELECT DISTINCT md5(text) AS fingerprint FROM documents WHERE doc_id % 2 = 0),
 b AS (
   SELECT d.doc_id + 1000000 AS doc_id, d.text, d.n_chars,
@@ -495,38 +485,46 @@ def embed_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-(1-θ/π)^16; production tuning trades that via plane count /
     banding, exactly like ``dedup_minhash_lsh``'s banding parameters.
     """
-    from .extensions import lsh_code_column
-    from .extras import _vec_corpus
-
     def build() -> DataFrame:
-        corpus = _vec_corpus(spark, sf_dir).withColumn(
-            "bucket", lsh_code_column(F.col("v"))
-        )
-        # bucket census (≤ 2^16 rows) broadcasts back to size sub-chunks
-        sizes = corpus.groupBy("bucket").agg(F.count(F.lit(1)).alias("s_b"))
-        n_sub = F.greatest(F.lit(1), F.ceil(F.col("s_b") / F.lit(_SEM_TILE_ROWS)))
-        chunks = (
-            corpus.join(F.broadcast(sizes), "bucket")
-            .withColumn("sub", F.pmod(F.xxhash64(F.col("vec_id")), n_sub))
-            .groupBy("bucket", "sub")
-            .agg(F.collect_list("vec_id").alias("ids"), F.collect_list("v").alias("vecs"))
-        )
-        a, b = chunks.alias("a"), chunks.alias("b")
-        tiles = a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))  # equi-join: bucket-local
-            & (F.col("a.sub") <= F.col("b.sub")),
-        ).select(
-            (F.col("a.sub") == F.col("b.sub")).alias("diag"),
-            F.col("a.ids").alias("ids_a"),
-            F.col("a.vecs").alias("vecs_a"),
-            F.col("b.ids").alias("ids_b"),
-            F.col("b.vecs").alias("vecs_b"),
-        )
-        return _tile_gemm(tiles, NEARDUP_COS)
+        return _tile_gemm(_bucketed_tiles(spark, sf_dir), NEARDUP_COS)
 
     return bounded_persist_cache(
         _BUCKETED_PAIRS_CACHE, (spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
+def _bucketed_tiles(
+    spark: SparkSession, sf_dir: str, tile_rows: int = _SEM_TILE_ROWS
+) -> DataFrame:
+    """The intra-bucket tile relation ``embed_neardup_bucketed`` feeds to
+    the GEMM kernel — exposed so the tile-count-linearity contract is
+    testable against the REAL join, not an analytic formula."""
+    from .extensions import lsh_code_column
+    from .extras import _vec_corpus
+
+    corpus = _vec_corpus(spark, sf_dir).withColumn(
+        "bucket", lsh_code_column(F.col("v"))
+    )
+    # bucket census (≤ 2^16 rows) broadcasts back to size sub-chunks
+    sizes = corpus.groupBy("bucket").agg(F.count(F.lit(1)).alias("s_b"))
+    n_sub = F.greatest(F.lit(1), F.ceil(F.col("s_b") / F.lit(tile_rows)))
+    chunks = (
+        corpus.join(F.broadcast(sizes), "bucket")
+        .withColumn("sub", F.pmod(F.xxhash64(F.col("vec_id")), n_sub))
+        .groupBy("bucket", "sub")
+        .agg(F.collect_list("vec_id").alias("ids"), F.collect_list("v").alias("vecs"))
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))  # equi-join: bucket-local
+        & (F.col("a.sub") <= F.col("b.sub")),
+    ).select(
+        (F.col("a.sub") == F.col("b.sub")).alias("diag"),
+        F.col("a.ids").alias("ids_a"),
+        F.col("a.vecs").alias("vecs_a"),
+        F.col("b.ids").alias("ids_b"),
+        F.col("b.vecs").alias("vecs_b"),
     )
 
 
@@ -534,6 +532,54 @@ def embed_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .extras import EMBED_NEARDUP_SQL, NEARDUP_COS  # noqa: E402
 
 EMBED_NEARDUP_BLOCKED_SQL = EMBED_NEARDUP_SQL
+
+
+_VEC_COS_SQL = (
+    "list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))"
+    " / (sqrt(list_sum(list_transform(a.v, x -> x * x)))"
+    " * sqrt(list_sum(list_transform(b.v, x -> x * x))))"
+)
+
+
+def _bucketed_pair_ctes() -> str:
+    """CTE chain ending in ``bpairs(id_a, id_b, cos)`` — pairs sharing a
+    16-bit LSH code, with exact cosine. DuckDB rebuilds the md5-seeded
+    integer planes and decimal projections bit-for-bit (same recipe as
+    ANN_LSH_BUCKETS_SQL), so the oracle checks the bucketed operator's
+    ACTUAL semantics: bucket-local pairs, not the all-pairs superset
+    (whose equality on fixtures is a property of exact-copy dups, not a
+    contract the oracle should encode)."""
+    from .extensions import _LSH_DIMS, _LSH_FOLD, _LSH_PLANES
+    from .extras import VEC_CORPUS_SQL
+
+    return f"""{VEC_CORPUS_SQL},
+planes AS (
+  SELECT j, i, {_LSH_FOLD} - 32768 AS w
+  FROM (SELECT j, i, md5('p' || CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)) AS h
+        FROM range({_LSH_PLANES}) p(j) CROSS JOIN range({_LSH_DIMS}) d(i))
+),
+ex AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS i FROM corpus),
+proj AS (
+  SELECT vec_id, j, SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(20,10)) * w) AS p
+  FROM ex JOIN planes USING (i) GROUP BY vec_id, j
+),
+codes AS (
+  SELECT vec_id, SUM(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bucket
+  FROM proj GROUP BY vec_id
+),
+bpairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_VEC_COS_SQL} AS cos
+  FROM corpus a
+  JOIN codes ca ON ca.vec_id = a.vec_id
+  JOIN corpus b ON a.vec_id < b.vec_id
+  JOIN codes cb ON cb.vec_id = b.vec_id AND ca.bucket = cb.bucket
+)"""
+
+
+EMBED_NEARDUP_BUCKETED_SQL = f"""
+WITH {_bucketed_pair_ctes()}
+SELECT id_a, id_b, round(cos, 6) AS cosine FROM bpairs WHERE cos >= {NEARDUP_COS}
+"""
 
 
 def semantic_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,17 +618,11 @@ def semantic_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_dedup_sql() -> str:
-    from .extras import NEARDUP_COS, VEC_CORPUS_SQL
-
+    # edges come from the BUCKETED pair generator (the path the Spark
+    # query consumes), so the oracle tracks its semantics exactly
     return f"""
-WITH RECURSIVE {VEC_CORPUS_SQL},
-pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-  WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
-        / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-           * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= {NEARDUP_COS}
-),
+WITH RECURSIVE {_bucketed_pair_ctes()},
+pairs AS (SELECT id_a, id_b FROM bpairs WHERE cos >= {NEARDUP_COS}),
 edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION SELECT id_b, id_a FROM pairs
@@ -718,9 +758,9 @@ CURATION_ORACLE_SQL = {
     "table_diff": TABLE_DIFF_SQL,
     "semantic_dedup_reps": SEMANTIC_DEDUP_SQL,
     "embed_neardup_blocked": EMBED_NEARDUP_BLOCKED_SQL,
-    # recall 1.0 on the fixture (exact-copy dups share LSH codes), so the
-    # exact-pairs oracle applies verbatim
-    "embed_neardup_bucketed": EMBED_NEARDUP_BLOCKED_SQL,
+    # bucket-aware oracle: checks the bucketed semantics themselves, so
+    # the binding survives fixtures with incidental borderline pairs
+    "embed_neardup_bucketed": EMBED_NEARDUP_BUCKETED_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
     "dataset_card_stats": DATASET_CARD_SQL,
 }

@@ -707,7 +707,15 @@ def lsh_code_column(embedding: Column) -> Column:
         )
         bit = F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
         code = code + F.shiftleft(bit.cast("long"), j)
-    return code
+    # dimensionality guard: zip_with NULL-pads a short vector, every
+    # projection goes NULL, and ALL codes silently collapse to 0 (one
+    # giant bucket — the exact cliff this code exists to avoid). Fail
+    # loudly instead; assert_true yields NULL on success (adds 0).
+    guard = F.assert_true(
+        F.size(embedding) == _LSH_DIMS,
+        F.lit(f"lsh_code_column requires {_LSH_DIMS}-dim vectors"),
+    )
+    return code + F.coalesce(guard.cast("long"), F.lit(0))
 
 
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:

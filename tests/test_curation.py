@@ -156,50 +156,58 @@ def test_bucketed_equals_blocked_pair_set(spark):
     assert bucketed == blocked and bucketed
 
 
+def _diverse_vec(i: int) -> list[float]:
+    """64-dim vector whose hyperplane code varies with i (diverse sign
+    patterns), with a deliberately HOT shared pattern for i % 16 == 7."""
+    seed = 7 if i % 16 == 7 else i * 2654435761 % (1 << 31)
+    return [
+        float(1 + (seed + d) % 5) * (1.0 if (seed >> (d % 31)) & 1 else -1.0)
+        for d in range(64)
+    ]
+
+
 def test_bucketed_tile_count_is_linear(spark, monkeypatch):
-    """Tile/task count must scale LINEARLY with corpus size at fixed
-    bucket width: Σ_b ceil(s_b/W)·(ceil(s_b/W)+1)/2 — doubling a corpus
-    of small buckets must not quadruple tiles the way the all-pairs C²
-    tiling does. Synthetic one-hot-ish vectors spread over many codes;
-    a forced tiny tile width splits a deliberately hot bucket."""
+    """Tile count of the REAL intra-bucket join must scale linearly with
+    corpus size at fixed tile width: doubling a diverse corpus must not
+    quadruple tiles the way the all-pairs C² tiling does. Vectors are
+    64-dim (the plane dimensionality — shorter inputs now raise), codes
+    are diverse, and a constant-size hot pattern plus a tiny forced tile
+    width exercises the hot-bucket sub-split."""
     from data_pipeline_who_gho_spark.plans import curation, extras
 
     def run(n: int) -> int:
-        rows = [
-            (i, [float(1 + (i * 7 + d * 3) % 5) * (1.0 if (i >> d) & 1 else -1.0)
-                 for d in range(16)])
-            for i in range(n)
-        ]
+        rows = [(i, _diverse_vec(i)) for i in range(n)]
         df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
         monkeypatch.setattr(extras, "_t", lambda s, d, name: df)
-        curation._BUCKETED_PAIRS_CACHE.clear()
-        try:
-            from data_pipeline_who_gho_spark.plans.extensions import lsh_code_column
-            from pyspark.sql import functions as F
-
-            corpus = extras._vec_corpus(spark, f"synthetic://linear-{n}").withColumn(
-                "bucket", lsh_code_column(F.col("v"))
-            )
-            sizes = corpus.groupBy("bucket").agg(F.count(F.lit(1)).alias("s_b"))
-            W = curation._SEM_TILE_ROWS
-            tiles = sizes.select(
-                (
-                    F.ceil(F.col("s_b") / F.lit(W))
-                    * (F.ceil(F.col("s_b") / F.lit(W)) + 1)
-                    / 2
-                ).alias("t")
-            ).agg(F.sum("t").alias("tiles")).collect()[0]["tiles"]
-            return int(tiles)
-        finally:
-            curation._BUCKETED_PAIRS_CACHE.clear()
+        tiles = curation._bucketed_tiles(
+            spark, f"synthetic://linear-{n}", tile_rows=4
+        )
+        n_tiles = tiles.count()
+        # the hot pattern (4+ vectors, width 4) must actually sub-split:
+        # at least one cross-sub tile exists
+        assert tiles.filter("NOT diag").count() >= 1
+        return n_tiles
 
     t_small, t_large = run(64), run(128)
-    # linear (not quadratic) growth: 2x corpus => <= ~2x tiles + slack
-    assert t_large <= 2 * t_small + 8, (t_small, t_large)
-    # the quadratic all-pairs tiling with C chunks would give C(C+1)/2
-    # tiles regardless of data; the bucketed form at this scale stays
-    # near one tile per occupied bucket
-    assert t_small >= 1
+    # linear (not quadratic) growth: 2x corpus => <= ~2.5x tiles (slack
+    # for hash-uneven sub-chunking), where C^2 tiling would give ~4x
+    assert t_small >= 32, t_small  # diverse codes: most buckets tiny
+    assert t_large <= 2.5 * t_small, (t_small, t_large)
+
+
+def test_lsh_code_rejects_wrong_dimensionality(spark):
+    """A vector shorter than the 64-dim plane matrix must raise, not
+    silently collapse every code to bucket 0."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_who_gho_spark.plans.extensions import lsh_code_column
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 16)], "vec_id long, v array<double>"
+    ).select(lsh_code_column(F.col("v")).alias("code"))
+    with pytest.raises(Exception, match="64-dim"):
+        df.collect()
 
 
 def test_weighted_sample_deterministic_and_biased(spark):
