@@ -94,6 +94,10 @@ from data_pipeline_who_gho_spark.plans.curation import (  # noqa: E402
     CURATION_ORACLE_SQL,
     CURATION_QUERIES,
 )
+from data_pipeline_who_gho_spark.plans.curation2 import (  # noqa: E402
+    CURATION2_ORACLE_SQL,
+    CURATION2_QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -147,6 +151,9 @@ _PRIORITY = [
     # ahead of the analytics3-6 backlog (deferred to round 4)
     "doc_repetition_stats", "domain_quota_sample", "seq_packing",
     "source_mix_weights", "curriculum_phases",
+    # round-3 session additions (sub-document dedup + PQ): rank with the
+    # other never-green curation ops, ahead of the analytics3-6 backlog
+    "dedup_passages", "duplicate_spans", "ann_ivf_pq",
 ]
 
 
@@ -211,6 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(TRAINING2_QUERIES)
     out.update(EXTENSION2_QUERIES)
     out.update(CURATION_QUERIES)
+    out.update(CURATION2_QUERIES)
     order = _rotated(list(out))
     return {name: out[name] for name in order}
 
@@ -218,6 +226,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted ⇒ rows-only)."""
     out: dict[str, str] = {}
-    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL, EXTRAS_ORACLE_SQL, STREAMING_ORACLE_SQL, TPCH_ORACLE_SQL, BEHAVIOR_ORACLE_SQL, TPCH2_ORACLE_SQL, TRAINING_ORACLE_SQL, ANALYTICS3_ORACLE_SQL, VECTOR_ANALYTICS_ORACLE_SQL, ANALYTICS4_ORACLE_SQL, TPCH3_ORACLE_SQL, ANALYTICS5_ORACLE_SQL, TPCH4_ORACLE_SQL, ANALYTICS6_ORACLE_SQL, TRAINING2_ORACLE_SQL, EXTENSION2_ORACLE_SQL, CURATION_ORACLE_SQL):
+    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL, EXTRAS_ORACLE_SQL, STREAMING_ORACLE_SQL, TPCH_ORACLE_SQL, BEHAVIOR_ORACLE_SQL, TPCH2_ORACLE_SQL, TRAINING_ORACLE_SQL, ANALYTICS3_ORACLE_SQL, VECTOR_ANALYTICS_ORACLE_SQL, ANALYTICS4_ORACLE_SQL, TPCH3_ORACLE_SQL, ANALYTICS5_ORACLE_SQL, TPCH4_ORACLE_SQL, ANALYTICS6_ORACLE_SQL, TRAINING2_ORACLE_SQL, EXTENSION2_ORACLE_SQL, CURATION_ORACLE_SQL, CURATION2_ORACLE_SQL):
         out.update({k: v for k, v in d.items() if v})
     return out

@@ -1,0 +1,437 @@
+"""Sub-document curation operators: passage-level dedup with document
+reassembly, duplicated-span detection, and product-quantized ANN.
+
+These extend the doc-level dedup family (plans/extensions.py) to the two
+granularities large-corpus curation actually operates at —
+
+* ``dedup_passages``: RefinedWeb/CCNet-style passage dedup. Documents
+  are split into fixed token windows ("passages"); a passage seen
+  anywhere earlier in the corpus is dropped, and each document is
+  reassembled from its surviving passages. The reference's dedup (T6/T8,
+  ``etl/transform.py:45-48``) is whole-row; this is the sub-row analog a
+  training corpus needs (boilerplate headers/footers repeat across
+  pages whose bodies differ).
+* ``duplicate_spans``: the substring-dedup diagnostic from "Deduplicating
+  Training Data Makes Language Models Better" (Lee et al., 2022) —
+  maximal duplicated token spans (length ≥ SPAN_K) across documents,
+  found by k-gram fingerprint matching + island merging, the distributed
+  approximation of the paper's suffix-array scan.
+* ``ann_ivf_pq``: product quantization with asymmetric distance
+  computation (ADC) — the memory side of the IVF-PQ architecture every
+  web-scale ANN system uses (Jégou et al., 2011). The coarse-quantizer
+  half already exists (``ann_ivf_search`` / ``ann_ivf_nprobe``,
+  plans/extras.py); this supplies the in-cell compressed-distance half.
+
+Scale notes
+-----------
+- dedup_passages: one shuffle to group passages, one to pick owners
+  (hash-groupBy on the passage fingerprint — same 100 TB shape as
+  dedup_exact), one narrow re-agg per doc to reassemble. No arrays of
+  passages cross a shuffle; rows are (doc_id, idx, fingerprint).
+- duplicate_spans: k-gram fingerprints are rows; the duplicate-mark is
+  a groupBy count on the fingerprint (partial-agg friendly); island
+  merging is a per-doc window (pos - row_number), so state never leaves
+  the doc partition.
+- ann_ivf_pq: codebooks are M×K rows (tiny, broadcast); encoding is a
+  map-only broadcast NLJ; ADC joins the (vec, m, code) rows to a
+  broadcast distance table and reduces with one (query, vec) shuffle.
+  At 100 TB the ADC fan-out is bounded per IVF cell, not per corpus —
+  compose with ann_ivf_* cell pruning.
+
+Cross-engine exactness: all distance folds are left-to-right double
+accumulation (functions/vectors.py parity contract); cross-row sums use
+integer fixed point (floor(d2 · 1e9)) so they are order-free and
+bit-identical in both engines; codebook means use the established
+float→string→decimal→string→double hop (see plans/vector_analytics.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions import vectors as VEC
+from ..sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Shared corpus: hybrid documents that duplicate PARTS of two base docs.
+# For every doc_id % 11 == 0 (call it d), a hybrid doc (d + 2000000) is
+# injected whose text = first 32 tokens of d ∥ full text of d+1. Passage
+# dedup should suppress (nearly) all of each hybrid; span detection
+# should find the 32-token prefix span and the |d+1|-token suffix span
+# on both sides.
+# ---------------------------------------------------------------------------
+
+_PASSAGE_P = 16  # tokens per passage window
+_SPAN_K = 10     # minimum duplicated span length (tokens)
+_HYBRID_TAKE = 2 * _PASSAGE_P  # prefix kept passage-aligned
+
+
+def _corpus2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("a_id"), F.col("text").alias("a_text")
+    )
+    b = docs.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"))
+    hybrids = a.join(b, F.col("a_id") + 1 == F.col("b_id")).select(
+        (F.col("a_id") + 2000000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.array_join(F.slice(TX.tokens(F.col("a_text")), 1, _HYBRID_TAKE), " "),
+            F.col("b_text"),
+        ).alias("text"),
+    )
+    return docs.unionByName(hybrids)
+
+
+_CORPUS2_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT a.doc_id + 2000000 AS doc_id,
+         concat_ws(' ',
+           array_to_string(list_slice(regexp_split_to_array(trim(lower(a.text)), '\\s+'),
+                                      1, {_HYBRID_TAKE}), ' '),
+           b.text) AS text
+  FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+  WHERE a.doc_id % 11 = 0
+"""
+
+
+def _token_rows(corpus: DataFrame) -> DataFrame:
+    """(doc_id, pos, tok) with 0-based pos — the row form every
+    sub-document operator shares (arrays never cross a shuffle)."""
+    return corpus.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "tok")
+    )
+
+
+_TOKEN_ROWS_SQL = """
+  SELECT doc_id,
+         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\\s+'), 1) - 1 AS pos,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM corpus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Passage-level dedup with reassembly
+# ---------------------------------------------------------------------------
+
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide passage dedup: split each doc into fixed 16-token
+    windows, keep each distinct passage only at its first occurrence
+    (min (doc_id, idx)), reassemble every doc from its surviving
+    passages. Returns the per-doc audit row: passage counts before and
+    after, plus the md5 of the deduplicated text (compact, hashable
+    proof of the exact reassembled bytes)."""
+    tok = _token_rows(_corpus2(spark, sf_dir))
+    passages = (
+        tok.withColumn("idx", F.floor(F.col("pos") / _PASSAGE_P).cast("int"))
+        .groupBy("doc_id", "idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("passage")
+        )
+        .withColumn("fp", F.md5(F.col("passage")))
+    )
+    # first-occurrence owner as a scalar key (doc_id · 1024 + idx): min of
+    # a BIGINT is portable where min-of-struct ordering is not
+    okey = F.col("doc_id") * 1024 + F.col("idx")
+    owned = passages.withColumn(
+        "owner", F.min(okey).over(Window.partitionBy("fp"))
+    )
+    kept = owned.withColumn("is_kept", F.col("owner") == okey)
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.col("is_kept").cast("int")).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("is_kept"), F.struct("idx", "passage"))
+                            )
+                        ),
+                        lambda s: s["passage"],
+                    ),
+                    " ",
+                )
+            ).alias("clean_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_PASSAGES_SQL = f"""
+WITH corpus AS ({_CORPUS2_SQL}),
+tok AS ({_TOKEN_ROWS_SQL}),
+passages AS (
+  SELECT doc_id, CAST(floor(pos / {_PASSAGE_P}.0) AS INT) AS idx,
+         string_agg(tok, ' ' ORDER BY pos) AS passage
+  FROM tok GROUP BY doc_id, CAST(floor(pos / {_PASSAGE_P}.0) AS INT)
+),
+owned AS (
+  SELECT doc_id, idx, passage,
+         min(doc_id * 1024 + idx) OVER (PARTITION BY md5(passage)) AS owner
+  FROM passages
+)
+SELECT doc_id, COUNT(*) AS n_passages,
+       CAST(SUM(CASE WHEN owner = doc_id * 1024 + idx THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN owner = doc_id * 1024 + idx THEN passage END,
+                               ' ' ORDER BY idx), '')) AS clean_fp
+FROM owned GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span detection (Lee et al. 2022, distributed approximation)
+# ---------------------------------------------------------------------------
+
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans of length ≥ 10 across the corpus:
+    fingerprint every 10-token k-gram, keep k-grams whose fingerprint
+    occurs more than once corpus-wide, merge consecutive duplicated
+    start positions per doc into islands (pos − row_number grouping),
+    and report each island as (doc_id, start_pos, span_len)."""
+    tok = _token_rows(_corpus2(spark, sf_dir))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, _SPAN_K)]
+    kgrams = (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.md5(F.concat_ws(" ", F.col("tok"), *leads)).alias("fp"),
+            leads[-1].isNotNull().alias("__complete"),
+        )
+        .filter(F.col("__complete"))
+        .select("doc_id", "pos", "fp")
+    )
+    dup_marks = kgrams.withColumn(
+        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    ).filter(F.col("n_occ") > 1)
+    w_isl = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dup_marks.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w_isl)
+    )
+    return (
+        islands.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("start_pos"),
+            (F.max("pos") - F.min("pos") + _SPAN_K).cast("long").alias("span_len"),
+        )
+        .select("doc_id", "start_pos", "span_len")
+        .orderBy("doc_id", "start_pos")
+    )
+
+
+DUPLICATE_SPANS_SQL = f"""
+WITH corpus AS ({_CORPUS2_SQL}),
+tok AS ({_TOKEN_ROWS_SQL}),
+kg AS (
+  SELECT doc_id, pos,
+         md5(concat_ws(' ', {", ".join(
+             f"lead(tok, {i}) OVER (PARTITION BY doc_id ORDER BY pos)"
+             if i else "tok" for i in range(_SPAN_K))})) AS fp,
+         lead(tok, {_SPAN_K - 1}) OVER (PARTITION BY doc_id ORDER BY pos)
+           IS NOT NULL AS complete
+  FROM tok
+),
+marks AS (
+  SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY fp) AS n_occ
+  FROM kg WHERE complete
+),
+islands AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM marks WHERE n_occ > 1
+)
+SELECT doc_id, MIN(pos) AS start_pos,
+       MAX(pos) - MIN(pos) + {_SPAN_K} AS span_len
+FROM islands GROUP BY doc_id, grp
+ORDER BY doc_id, start_pos
+"""
+
+
+# ---------------------------------------------------------------------------
+# Product quantization with ADC (the compressed half of IVF-PQ)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4        # subspaces
+_PQ_W = 16       # dims per subspace (4 × 16 = the 64-dim embeddings)
+_PQ_K = 16       # codes per subspace codebook
+_PQ_TOPK = 10
+_PQ_QUERY_MOD = 61  # queries = vec_id % 61 == 0 (~8 at sf0.01)
+_PQ_FX = int(1e9)   # fixed-point scale for order-free distance sums
+
+
+def _subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, sub): each vector split into M W-dim subvectors —
+    the row form whose shuffles carry only one subspace at a time."""
+    m = F.explode(F.array([F.lit(i) for i in range(_PQ_M)])).alias("m")
+    return emb.select("vec_id", m, "v").select(
+        "vec_id", "m", F.slice("v", F.col("m") * _PQ_W + 1, _PQ_W).alias("sub")
+    )
+
+
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed approximate search with asymmetric distance
+    computation. Codebooks: per subspace, K=16 centroids initialized
+    from the first 16 vectors' subvectors and refined with one exact
+    Lloyd update (decimal-mean hop, engine-identical doubles). Every
+    vector is encoded as M=4 code ids (map-only broadcast argmin); each
+    query precomputes its M×K distance table; approximate distance =
+    Σ_m dtable[m, code_m], accumulated in integer fixed point so the
+    sum is order-free and exact. Returns top-10 neighbors per query
+    (self excluded) by (approx distance, vec_id)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VEC.as_double("embedding").alias("v")
+    )
+    subs = _subvectors(emb)
+    cb0 = _subvectors(emb.filter(F.col("vec_id") < _PQ_K)).select(
+        "m", F.col("vec_id").alias("code"), F.col("sub").alias("cv")
+    )
+
+    def assign(cands: DataFrame, cb: DataFrame) -> DataFrame:
+        w = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
+        return (
+            cands.join(F.broadcast(cb), "m")
+            .withColumn("d2", _l2(F.col("sub"), F.col("cv")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+
+    # one Lloyd refinement: exact decimal per-dimension means of the raw
+    # assigned subvector components (float→string→decimal→string→double)
+    a0 = assign(subs, cb0).select("vec_id", "m", "code", "sub")
+    comp = (
+        a0.select("m", "code", F.posexplode("sub").alias("pos", "x"))
+        .groupBy("m", "code", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("string").cast("decimal(20,10)"))
+                .cast("string")
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+    cb1 = comp.groupBy("m", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+
+    codes = assign(subs, cb1).select("vec_id", "m", "code")
+    queries = _subvectors(emb.filter(F.col("vec_id") % _PQ_QUERY_MOD == 0)).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sub").alias("qsub")
+    )
+    dtable = (
+        queries.join(F.broadcast(cb1), "m")
+        .withColumn(
+            "d2_fx", F.floor(_l2(F.col("qsub"), F.col("cv")) * _PQ_FX)
+        )
+        .select("query_id", "m", "code", "d2_fx")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("approx_fx", "vec_id")
+    return (
+        codes.join(F.broadcast(dtable), ["m", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2_fx").alias("approx_fx"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "vec_id", "approx_fx", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _l2(a, b):
+    """Squared L2, left-to-right fold (oracle-identical element order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_PQ_D2 = "list_sum(list_transform(list_zip({a}, {b}), x -> (x[1]-x[2])*(x[1]-x[2])))"
+
+ANN_IVF_PQ_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+subs AS (
+  SELECT vec_id, m.m, list_slice(v, m.m * {_PQ_W} + 1, (m.m + 1) * {_PQ_W}) AS sub
+  FROM e CROSS JOIN (SELECT unnest([{", ".join(str(i) for i in range(_PQ_M))}]) AS m) m
+),
+cb0 AS (SELECT m, vec_id AS code, sub AS cv FROM subs WHERE vec_id < {_PQ_K}),
+a0 AS (
+  SELECT vec_id, m, code, sub FROM (
+    SELECT s.vec_id, s.m, c.code, s.sub,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY {_PQ_D2.format(a="s.sub", b="c.cv")}, c.code) AS rn
+    FROM subs s JOIN cb0 c USING (m)
+  ) WHERE rn = 1
+),
+comp AS (
+  SELECT m, code, u.pos - 1 AS pos,
+         CAST(CAST(SUM(CAST(CAST(u.x AS VARCHAR) AS DECIMAL(20,10))) AS VARCHAR)
+              AS DOUBLE) / COUNT(*) AS c
+  FROM (SELECT vec_id, m, code, unnest(sub) AS x,
+               generate_subscripts(sub, 1) AS pos FROM a0) u
+  GROUP BY m, code, pos
+),
+cb1 AS (SELECT m, code, array_agg(c ORDER BY pos) AS cv FROM comp GROUP BY m, code),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY {_PQ_D2.format(a="s.sub", b="c.cv")}, c.code) AS rn
+    FROM subs s JOIN cb1 c USING (m)
+  ) WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS query_id, m, sub AS qsub FROM subs
+  WHERE vec_id % {_PQ_QUERY_MOD} = 0
+),
+dtable AS (
+  SELECT query_id, m, code,
+         CAST(floor({_PQ_D2.format(a="qsub", b="cv")} * {_PQ_FX}) AS BIGINT) AS d2_fx
+  FROM queries JOIN cb1 USING (m)
+),
+approx AS (
+  SELECT query_id, vec_id, CAST(SUM(d2_fx) AS BIGINT) AS approx_fx
+  FROM codes JOIN dtable USING (m, code)
+  WHERE query_id <> vec_id
+  GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id, approx_fx, rank FROM (
+  SELECT query_id, vec_id, approx_fx,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_fx, vec_id) AS rank
+  FROM approx
+) WHERE rank <= {_PQ_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+CURATION2_QUERIES = {
+    "dedup_passages": dedup_passages,
+    "duplicate_spans": duplicate_spans,
+    "ann_ivf_pq": ann_ivf_pq,
+}
+
+CURATION2_ORACLE_SQL = {
+    "dedup_passages": DEDUP_PASSAGES_SQL,
+    "duplicate_spans": DUPLICATE_SPANS_SQL,
+    "ann_ivf_pq": ANN_IVF_PQ_SQL,
+}

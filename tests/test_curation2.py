@@ -1,0 +1,123 @@
+"""Sub-document curation ops: passage dedup, duplicated spans, PQ-ADC."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from data_pipeline_who_gho_spark.plans.curation2 import (
+    _PQ_QUERY_MOD,
+    _PQ_TOPK,
+    _SPAN_K,
+    ann_ivf_pq,
+    dedup_passages,
+    duplicate_spans,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_passage_dedup_suppresses_hybrids_keeps_originals(spark):
+    rows = dedup_passages(spark, SF).collect()
+    base = [r for r in rows if r["doc_id"] < 2000000]
+    hybrids = [r for r in rows if r["doc_id"] >= 2000000]
+    assert hybrids, "fixture must inject hybrid docs"
+    # a hybrid whose prefix source has ≥ 32 tokens is passage-ALIGNED
+    # with both sources, so it loses passages to them; a shorter source
+    # shifts the window grid and the hybrid's passages are all novel
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n"))
+        .collect()
+    }
+    aligned = [r for r in hybrids if n_tok[r["doc_id"] - 2000000] >= 32]
+    assert aligned, "fixture needs at least one aligned hybrid"
+    # every aligned-hybrid passage is one of its sources' passages, and
+    # both sources precede it in owner order: total suppression
+    assert all(r["n_kept"] == 0 for r in aligned)
+    # base docs always keep their first-occurrence passages; the corpus
+    # generator reuses chunks across docs, so SOME base docs lose later
+    # occurrences, but never all of their passages to a later doc
+    assert any(r["n_kept"] == r["n_passages"] for r in base)
+    # doc 0 owns the smallest okey for every fingerprint it carries
+    doc0 = next(r for r in base if r["doc_id"] == 0)
+    assert doc0["n_kept"] == doc0["n_passages"]
+
+
+def test_passage_dedup_conserves_distinct_passages(spark):
+    """Each distinct passage is kept at exactly one location: the sum of
+    per-doc kept counts equals the corpus-wide distinct-passage count."""
+    from data_pipeline_who_gho_spark.plans.curation2 import (
+        _PASSAGE_P,
+        _corpus2,
+        _token_rows,
+    )
+
+    rows = dedup_passages(spark, SF).collect()
+    tok = _token_rows(_corpus2(spark, SF))
+    n_distinct = (
+        tok.withColumn("idx", F.floor(F.col("pos") / _PASSAGE_P).cast("int"))
+        .groupBy("doc_id", "idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("passage")
+        )
+        .select("passage")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_kept"] for r in rows) == n_distinct
+
+
+def test_duplicate_spans_mark_both_sides(spark):
+    spans = duplicate_spans(spark, SF).collect()
+    assert spans and all(r["span_len"] >= _SPAN_K for r in spans)
+    by_doc: dict[int, list] = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append((r["start_pos"], r["span_len"]))
+    hybrid_ids = {d for d in by_doc if d >= 2000000}
+    assert hybrid_ids
+    for h in hybrid_ids:
+        # the hybrid's duplicated material must also be flagged in its
+        # source docs (span detection is symmetric)
+        src = h - 2000000
+        assert src in by_doc or (src + 1) in by_doc
+        # the 32-token prefix copied from src shows up as an island
+        # anchored at position 0
+        assert any(s == 0 for s, _ in by_doc[h])
+
+
+def test_pq_structure_and_recall(spark):
+    rows = ann_ivf_pq(spark, SF).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["query_id"] % _PQ_QUERY_MOD == 0
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == list(
+            range(1, _PQ_TOPK + 1)
+        )
+        dist = [r["approx_fx"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert dist == sorted(dist), "approx distance must be monotone in rank"
+        assert all(r["vec_id"] != q for r in rs)
+
+    # PQ is approximate, but it must correlate with the exact ranking:
+    # average overlap with the exact L2 top-10 strictly positive
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb}
+    overlaps = []
+    for q, rs in by_q.items():
+        d = {i: float(np.sum((vecs[q] - v) ** 2)) for i, v in vecs.items() if i != q}
+        exact = {i for i, _ in sorted(d.items(), key=lambda kv: (kv[1], kv[0]))[:_PQ_TOPK]}
+        overlaps.append(len(exact & {r["vec_id"] for r in rs}))
+    assert sum(overlaps) / len(overlaps) >= 1.0
