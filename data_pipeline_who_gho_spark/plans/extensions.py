@@ -312,18 +312,34 @@ def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Broadcast the candidate side only when its EXACT cardinality is under
+# this bound (50M (long, long) pairs ≈ 1.6 GB — comfortably inside
+# Spark's 8 GB broadcast hard limit). Above it, fall back to the shuffled
+# join instead of a driver OOM / broadcast-limit job failure.
+_BROADCAST_CAND_MAX = 50_000_000
+
+
 def _verify_candidates(cand: DataFrame, arrays: DataFrame) -> DataFrame:
     """Exact Jaccard verification of (doc_a, doc_b) candidates against the
     persisted per-doc shingle arrays: hash-join the arrays twice and
     count the intersection with ``array_intersect``. Shared by the
     prefix-filter, MinHash-LSH and SNM plans — whatever the candidate
     generator's recall/pruning trade-off, the pairs it emits carry exact
-    Jaccard. The candidate side is deliberately NOT hint-broadcast: a
-    dense-dup corpus at the 100 TB posture can emit a candidate set past
-    Spark's broadcast hard limit, turning a gracefully-shuffled join
-    into a job failure — AQE converts to broadcast at runtime whenever
-    the actual candidate size is under the threshold, which is the same
-    plan the hint bought at test scale without the cliff."""
+    Jaccard.
+
+    The candidate side is broadcast-hinted ONLY when its exact count is
+    known to be small (the advisor-flagged middle path): an unconditional
+    hint is a job-failure cliff past the broadcast hard limit on a
+    dense-dup corpus, while leaving the choice to AQE lets the optimizer
+    sometimes broadcast the (much larger) shingle-ARRAY side instead —
+    observed as a 2-5× bimodal regression in BENCH runs. The candidate
+    set is materialized once via an eager localCheckpoint (it feeds the
+    join either way, so this is not an extra pass), counted for free
+    from the materialized blocks, and the hint applied only under
+    ``_BROADCAST_CAND_MAX``."""
+    cand = cand.localCheckpoint(eager=True)
+    if cand.count() <= _BROADCAST_CAND_MAX:
+        cand = F.broadcast(cand)
     a = arrays.select(
         F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a"), F.col("n_sh").alias("n_a")
     )
