@@ -424,14 +424,66 @@ ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# Export shard manifest
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment for corpus export: every document
+    lands in one of 8 output shards by md5(doc_id) (stable under
+    re-ingestion and reshuffling, like train_split_assign), and the
+    manifest row per shard carries the doc/token/char volumes a
+    downstream training loader needs for balanced reads. Map-only until
+    one 8-group aggregate — embarrassingly parallel at any scale."""
+    from .training import _nibble
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    docs = docs.withColumn("h", h)
+    shard = ((_nibble("h", 1) * 16 + _nibble("h", 2)) % _N_SHARDS).cast("long")
+    return (
+        docs.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(TX.token_count("text")).alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _shard_manifest_sql() -> str:
+    from .extensions import _sql_n_tokens
+    from .training import _sql_nibble
+
+    shard = f"(({_sql_nibble('h', 1)} * 16 + {_sql_nibble('h', 2)}) % {_N_SHARDS})"
+    return f"""
+SELECT {shard} AS shard, COUNT(*) AS n_docs,
+       CAST(SUM({_sql_n_tokens()}) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+GROUP BY shard
+ORDER BY shard
+"""
+
+
 CURATION2_QUERIES = {
     "dedup_passages": dedup_passages,
     "duplicate_spans": duplicate_spans,
     "ann_ivf_pq": ann_ivf_pq,
+    "shard_manifest": shard_manifest,
 }
 
 CURATION2_ORACLE_SQL = {
     "dedup_passages": DEDUP_PASSAGES_SQL,
     "duplicate_spans": DUPLICATE_SPANS_SQL,
     "ann_ivf_pq": ANN_IVF_PQ_SQL,
+    "shard_manifest": _shard_manifest_sql(),
 }

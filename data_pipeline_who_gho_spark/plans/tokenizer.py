@@ -1,0 +1,221 @@
+"""Tokenizer-training operators: BPE merge learning on Spark.
+
+``bpe_learn_merges`` runs the first K iterations of byte-pair-encoding
+vocabulary learning (Sennrich et al., 2016) — the tokenizer-training
+step of an LLM data pipeline — as a pure DataFrame plan:
+
+1. ONE corpus-scale shuffle builds the word-frequency table (map-side
+   combined groupBy — the same plan as ``vocab_top_tokens``). This is
+   the only stage that touches corpus-sized data; everything after
+   operates on the compact (vocab-bounded) symbol table, which is the
+   actual architecture of BPE trainers at 100 TB: you never re-scan the
+   corpus per merge.
+2. Each word becomes (word, freq, pos, sym) single-character symbol
+   rows; per iteration the plan counts adjacent symbol pairs weighted
+   by word frequency, picks the arg-max pair (ties by pair
+   lexicographic order — deterministic), and applies the merge with
+   LEFT-TO-RIGHT greedy non-overlapping semantics.
+
+The greedy overlap rule (e.g. merging ('a','a') in "aaaa" produces
+"aa","aa", not three overlapping pairs) is implemented without any
+sequential fold: pair-start rows that overlap are by construction
+CONSECUTIVE row numbers within a word (a chain requires sym[p+1] to
+start a pair too), so islands of consecutive starts (rn − row_number)
+with even in-island offset are exactly the greedily selected merges.
+Window state never leaves the word partition.
+
+The DuckDB oracle unrolls the same K iterations as CTE blocks from the
+same constants — both engines execute the identical algorithm text.
+
+Output: one row per learned merge (step, left, right, merged,
+pair_freq) — the merge table a BPE tokenizer ships with.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..sources.catalog import load_table
+
+BPE_STEPS = 6
+
+_CHARS_EXPR = "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+
+
+def _word_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, pos, sym): corpus word frequencies exploded to
+    single-character symbol rows (the BPE initial state)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return wf.select(
+        "word", "freq", F.posexplode(F.expr(_CHARS_EXPR)).alias("pos", "sym")
+    )
+
+
+def _merge_step(state: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One BPE iteration: returns (best-merge row, merged symbol state)."""
+    w = Window.partitionBy("word").orderBy("pos")
+    st = state.withColumn("nxt", F.lead("sym").over(w)).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    best = (
+        st.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("sym").alias("left"), F.col("nxt").alias("right"))
+        .agg(F.sum("freq").alias("pair_freq"))
+        .orderBy(F.desc("pair_freq"), "left", "right")
+        .limit(1)
+    )
+    marked = st.crossJoin(
+        F.broadcast(
+            best.select(
+                F.col("left").alias("best_a"), F.col("right").alias("best_b")
+            )
+        )
+    ).withColumn(
+        "pair_start",
+        (F.col("sym") == F.col("best_a")) & (F.col("nxt") == F.col("best_b")),
+    )
+    # greedy L→R non-overlap: islands of consecutive pair-start rows,
+    # keep even in-island offsets
+    w_rn = Window.partitionBy("word").orderBy("rn")
+    starts = (
+        marked.filter("pair_start")
+        .withColumn("isl", F.col("rn") - F.row_number().over(w_rn))
+        .withColumn(
+            "off",
+            F.row_number().over(Window.partitionBy("word", "isl").orderBy("rn")) - 1,
+        )
+        .filter(F.col("off") % 2 == 0)
+        .select("word", "rn", F.lit(True).alias("sel"))
+    )
+    st2 = marked.join(starts, ["word", "rn"], "left")
+    st2 = st2.withColumn(
+        "consumed", F.coalesce(F.lag("sel").over(w_rn), F.lit(False))
+    )
+    new_state = st2.filter(~F.col("consumed")).select(
+        "word",
+        "freq",
+        F.col("rn").alias("pos"),
+        F.when(F.col("sel"), F.concat("best_a", "best_b"))
+        .otherwise(F.col("sym"))
+        .alias("sym"),
+    )
+    return best, new_state
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First K=6 BPE merges learned from the corpus word-frequency
+    table. See module docstring for the plan shape; the corpus is
+    scanned exactly once."""
+    state = _word_symbols(spark, sf_dir)
+    merges: list[DataFrame] = []
+    for k in range(1, BPE_STEPS + 1):
+        best, state = _merge_step(state)
+        # truncate the iterative lineage: state_k references both best_k
+        # and state_{k-1}, so the unrolled logical plan doubles per step
+        # (2^K subtrees by step K). The vocab-bounded state is tiny —
+        # materialize it per iteration, exactly like the connected-
+        # components loop (operators/components.py). best's checkpoint is
+        # lazy: it materializes as a side effect of state's eager job
+        # (one job per iteration instead of two) and is then served from
+        # blocks to the final merge-table union.
+        best = best.localCheckpoint(eager=False)
+        state = state.localCheckpoint(eager=True)
+        merges.append(
+            best.select(
+                F.lit(k).alias("step"),
+                "left",
+                "right",
+                F.concat("left", "right").alias("merged"),
+                "pair_freq",
+            )
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("step")
+
+
+def _bpe_sql() -> str:
+    """Unroll the identical K iterations as DuckDB CTEs."""
+    blocks = [
+        f"""wf AS MATERIALIZED (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+    FROM documents
+  ) WHERE length(word) > 0 GROUP BY word
+),
+state0 AS MATERIALIZED (
+  SELECT word, freq,
+         generate_subscripts(list_transform(range(1, length(word) + 1),
+                                            i -> substr(word, i, 1)), 1) - 1 AS pos,
+         unnest(list_transform(range(1, length(word) + 1),
+                               i -> substr(word, i, 1))) AS sym
+  FROM wf
+)"""
+    ]
+    for k in range(1, BPE_STEPS + 1):
+        p = k - 1
+        blocks.append(f"""st{k} AS MATERIALIZED (
+  SELECT word, freq, pos, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+         row_number() OVER (PARTITION BY word ORDER BY pos) AS rn
+  FROM state{p}
+),
+best{k} AS MATERIALIZED (
+  SELECT sym AS left_s, nxt AS right_s, CAST(SUM(freq) AS BIGINT) AS pair_freq
+  FROM st{k} WHERE nxt IS NOT NULL
+  GROUP BY sym, nxt
+  ORDER BY pair_freq DESC, left_s, right_s LIMIT 1
+),
+marked{k} AS MATERIALIZED (
+  SELECT s.*, b.left_s AS best_a, b.right_s AS best_b,
+         s.sym = b.left_s AND s.nxt = b.right_s AS pair_start
+  FROM st{k} s CROSS JOIN best{k} b
+),
+starts{k} AS MATERIALIZED (
+  SELECT word, rn, TRUE AS sel FROM (
+    SELECT word, rn,
+           row_number() OVER (PARTITION BY word, isl ORDER BY rn) - 1 AS off
+    FROM (
+      SELECT word, rn,
+             rn - row_number() OVER (PARTITION BY word ORDER BY rn) AS isl
+      FROM marked{k} WHERE pair_start
+    )
+  ) WHERE off % 2 = 0
+),
+state{k} AS MATERIALIZED (
+  SELECT word, freq, rn AS pos,
+         CASE WHEN sel THEN best_a || best_b ELSE sym END AS sym
+  FROM (
+    SELECT m.word, m.freq, m.rn, m.sym, m.best_a, m.best_b, s.sel,
+           coalesce(lag(s.sel) OVER (PARTITION BY m.word ORDER BY m.rn),
+                    FALSE) AS consumed
+    FROM marked{k} m LEFT JOIN starts{k} s ON m.word = s.word AND m.rn = s.rn
+  ) WHERE NOT consumed
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, left_s AS \"left\", right_s AS \"right\", "
+        f"left_s || right_s AS merged, pair_freq FROM best{k}"
+        for k in range(1, BPE_STEPS + 1)
+    )
+    return "WITH " + ",\n".join(blocks) + "\nSELECT * FROM (\n" + finals + "\n) ORDER BY step"
+
+
+BPE_LEARN_MERGES_SQL = _bpe_sql()
+
+
+TOKENIZER_QUERIES = {
+    "bpe_learn_merges": bpe_learn_merges,
+}
+
+TOKENIZER_ORACLE_SQL = {
+    "bpe_learn_merges": BPE_LEARN_MERGES_SQL,
+}

@@ -1,0 +1,88 @@
+"""BPE merge learning + export shard manifest."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from data_pipeline_who_gho_spark.plans.curation2 import _N_SHARDS, shard_manifest
+from data_pipeline_who_gho_spark.plans.tokenizer import BPE_STEPS, bpe_learn_merges
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_bpe(word_freq: dict[str, int], steps: int):
+    """Reference BPE: per-position pair counts, arg-max with (freq desc,
+    pair lexicographic) tie-break, greedy left-to-right non-overlapping
+    merge — the exact contract of plans/tokenizer.py."""
+    state = {w: [c for c in w] for w in word_freq}
+    merges = []
+    for step in range(1, steps + 1):
+        counts: Counter = Counter()
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += word_freq[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), freq = best
+        merges.append((step, a, b, a + b, freq))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    return merges
+
+
+def test_bpe_matches_reference_implementation(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    wf = {
+        r["word"]: r["freq"]
+        for r in docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .collect()
+    }
+    expected = _py_bpe(wf, BPE_STEPS)
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_freq"])
+        for r in bpe_learn_merges(spark, SF).collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_freq_monotone(spark):
+    rows = bpe_learn_merges(spark, SF).collect()
+    assert [r["step"] for r in rows] == list(range(1, BPE_STEPS + 1))
+    freqs = [r["pair_freq"] for r in rows]
+    # merging the max pair can only remove adjacencies or create pairs
+    # bounded by the merged count: the selected frequency never rises
+    assert all(a >= b for a, b in zip(freqs, freqs[1:]))
+    assert all(r["merged"] == r["left"] + r["right"] for r in rows)
+
+
+def test_shard_manifest_partitions_corpus(spark):
+    rows = {r["shard"]: r for r in shard_manifest(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "n_chars"
+    ).collect()
+    expected: Counter = Counter()
+    for r in docs:
+        h = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+        expected[(int(h[0], 16) * 16 + int(h[1], 16)) % _N_SHARDS] += 1
+    assert {s: r["n_docs"] for s, r in rows.items()} == dict(expected)
+    assert sum(r["n_docs"] for r in rows.values()) == len(docs)
+    assert sum(r["total_chars"] for r in rows.values()) == sum(
+        r["n_chars"] for r in docs
+    )
