@@ -158,7 +158,7 @@ _PRIORITY = [
     # round-3 session additions (sub-document dedup + PQ): rank with the
     # other never-green curation ops, ahead of the analytics3-6 backlog
     "dedup_passages", "duplicate_spans", "ann_ivf_pq",
-    "shard_manifest", "bpe_learn_merges",
+    "shard_manifest", "bpe_learn_merges", "bpe_token_counts",
 ]
 
 

@@ -110,41 +110,84 @@ def _merge_step(state: DataFrame) -> tuple[DataFrame, DataFrame]:
     return best, new_state
 
 
+# learned (merge DataFrames, final symbol state) per (application, sf):
+# both registered queries consume the same K checkpointed iterations
+_LEARN_CACHE: dict[tuple[str, str], tuple[list[DataFrame], DataFrame]] = {}
+
+
+def _learn(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataFrame]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LEARN_CACHE:
+        state = _word_symbols(spark, sf_dir)
+        merges: list[DataFrame] = []
+        for _ in range(BPE_STEPS):
+            best, state = _merge_step(state)
+            # truncate the iterative lineage: state_k references both
+            # best_k and state_{k-1}, so the unrolled logical plan
+            # doubles per step (2^K subtrees by step K). The
+            # vocab-bounded state is tiny — materialize it per
+            # iteration, exactly like the connected-components loop
+            # (operators/components.py). best's checkpoint is lazy: it
+            # materializes as a side effect of state's eager job (one
+            # job per iteration instead of two) and is then served from
+            # blocks to downstream consumers.
+            best = best.localCheckpoint(eager=False)
+            state = state.localCheckpoint(eager=True)
+            merges.append(best)
+        _LEARN_CACHE[key] = (merges, state)
+    return _LEARN_CACHE[key]
+
+
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First K=6 BPE merges learned from the corpus word-frequency
     table. See module docstring for the plan shape; the corpus is
     scanned exactly once."""
-    state = _word_symbols(spark, sf_dir)
-    merges: list[DataFrame] = []
-    for k in range(1, BPE_STEPS + 1):
-        best, state = _merge_step(state)
-        # truncate the iterative lineage: state_k references both best_k
-        # and state_{k-1}, so the unrolled logical plan doubles per step
-        # (2^K subtrees by step K). The vocab-bounded state is tiny —
-        # materialize it per iteration, exactly like the connected-
-        # components loop (operators/components.py). best's checkpoint is
-        # lazy: it materializes as a side effect of state's eager job
-        # (one job per iteration instead of two) and is then served from
-        # blocks to the final merge-table union.
-        best = best.localCheckpoint(eager=False)
-        state = state.localCheckpoint(eager=True)
-        merges.append(
-            best.select(
-                F.lit(k).alias("step"),
-                "left",
-                "right",
-                F.concat("left", "right").alias("merged"),
-                "pair_freq",
-            )
+    merges, _ = _learn(spark, sf_dir)
+    rows = [
+        best.select(
+            F.lit(k).alias("step"),
+            "left",
+            "right",
+            F.concat("left", "right").alias("merged"),
+            "pair_freq",
         )
-    out = merges[0]
-    for m in merges[1:]:
+        for k, best in enumerate(merges, start=1)
+    ]
+    out = rows[0]
+    for m in rows[1:]:
         out = out.unionByName(m)
     return out.orderBy("step")
 
 
-def _bpe_sql() -> str:
-    """Unroll the identical K iterations as DuckDB CTEs."""
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus under the learned BPE vocabulary: per-doc
+    word and BPE-token counts (the sequence-length accounting a packing
+    / curriculum stage consumes). ALL merge application happens on the
+    vocab-bounded symbol table — a word's token count under the merge
+    table is a property of the word, so the corpus-scale stage is just
+    a broadcast join of (word → symbol count) onto exploded doc words
+    plus one partial-agg'd doc_id aggregate. No document text is ever
+    re-processed per merge; that is the production shape of distributed
+    tokenization under a trained tokenizer."""
+    _, state = _learn(spark, sf_dir)
+    word_len = state.groupBy("word").agg(F.count(F.lit(1)).alias("n_bpe"))
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("word")
+    ).filter(F.length("word") > 0)
+    return (
+        words.join(F.broadcast(word_len), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_blocks() -> str:
+    """The shared WITH-chain: K unrolled iterations as DuckDB CTEs."""
     blocks = [
         f"""wf AS MATERIALIZED (
   SELECT word, COUNT(*) AS freq FROM (
@@ -201,21 +244,45 @@ state{k} AS MATERIALIZED (
     FROM marked{k} m LEFT JOIN starts{k} s ON m.word = s.word AND m.rn = s.rn
   ) WHERE NOT consumed
 )""")
+    return "WITH " + ",\n".join(blocks)
+
+
+def _bpe_merges_sql() -> str:
     finals = "\nUNION ALL\n".join(
         f"SELECT {k} AS step, left_s AS \"left\", right_s AS \"right\", "
         f"left_s || right_s AS merged, pair_freq FROM best{k}"
         for k in range(1, BPE_STEPS + 1)
     )
-    return "WITH " + ",\n".join(blocks) + "\nSELECT * FROM (\n" + finals + "\n) ORDER BY step"
+    return _bpe_blocks() + "\nSELECT * FROM (\n" + finals + "\n) ORDER BY step"
 
 
-BPE_LEARN_MERGES_SQL = _bpe_sql()
+def _bpe_token_counts_sql() -> str:
+    return f"""{_bpe_blocks()},
+word_len AS MATERIALIZED (
+  SELECT word, COUNT(*) AS n_bpe FROM state{BPE_STEPS} GROUP BY word
+),
+doc_words AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+)
+SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens
+FROM doc_words JOIN word_len USING (word)
+WHERE length(word) > 0
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+BPE_LEARN_MERGES_SQL = _bpe_merges_sql()
+BPE_TOKEN_COUNTS_SQL = _bpe_token_counts_sql()
 
 
 TOKENIZER_QUERIES = {
     "bpe_learn_merges": bpe_learn_merges,
+    "bpe_token_counts": bpe_token_counts,
 }
 
 TOKENIZER_ORACLE_SQL = {
     "bpe_learn_merges": BPE_LEARN_MERGES_SQL,
+    "bpe_token_counts": BPE_TOKEN_COUNTS_SQL,
 }

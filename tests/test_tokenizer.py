@@ -8,7 +8,11 @@ from collections import Counter
 from pyspark.sql import functions as F
 
 from data_pipeline_who_gho_spark.plans.curation2 import _N_SHARDS, shard_manifest
-from data_pipeline_who_gho_spark.plans.tokenizer import BPE_STEPS, bpe_learn_merges
+from data_pipeline_who_gho_spark.plans.tokenizer import (
+    BPE_STEPS,
+    bpe_learn_merges,
+    bpe_token_counts,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -39,7 +43,7 @@ def _py_bpe(word_freq: dict[str, int], steps: int):
                     out.append(syms[i])
                     i += 1
             state[w] = out
-    return merges
+    return merges, state
 
 
 def test_bpe_matches_reference_implementation(spark):
@@ -54,7 +58,7 @@ def test_bpe_matches_reference_implementation(spark):
         .agg(F.count(F.lit(1)).alias("freq"))
         .collect()
     }
-    expected = _py_bpe(wf, BPE_STEPS)
+    expected, _ = _py_bpe(wf, BPE_STEPS)
     got = [
         (r["step"], r["left"], r["right"], r["merged"], r["pair_freq"])
         for r in bpe_learn_merges(spark, SF).collect()
@@ -70,6 +74,26 @@ def test_bpe_freq_monotone(spark):
     # bounded by the merged count: the selected frequency never rises
     assert all(a >= b for a, b in zip(freqs, freqs[1:]))
     assert all(r["merged"] == r["left"] + r["right"] for r in rows)
+
+
+def test_bpe_token_counts_match_reference_state(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("words")
+    ).collect()
+    wf: Counter = Counter()
+    for r in docs:
+        for w in r["words"]:
+            if w:
+                wf[w] += 1
+    _, state = _py_bpe(dict(wf), BPE_STEPS)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(spark, SF).collect()
+    }
+    for r in docs:
+        words = [w for w in r["words"] if w]
+        expected = (len(words), sum(len(state[w]) for w in words))
+        assert got[r["doc_id"]] == expected
 
 
 def test_shard_manifest_partitions_corpus(spark):
