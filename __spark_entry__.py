@@ -102,6 +102,10 @@ from data_pipeline_who_gho_spark.plans.tokenizer import (  # noqa: E402
     TOKENIZER_ORACLE_SQL,
     TOKENIZER_QUERIES,
 )
+from data_pipeline_who_gho_spark.plans.curation3 import (  # noqa: E402
+    CURATION3_ORACLE_SQL,
+    CURATION3_QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -159,6 +163,7 @@ _PRIORITY = [
     # other never-green curation ops, ahead of the analytics3-6 backlog
     "dedup_passages", "duplicate_spans", "ann_ivf_pq",
     "shard_manifest", "bpe_learn_merges", "bpe_token_counts",
+    "train_order_shuffle", "hashed_doc_vectors",
 ]
 
 
@@ -225,6 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(CURATION_QUERIES)
     out.update(CURATION2_QUERIES)
     out.update(TOKENIZER_QUERIES)
+    out.update(CURATION3_QUERIES)
     order = _rotated(list(out))
     return {name: out[name] for name in order}
 
@@ -232,6 +238,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted ⇒ rows-only)."""
     out: dict[str, str] = {}
-    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL, EXTRAS_ORACLE_SQL, STREAMING_ORACLE_SQL, TPCH_ORACLE_SQL, BEHAVIOR_ORACLE_SQL, TPCH2_ORACLE_SQL, TRAINING_ORACLE_SQL, ANALYTICS3_ORACLE_SQL, VECTOR_ANALYTICS_ORACLE_SQL, ANALYTICS4_ORACLE_SQL, TPCH3_ORACLE_SQL, ANALYTICS5_ORACLE_SQL, TPCH4_ORACLE_SQL, ANALYTICS6_ORACLE_SQL, TRAINING2_ORACLE_SQL, EXTENSION2_ORACLE_SQL, CURATION_ORACLE_SQL, CURATION2_ORACLE_SQL, TOKENIZER_ORACLE_SQL):
+    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL, EXTRAS_ORACLE_SQL, STREAMING_ORACLE_SQL, TPCH_ORACLE_SQL, BEHAVIOR_ORACLE_SQL, TPCH2_ORACLE_SQL, TRAINING_ORACLE_SQL, ANALYTICS3_ORACLE_SQL, VECTOR_ANALYTICS_ORACLE_SQL, ANALYTICS4_ORACLE_SQL, TPCH3_ORACLE_SQL, ANALYTICS5_ORACLE_SQL, TPCH4_ORACLE_SQL, ANALYTICS6_ORACLE_SQL, TRAINING2_ORACLE_SQL, EXTENSION2_ORACLE_SQL, CURATION_ORACLE_SQL, CURATION2_ORACLE_SQL, TOKENIZER_ORACLE_SQL, CURATION3_ORACLE_SQL):
         out.update({k: v for k, v in d.items() if v})
     return out

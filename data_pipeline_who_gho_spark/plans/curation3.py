@@ -1,0 +1,182 @@
+"""Corpus export-side operators: deterministic training-order shuffle
+and feature-hashed document vectors.
+
+* ``train_order_shuffle``: the seeded global shuffle that fixes the
+  order training examples are consumed in. Production trainers need the
+  order to be (a) uniform — no residual source/time locality from the
+  ingest layout — and (b) reproducible across re-runs and engine
+  versions, so it is defined as a *sort*, not an RNG: every document
+  gets the key ``md5(seed ∥ doc_id)`` and the training order is the
+  total order (key, doc_id). Re-ingesting the same corpus under any
+  partitioning yields byte-identical order. The reference has no
+  ordering op (its loads are unordered UPSERTs, ``etl/load.py:14-58``);
+  this is the export-side complement of ``shard_manifest``
+  (plans/curation2.py).
+* ``hashed_doc_vectors``: text → dense vector by the hashing trick
+  (Weinberger et al., 2009): tokens are hashed into ``_HASH_DIM``
+  buckets, per-bucket counts form the raw vector, L2-normalized. This
+  is the cheap embedding-generation stage of a curation pipeline — the
+  vectors feed the ANN / k-means / semantic-dedup operators
+  (plans/extensions.py, plans/vector_analytics.py) when no learned
+  encoder is available, and the op doubles as the plumbing template for
+  one (swap the hash kernel for a model UDF).
+
+Scale notes
+-----------
+- train_order_shuffle: the global order comes from
+  ``operators.rank.global_rank`` — repartitionByRange on the shuffle
+  key, per-partition local rank, broadcast prefix offsets — NOT an
+  unpartitioned window, so no single task ever sees the whole corpus.
+  One range shuffle + one #partitions-row broadcast: the minimum for a
+  total order at 100 TB.
+- hashed_doc_vectors: tokenize/hash is map-only; one partial-agg'd
+  shuffle on (doc_id, bucket); one narrow per-doc agg to densify.
+  Vector assembly builds a 16-entry map per doc — constant state per
+  row, no corpus-scale arrays cross any shuffle.
+
+Cross-engine exactness: bucket ids come from the shared md5-nibble
+kernel (plans/training.py); norms are sqrt of exact integer sums and
+components one double division each, so the doubles are bit-identical
+in both engines before the final round(6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators.rank import global_rank
+from ..sources.catalog import load_table
+from .training import _nibble, _sql_nibble
+
+_SHUFFLE_SEED = "epoch0"
+_HASH_DIM = 16
+
+
+def train_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global training order: position i is the
+    rank of md5('epoch0:' ∥ doc_id) with doc_id as tiebreak. Changing
+    the seed string re-deals the whole order (a fresh epoch permutation)
+    without touching any data."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat(F.lit(_SHUFFLE_SEED + ":"), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+    )
+    ranked = global_rank(keyed, ["shuffle_key", "doc_id"], rank_col="position")
+    return ranked.select("position", "doc_id", "source", "shuffle_key").orderBy(
+        "position"
+    )
+
+
+TRAIN_ORDER_SHUFFLE_SQL = f"""
+SELECT row_number() OVER (ORDER BY md5('{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)), doc_id)
+         AS position,
+       doc_id, source,
+       md5('{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM documents
+ORDER BY position
+"""
+
+
+def hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed document vectors: token → bucket
+    ``md5(word)[0]`` (uniform 0..15), per-bucket counts densified to a
+    ``_HASH_DIM``-component L2-normalized double vector. Empty docs get
+    the zero vector (norm guard), so every doc_id appears."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("word")
+    ).filter(F.length("word") > 0)
+    counts = (
+        toks.withColumn("h", F.md5("word"))
+        .select("doc_id", _nibble("h", 1).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "cnt"))).alias("m")
+    )
+    dense = (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_HASH_DIM - 1)),
+                lambda d: F.coalesce(F.element_at(F.col("m"), d), F.lit(0)).cast(
+                    "long"
+                ),
+            ).alias("counts"),
+        )
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("counts"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        dense.withColumn("n_tokens", F.aggregate("counts", F.lit(0).cast("long"), lambda a, x: a + x))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.transform(
+                "counts",
+                lambda x: F.round(
+                    F.when(norm == 0, F.lit(0.0)).otherwise(x.cast("double") / norm),
+                    6,
+                ),
+            ).alias("vec"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+HASHED_DOC_VECTORS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+),
+c AS (
+  SELECT doc_id, {_sql_nibble("md5(word)", 1)} AS bucket, COUNT(*) AS cnt
+  FROM tok WHERE length(word) > 0
+  GROUP BY doc_id, bucket
+),
+dims AS (SELECT unnest(range(0, {_HASH_DIM})) AS bucket),
+dense AS (
+  SELECT i.doc_id, d.bucket, COALESCE(c.cnt, 0) AS cnt
+  FROM (SELECT doc_id FROM documents) i
+  CROSS JOIN dims d
+  LEFT JOIN c ON c.doc_id = i.doc_id AND c.bucket = d.bucket
+),
+agg AS (
+  SELECT doc_id,
+         array_agg(cnt ORDER BY bucket) AS counts,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         sqrt(list_sum(list_transform(array_agg(cnt ORDER BY bucket),
+                                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+  FROM dense GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       list_transform(counts,
+                      x -> round(CASE WHEN norm = 0 THEN 0.0
+                                      ELSE CAST(x AS DOUBLE) / norm END, 6)) AS vec
+FROM agg ORDER BY doc_id
+"""
+
+
+CURATION3_QUERIES = {
+    "train_order_shuffle": train_order_shuffle,
+    "hashed_doc_vectors": hashed_doc_vectors,
+}
+
+CURATION3_ORACLE_SQL = {
+    "train_order_shuffle": TRAIN_ORDER_SHUFFLE_SQL,
+    "hashed_doc_vectors": HASHED_DOC_VECTORS_SQL,
+}

@@ -1,0 +1,75 @@
+"""Export-side ops: seeded training-order shuffle, hashed doc vectors."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from data_pipeline_who_gho_spark.plans.curation3 import (
+    _HASH_DIM,
+    _SHUFFLE_SEED,
+    hashed_doc_vectors,
+    train_order_shuffle,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_shuffle_is_a_permutation(spark):
+    rows = train_order_shuffle(spark, SF).collect()
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == n
+    assert sorted(r["position"] for r in rows) == list(range(1, n + 1))
+    assert len({r["doc_id"] for r in rows}) == n
+
+
+def test_shuffle_matches_driver_side_sort(spark):
+    """The order is exactly rank of md5(seed:doc_id) — recompute on the
+    driver with hashlib and compare end-to-end."""
+    rows = train_order_shuffle(spark, SF).collect()
+    expect = sorted(
+        (hashlib.md5(f"{_SHUFFLE_SEED}:{r['doc_id']}".encode()).hexdigest(), r["doc_id"])
+        for r in rows
+    )
+    got = [(r["shuffle_key"], r["doc_id"]) for r in sorted(rows, key=lambda r: r["position"])]
+    assert got == expect
+
+
+def test_shuffle_breaks_ingest_locality(spark):
+    """Adjacent positions should not be adjacent doc_ids (the point of
+    the shuffle): the mean absolute doc_id gap between consecutive
+    positions is ~n/3 for a uniform permutation, far above 1."""
+    rows = sorted(train_order_shuffle(spark, SF).collect(), key=lambda r: r["position"])
+    gaps = [abs(a["doc_id"] - b["doc_id"]) for a, b in zip(rows, rows[1:])]
+    assert sum(gaps) / len(gaps) > len(rows) / 10
+
+
+def test_hashed_vectors_shape_and_norm(spark):
+    rows = hashed_doc_vectors(spark, SF).collect()
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == n
+    for r in rows[:50]:
+        assert len(r["vec"]) == _HASH_DIM
+        norm = math.sqrt(sum(x * x for x in r["vec"]))
+        if r["n_tokens"] > 0:
+            assert abs(norm - 1.0) < 1e-4  # unit vectors (rounded to 6dp)
+        assert all(x >= 0 for x in r["vec"])
+
+
+def test_hashed_vectors_match_driver_side_hashing(spark):
+    """Recompute one doc's vector driver-side from the raw text."""
+    doc = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") == 0)
+        .collect()[0]
+    )
+    counts = [0] * _HASH_DIM
+    for w in doc["text"].strip().lower().split():
+        counts[int(hashlib.md5(w.encode()).hexdigest()[0], 16)] += 1
+    norm = math.sqrt(sum(c * c for c in counts))
+    expect = [round(c / norm, 6) for c in counts]
+    got = hashed_doc_vectors(spark, SF).filter(F.col("doc_id") == 0).collect()[0]
+    assert got["n_tokens"] == sum(counts)
+    assert got["vec"] == expect
