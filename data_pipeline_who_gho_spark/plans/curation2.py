@@ -215,9 +215,18 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__complete"))
         .select("doc_id", "pos", "fp")
     )
-    dup_marks = kgrams.withColumn(
-        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("fp"))
-    ).filter(F.col("n_occ") > 1)
+    # duplicate mark via groupBy + join, NOT a count-over-fp window: the
+    # groupBy gets map-side partial aggregation (a hot fingerprint sends
+    # #partitions pre-counts, not every occurrence, to its reducer) and
+    # the join back is AQE-skew-splittable — a skewed window partition
+    # is not.
+    dup_fps = (
+        kgrams.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > 1)
+        .select("fp")
+    )
+    dup_marks = kgrams.join(dup_fps, "fp")
     w_isl = Window.partitionBy("doc_id").orderBy("pos")
     islands = dup_marks.withColumn(
         "grp", F.col("pos") - F.row_number().over(w_isl)

@@ -111,13 +111,18 @@ def _merge_step(state: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 # learned (merge DataFrames, final symbol state) per (application, sf):
-# both registered queries consume the same K checkpointed iterations
+# both registered queries consume the same K checkpointed iterations.
+# Bounded: entries pin localCheckpoint blocks, so a long-lived session
+# sweeping many sf dirs (census, scaling runs) must not accumulate them.
 _LEARN_CACHE: dict[tuple[str, str], tuple[list[DataFrame], DataFrame]] = {}
+_LEARN_CACHE_MAX = 8
 
 
 def _learn(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataFrame]:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _LEARN_CACHE:
+        if len(_LEARN_CACHE) >= _LEARN_CACHE_MAX:
+            _LEARN_CACHE.clear()
         state = _word_symbols(spark, sf_dir)
         merges: list[DataFrame] = []
         for _ in range(BPE_STEPS):
