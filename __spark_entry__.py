@@ -163,7 +163,7 @@ _PRIORITY = [
     # other never-green curation ops, ahead of the analytics3-6 backlog
     "dedup_passages", "duplicate_spans", "ann_ivf_pq",
     "shard_manifest", "bpe_learn_merges", "bpe_token_counts",
-    "train_order_shuffle", "hashed_doc_vectors",
+    "train_order_shuffle", "hashed_doc_vectors", "remove_duplicate_spans",
 ]
 
 

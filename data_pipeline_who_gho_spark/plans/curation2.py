@@ -271,6 +271,122 @@ ORDER BY doc_id, start_pos
 
 
 # ---------------------------------------------------------------------------
+# Duplicated-span REMOVAL with reassembly (the output side of Lee et al.)
+# ---------------------------------------------------------------------------
+
+# owner key doc_id·2^24 + pos: pos must fit 24 bits (16 M tokens/doc) and
+# doc_id 38 bits — widen the shift before either bound is approached
+_OKEY_POS_BITS = 24
+
+
+def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup with reassembly: every k-gram occurrence
+    that is NOT the corpus-wide first occurrence of its fingerprint has
+    its K tokens removed, and documents are rebuilt from the surviving
+    tokens. ``duplicate_spans`` is the diagnostic; this is the cleaned
+    corpus (Lee et al., 2022 §4 — train on text with duplicated spans
+    cut out, keeping one copy corpus-wide).
+
+    Exactly-once semantics per k-gram: the min-(doc_id, pos) occurrence
+    keeps its tokens (unless covered by a different foreign duplicate);
+    all later occurrences are cut. A token is cut iff ANY of the ≤ K
+    k-gram starts covering it is a non-owner duplicate — a per-doc
+    ROWS-window max over the dense token sequence, so the decision
+    never leaves the doc partition.
+
+    Returns the per-doc audit row (token counts before/after, md5 of
+    the reassembled text) — compact, hashable proof of the exact
+    surviving bytes."""
+    tok = _token_rows(_corpus2(spark, sf_dir))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, _SPAN_K)]
+    kgrams = (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.md5(F.concat_ws(" ", F.col("tok"), *leads)).alias("fp"),
+            leads[-1].isNotNull().alias("__complete"),
+        )
+        .filter(F.col("__complete"))
+        .select("doc_id", "pos", "fp")
+    )
+    okey = (F.col("doc_id") * (1 << _OKEY_POS_BITS) + F.col("pos")).cast("long")
+    # first occurrence per fingerprint: partial-agg'd groupBy + join
+    # back (AQE-skew-splittable; same shape as duplicate_spans' mark)
+    owners = kgrams.groupBy("fp").agg(F.min(okey).alias("owner"))
+    cuts = (
+        kgrams.join(owners, "fp")
+        .filter(okey != F.col("owner"))
+        .select("doc_id", "pos", F.lit(1).alias("cut_start"))
+    )
+    marked = tok.join(cuts, ["doc_id", "pos"], "left")
+    # token pos sequences are dense (posexplode), so a ROWS frame of the
+    # preceding K−1 rows IS the positions [pos−K+1, pos]
+    w_cov = w.rowsBetween(-(_SPAN_K - 1), 0)
+    covered = marked.withColumn("cut", F.max("cut_start").over(w_cov) == 1)
+    return (
+        covered.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("cut").cast("int"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(~F.coalesce(F.col("cut"), F.lit(False)),
+                                       F.struct("pos", "tok"))
+                            )
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("clean_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REMOVE_DUPLICATE_SPANS_SQL = f"""
+WITH corpus AS ({_CORPUS2_SQL}),
+tok AS ({_TOKEN_ROWS_SQL}),
+kg AS (
+  SELECT doc_id, pos,
+         md5(concat_ws(' ', {", ".join(
+             f"lead(tok, {i}) OVER (PARTITION BY doc_id ORDER BY pos)"
+             if i else "tok" for i in range(_SPAN_K))})) AS fp,
+         lead(tok, {_SPAN_K - 1}) OVER (PARTITION BY doc_id ORDER BY pos)
+           IS NOT NULL AS complete
+  FROM tok
+),
+kgc AS (SELECT doc_id, pos, fp FROM kg WHERE complete),
+owners AS (
+  SELECT fp, MIN(doc_id * {1 << _OKEY_POS_BITS} + pos) AS owner
+  FROM kgc GROUP BY fp
+),
+cuts AS (
+  SELECT k.doc_id, k.pos, 1 AS cut_start
+  FROM kgc k JOIN owners o USING (fp)
+  WHERE k.doc_id * {1 << _OKEY_POS_BITS} + k.pos <> o.owner
+),
+covered AS (
+  SELECT t.doc_id, t.pos, t.tok,
+         MAX(c.cut_start) OVER (PARTITION BY t.doc_id ORDER BY t.pos
+           ROWS BETWEEN {_SPAN_K - 1} PRECEDING AND CURRENT ROW) = 1 AS cut
+  FROM tok t LEFT JOIN cuts c ON t.doc_id = c.doc_id AND t.pos = c.pos
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(CASE WHEN cut IS NOT TRUE THEN tok END,
+                               ' ' ORDER BY pos), '')) AS clean_fp
+FROM covered GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Product quantization with ADC (the compressed half of IVF-PQ)
 # ---------------------------------------------------------------------------
 
@@ -486,6 +602,7 @@ ORDER BY shard
 CURATION2_QUERIES = {
     "dedup_passages": dedup_passages,
     "duplicate_spans": duplicate_spans,
+    "remove_duplicate_spans": remove_duplicate_spans,
     "ann_ivf_pq": ann_ivf_pq,
     "shard_manifest": shard_manifest,
 }
@@ -493,6 +610,7 @@ CURATION2_QUERIES = {
 CURATION2_ORACLE_SQL = {
     "dedup_passages": DEDUP_PASSAGES_SQL,
     "duplicate_spans": DUPLICATE_SPANS_SQL,
+    "remove_duplicate_spans": REMOVE_DUPLICATE_SPANS_SQL,
     "ann_ivf_pq": ANN_IVF_PQ_SQL,
     "shard_manifest": _shard_manifest_sql(),
 }

