@@ -171,12 +171,80 @@ FROM agg ORDER BY doc_id
 """
 
 
+_STRAT_SEED = "strat"
+_STRAT_VAL_FRAC = 0.1
+
+
+def stratified_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT stratified train/val split: within every source, precisely
+    ⌊0.1·n_source⌋ documents go to val, chosen by the seeded md5 order
+    (deterministic, re-ingestion-stable). ``train_split_assign``
+    (plans/training.py) is the hash-threshold form — O(0) coordination
+    but only *approximate* fractions; this is the exact-quota form a
+    small-but-critical eval slice needs.
+
+    Scale shape: the within-source rank does NOT use a per-source
+    window (one hot source — e.g. web crawl — would funnel through a
+    single task). Instead: one scale-safe global rank over
+    (source, key) via ``operators/rank.py``, then within-source
+    position = global rank − the source's broadcast min-rank offset.
+    Per-source counts and offsets are #sources rows — broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat(F.lit(_STRAT_SEED + ":"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    ranked = global_rank(keyed, ["source", "h", "doc_id"], rank_col="rn")
+    per_src = ranked.groupBy("source").agg(
+        (F.min("rn") - 1).alias("off"), F.count(F.lit(1)).alias("n_src")
+    )
+    within = ranked.join(F.broadcast(per_src), "source").select(
+        "doc_id",
+        "source",
+        (F.col("rn") - F.col("off")).alias("within_pos"),
+        "n_src",
+    )
+    quota = F.floor(F.col("n_src") * F.lit(_STRAT_VAL_FRAC)).cast("long")
+    return within.select(
+        "doc_id",
+        "source",
+        "within_pos",
+        F.when(F.col("within_pos") <= quota, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+STRATIFIED_SPLIT_EXACT_SQL = f"""
+WITH k AS (
+  SELECT doc_id, source,
+         md5('{_STRAT_SEED}:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS within_pos,
+         COUNT(*) OVER (PARTITION BY source) AS n_src
+  FROM k
+)
+SELECT doc_id, source, within_pos,
+       CASE WHEN within_pos <= CAST(floor(n_src * {_STRAT_VAL_FRAC}) AS BIGINT)
+            THEN 'val' ELSE 'train' END AS split
+FROM r ORDER BY doc_id
+"""
+
+
 CURATION3_QUERIES = {
     "train_order_shuffle": train_order_shuffle,
     "hashed_doc_vectors": hashed_doc_vectors,
+    "stratified_split_exact": stratified_split_exact,
 }
 
 CURATION3_ORACLE_SQL = {
     "train_order_shuffle": TRAIN_ORDER_SHUFFLE_SQL,
     "hashed_doc_vectors": HASHED_DOC_VECTORS_SQL,
+    "stratified_split_exact": STRATIFIED_SPLIT_EXACT_SQL,
 }

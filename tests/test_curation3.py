@@ -10,7 +10,9 @@ from pyspark.sql import functions as F
 from data_pipeline_who_gho_spark.plans.curation3 import (
     _HASH_DIM,
     _SHUFFLE_SEED,
+    _STRAT_VAL_FRAC,
     hashed_doc_vectors,
+    stratified_split_exact,
     train_order_shuffle,
 )
 
@@ -44,6 +46,40 @@ def test_shuffle_breaks_ingest_locality(spark):
     rows = sorted(train_order_shuffle(spark, SF).collect(), key=lambda r: r["position"])
     gaps = [abs(a["doc_id"] - b["doc_id"]) for a, b in zip(rows, rows[1:])]
     assert sum(gaps) / len(gaps) > len(rows) / 10
+
+
+def test_stratified_split_exact_quotas(spark):
+    """Every source gets exactly floor(0.1 * n_source) val docs."""
+    rows = stratified_split_exact(spark, SF).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src) > 1
+    for src, docs in by_src.items():
+        n_val = sum(1 for r in docs if r["split"] == "val")
+        assert n_val == int(len(docs) * _STRAT_VAL_FRAC)
+        # within_pos is a 1..n permutation per source
+        assert sorted(r["within_pos"] for r in docs) == list(range(1, len(docs) + 1))
+
+
+def test_stratified_split_deterministic_and_seed_ordered(spark):
+    """Membership is the seeded md5 order — the lowest-hash docs of each
+    source are the val slice, independent of partitioning."""
+    import hashlib
+
+    rows = stratified_split_exact(spark, SF).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, docs in by_src.items():
+        hashed = sorted(
+            (hashlib.md5(f"strat:{r['doc_id']}".encode()).hexdigest(), r["doc_id"])
+            for r in docs
+        )
+        quota = int(len(docs) * _STRAT_VAL_FRAC)
+        expect_val = {d for _, d in hashed[:quota]}
+        got_val = {r["doc_id"] for r in docs if r["split"] == "val"}
+        assert got_val == expect_val
 
 
 def test_hashed_vectors_shape_and_norm(spark):
