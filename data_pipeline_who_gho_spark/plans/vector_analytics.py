@@ -172,6 +172,23 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by (cluster, dim). Iterations add plan depth, not data
     movement — the classic Spark k-means layout.
     """
+    emb, a1, c1 = _kmeans_state(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+    a2 = (
+        emb.join(F.broadcast(c1), F.lit(True))
+        .withColumn("d2", _l2(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cluster").alias("cluster_iter2"))
+    )
+    return a1.join(a2, "vec_id").select("vec_id", "cluster_iter1", "cluster_iter2")
+
+
+def _kmeans_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared first Lloyd iteration: (emb, iter-1 assignment, updated
+    centroids c1). Consumed by kmeans_assign and cluster_prototypes."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", VEC.as_double("embedding").alias("v")
     )
@@ -179,17 +196,13 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
     )
     w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
-
-    def assign(cents: DataFrame, out: str) -> DataFrame:
-        return (
-            emb.join(F.broadcast(cents), F.lit(True))
-            .withColumn("d2", _l2(F.col("v"), F.col("cv")))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("cluster").alias(out))
-        )
-
-    a1 = assign(c0, "cluster_iter1")
+    a1 = (
+        emb.join(F.broadcast(c0), F.lit(True))
+        .withColumn("d2", _l2(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cluster").alias("cluster_iter1"))
+    )
     # exact decimal per-dimension means of the RAW floats (same
     # float→string→decimal hop as label_centroids), then varchar→double
     # so both engines assemble the same IEEE centroid
@@ -211,13 +224,53 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
         ).alias("cv")
     )
-    a2 = assign(c1, "cluster_iter2")
-    return a1.join(a2, "vec_id").select("vec_id", "cluster_iter1", "cluster_iter2")
+    return emb, a1, c1
+
+
+_PROTO_TOPK = 3
+
+
+def cluster_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype selection / diversity sampling: the 3 vectors nearest
+    each k-means centroid (after one Lloyd update) — the cluster-level
+    representative picking step of embedding-space curation (SemDeDup
+    keeps one rep per near-dup cluster; prototype corpora keep the most
+    central exemplars per semantic bucket).
+
+    Scale shape: assignment is the same broadcast-NLJ map as
+    kmeans_assign; the per-cluster top-3 plans as WindowGroupLimit, so
+    every task keeps ≤ 3 rows per cluster locally before the K-row
+    shuffle — a hot (big) cluster never funnels its membership through
+    one task."""
+    emb, _, c1 = _kmeans_state(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+    assigned = (
+        emb.join(F.broadcast(c1), F.lit(True))
+        .withColumn("d2", _l2(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster", "d2")
+    )
+    w_proto = Window.partitionBy("cluster").orderBy("d2", "vec_id")
+    return (
+        assigned.withColumn("proto_rank", F.row_number().over(w_proto))
+        .filter(F.col("proto_rank") <= _PROTO_TOPK)
+        .select(
+            "cluster",
+            "proto_rank",
+            "vec_id",
+            F.round("d2", 6).alias("d2_centroid"),
+        )
+        .orderBy("cluster", "proto_rank")
+    )
 
 
 _D2 = "list_sum(list_transform(list_zip(e.v, c.cv), x -> (x[1]-x[2])*(x[1]-x[2])))"
 
-KMEANS_SQL = f"""
+# shared CTE chain: embeddings → init centroids → iter-1 assignment →
+# exact-decimal centroid update (c1). Both KMEANS_SQL and
+# CLUSTER_PROTOTYPES_SQL extend this prefix.
+_KM_BLOCKS = f"""
 WITH e AS (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c0 AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < {KMEANS_K}),
 a1 AS (
@@ -236,7 +289,9 @@ comp AS (
   JOIN a1 USING (vec_id)
   GROUP BY cluster, pos
 ),
-c1 AS (SELECT cluster, array_agg(c ORDER BY pos) AS cv FROM comp GROUP BY cluster),
+c1 AS (SELECT cluster, array_agg(c ORDER BY pos) AS cv FROM comp GROUP BY cluster)"""
+
+KMEANS_SQL = f"""{_KM_BLOCKS},
 a2 AS (
   SELECT vec_id, cluster AS cluster_iter2 FROM (
     SELECT e.vec_id, c.cluster,
@@ -247,12 +302,31 @@ a2 AS (
 SELECT a1.vec_id, cluster_iter1, cluster_iter2 FROM a1 JOIN a2 USING (vec_id)
 """
 
+CLUSTER_PROTOTYPES_SQL = f"""{_KM_BLOCKS},
+a2d AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT e.vec_id, c.cluster, {_D2} AS d2,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {_D2}, c.cluster) AS rn
+    FROM e CROSS JOIN c1 c
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT cluster, vec_id, d2,
+         row_number() OVER (PARTITION BY cluster ORDER BY d2, vec_id) AS proto_rank
+  FROM a2d
+)
+SELECT cluster, proto_rank, vec_id, round(d2, 6) AS d2_centroid
+FROM ranked WHERE proto_rank <= {_PROTO_TOPK}
+ORDER BY cluster, proto_rank
+"""
+
 
 VECTOR_ANALYTICS_QUERIES = {
     "label_centroids": label_centroids,
     "vector_norms": vector_norms,
     "knn_classify": knn_classify,
     "kmeans_assign": kmeans_assign,
+    "cluster_prototypes": cluster_prototypes,
 }
 
 VECTOR_ANALYTICS_ORACLE_SQL = {
@@ -260,4 +334,5 @@ VECTOR_ANALYTICS_ORACLE_SQL = {
     "vector_norms": VECTOR_NORMS_SQL,
     "knn_classify": KNN_CLASSIFY_SQL,
     "kmeans_assign": KMEANS_SQL,
+    "cluster_prototypes": CLUSTER_PROTOTYPES_SQL,
 }

@@ -39,3 +39,36 @@ def test_kmeans_deterministic(spark):
     a = {tuple(r) for r in kmeans_assign(spark, SF).collect()}
     b = {tuple(r) for r in kmeans_assign(spark, SF).collect()}
     assert a == b
+
+
+def test_cluster_prototypes_are_nearest_members(spark):
+    from data_pipeline_who_gho_spark.plans.vector_analytics import (
+        _PROTO_TOPK,
+        cluster_prototypes,
+    )
+
+    protos = cluster_prototypes(spark, SF).collect()
+    assert protos
+    by_cluster: dict[int, list] = {}
+    for r in protos:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assigned = {r["vec_id"]: r["cluster_iter2"] for r in kmeans_assign(spark, SF).collect()}
+    for cluster, rows in by_cluster.items():
+        assert len(rows) <= _PROTO_TOPK
+        assert [r["proto_rank"] for r in sorted(rows, key=lambda r: r["proto_rank"])] \
+            == list(range(1, len(rows) + 1))
+        # ranks are ordered by distance
+        srt = sorted(rows, key=lambda r: r["proto_rank"])
+        assert all(a["d2_centroid"] <= b["d2_centroid"] for a, b in zip(srt, srt[1:]))
+        # each prototype belongs to the cluster it represents
+        for r in rows:
+            assert assigned[r["vec_id"]] == cluster
+
+
+def test_cluster_prototypes_plan_uses_window_group_limit(spark):
+    from data_pipeline_who_gho_spark.plans.vector_analytics import cluster_prototypes
+
+    plan = (
+        cluster_prototypes(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan  # top-k never materializes full clusters
