@@ -189,3 +189,40 @@ def test_q21_single_wide_shuffle_group_by_join_key(spark):
     # broadcast) + final s_name agg; the orderkey groupBy adds none
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "partial_count" in plan
+
+
+def test_train_order_shuffle_uses_range_partitioning(spark):
+    """The epoch permutation must be a range-partitioned global rank,
+    never an unpartitioned window funneling the corpus into one task."""
+    from data_pipeline_who_gho_spark.plans.curation3 import train_order_shuffle
+
+    plan = _plan(train_order_shuffle(spark, SF))
+    assert "rangepartitioning" in plan
+    # no window without PARTITION BY over the full dataset: global_rank
+    # windows are partitioned by the range-partition id
+    assert "__pid" in plan
+
+
+def test_hashed_doc_vectors_partial_agg_two_shuffles(spark):
+    from data_pipeline_who_gho_spark.plans.curation3 import hashed_doc_vectors
+
+    plan = _plan(hashed_doc_vectors(spark, SF))
+    assert "partial_count" in plan  # map-side combine on (doc_id, bucket)
+    # (doc_id,bucket) agg + doc_id re-agg/join only
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_stratified_split_broadcasts_source_offsets(spark):
+    from data_pipeline_who_gho_spark.plans.curation3 import stratified_split_exact
+
+    plan = _plan(stratified_split_exact(spark, SF))
+    assert "rangepartitioning" in plan  # scale-safe global rank
+    assert "BroadcastHashJoin" in plan  # per-source offsets broadcast back
+    assert "SortMergeJoin" not in plan
+
+
+def test_remove_duplicate_spans_ownership_partial_agg(spark):
+    from data_pipeline_who_gho_spark.plans.curation2 import remove_duplicate_spans
+
+    plan = _plan(remove_duplicate_spans(spark, SF))
+    assert "partial_min" in plan  # fingerprint ownership map-side combined
