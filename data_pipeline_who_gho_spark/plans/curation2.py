@@ -196,16 +196,14 @@ FROM owned GROUP BY doc_id ORDER BY doc_id
 # Duplicated-span detection (Lee et al. 2022, distributed approximation)
 # ---------------------------------------------------------------------------
 
-def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal duplicated token spans of length ≥ 10 across the corpus:
-    fingerprint every 10-token k-gram, keep k-grams whose fingerprint
-    occurs more than once corpus-wide, merge consecutive duplicated
-    start positions per doc into islands (pos − row_number grouping),
-    and report each island as (doc_id, start_pos, span_len)."""
-    tok = _token_rows(_corpus2(spark, sf_dir))
+def _kgram_rows(tok: DataFrame) -> DataFrame:
+    """(doc_id, pos, fp): md5 fingerprint of every complete K-token
+    k-gram — the shared row form of duplicated-span detection AND
+    removal. One lead-window pass per doc; incomplete tail k-grams are
+    dropped."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.lead("tok", i).over(w) for i in range(1, _SPAN_K)]
-    kgrams = (
+    return (
         tok.select(
             "doc_id",
             "pos",
@@ -215,6 +213,27 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__complete"))
         .select("doc_id", "pos", "fp")
     )
+
+
+_KGRAM_BLOCKS_SQL = f"""kg AS (
+  SELECT doc_id, pos,
+         md5(concat_ws(' ', {", ".join(
+             f"lead(tok, {i}) OVER (PARTITION BY doc_id ORDER BY pos)"
+             if i else "tok" for i in range(_SPAN_K))})) AS fp,
+         lead(tok, {_SPAN_K - 1}) OVER (PARTITION BY doc_id ORDER BY pos)
+           IS NOT NULL AS complete
+  FROM tok
+),
+kgc AS (SELECT doc_id, pos, fp FROM kg WHERE complete)"""
+
+
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans of length ≥ 10 across the corpus:
+    fingerprint every 10-token k-gram, keep k-grams whose fingerprint
+    occurs more than once corpus-wide, merge consecutive duplicated
+    start positions per doc into islands (pos − row_number grouping),
+    and report each island as (doc_id, start_pos, span_len)."""
+    kgrams = _kgram_rows(_token_rows(_corpus2(spark, sf_dir)))
     # duplicate mark via groupBy + join, NOT a count-over-fp window: the
     # groupBy gets map-side partial aggregation (a hot fingerprint sends
     # #partitions pre-counts, not every occurrence, to its reducer) and
@@ -245,18 +264,10 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUPLICATE_SPANS_SQL = f"""
 WITH corpus AS ({_CORPUS2_SQL}),
 tok AS ({_TOKEN_ROWS_SQL}),
-kg AS (
-  SELECT doc_id, pos,
-         md5(concat_ws(' ', {", ".join(
-             f"lead(tok, {i}) OVER (PARTITION BY doc_id ORDER BY pos)"
-             if i else "tok" for i in range(_SPAN_K))})) AS fp,
-         lead(tok, {_SPAN_K - 1}) OVER (PARTITION BY doc_id ORDER BY pos)
-           IS NOT NULL AS complete
-  FROM tok
-),
+{_KGRAM_BLOCKS_SQL},
 marks AS (
   SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY fp) AS n_occ
-  FROM kg WHERE complete
+  FROM kgc
 ),
 islands AS (
   SELECT doc_id, pos,
@@ -299,17 +310,7 @@ def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving bytes."""
     tok = _token_rows(_corpus2(spark, sf_dir))
     w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("tok", i).over(w) for i in range(1, _SPAN_K)]
-    kgrams = (
-        tok.select(
-            "doc_id",
-            "pos",
-            F.md5(F.concat_ws(" ", F.col("tok"), *leads)).alias("fp"),
-            leads[-1].isNotNull().alias("__complete"),
-        )
-        .filter(F.col("__complete"))
-        .select("doc_id", "pos", "fp")
-    )
+    kgrams = _kgram_rows(tok)
     okey = (F.col("doc_id") * (1 << _OKEY_POS_BITS) + F.col("pos")).cast("long")
     # first occurrence per fingerprint: partial-agg'd groupBy + join
     # back (AQE-skew-splittable; same shape as duplicate_spans' mark)
@@ -353,16 +354,7 @@ def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 REMOVE_DUPLICATE_SPANS_SQL = f"""
 WITH corpus AS ({_CORPUS2_SQL}),
 tok AS ({_TOKEN_ROWS_SQL}),
-kg AS (
-  SELECT doc_id, pos,
-         md5(concat_ws(' ', {", ".join(
-             f"lead(tok, {i}) OVER (PARTITION BY doc_id ORDER BY pos)"
-             if i else "tok" for i in range(_SPAN_K))})) AS fp,
-         lead(tok, {_SPAN_K - 1}) OVER (PARTITION BY doc_id ORDER BY pos)
-           IS NOT NULL AS complete
-  FROM tok
-),
-kgc AS (SELECT doc_id, pos, fp FROM kg WHERE complete),
+{_KGRAM_BLOCKS_SQL},
 owners AS (
   SELECT fp, MIN(doc_id * {1 << _OKEY_POS_BITS} + pos) AS owner
   FROM kgc GROUP BY fp

@@ -200,8 +200,13 @@ def stratified_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_rank(keyed, ["source", "h", "doc_id"], rank_col="rn")
     per_src = ranked.groupBy("source").agg(
         (F.min("rn") - 1).alias("off"), F.count(F.lit(1)).alias("n_src")
-    )
-    within = ranked.join(F.broadcast(per_src), "source").select(
+    ).withColumnRenamed("source", "src_key")
+    # null-safe join: a NULL source is a legitimate stratum — SQL's
+    # PARTITION BY groups NULLs together, and a plain equi-join would
+    # silently drop those docs (NULL == NULL is never true)
+    within = ranked.join(
+        F.broadcast(per_src), F.col("source").eqNullSafe(F.col("src_key"))
+    ).select(
         "doc_id",
         "source",
         (F.col("rn") - F.col("off")).alias("within_pos"),

@@ -122,7 +122,15 @@ def _learn(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataFrame
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _LEARN_CACHE:
         if len(_LEARN_CACHE) >= _LEARN_CACHE_MAX:
-            _LEARN_CACHE.clear()
+            # evict the OLDEST entry only (dicts preserve insertion
+            # order), keeping recently-used scale factors warm. Dropping
+            # the Python references releases the py4j proxies via
+            # CPython refcounting, which detaches the JVM-side
+            # DataFrames and lets ContextCleaner reclaim the
+            # localCheckpoint blocks — there is no public unpersist
+            # handle for checkpoint RDDs, so reference-drop IS the
+            # release mechanism.
+            _LEARN_CACHE.pop(next(iter(_LEARN_CACHE)))
         state = _word_symbols(spark, sf_dir)
         merges: list[DataFrame] = []
         for _ in range(BPE_STEPS):

@@ -173,15 +173,25 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     movement — the classic Spark k-means layout.
     """
     emb, a1, c1 = _kmeans_state(spark, sf_dir)
+    a2 = _assign(emb, c1).select(
+        "vec_id", F.col("cluster").alias("cluster_iter2")
+    )
+    return a1.join(a2, "vec_id").select("vec_id", "cluster_iter1", "cluster_iter2")
+
+
+def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd assignment pass: (vec_id, cluster, d2) of the nearest
+    centroid — broadcast-NLJ map, ties broken by cluster id. THE single
+    definition of the determinism contract (distance fold + tiebreak);
+    every assignment in this module must go through it."""
     w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
-    a2 = (
-        emb.join(F.broadcast(c1), F.lit(True))
+    return (
+        emb.join(F.broadcast(cents), F.lit(True))
         .withColumn("d2", _l2(F.col("v"), F.col("cv")))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cluster").alias("cluster_iter2"))
+        .select("vec_id", "cluster", "d2")
     )
-    return a1.join(a2, "vec_id").select("vec_id", "cluster_iter1", "cluster_iter2")
 
 
 def _kmeans_state(
@@ -195,13 +205,8 @@ def _kmeans_state(
     c0 = emb.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
-    a1 = (
-        emb.join(F.broadcast(c0), F.lit(True))
-        .withColumn("d2", _l2(F.col("v"), F.col("cv")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cluster").alias("cluster_iter1"))
+    a1 = _assign(emb, c0).select(
+        "vec_id", F.col("cluster").alias("cluster_iter1")
     )
     # exact decimal per-dimension means of the RAW floats (same
     # float→string→decimal hop as label_centroids), then varchar→double
@@ -243,14 +248,7 @@ def cluster_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle — a hot (big) cluster never funnels its membership through
     one task."""
     emb, _, c1 = _kmeans_state(spark, sf_dir)
-    w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
-    assigned = (
-        emb.join(F.broadcast(c1), F.lit(True))
-        .withColumn("d2", _l2(F.col("v"), F.col("cv")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cluster", "d2")
-    )
+    assigned = _assign(emb, c1)
     w_proto = Window.partitionBy("cluster").orderBy("d2", "vec_id")
     return (
         assigned.withColumn("proto_rank", F.row_number().over(w_proto))

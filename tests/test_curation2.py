@@ -117,18 +117,44 @@ def test_remove_spans_cuts_laters_keeps_firsts(spark):
 
 
 def test_remove_spans_owner_is_kept_exactly_once(spark):
-    """The total number of surviving occurrences of any duplicated
-    k-gram fingerprint is ≥ 1 (the owner survives) — check via the
-    audit inequality: sum of removals ≤ sum of (occurrences − 1)·K
-    over duplicated fingerprints."""
-    from data_pipeline_who_gho_spark.plans.curation2 import _corpus2, _token_rows
+    """The owner occurrence of every duplicated k-gram survives: total
+    removals are bounded by sum over duplicated fingerprints of
+    (occurrences − 1)·K — the cut budget if ONLY non-owners lose their
+    K tokens. A regression that also cuts owners would exceed it."""
+    from pyspark.sql import functions as SF_
+    from data_pipeline_who_gho_spark.plans.curation2 import (
+        _corpus2,
+        _kgram_rows,
+        _token_rows,
+    )
 
     rows = remove_duplicate_spans(spark, SF).collect()
     total_removed = sum(r["n_removed"] for r in rows)
     assert total_removed > 0
     total_tokens = sum(r["n_tokens"] for r in rows)
-    n_corpus = _token_rows(_corpus2(spark, SF)).count()
-    assert total_tokens == n_corpus
+    tok = _token_rows(_corpus2(spark, SF))
+    assert total_tokens == tok.count()
+    budget_row = (
+        _kgram_rows(tok)
+        .groupBy("fp")
+        .agg(SF_.count(SF_.lit(1)).alias("occ"))
+        .filter(SF_.col("occ") > 1)
+        .agg(SF_.sum((SF_.col("occ") - 1) * _SPAN_K).alias("budget"))
+        .collect()[0]
+    )
+    assert budget_row["budget"] is not None
+    assert total_removed <= budget_row["budget"]
+    # and at least one duplicated fingerprint's owner demonstrably
+    # survives: removals are strictly below the cut-everything total
+    cut_everything = (
+        _kgram_rows(tok)
+        .groupBy("fp")
+        .agg(SF_.count(SF_.lit(1)).alias("occ"))
+        .filter(SF_.col("occ") > 1)
+        .agg(SF_.sum(SF_.col("occ") * _SPAN_K).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert total_removed < cut_everything
 
 
 def test_pq_structure_and_recall(spark):

@@ -31,6 +31,11 @@ def main() -> None:
     except (OSError, ValueError):
         data = {sf: {} for sf in SFS}
     names = sys.argv[1:] or sorted(data.get("0.1", {}))
+    if not names:
+        raise SystemExit(
+            "nothing to measure: SCALING.json is missing/empty and no "
+            "query names were given — pass queries explicitly"
+        )
     unknown = [n for n in names if n not in queries]
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
