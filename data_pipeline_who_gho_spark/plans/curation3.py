@@ -242,14 +242,102 @@ FROM r ORDER BY doc_id
 """
 
 
+import hashlib as _hashlib
+
+# Shipped linear-classifier weights over the _HASH_DIM hashed-token
+# buckets: a MODEL ARTIFACT, derived deterministically from the seed so
+# both engines inline the identical literals (the same convention as
+# the LSH hyperplanes). Integer weights in [-1000, 1000] keep every
+# score an exact BIGINT — no float parity surface at all.
+_QC_SEED = "qw"
+_QC_WEIGHTS = [
+    int(_hashlib.md5(f"{_QC_SEED}:{b}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+    for b in range(_HASH_DIM)
+]
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fastText/CCNet-style gate):
+    score every document with a fixed linear classifier over hashed
+    token features — score = Σ_b count_b · w_b with the shipped integer
+    weight vector — and flag the keep decision (score > 0).
+
+    This is the apply-side of learned quality filtering: the weights
+    are a broadcast-sized model artifact; scoring is the hashed-count
+    aggregate (one partial-agg'd shuffle on (doc_id, bucket)) followed
+    by a map-only weighted sum per doc. Swapping in real trained
+    weights (or a Pandas-UDF encoder for a nonlinear model) changes
+    only the artifact, not the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("word")
+    ).filter(F.length("word") > 0)
+    counts = (
+        toks.withColumn("h", F.md5("word"))
+        .select("doc_id", _nibble("h", 1).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    warr = F.array(*[F.lit(w) for w in _QC_WEIGHTS])
+    scored = (
+        counts.withColumn("w", F.element_at(warr, F.col("bucket") + 1))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("w")).alias("score"),
+        )
+    )
+    # docs with zero tokens score 0 and are dropped by the gate
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("score", F.lit(0)).alias("score"),
+            (F.coalesce("score", F.lit(0)) > 0).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_CLASSIFIER_SCORE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+),
+c AS (
+  SELECT doc_id, {_sql_nibble("md5(word)", 1)} AS bucket, COUNT(*) AS cnt
+  FROM tok WHERE length(word) > 0
+  GROUP BY doc_id, bucket
+),
+scored AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(SUM(cnt * ([{", ".join(str(w) for w in _QC_WEIGHTS)}])[bucket + 1])
+              AS BIGINT) AS score
+  FROM c GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_tokens, 0) AS n_tokens,
+       COALESCE(s.score, 0) AS score,
+       COALESCE(s.score, 0) > 0 AS kept
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 CURATION3_QUERIES = {
     "train_order_shuffle": train_order_shuffle,
     "hashed_doc_vectors": hashed_doc_vectors,
     "stratified_split_exact": stratified_split_exact,
+    "quality_classifier_score": quality_classifier_score,
 }
 
 CURATION3_ORACLE_SQL = {
     "train_order_shuffle": TRAIN_ORDER_SHUFFLE_SQL,
     "hashed_doc_vectors": HASHED_DOC_VECTORS_SQL,
     "stratified_split_exact": STRATIFIED_SPLIT_EXACT_SQL,
+    "quality_classifier_score": QUALITY_CLASSIFIER_SCORE_SQL,
 }

@@ -82,6 +82,36 @@ def test_stratified_split_deterministic_and_seed_ordered(spark):
         assert got_val == expect_val
 
 
+def test_quality_classifier_matches_driver_side_model(spark):
+    """Recompute one doc's score driver-side from raw text + weights."""
+    from data_pipeline_who_gho_spark.plans.curation3 import (
+        _QC_WEIGHTS,
+        quality_classifier_score,
+    )
+
+    rows = {r["doc_id"]: r for r in quality_classifier_score(spark, SF).collect()}
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == n
+    # both classes occur on real data (weights are centered)
+    assert any(r["kept"] for r in rows.values())
+    assert any(not r["kept"] for r in rows.values())
+    doc = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") == 0)
+        .collect()[0]
+    )
+    score = 0
+    n_tok = 0
+    for w in doc["text"].strip().lower().split():
+        b = int(hashlib.md5(w.encode()).hexdigest()[0], 16)
+        score += _QC_WEIGHTS[b]
+        n_tok += 1
+    got = rows[0]
+    assert got["n_tokens"] == n_tok
+    assert got["score"] == score
+    assert got["kept"] == (score > 0)
+
+
 def test_hashed_vectors_shape_and_norm(spark):
     rows = hashed_doc_vectors(spark, SF).collect()
     n = spark.read.parquet(f"{SF}/documents.parquet").count()
