@@ -189,7 +189,13 @@ def stratified_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, key) via ``operators/rank.py``, then within-source
     position = global rank − the source's broadcast min-rank offset.
     Per-source counts and offsets are #sources rows — broadcast."""
-    docs = load_table(spark, sf_dir, "documents")
+    return split_stratified(load_table(spark, sf_dir, "documents"))
+
+
+def split_stratified(docs: DataFrame) -> DataFrame:
+    """The reusable core of ``stratified_split_exact``: takes any
+    (doc_id, source, ...) DataFrame. A NULL source is one stratum
+    (null-safe offset join), matching SQL PARTITION BY semantics."""
     keyed = docs.select(
         "doc_id",
         "source",

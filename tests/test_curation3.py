@@ -82,6 +82,23 @@ def test_stratified_split_deterministic_and_seed_ordered(spark):
         assert got_val == expect_val
 
 
+def test_stratified_split_null_source_is_a_stratum(spark):
+    """Docs with a NULL source must not vanish: they form their own
+    stratum with its own exact quota (regression for the null-safe
+    offset join; SQL PARTITION BY groups NULLs together)."""
+    from data_pipeline_who_gho_spark.plans.curation3 import split_stratified
+
+    rows = [(i, "web" if i % 3 == 0 else None) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = split_stratified(docs).collect()
+    assert len(out) == 40  # nothing dropped
+    null_rows = [r for r in out if r["source"] is None]
+    assert len(null_rows) == 26
+    assert sum(1 for r in null_rows if r["split"] == "val") == int(26 * _STRAT_VAL_FRAC)
+    web_rows = [r for r in out if r["source"] == "web"]
+    assert sum(1 for r in web_rows if r["split"] == "val") == int(14 * _STRAT_VAL_FRAC)
+
+
 def test_quality_classifier_matches_driver_side_model(spark):
     """Recompute one doc's score driver-side from raw text + weights."""
     from data_pipeline_who_gho_spark.plans.curation3 import (
