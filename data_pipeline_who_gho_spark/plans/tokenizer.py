@@ -54,6 +54,13 @@ def _word_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    return _symbols_from_wf(wf)
+
+
+def _symbols_from_wf(wf: DataFrame) -> DataFrame:
+    """Explode a (word, freq) table to the BPE initial symbol state —
+    injectable seam so pathological vocabularies (self-overlapping
+    pairs like 'aaaa') can drive ``_merge_step`` directly in tests."""
     return wf.select(
         "word", "freq", F.posexplode(F.expr(_CHARS_EXPR)).alias("pos", "sym")
     )

@@ -110,3 +110,32 @@ def test_shard_manifest_partitions_corpus(spark):
     assert sum(r["total_chars"] for r in rows.values()) == sum(
         r["n_chars"] for r in docs
     )
+
+
+def test_bpe_greedy_overlap_rule_pathological(spark):
+    """Self-overlapping argmax pairs ('aaaa' merging ('a','a')) must
+    follow the greedy left-to-right non-overlap rule: 'aaaa' -> aa,aa;
+    'aaa' -> aa,a; 'aaaaa' -> aa,aa,a — cross-checked against the
+    pure-Python reference over several iterations."""
+    from data_pipeline_who_gho_spark.plans.tokenizer import (
+        _merge_step,
+        _symbols_from_wf,
+    )
+
+    wf = {"aaaa": 10, "aaa": 7, "aaaaa": 3, "abab": 5, "baaab": 2}
+    state = _symbols_from_wf(
+        spark.createDataFrame(list(wf.items()), "word string, freq long")
+    )
+    expected_merges, expected_state = _py_bpe(wf, 4)
+    got = []
+    for step in range(1, 5):
+        best, state = _merge_step(state)
+        state = state.localCheckpoint(eager=True)
+        b = best.collect()[0]
+        got.append((step, b["left"], b["right"], b["left"] + b["right"], b["pair_freq"]))
+    assert got == expected_merges
+    final = {}
+    for r in state.collect():
+        final.setdefault(r["word"], []).append((r["pos"], r["sym"]))
+    final = {w: [s for _, s in sorted(v)] for w, v in final.items()}
+    assert final == expected_state
