@@ -42,6 +42,8 @@ in both engines before the final round(6).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -83,21 +85,46 @@ ORDER BY position
 """
 
 
+def _hashed_token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, bucket, cnt): tokenize, hash each token into
+    ``_HASH_DIM`` buckets via the shared md5-nibble kernel, count per
+    (doc, bucket). THE single definition of the feature-hashing
+    contract — hashed_doc_vectors and quality_classifier_score (and
+    their SQL twins via _HASHED_COUNTS_SQL) must agree on it."""
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("word")
+    ).filter(F.length("word") > 0)
+    return (
+        toks.withColumn("h", F.md5("word"))
+        .select("doc_id", _nibble("h", 1).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _hashed_counts_sql() -> str:
+    """The tok/c CTE pair matching ``_hashed_token_counts``."""
+    return f"""tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+),
+c AS (
+  SELECT doc_id, {_sql_nibble("md5(word)", 1)} AS bucket, COUNT(*) AS cnt
+  FROM tok WHERE length(word) > 0
+  GROUP BY doc_id, bucket
+)"""
+
+
+_HASHED_COUNTS_SQL = _hashed_counts_sql()
+
+
 def hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed document vectors: token → bucket
     ``md5(word)[0]`` (uniform 0..15), per-bucket counts densified to a
     ``_HASH_DIM``-component L2-normalized double vector. Empty docs get
     the zero vector (norm guard), so every doc_id appears."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("word")
-    ).filter(F.length("word") > 0)
-    counts = (
-        toks.withColumn("h", F.md5("word"))
-        .select("doc_id", _nibble("h", 1).alias("bucket"))
-        .groupBy("doc_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    counts = _hashed_token_counts(docs)
     per_doc = counts.groupBy("doc_id").agg(
         F.map_from_entries(F.collect_list(F.struct("bucket", "cnt"))).alias("m")
     )
@@ -139,15 +166,7 @@ def hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HASHED_DOC_VECTORS_SQL = f"""
-WITH tok AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
-  FROM documents
-),
-c AS (
-  SELECT doc_id, {_sql_nibble("md5(word)", 1)} AS bucket, COUNT(*) AS cnt
-  FROM tok WHERE length(word) > 0
-  GROUP BY doc_id, bucket
-),
+WITH {_HASHED_COUNTS_SQL},
 dims AS (SELECT unnest(range(0, {_HASH_DIM})) AS bucket),
 dense AS (
   SELECT i.doc_id, d.bucket, COALESCE(c.cnt, 0) AS cnt
@@ -248,8 +267,6 @@ FROM r ORDER BY doc_id
 """
 
 
-import hashlib as _hashlib
-
 # Shipped linear-classifier weights over the _HASH_DIM hashed-token
 # buckets: a MODEL ARTIFACT, derived deterministically from the seed so
 # both engines inline the identical literals (the same convention as
@@ -257,7 +274,7 @@ import hashlib as _hashlib
 # score an exact BIGINT — no float parity surface at all.
 _QC_SEED = "qw"
 _QC_WEIGHTS = [
-    int(_hashlib.md5(f"{_QC_SEED}:{b}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+    int(hashlib.md5(f"{_QC_SEED}:{b}".encode()).hexdigest()[:8], 16) % 2001 - 1000
     for b in range(_HASH_DIM)
 ]
 
@@ -275,15 +292,7 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights (or a Pandas-UDF encoder for a nonlinear model) changes
     only the artifact, not the plan."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("word")
-    ).filter(F.length("word") > 0)
-    counts = (
-        toks.withColumn("h", F.md5("word"))
-        .select("doc_id", _nibble("h", 1).alias("bucket"))
-        .groupBy("doc_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    counts = _hashed_token_counts(docs)
     warr = F.array(*[F.lit(w) for w in _QC_WEIGHTS])
     scored = (
         counts.withColumn("w", F.element_at(warr, F.col("bucket") + 1))
@@ -308,15 +317,7 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUALITY_CLASSIFIER_SCORE_SQL = f"""
-WITH tok AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
-  FROM documents
-),
-c AS (
-  SELECT doc_id, {_sql_nibble("md5(word)", 1)} AS bucket, COUNT(*) AS cnt
-  FROM tok WHERE length(word) > 0
-  GROUP BY doc_id, bucket
-),
+WITH {_HASHED_COUNTS_SQL},
 scored AS (
   SELECT doc_id,
          CAST(SUM(cnt) AS BIGINT) AS n_tokens,

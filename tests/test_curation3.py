@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import re
 
 from pyspark.sql import functions as F
 
@@ -17,6 +18,17 @@ from data_pipeline_who_gho_spark.plans.curation3 import (
 )
 
 SF = "/root/testdata/sf0.001"
+
+
+def _ascii_tokens(text: str) -> list[str]:
+    """Match the plan's tokenizer exactly: Spark `trim` strips SPACES
+    only and Java-regex \\s is ASCII whitespace — Python str.split()
+    honors Unicode whitespace and would silently diverge on NBSP etc."""
+    return [
+        t
+        for t in re.split(r"[ \t\n\x0b\f\r]+", text.strip(" ").lower())
+        if t
+    ]
 
 
 def test_shuffle_is_a_permutation(spark):
@@ -119,7 +131,7 @@ def test_quality_classifier_matches_driver_side_model(spark):
     )
     score = 0
     n_tok = 0
-    for w in doc["text"].strip().lower().split():
+    for w in _ascii_tokens(doc["text"]):
         b = int(hashlib.md5(w.encode()).hexdigest()[0], 16)
         score += _QC_WEIGHTS[b]
         n_tok += 1
@@ -149,7 +161,7 @@ def test_hashed_vectors_match_driver_side_hashing(spark):
         .collect()[0]
     )
     counts = [0] * _HASH_DIM
-    for w in doc["text"].strip().lower().split():
+    for w in _ascii_tokens(doc["text"]):
         counts[int(hashlib.md5(w.encode()).hexdigest()[0], 16)] += 1
     norm = math.sqrt(sum(c * c for c in counts))
     expect = [round(c / norm, 6) for c in counts]
