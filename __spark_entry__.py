@@ -165,6 +165,7 @@ _PRIORITY = [
     "shard_manifest", "bpe_learn_merges", "bpe_token_counts",
     "train_order_shuffle", "hashed_doc_vectors", "remove_duplicate_spans",
     "stratified_split_exact", "cluster_prototypes", "quality_classifier_score",
+    "ngram_novelty",
 ]
 
 

@@ -591,10 +591,67 @@ ORDER BY shard
 """
 
 
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded duplication density: per document, the fraction of its
+    10-gram occurrences that are the corpus-wide FIRST occurrence of
+    their fingerprint (min (doc_id, pos) ownership — the same contract
+    as ``remove_duplicate_spans``). Binary dedup asks "is this doc a
+    dup"; training-corpus curation also wants the continuous signal —
+    novelty_permille near 1000 = fresh text, near 0 = boilerplate —
+    to threshold, stratify, or weight by.
+
+    Runs on the PLAIN documents table (no injected hybrids): real
+    corpora carry intrinsic cross-document repetition. Scale shape:
+    identical to the span ops — one partial-agg'd fingerprint groupBy
+    joined back, one doc_id re-agg; the ratio is integer permille
+    (floor(1000·novel/total)) so both engines agree exactly."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = _token_rows(docs)
+    kgrams = _kgram_rows(tok)
+    okey = (F.col("doc_id") * (1 << _OKEY_POS_BITS) + F.col("pos")).cast("long")
+    owners = kgrams.groupBy("fp").agg(F.min(okey).alias("owner"))
+    return (
+        kgrams.join(owners, "fp")
+        .withColumn("novel", (okey == F.col("owner")).cast("long"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kgrams"),
+            F.sum("novel").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_permille",
+            F.floor(F.lit(1000) * F.col("n_novel") / F.col("n_kgrams")).cast("long"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+NGRAM_NOVELTY_SQL = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+tok AS ({_TOKEN_ROWS_SQL}),
+{_KGRAM_BLOCKS_SQL},
+owners AS (
+  SELECT fp, MIN(doc_id * {1 << _OKEY_POS_BITS} + pos) AS owner
+  FROM kgc GROUP BY fp
+),
+marked AS (
+  SELECT k.doc_id,
+         CASE WHEN k.doc_id * {1 << _OKEY_POS_BITS} + k.pos = o.owner
+              THEN 1 ELSE 0 END AS novel
+  FROM kgc k JOIN owners o USING (fp)
+)
+SELECT doc_id, COUNT(*) AS n_kgrams,
+       CAST(SUM(novel) AS BIGINT) AS n_novel,
+       CAST(floor(1000 * SUM(novel) / COUNT(*)) AS BIGINT) AS novelty_permille
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 CURATION2_QUERIES = {
     "dedup_passages": dedup_passages,
     "duplicate_spans": duplicate_spans,
     "remove_duplicate_spans": remove_duplicate_spans,
+    "ngram_novelty": ngram_novelty,
     "ann_ivf_pq": ann_ivf_pq,
     "shard_manifest": shard_manifest,
 }
@@ -603,6 +660,7 @@ CURATION2_ORACLE_SQL = {
     "dedup_passages": DEDUP_PASSAGES_SQL,
     "duplicate_spans": DUPLICATE_SPANS_SQL,
     "remove_duplicate_spans": REMOVE_DUPLICATE_SPANS_SQL,
+    "ngram_novelty": NGRAM_NOVELTY_SQL,
     "ann_ivf_pq": ANN_IVF_PQ_SQL,
     "shard_manifest": _shard_manifest_sql(),
 }

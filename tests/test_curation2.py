@@ -185,3 +185,22 @@ def test_pq_structure_and_recall(spark):
         exact = {i for i, _ in sorted(d.items(), key=lambda kv: (kv[1], kv[0]))[:_PQ_TOPK]}
         overlaps.append(len(exact & {r["vec_id"] for r in rs}))
     assert sum(overlaps) / len(overlaps) >= 1.0
+
+
+def test_ngram_novelty_bounds_and_doc0(spark):
+    from data_pipeline_who_gho_spark.plans.curation2 import ngram_novelty
+
+    rows = {r["doc_id"]: r for r in ngram_novelty(spark, SF).collect()}
+    assert rows
+    for r in rows.values():
+        assert 0 <= r["n_novel"] <= r["n_kgrams"]
+        assert 0 <= r["novelty_permille"] <= 1000
+        assert r["novelty_permille"] == (1000 * r["n_novel"]) // r["n_kgrams"]
+    # the smallest okey in the corpus belongs to doc 0: its first k-gram
+    # is always novel, and ownership is min-key so doc 0 can only lose
+    # k-grams it repeats internally
+    assert rows[0]["n_novel"] > 0
+    # corpus text reuses chunks across docs, so duplication exists:
+    # someone scores below 1000
+    assert any(r["novelty_permille"] < 1000 for r in rows.values())
+    assert any(r["novelty_permille"] == 1000 for r in rows.values())
