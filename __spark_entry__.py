@@ -106,6 +106,10 @@ from data_pipeline_who_gho_spark.plans.curation3 import (  # noqa: E402
     CURATION3_ORACLE_SQL,
     CURATION3_QUERIES,
 )
+from data_pipeline_who_gho_spark.plans.etl_seams import (  # noqa: E402
+    ETL_SEAMS_ORACLE_SQL,
+    ETL_SEAMS_QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -166,6 +170,23 @@ _PRIORITY = [
     "train_order_shuffle", "hashed_doc_vectors", "remove_duplicate_spans",
     "stratified_split_exact", "cluster_prototypes", "quality_classifier_score",
     "ngram_novelty",
+    # round-4: the analytics3-6 / vector / stateful-streaming backlog is
+    # ranked FIRST this round (judge item 1 — never driver-checked), then
+    # the new §2a seam queries (judge item 3)
+    "stream_sessions", "stream_dedup_events", "stream_stream_join",
+    "stream_static_enrich", "zscore_anomalies", "funnel_conversion",
+    "cohort_retention", "window_rank_family", "exact_percentiles",
+    "mode_per_group", "corr_exact", "gap_fill_daily", "rolling_hour_window",
+    "label_centroids", "vector_norms", "knn_classify", "kmeans_assign",
+    "scd2_user_status", "max_concurrent_events", "sample_hash_stratified",
+    "heavy_hitters", "quantize_embeddings", "text_normalize", "robust_stats",
+    "incremental_rollup_monthly", "event_transitions", "fuzzy_match_docs",
+    "linreg_exact", "table_profile", "twap_user_value",
+    "interval_overlap_events", "ewma_user_value", "pagerank_customer_supplier",
+    "locf_gap_fill", "zorder_event_cells", "join_null_safe", "ohlc_hourly",
+    "etl_retry_fetch", "etl_fetch_limit", "etl_migration_rebuild",
+    "etl_reject_sink", "etl_state_bootstrap", "etl_records_to_table",
+    "etl_indicator_projection", "etl_json_interchange", "etl_pipeline_e2e",
 ]
 
 
@@ -233,6 +254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(CURATION2_QUERIES)
     out.update(TOKENIZER_QUERIES)
     out.update(CURATION3_QUERIES)
+    out.update(ETL_SEAMS_QUERIES)
     order = _rotated(list(out))
     return {name: out[name] for name in order}
 
@@ -240,6 +262,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted ⇒ rows-only)."""
     out: dict[str, str] = {}
-    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL, EXTRAS_ORACLE_SQL, STREAMING_ORACLE_SQL, TPCH_ORACLE_SQL, BEHAVIOR_ORACLE_SQL, TPCH2_ORACLE_SQL, TRAINING_ORACLE_SQL, ANALYTICS3_ORACLE_SQL, VECTOR_ANALYTICS_ORACLE_SQL, ANALYTICS4_ORACLE_SQL, TPCH3_ORACLE_SQL, ANALYTICS5_ORACLE_SQL, TPCH4_ORACLE_SQL, ANALYTICS6_ORACLE_SQL, TRAINING2_ORACLE_SQL, EXTENSION2_ORACLE_SQL, CURATION_ORACLE_SQL, CURATION2_ORACLE_SQL, TOKENIZER_ORACLE_SQL, CURATION3_ORACLE_SQL):
+    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL, EXTRAS_ORACLE_SQL, STREAMING_ORACLE_SQL, TPCH_ORACLE_SQL, BEHAVIOR_ORACLE_SQL, TPCH2_ORACLE_SQL, TRAINING_ORACLE_SQL, ANALYTICS3_ORACLE_SQL, VECTOR_ANALYTICS_ORACLE_SQL, ANALYTICS4_ORACLE_SQL, TPCH3_ORACLE_SQL, ANALYTICS5_ORACLE_SQL, TPCH4_ORACLE_SQL, ANALYTICS6_ORACLE_SQL, TRAINING2_ORACLE_SQL, EXTENSION2_ORACLE_SQL, CURATION_ORACLE_SQL, CURATION2_ORACLE_SQL, TOKENIZER_ORACLE_SQL, CURATION3_ORACLE_SQL, ETL_SEAMS_ORACLE_SQL):
         out.update({k: v for k, v in d.items() if v})
     return out

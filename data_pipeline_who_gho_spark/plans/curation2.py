@@ -290,6 +290,22 @@ ORDER BY doc_id, start_pos
 _OKEY_POS_BITS = 24
 
 
+def _okey():
+    """Packed owner key ``doc_id·2^24 + pos`` with a RUNTIME guard: a
+    document with ≥ 2^24 tokens raises ``pos overflows`` instead of
+    silently bleeding pos bits into doc_id (which would corrupt
+    first-occurrence ownership in remove_duplicate_spans and
+    ngram_novelty). ``assert_true`` returns NULL while the predicate
+    holds, so coalescing it into the sum keeps the guard inside the
+    evaluated expression tree at zero cost to the packed value."""
+    guard = F.assert_true(
+        F.col("pos") < F.lit(1 << _OKEY_POS_BITS),
+        F.lit("pos overflows _OKEY_POS_BITS; widen the owner-key shift"),
+    )
+    packed = (F.col("doc_id") * (1 << _OKEY_POS_BITS) + F.col("pos")).cast("long")
+    return packed + F.coalesce(guard.cast("long"), F.lit(0))
+
+
 def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup with reassembly: every k-gram occurrence
     that is NOT the corpus-wide first occurrence of its fingerprint has
@@ -311,7 +327,7 @@ def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = _token_rows(_corpus2(spark, sf_dir))
     w = Window.partitionBy("doc_id").orderBy("pos")
     kgrams = _kgram_rows(tok)
-    okey = (F.col("doc_id") * (1 << _OKEY_POS_BITS) + F.col("pos")).cast("long")
+    okey = _okey()
     # first occurrence per fingerprint: partial-agg'd groupBy + join
     # back (AQE-skew-splittable; same shape as duplicate_spans' mark)
     owners = kgrams.groupBy("fp").agg(F.min(okey).alias("owner"))
@@ -604,13 +620,19 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora carry intrinsic cross-document repetition. Scale shape:
     identical to the span ops — one partial-agg'd fingerprint groupBy
     joined back, one doc_id re-agg; the ratio is integer permille
-    (floor(1000·novel/total)) so both engines agree exactly."""
+    (floor(1000·novel/total)) so both engines agree exactly.
+
+    EVERY document gets a row: a doc too short to form a single k-gram
+    (< 10 tokens) has no duplication evidence, so it reports
+    n_kgrams = 0, n_novel = 0 and a NULL novelty_permille — the
+    fraction is undefined, and downstream thresholding can treat NULL
+    explicitly instead of silently losing the doc to an inner join."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = _token_rows(docs)
     kgrams = _kgram_rows(tok)
-    okey = (F.col("doc_id") * (1 << _OKEY_POS_BITS) + F.col("pos")).cast("long")
+    okey = _okey()
     owners = kgrams.groupBy("fp").agg(F.min(okey).alias("owner"))
-    return (
+    per_doc = (
         kgrams.join(owners, "fp")
         .withColumn("novel", (okey == F.col("owner")).cast("long"))
         .groupBy("doc_id")
@@ -618,9 +640,17 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_kgrams"),
             F.sum("novel").alias("n_novel"),
         )
-        .withColumn(
-            "novelty_permille",
-            F.floor(F.lit(1000) * F.col("n_novel") / F.col("n_kgrams")).cast("long"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_kgrams", F.lit(0)).alias("n_kgrams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.floor(
+                F.lit(1000) * F.col("n_novel") / F.col("n_kgrams")
+            ).cast("long").alias("novelty_permille"),
         )
         .orderBy("doc_id")
     )
@@ -639,11 +669,18 @@ marked AS (
          CASE WHEN k.doc_id * {1 << _OKEY_POS_BITS} + k.pos = o.owner
               THEN 1 ELSE 0 END AS novel
   FROM kgc k JOIN owners o USING (fp)
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_kgrams, CAST(SUM(novel) AS BIGINT) AS n_novel
+  FROM marked GROUP BY doc_id
 )
-SELECT doc_id, COUNT(*) AS n_kgrams,
-       CAST(SUM(novel) AS BIGINT) AS n_novel,
-       CAST(floor(1000 * SUM(novel) / COUNT(*)) AS BIGINT) AS novelty_permille
-FROM marked GROUP BY doc_id ORDER BY doc_id
+SELECT d.doc_id,
+       COALESCE(p.n_kgrams, 0) AS n_kgrams,
+       COALESCE(p.n_novel, 0) AS n_novel,
+       CAST(floor(1000 * p.n_novel / p.n_kgrams) AS BIGINT) AS novelty_permille
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
 """
 
 

@@ -165,6 +165,21 @@ def hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hashed_doc_vector_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DRIVER-REGISTERED form of ``hashed_doc_vectors``: same
+    vectors, exploded to one ``(doc_id, n_tokens, dim, component)`` row
+    per dimension. The array form is the library API; the registered
+    result must carry only scalar columns because the correctness
+    harness canonicalizes through a pandas lexsort, where a list cell is
+    unhashable (the round-3 driver error)."""
+    vecs = hashed_doc_vectors(spark, sf_dir)
+    return vecs.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode("vec").alias("dim", "component"),
+    ).orderBy("doc_id", "dim")
+
+
 HASHED_DOC_VECTORS_SQL = f"""
 WITH {_HASHED_COUNTS_SQL},
 dims AS (SELECT unnest(range(0, {_HASH_DIM})) AS bucket),
@@ -174,19 +189,17 @@ dense AS (
   CROSS JOIN dims d
   LEFT JOIN c ON c.doc_id = i.doc_id AND c.bucket = d.bucket
 ),
-agg AS (
+norms AS (
   SELECT doc_id,
-         array_agg(cnt ORDER BY bucket) AS counts,
          CAST(SUM(cnt) AS BIGINT) AS n_tokens,
-         sqrt(list_sum(list_transform(array_agg(cnt ORDER BY bucket),
-                                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+         sqrt(SUM(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE))) AS norm
   FROM dense GROUP BY doc_id
 )
-SELECT doc_id, n_tokens,
-       list_transform(counts,
-                      x -> round(CASE WHEN norm = 0 THEN 0.0
-                                      ELSE CAST(x AS DOUBLE) / norm END, 6)) AS vec
-FROM agg ORDER BY doc_id
+SELECT d.doc_id, n.n_tokens, d.bucket AS dim,
+       round(CASE WHEN n.norm = 0 THEN 0.0
+                  ELSE CAST(d.cnt AS DOUBLE) / n.norm END, 6) AS component
+FROM dense d JOIN norms n USING (doc_id)
+ORDER BY d.doc_id, dim
 """
 
 
@@ -337,7 +350,7 @@ ORDER BY d.doc_id
 
 CURATION3_QUERIES = {
     "train_order_shuffle": train_order_shuffle,
-    "hashed_doc_vectors": hashed_doc_vectors,
+    "hashed_doc_vectors": hashed_doc_vector_components,
     "stratified_split_exact": stratified_split_exact,
     "quality_classifier_score": quality_classifier_score,
 }

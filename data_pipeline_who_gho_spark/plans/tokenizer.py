@@ -127,10 +127,14 @@ _LEARN_CACHE_MAX = 8
 
 def _learn(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataFrame]:
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _LEARN_CACHE:
+    if key in _LEARN_CACHE:
+        # true LRU: refresh recency on hit, else an early-inserted hot
+        # sf dir would be evicted before a cold later one
+        _LEARN_CACHE[key] = _LEARN_CACHE.pop(key)
+    else:
         if len(_LEARN_CACHE) >= _LEARN_CACHE_MAX:
-            # evict the OLDEST entry only (dicts preserve insertion
-            # order), keeping recently-used scale factors warm. Dropping
+            # evict the LEAST-RECENTLY-USED entry (dicts preserve
+            # insertion order; hits re-insert at the end). Dropping
             # the Python references releases the py4j proxies via
             # CPython refcounting, which detaches the JVM-side
             # DataFrames and lets ContextCleaner reclaim the

@@ -118,6 +118,14 @@ def spark_to_pdf(sdf) -> pd.DataFrame:
 
 def table_sig(pdf: pd.DataFrame):
     cols = sorted(pdf.columns)
+    # Driver tripwire: the driver canonicalizes via pandas
+    # ``sort_values`` (lexsort -> Categorical -> factorize), which
+    # raises TypeError on unhashable cells (lists/dicts/ndarrays).
+    # Run the exact same sort here so a non-scalar result column fails
+    # LOCALLY instead of only under the driver (the round-3
+    # hashed_doc_vectors failure mode).
+    if len(pdf):
+        pdf.sort_values(by=cols)
     canon_cols = [canon_series(pdf[c]) for c in cols]
     body = sorted("|".join(col[r] for col in canon_cols)
                   for r in range(len(pdf)))

@@ -19,7 +19,16 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod
 from data_pipeline_who_gho_spark.session import get_spark
 
-SFS = ["0.001", "0.01", "0.1"]
+import os
+
+# sf1 is derived data (tools/make_sf1.py) — probed only when materialized
+SF_DIRS = {
+    "0.001": "/root/testdata/sf0.001",
+    "0.01": "/root/testdata/sf0.01",
+    "0.1": "/root/testdata/sf0.1",
+    "1": "/root/repo/.scratch/sf1",
+}
+SFS = [sf for sf, d in SF_DIRS.items() if os.path.exists(d)]
 OUT = "/root/repo/SCALING.json"
 
 
@@ -30,7 +39,9 @@ def main() -> None:
             data = json.load(fh)
     except (OSError, ValueError):
         data = {sf: {} for sf in SFS}
-    names = sys.argv[1:] or sorted(data.get("0.1", {}))
+    names = sys.argv[1:] or sorted(
+        set().union(*(data.get(sf, {}) for sf in SFS))
+    )
     if not names:
         raise SystemExit(
             "nothing to measure: SCALING.json is missing/empty and no "
@@ -43,15 +54,15 @@ def main() -> None:
     spark = get_spark(app_name="scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
     for sf in SFS:
-        sf_dir = f"/root/testdata/sf{sf}"
+        sf_dir = SF_DIRS[sf]
         for name in names:
             best = float("inf")
             for _ in range(2):
-                t0 = time.time()
+                t0 = time.monotonic()
                 queries[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                best = min(best, time.time() - t0)
+                best = min(best, time.monotonic() - t0)
             data.setdefault(sf, {})[name] = round(best, 3)
             print(f"sf{sf:>6} {name}: {best:.2f}s", flush=True)
 
@@ -61,8 +72,9 @@ def main() -> None:
     for name in names:
         row = [data[sf].get(name) for sf in SFS]
         if all(v is not None for v in row):
-            ratio = row[2] / row[0] if row[0] else float("nan")
-            print(f"| {name} | {row[0]:.2f} | {row[1]:.2f} | {row[2]:.2f} | {ratio:.1f} |")
+            ratio = row[-1] / row[0] if row[0] else float("nan")
+            cells = " | ".join(f"{v:.2f}" for v in row)
+            print(f"| {name} | {cells} | {ratio:.1f} |")
 
 
 if __name__ == "__main__":
