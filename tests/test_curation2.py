@@ -204,3 +204,39 @@ def test_ngram_novelty_bounds_and_doc0(spark):
     # someone scores below 1000
     assert any(r["novelty_permille"] < 1000 for r in rows.values())
     assert any(r["novelty_permille"] == 1000 for r in rows.values())
+
+
+def test_okey_guard_raises_on_pos_overflow(spark):
+    # ADVICE r03: a pos at/over the 24-bit budget must fail loudly, not
+    # silently bleed into doc_id
+    from data_pipeline_who_gho_spark.plans.curation2 import _OKEY_POS_BITS, _okey
+
+    ok = spark.createDataFrame([(1, 5)], "doc_id LONG, pos LONG")
+    assert ok.select(_okey().alias("k")).first()["k"] == (1 << _OKEY_POS_BITS) + 5
+
+    bad = spark.createDataFrame([(1, 1 << _OKEY_POS_BITS)], "doc_id LONG, pos LONG")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="overflows|ASSERT"):
+        bad.select(_okey().alias("k")).collect()
+
+
+def test_ngram_novelty_emits_short_docs(spark, tmp_path):
+    # contract (ADVICE r03): every document gets a row; < 10-token docs
+    # report 0 kgrams and a NULL permille instead of vanishing
+    from data_pipeline_who_gho_spark.plans.curation2 import ngram_novelty
+
+    rows = [
+        (0, "tiny doc", "en", "web", 8),
+        (1, " ".join(f"w{i}" for i in range(40)), "en", "web", 100),
+        (2, " ".join(f"w{i}" for i in range(40)), "en", "web", 100),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in ngram_novelty(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["n_kgrams"] == 0 and out[0]["novelty_permille"] is None
+    # doc 1 owns every shared fingerprint (min doc_id); doc 2 is all-dup
+    assert out[1]["novelty_permille"] == 1000
+    assert out[2]["novelty_permille"] == 0
