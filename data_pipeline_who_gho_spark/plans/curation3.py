@@ -123,6 +123,14 @@ def hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``md5(word)[0]`` (uniform 0..15), per-bucket counts densified to a
     ``_HASH_DIM``-component L2-normalized double vector. Empty docs get
     the zero vector (norm guard), so every doc_id appears."""
+    return _hashed_doc_vectors_unsorted(spark, sf_dir).orderBy("doc_id")
+
+
+def _hashed_doc_vectors_unsorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector pipeline without the presentation sort, so the
+    components wrapper below doesn't stack a redundant sort pass under
+    its own ORDER BY (Catalyst keeps both when a generator sits
+    between)."""
     docs = load_table(spark, sf_dir, "documents")
     counts = _hashed_token_counts(docs)
     per_doc = counts.groupBy("doc_id").agg(
@@ -148,20 +156,18 @@ def hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
     )
-    return (
-        dense.withColumn("n_tokens", F.aggregate("counts", F.lit(0).cast("long"), lambda a, x: a + x))
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.transform(
-                "counts",
-                lambda x: F.round(
-                    F.when(norm == 0, F.lit(0.0)).otherwise(x.cast("double") / norm),
-                    6,
-                ),
-            ).alias("vec"),
-        )
-        .orderBy("doc_id")
+    return dense.withColumn(
+        "n_tokens", F.aggregate("counts", F.lit(0).cast("long"), lambda a, x: a + x)
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.transform(
+            "counts",
+            lambda x: F.round(
+                F.when(norm == 0, F.lit(0.0)).otherwise(x.cast("double") / norm),
+                6,
+            ),
+        ).alias("vec"),
     )
 
 
@@ -172,7 +178,7 @@ def hashed_doc_vector_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     result must carry only scalar columns because the correctness
     harness canonicalizes through a pandas lexsort, where a list cell is
     unhashable (the round-3 driver error)."""
-    vecs = hashed_doc_vectors(spark, sf_dir)
+    vecs = _hashed_doc_vectors_unsorted(spark, sf_dir)
     return vecs.select(
         "doc_id",
         "n_tokens",
