@@ -145,30 +145,102 @@ _BLOCK_LEN = 12
 _PREFIX_LEN = 60
 _MAX_DIST = 5
 
+# PassJoin segment geometry: the 48-char suffix past the block splits
+# into MAX_DIST+1 = 6 segments of 8; probe substrings shift +/-5
+_SEG_N = _MAX_DIST + 1
+_SUF_LEN = _PREFIX_LEN - _BLOCK_LEN
+_SEG_LEN = _SUF_LEN // _SEG_N
+
 
 def fuzzy_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs whose 60-char prefixes are within levenshtein
-    distance 5, blocked on the first 12 characters so the quadratic
-    comparison never leaves a bucket — the fuzzy complement of exact /
-    MinHash dedup for short-text (title-style) matching. An equi-join
-    on the block key (shuffle or broadcast by Catalyst's choice), then
-    the distance filter inside each block."""
+    distance 5, blocked on the first 12 characters — the fuzzy
+    complement of exact / MinHash dedup for short-text (title-style)
+    matching.
+
+    Scale shape (rebuilt after the sf1 probe caught the naive
+    block-join at ~100x time for 10x data — hot blocks make the pair
+    set quadratic): a PassJoin-style segment filter (Li et al., PVLDB
+    2011) generates candidates instead of all block pairs. Exactness:
+    equal blocks strip as a common prefix without changing the edit
+    distance, so lev(prefix) <= 5 implies lev(48-char suffixes) <= 5;
+    partitioning one suffix into 6 segments of 8 chars, pigeonhole
+    forces >= 1 segment to survive un-edited, i.e. appear EXACTLY in
+    the other suffix within +/-5 positions. Candidates = equi-join on
+    (block, segment index, 8-char content) — the a-side emits its 6
+    canonical segments, the b-side its substrings at the <= 11 shifted
+    starts — then the BANDED levenshtein verify (levenshtein(pa, pb,
+    5) early-exits past the threshold, O(k*n) per pair). Docs too
+    short for a full prefix fall back to the plain block join (they
+    are few, and their whole text IS the prefix). Results are
+    bit-identical to the quadratic definition the oracle keeps
+    (cross-checked pairwise at sf0.001/0.01/1)."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.substring("text", 1, _PREFIX_LEN).alias("prefix"),
         F.substring("text", 1, _BLOCK_LEN).alias("block"),
+        F.substring("text", _BLOCK_LEN + 1, _SUF_LEN).alias("suffix"),
     )
-    a = docs.select(
-        F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"), "block"
+    fulls = docs.filter(F.length("prefix") == _PREFIX_LEN)
+    shorts = docs.filter(F.length("prefix") < _PREFIX_LEN)
+
+    # a-side: canonical segments (i, suffix[i*8 : (i+1)*8])
+    segs = F.array(*[
+        F.struct(
+            F.lit(i).alias("i"),
+            F.substring("suffix", i * _SEG_LEN + 1, _SEG_LEN).alias("seg"),
+        )
+        for i in range(_SEG_N)
+    ])
+    a_keys = fulls.select(
+        F.col("doc_id").alias("id_a"), "block", F.explode(segs).alias("s")
+    ).select("id_a", "block", F.col("s.i").alias("i"), F.col("s.seg").alias("seg"))
+
+    # b-side: probe substrings at every start within +/-MAX_DIST of
+    # each canonical segment start (clamped to the suffix), dedup'd at
+    # plan-construction time
+    probe_idx = sorted({
+        (i, max(1, min(_SUF_LEN - _SEG_LEN + 1, i * _SEG_LEN + 1 + s)))
+        for i in range(_SEG_N)
+        for s in range(-_MAX_DIST, _MAX_DIST + 1)
+    })
+    probes = F.array(*[
+        F.struct(F.lit(i).alias("i"), F.lit(p).alias("p")) for i, p in probe_idx
+    ])
+    b_keys = fulls.select(
+        F.col("doc_id").alias("id_b"), "block", "suffix",
+        F.explode(probes).alias("ip"),
+    ).select(
+        "id_b", "block", F.col("ip.i").alias("i"),
+        F.col("suffix").substr(F.col("ip.p"), F.lit(_SEG_LEN)).alias("seg"),
     )
-    b = docs.select(
-        F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"), "block"
-    )
-    return (
-        a.join(b, "block")
+
+    cand_full = (
+        a_keys.join(b_keys, ["block", "i", "seg"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist", F.levenshtein("pa", "pb"))
-        .filter(F.col("dist") <= _MAX_DIST)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # short-doc fallback: every pair with a short member, via block join
+    s_a = shorts.select(F.col("doc_id").alias("id_a"), "block")
+    all_b = docs.select(F.col("doc_id").alias("id_b"), "block")
+    f_a = fulls.select(F.col("doc_id").alias("id_a"), "block")
+    s_b = shorts.select(F.col("doc_id").alias("id_b"), "block")
+    cand_short = (
+        s_a.join(all_b, "block").select("id_a", "id_b")
+        .unionByName(f_a.join(s_b, "block").select("id_a", "id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+    pa = docs.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"))
+    pb = docs.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
+    return (
+        cand_full.unionByName(cand_short)
+        .join(pa, "id_a")
+        .join(pb, "id_b")
+        .withColumn("dist", F.levenshtein("pa", "pb", _MAX_DIST))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= _MAX_DIST))
         .select("id_a", "id_b", "dist")
         .orderBy("id_a", "id_b")
     )

@@ -411,8 +411,15 @@ def etl_paged_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.paged import fetch_paged
     from ..sources.testing import pages_fetcher
 
-    left = spark.createDataFrame([("k",)], "prefix STRING")
-    right = spark.createDataFrame([(str(i),) for i in range(10)], "n STRING")
+    # Build the fan-out from JVM-native relations (spark.range), NOT
+    # python createDataFrame rows: a CartesianProduct over
+    # python-pickled ExistingRDDs re-evaluates each side per partition
+    # pairing through fresh Python workers — measured ~14 s for this
+    # 1 x 10 crossJoin vs 0.3 s range-backed (found by the sf1 scaling
+    # probe). Same rule at 100 TB: fetch plans come from tables/native
+    # relations; driver-pickled frames don't belong under a join.
+    left = spark.range(1).select(F.lit("k").alias("prefix"))
+    right = spark.range(10).select(F.col("id").cast("string").alias("n"))
     keys = left.crossJoin(right).select(F.concat("prefix", "n").alias("key"))
     return fetch_paged(
         spark, keys, pages_fetcher, "key STRING, idx INT", page_size=2

@@ -85,10 +85,20 @@ def fetch_paged(
     ``keys`` is the fetch plan (build it with crossJoin for S6 fan-out).
     Records stream out of ``mapInPandas`` in page-sized pandas batches —
     no driver materialization at any scale.
+
+    The plan is re-partitioned to ``num_partitions`` (default: the
+    cluster's defaultParallelism) before the fetch: a crossJoin-built
+    plan otherwise carries left x right partitions (32 x 32 = 1024 in
+    local tests — found by the scaling probe as ~20 s of empty
+    Python-worker spin-up for a 10-key fetch), and the round-robin
+    shuffle of the tiny key rows also evens out key skew so every
+    executor fetches, not just the partitions the crossJoin landed
+    keys in.
     """
     plan = keys.select(key_col)
-    if num_partitions:
-        plan = plan.repartition(num_partitions)
+    target = num_partitions or spark.sparkContext.defaultParallelism
+    if plan.rdd.getNumPartitions() != target:
+        plan = plan.repartition(target)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

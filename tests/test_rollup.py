@@ -142,3 +142,65 @@ class TestSketchRollup:
                  .agg(F.countDistinct("o_custkey").alias("n")).collect()}
         for k, n in exact.items():
             assert abs(est[k] - n) / n < 0.05  # default lgK=12 ⇒ ~1.6% rse
+
+
+def test_fuzzy_passjoin_equals_quadratic_definition(spark, tmp_path):
+    """The PassJoin segment filter must find exactly the pairs the
+    quadratic block-join definition finds — including edits that SHIFT
+    later segments (indels), edits at segment boundaries, and short
+    docs on the fallback path."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_who_gho_spark.plans.analytics5 import (
+        _BLOCK_LEN,
+        _MAX_DIST,
+        _PREFIX_LEN,
+        fuzzy_match_docs,
+    )
+
+    head = "BLOCKHEAD_12"  # the 12-char block
+    base = head + "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKL"  # 60 chars
+    rows = [
+        (0, base),
+        (1, base[:20] + "XX" + base[22:]),            # 2 substitutions
+        # on fixed-60 prefixes an indel also desyncs the tail, so a
+        # 2-char indel costs ~4 total — inside the threshold, and it
+        # SHIFTS every later segment (the case pure banding misses)
+        (2, base[:15] + base[17:] + "YY"),            # 2-char deletion
+        (3, base[:30] + "zz" + base[30:58]),          # 2-char insertion
+        (4, base[:12] + "Q" * 48),                    # same block, far suffix
+        (5, head + "abcdefg"),                        # short doc (fallback path)
+        (6, head + "abcdefgh"),                       # short, dist 1 from #5
+        (7, "OTHERBLOCK__" + base[12:]),              # different block
+    ]
+    docs = [(i, t, "en", "web", len(t)) for i, t in rows]
+    spark.createDataFrame(
+        docs, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in fuzzy_match_docs(spark, str(tmp_path)).collect()}
+
+    # quadratic reference computed inline
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        pa, pb = ta[:_PREFIX_LEN], tb[:_PREFIX_LEN]
+        if ta[:_BLOCK_LEN] == tb[:_BLOCK_LEN]:
+            d = lev(pa, pb)
+            if d <= _MAX_DIST:
+                want[(min(ia, ib), max(ia, ib))] = d
+    assert got == want
+    assert (0, 1) in got and (0, 2) in got and (0, 3) in got
+    assert (5, 6) in got          # short fallback found the pair
+    assert (0, 4) not in got      # far suffix pruned AND verified out
