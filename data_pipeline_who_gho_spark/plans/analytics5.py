@@ -150,6 +150,9 @@ _MAX_DIST = 5
 _SEG_N = _MAX_DIST + 1
 _SUF_LEN = _PREFIX_LEN - _BLOCK_LEN
 _SEG_LEN = _SUF_LEN // _SEG_N
+# the pigeonhole argument needs the segments to COVER the suffix — a
+# remainder would leave tail chars in no segment and break completeness
+assert _SEG_N * _SEG_LEN == _SUF_LEN, "segment geometry must tile the suffix"
 
 
 def fuzzy_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
