@@ -76,3 +76,58 @@ def test_normalize_year_first_segment(spark, ys):
             assert n is None
         else:
             assert n == int(y.split("-")[0])
+
+
+# ---------------------------------------------------------------------------
+# PassJoin fuzzy matcher ≡ quadratic definition (random corpora)
+# ---------------------------------------------------------------------------
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+# tiny alphabet + shared stems force same-block collisions, near-misses,
+# exact dups, and short docs onto every code path
+_doc_text = st.one_of(
+    st.text(alphabet="ab", min_size=0, max_size=80),
+    st.builds(lambda stem, tail: stem * 6 + tail,
+              st.text(alphabet="ab", min_size=2, max_size=2),
+              st.text(alphabet="abc", min_size=0, max_size=60)),
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(texts=st.lists(_doc_text, min_size=2, max_size=14))
+def test_fuzzy_passjoin_matches_quadratic_on_random_corpora(spark, tmp_path_factory, texts):
+    from data_pipeline_who_gho_spark.plans.analytics5 import (
+        _BLOCK_LEN,
+        _MAX_DIST,
+        _PREFIX_LEN,
+        fuzzy_match_docs,
+    )
+
+    d = tmp_path_factory.mktemp("fuzzprop")
+    rows = [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in fuzzy_match_docs(spark, str(d)).collect()}
+
+    want = {}
+    for ia, ta in enumerate(texts):
+        for ib in range(ia + 1, len(texts)):
+            tb = texts[ib]
+            if ta[:_BLOCK_LEN] == tb[:_BLOCK_LEN]:
+                dist = _lev(ta[:_PREFIX_LEN], tb[:_PREFIX_LEN])
+                if dist <= _MAX_DIST:
+                    want[(ia, ib)] = dist
+    assert got == want
