@@ -86,3 +86,36 @@ def test_stream_validated_split(spark, event_stream):
     bad = [r for r in rows if not r["is_valid"]]
     assert len(rows) == 5 and len(bad) == 1
     assert bad[0]["event_id"] == 4 and "value" in bad[0]["error_details"]
+
+
+def test_stream_restart_resumes_from_checkpoint_exactly_once(spark, tmp_path):
+    """The recovery guarantee the 100 TB posture rests on: a file-source
+    stream stopped and restarted against the SAME checkpoint processes
+    only files it has not yet committed — no loss, no duplicates in the
+    sink across the restart."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = "id LONG, user_id LONG"
+
+    def land(lo, hi):
+        spark.range(lo, hi).selectExpr("id", "id % 5 AS user_id") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not drain in time"
+
+    land(0, 100)
+    drain()          # run 1 commits the first batch of files
+    land(100, 150)
+    drain()          # run 2 must pick up ONLY the new files
+
+    got = spark.read.parquet(out)
+    assert got.count() == 150                      # no loss, no dupes
+    assert got.select("id").distinct().count() == 150
