@@ -190,7 +190,12 @@ def etl_reject_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no partial double-writes)."""
 
     def build() -> DataFrame:
-        wh = os.path.join(_scratch(spark), f"rejects-{os.path.basename(sf_dir)}")
+        # fresh dir PER BUILD: the append-twice choreography is not
+        # idempotent, so a memo eviction re-running it against an
+        # existing sink would quadruple the copy counts
+        wh = tempfile.mkdtemp(
+            prefix=f"rejects-{os.path.basename(sf_dir)}-", dir=_scratch(spark)
+        )
         res = validate_split(
             _raw_observations(spark, sf_dir), observation_rules()
         )

@@ -96,3 +96,14 @@ def test_pipeline_e2e_fact_table(spark):
     assert n > 0
     # keyed upsert => observation_id unique in the fact table
     assert out.select("observation_id").distinct().count() == n
+
+
+def test_reject_sink_survives_memo_eviction(spark):
+    # the append-twice choreography must land in a FRESH sink per
+    # build, or a memo eviction re-run would quadruple copy counts
+    import data_pipeline_who_gho_spark.plans.etl_seams as es
+
+    r1 = sorted(map(tuple, etl_reject_sink(spark, SF).collect()))
+    es._MEMO.clear()
+    r2 = sorted(map(tuple, etl_reject_sink(spark, SF).collect()))
+    assert r1 == r2
