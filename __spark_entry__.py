@@ -110,6 +110,10 @@ from data_pipeline_who_gho_spark.plans.etl_seams import (  # noqa: E402
     ETL_SEAMS_ORACLE_SQL,
     ETL_SEAMS_QUERIES,
 )
+from data_pipeline_who_gho_spark.plans.curation4 import (  # noqa: E402
+    CURATION4_ORACLE_SQL,
+    CURATION4_QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -187,6 +191,7 @@ _PRIORITY = [
     "etl_retry_fetch", "etl_fetch_limit", "etl_migration_rebuild",
     "etl_reject_sink", "etl_state_bootstrap", "etl_records_to_table",
     "etl_indicator_projection", "etl_json_interchange", "etl_pipeline_e2e",
+    "perplexity_buckets", "dedup_cluster_best", "corpus_dedup_report",
 ]
 
 
@@ -255,6 +260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(TOKENIZER_QUERIES)
     out.update(CURATION3_QUERIES)
     out.update(ETL_SEAMS_QUERIES)
+    out.update(CURATION4_QUERIES)
     order = _rotated(list(out))
     return {name: out[name] for name in order}
 
@@ -262,6 +268,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted ⇒ rows-only)."""
     out: dict[str, str] = {}
-    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL, EXTRAS_ORACLE_SQL, STREAMING_ORACLE_SQL, TPCH_ORACLE_SQL, BEHAVIOR_ORACLE_SQL, TPCH2_ORACLE_SQL, TRAINING_ORACLE_SQL, ANALYTICS3_ORACLE_SQL, VECTOR_ANALYTICS_ORACLE_SQL, ANALYTICS4_ORACLE_SQL, TPCH3_ORACLE_SQL, ANALYTICS5_ORACLE_SQL, TPCH4_ORACLE_SQL, ANALYTICS6_ORACLE_SQL, TRAINING2_ORACLE_SQL, EXTENSION2_ORACLE_SQL, CURATION_ORACLE_SQL, CURATION2_ORACLE_SQL, TOKENIZER_ORACLE_SQL, CURATION3_ORACLE_SQL, ETL_SEAMS_ORACLE_SQL):
+    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL, EXTRAS_ORACLE_SQL, STREAMING_ORACLE_SQL, TPCH_ORACLE_SQL, BEHAVIOR_ORACLE_SQL, TPCH2_ORACLE_SQL, TRAINING_ORACLE_SQL, ANALYTICS3_ORACLE_SQL, VECTOR_ANALYTICS_ORACLE_SQL, ANALYTICS4_ORACLE_SQL, TPCH3_ORACLE_SQL, ANALYTICS5_ORACLE_SQL, TPCH4_ORACLE_SQL, ANALYTICS6_ORACLE_SQL, TRAINING2_ORACLE_SQL, EXTENSION2_ORACLE_SQL, CURATION_ORACLE_SQL, CURATION2_ORACLE_SQL, TOKENIZER_ORACLE_SQL, CURATION3_ORACLE_SQL, ETL_SEAMS_ORACLE_SQL, CURATION4_ORACLE_SQL):
         out.update({k: v for k, v in d.items() if v})
     return out

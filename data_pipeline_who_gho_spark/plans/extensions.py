@@ -817,8 +817,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
+# the cluster CTE chain, shared verbatim by DEDUP_CLUSTERS_SQL and the
+# round-4 consumers (dedup_cluster_best / corpus_dedup_report in
+# plans/curation4.py) — keep ONE definition of the cluster contract
+CLUSTERS_CTES = f"""corpus AS ({_CORPUS_SQL}),
 sh AS ({_SHINGLES_SQL}),
 inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
 inter AS (
@@ -843,11 +845,17 @@ reach(src, dst) AS (
   UNION
   SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
 ),
-comp AS (SELECT src AS doc_id, MIN(dst) AS canonical_id FROM reach GROUP BY src)
-SELECT c.doc_id, c.canonical_id, s.cluster_size
-FROM comp c
-JOIN (SELECT canonical_id, COUNT(*) AS cluster_size FROM comp GROUP BY canonical_id) s
-  ON c.canonical_id = s.canonical_id
+comp AS (SELECT src AS doc_id, MIN(dst) AS canonical_id FROM reach GROUP BY src),
+clusters AS (
+  SELECT c.doc_id, c.canonical_id, s.cluster_size
+  FROM comp c
+  JOIN (SELECT canonical_id, COUNT(*) AS cluster_size FROM comp GROUP BY canonical_id) s
+    ON c.canonical_id = s.canonical_id
+)"""
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {CLUSTERS_CTES}
+SELECT doc_id, canonical_id, cluster_size FROM clusters
 """
 
 
