@@ -61,3 +61,24 @@ def test_global_rank_avoids_single_partition_window(spark):
         if "windowspecdefinition" in line and "__pid" not in line:
             # the offsets window runs over #partitions count rows only
             assert "__n" in line or "__off" in line, line
+
+
+def test_ntile_from_rank_equals_ansi_ntile_across_shapes(spark):
+    """Sweep the REAL ntile_from_rank expression against ANSI
+    F.ntile for every corpus size 1..60 and several tile counts — the
+    arithmetic two registered queries (perplexity_buckets,
+    curriculum_phases) rest on. One Spark job per tile count, all
+    shapes at once (rows partitioned by their synthetic total)."""
+    from pyspark.sql import Window
+
+    rows = [(total, rn) for total in range(1, 61) for rn in range(1, total + 1)]
+    df = spark.createDataFrame(rows, "total INT, rn INT")
+    for n in (2, 3, 5, 7):
+        got = df.select(
+            "total", "rn",
+            ntile_from_rank(F.col("rn"), F.col("total"), n).alias("mine"),
+        )
+        w = Window.partitionBy("total").orderBy("rn")
+        want = df.withColumn("ansi", F.ntile(n).over(w))
+        joined = got.join(want, ["total", "rn"])
+        assert joined.filter(F.col("mine") != F.col("ansi")).count() == 0
