@@ -210,6 +210,73 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document to its BPE token SEQUENCE under the
+    learned merges: rows (doc_id, seq_pos, token), ordered by word
+    position then symbol position within the word — the actual trainer
+    input surface. Merge application stays on the vocab-bounded symbol
+    table (a word's symbol sequence is a property of the word); the
+    corpus-scale stage is one broadcast join of word → ordered symbols
+    onto position-exploded doc words plus a PER-DOC sequence window
+    (bounded by document length — never a corpus-global sort)."""
+    _, state = _learn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("wpos", "word")
+    ).filter(F.length("word") > 0)
+    enc = words.join(
+        F.broadcast(state.select("word", F.col("pos").alias("spos"), "sym")),
+        "word",
+    )
+    w = Window.partitionBy("doc_id").orderBy("wpos", "spos")
+    return enc.select(
+        "doc_id",
+        F.row_number().over(w).alias("seq_pos"),
+        F.col("sym").alias("token"),
+    ).orderBy("doc_id", "seq_pos")
+
+
+def bpe_encode_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-registerable form of ``bpe_encode``: per-doc token count
+    + md5 of the space-joined token sequence — compact, hashable proof
+    of the exact encoding (the clean_fp pattern of
+    remove_duplicate_spans) instead of corpus-sized sequence rows
+    through the harness."""
+    _, state = _learn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("wpos", "word")
+    ).filter(F.length("word") > 0)
+    enc = words.join(
+        F.broadcast(state.select("word", F.col("pos").alias("spos"), "sym")),
+        "word",
+    )
+    per_doc = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "spos", "sym"))),
+                    lambda s: s["sym"],
+                ),
+                " ",
+            )
+        ).alias("encoding_fp"),
+    )
+    # every-doc contract: token-less docs (empty text) report 0 + the
+    # empty-sequence fingerprint
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("encoding_fp", F.md5(F.lit(""))).alias("encoding_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _bpe_blocks() -> str:
     """The shared WITH-chain: K unrolled iterations as DuckDB CTEs."""
     blocks = [
@@ -297,8 +364,38 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _bpe_encode_fp_sql() -> str:
+    """Oracle twin of ``bpe_encode_fingerprint`` (registration queued
+    for the next driver window — the current one is full)."""
+    return f"""{_bpe_blocks()},
+doc_words AS (
+  SELECT doc_id,
+         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\\s+'), 1) AS wpos,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+),
+enc AS (
+  SELECT d.doc_id, d.wpos, s.pos AS spos, s.sym
+  FROM doc_words d JOIN state{BPE_STEPS} s USING (word)
+  WHERE length(d.word) > 0
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         md5(string_agg(sym, ' ' ORDER BY wpos, spos)) AS encoding_fp
+  FROM enc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.encoding_fp, md5('')) AS encoding_fp
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 BPE_LEARN_MERGES_SQL = _bpe_merges_sql()
 BPE_TOKEN_COUNTS_SQL = _bpe_token_counts_sql()
+BPE_ENCODE_FINGERPRINT_SQL = _bpe_encode_fp_sql()
 
 
 TOKENIZER_QUERIES = {

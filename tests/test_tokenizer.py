@@ -139,3 +139,62 @@ def test_bpe_greedy_overlap_rule_pathological(spark):
         final.setdefault(r["word"], []).append((r["pos"], r["sym"]))
     final = {w: [s for _, s in sorted(v)] for w, v in final.items()}
     assert final == expected_state
+
+
+def test_bpe_encode_matches_reference_sequences(spark):
+    """The full encode surface: per-doc token sequences equal the
+    python-reference encoding (tokenize -> per-word symbols under the
+    learned merges -> concatenate in word order)."""
+    from data_pipeline_who_gho_spark.plans.tokenizer import bpe_encode
+    from data_pipeline_who_gho_spark.sources.catalog import load_table
+
+    docs = {r["doc_id"]: r["text"]
+            for r in load_table(spark, SF, "documents").select("doc_id", "text").collect()}
+    wf = Counter()
+    tokd = {}
+    for did, text in docs.items():
+        ws = [w for w in text.strip().lower().split() if w]
+        tokd[did] = ws
+        wf.update(ws)
+    _, state = _py_bpe(dict(wf), BPE_STEPS)
+    want = {did: [sym for w in ws for sym in state[w]] for did, ws in tokd.items()}
+
+    got: dict = {}
+    for r in bpe_encode(spark, SF).collect():
+        got.setdefault(r["doc_id"], []).append((r["seq_pos"], r["token"]))
+    got = {d: [t for _, t in sorted(v)] for d, v in got.items()}
+    assert got == {d: v for d, v in want.items() if v}  # empty docs emit no rows
+
+
+def test_bpe_encode_fingerprint_matches_sequence_form(spark):
+    from data_pipeline_who_gho_spark.plans.tokenizer import (
+        bpe_encode,
+        bpe_encode_fingerprint,
+    )
+
+    seq: dict = {}
+    for r in bpe_encode(spark, SF).collect():
+        seq.setdefault(r["doc_id"], []).append((r["seq_pos"], r["token"]))
+    fp = {r["doc_id"]: (r["n_tokens"], r["encoding_fp"])
+          for r in bpe_encode_fingerprint(spark, SF).collect()}
+    for did, (n, h) in fp.items():
+        toks = [t for _, t in sorted(seq.get(did, []))]
+        assert n == len(toks)
+        assert h == hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+
+def test_bpe_encode_fingerprint_matches_duckdb_oracle(spark):
+    """Pre-registration oracle parity (the query joins the r05 window;
+    verify the SQL twin now so registration is a two-line change)."""
+    import duckdb
+
+    from data_pipeline_who_gho_spark.plans.tokenizer import (
+        BPE_ENCODE_FINGERPRINT_SQL,
+        bpe_encode_fingerprint,
+    )
+
+    got = sorted(map(tuple, bpe_encode_fingerprint(spark, SF).collect()))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = sorted(map(tuple, con.sql(BPE_ENCODE_FINGERPRINT_SQL).fetchall()))
+    assert got == want
