@@ -277,6 +277,30 @@ def bpe_encode_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's third shipped artifact (merges → encode →
+    VOCAB): every symbol in the post-merge state with its corpus
+    occurrence count (Σ word_freq over occurrences) and a
+    DETERMINISTIC integer token_id — rank by (count desc, symbol), the
+    conventional frequency-ordered id assignment, computed with the
+    scale-safe global rank (the vocab is bounded, but the shape stays
+    window-free on principle). Registration queued with
+    ``bpe_encode_fingerprint`` for the next driver window."""
+    from ..operators.rank import global_rank
+
+    _, state = _learn(spark, sf_dir)
+    counts = state.groupBy("sym").agg(
+        F.sum("freq").cast("long").alias("n_occurrences")
+    )
+    neg = counts.select(
+        "sym", "n_occurrences", (-F.col("n_occurrences")).alias("neg")
+    )
+    ranked = global_rank(neg, ["neg", "sym"], rank_col="token_id")
+    return ranked.select(
+        "token_id", F.col("sym").alias("token"), "n_occurrences"
+    ).orderBy("token_id")
+
+
 def _bpe_blocks() -> str:
     """The shared WITH-chain: K unrolled iterations as DuckDB CTEs."""
     blocks = [
@@ -393,9 +417,22 @@ ORDER BY d.doc_id
 """
 
 
+def _bpe_vocab_sql() -> str:
+    return f"""{_bpe_blocks()},
+vocab AS (
+  SELECT sym, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+  FROM state{BPE_STEPS} GROUP BY sym
+)
+SELECT row_number() OVER (ORDER BY n_occurrences DESC, sym) AS token_id,
+       sym AS token, n_occurrences
+FROM vocab ORDER BY token_id
+"""
+
+
 BPE_LEARN_MERGES_SQL = _bpe_merges_sql()
 BPE_TOKEN_COUNTS_SQL = _bpe_token_counts_sql()
 BPE_ENCODE_FINGERPRINT_SQL = _bpe_encode_fp_sql()
+BPE_VOCAB_SQL = _bpe_vocab_sql()
 
 
 TOKENIZER_QUERIES = {

@@ -198,3 +198,31 @@ def test_bpe_encode_fingerprint_matches_duckdb_oracle(spark):
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
     want = sorted(map(tuple, con.sql(BPE_ENCODE_FINGERPRINT_SQL).fetchall()))
     assert got == want
+
+
+def test_bpe_vocab_matches_reference_and_oracle(spark):
+    """Vocab artifact: ids are frequency-ordered (count desc, symbol),
+    counts equal the python-reference state's weighted occurrences, and
+    the DuckDB twin agrees (pre-registration parity)."""
+    import duckdb
+
+    from data_pipeline_who_gho_spark.plans.tokenizer import BPE_VOCAB_SQL, bpe_vocab
+    from data_pipeline_who_gho_spark.sources.catalog import load_table
+
+    texts = [r["text"] for r in load_table(spark, SF, "documents").select("text").collect()]
+    wf = Counter(w for t in texts for w in t.strip().lower().split() if w)
+    _, state = _py_bpe(dict(wf), BPE_STEPS)
+    want_counts: Counter = Counter()
+    for w, syms in state.items():
+        for s in syms:
+            want_counts[s] += wf[w]
+    want = [(i + 1, s, c) for i, (s, c) in enumerate(
+        sorted(want_counts.items(), key=lambda kv: (-kv[1], kv[0])))]
+
+    got = [tuple(r) for r in bpe_vocab(spark, SF).collect()]
+    assert got == want
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    oracle = [tuple(r) for r in con.sql(BPE_VOCAB_SQL).fetchall()]
+    assert got == oracle
