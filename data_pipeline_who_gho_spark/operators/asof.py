@@ -54,10 +54,15 @@ def asof_join(
 
     Plan shape is direction-independent: the forward pass just negates
     the epoch-µs sort key, so both directions are the same single
-    shuffle + one ordered window pass.
+    shuffle + one ordered window pass. ``"nearest"`` (merge_asof
+    parity) runs BOTH ordered passes over the one shuffled union — same
+    exchange, two sorts — and picks the closer match per left row
+    atomically (equal distances resolve to the backward match).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     on = list(on)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in on and c != ts]
@@ -90,18 +95,46 @@ def asof_join(
     # row at exactly left.ts is visible to that left row (<= / >=
     # semantics). Among equal-ts right rows, __rord orders them so
     # last() picks the winner deterministically.
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(
-            (F.unix_micros(F.col(ts)) * F.lit(sign)).alias("__skey"),
-            F.col("__side"),
-            (F.col("__rord") * F.lit(sign)),
+    def _carried(s: int):
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(
+                (F.unix_micros(F.col(ts)) * F.lit(s)).alias("__skey"),
+                F.col("__side"),
+                (F.col("__rord") * F.lit(s)),
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    unioned = unioned.withColumn(
-        "__carried", F.last(F.col("__payload"), ignorenulls=True).over(w)
-    )
+        return F.last(F.col("__payload"), ignorenulls=True).over(w)
+
+    if direction == "nearest":
+        # both passes share the on-key exchange; the closer match wins,
+        # equal distances resolve backward (and an equal-ts right row is
+        # gap 0 in both passes, so backward's tiebreak pick applies)
+        unioned = unioned.withColumn("__cb", _carried(1)).withColumn(
+            "__cf", _carried(-1)
+        )
+        out = unioned.filter(F.col("__side") == 1)
+        l_us = F.unix_micros(F.col(ts))
+        gap_b = l_us - F.col("__cb.__r_us")
+        gap_f = F.col("__cf.__r_us") - l_us
+        use_b = F.col("__cb").isNotNull() & (
+            F.col("__cf").isNull() | (gap_b <= gap_f)
+        )
+        chosen = F.when(use_b, F.col("__cb")).otherwise(F.col("__cf"))
+        gap = F.when(use_b, gap_b).otherwise(gap_f)
+        in_tol = (
+            F.lit(True)
+            if tolerance_us is None
+            else gap <= F.lit(int(tolerance_us))
+        )
+        for c in value_cols:
+            out = out.withColumn(
+                f"{c}{suffix}", F.when(in_tol, chosen.getField(c))
+            )
+        return out.drop("__side", "__payload", "__cb", "__cf", "__rord")
+
+    unioned = unioned.withColumn("__carried", _carried(sign))
     out = unioned.filter(F.col("__side") == 1)
     gap = (F.unix_micros(F.col(ts)) - F.col("__carried.__r_us")) * F.lit(sign)
     in_tol = (

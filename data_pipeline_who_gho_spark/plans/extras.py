@@ -102,6 +102,54 @@ FROM clicks c
 """
 
 
+def asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of (pandas merge_asof ``direction='nearest'``): each
+    click annotated with the purchase CLOSEST in time, either side;
+    equal distances resolve to the prior purchase, and equal-timestamp
+    purchases break ties on p_id (largest prior / smallest next — the
+    per-direction window orders). One key shuffle, two ordered passes.
+    REGISTRATION QUEUED for the next driver window (current one full);
+    the DuckDB twin below is already test-verified."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_id"), "value"
+    )
+    out = asof_join(
+        clicks, purchases, on=["user_id"], ts="ts", value_cols=["value"],
+        direction="nearest", right_order="p_id",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("value_asof").alias("nearest_purchase_value")
+    )
+
+
+ASOF_NEAREST_SQL = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     purchases AS (SELECT event_id AS p_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+cand AS (
+  SELECT c.event_id, c.user_id, c.ts,
+         (SELECT p.value FROM purchases p
+          WHERE p.user_id = c.user_id AND p.ts <= c.ts
+          ORDER BY p.ts DESC, p.p_id DESC LIMIT 1) AS v_b,
+         (SELECT epoch_us(c.ts) - epoch_us(p.ts) FROM purchases p
+          WHERE p.user_id = c.user_id AND p.ts <= c.ts
+          ORDER BY p.ts DESC, p.p_id DESC LIMIT 1) AS g_b,
+         (SELECT p.value FROM purchases p
+          WHERE p.user_id = c.user_id AND p.ts >= c.ts
+          ORDER BY p.ts ASC, p.p_id ASC LIMIT 1) AS v_f,
+         (SELECT epoch_us(p.ts) - epoch_us(c.ts) FROM purchases p
+          WHERE p.user_id = c.user_id AND p.ts >= c.ts
+          ORDER BY p.ts ASC, p.p_id ASC LIMIT 1) AS g_f
+  FROM clicks c
+)
+SELECT event_id, user_id,
+       CASE WHEN g_b IS NOT NULL AND (g_f IS NULL OR g_b <= g_f)
+            THEN v_b ELSE v_f END AS nearest_purchase_value
+FROM cand
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embedding near-dup pairs (cosine >= threshold) with injected duplicates
 # ---------------------------------------------------------------------------

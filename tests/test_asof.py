@@ -150,3 +150,68 @@ def test_asof_matches_pandas_merge_asof(spark):
             w = want[k]
             g = got[k]
             assert (pd.isna(w) and g is None) or w == g, (direction, tol, k, w, g)
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    """direction='nearest' vs pandas merge_asof on tie-free data."""
+    import pandas as pd
+
+    from data_pipeline_who_gho_spark.operators.asof import asof_join
+
+    from datetime import datetime
+
+    left = [(i, 1, datetime(2024, 1, 1, 0, m)) for i, m in enumerate([5, 17, 30, 44, 59])]
+    right = [(1, datetime(2024, 1, 1, 0, m), float(m)) for m in [0, 15, 40]]
+    l = spark.createDataFrame(left, "event_id INT, k INT, ts TIMESTAMP")
+    r = spark.createDataFrame(right, "k INT, ts TIMESTAMP, v DOUBLE")
+    out = {row["event_id"]: row["v_asof"]
+           for row in asof_join(l, r, on=["k"], ts="ts", value_cols=["v"],
+                                direction="nearest").collect()}
+    pdl = pd.DataFrame(left, columns=["event_id", "k", "ts"]).sort_values("ts")
+    pdr = pd.DataFrame(right, columns=["k", "ts", "v"]).sort_values("ts")
+    want = pd.merge_asof(pdl, pdr, on="ts", by="k", direction="nearest")
+    for _, row in want.iterrows():
+        assert out[row["event_id"]] == row["v"]
+
+
+def test_asof_nearest_tie_and_tolerance_contract(spark):
+    """Documented spec: equal distances resolve to the BACKWARD match;
+    tolerance caps the chosen gap symmetrically."""
+    import pandas as pd
+
+    from data_pipeline_who_gho_spark.operators.asof import asof_join
+
+    from datetime import datetime
+
+    l = spark.createDataFrame(
+        [(1, 1, datetime(2024, 1, 1, 0, 30))], "event_id INT, k INT, ts TIMESTAMP"
+    )
+    r = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 20), 20.0),
+         (1, datetime(2024, 1, 1, 0, 40), 40.0)],
+        "k INT, ts TIMESTAMP, v DOUBLE",
+    )
+    got = asof_join(l, r, on=["k"], ts="ts", value_cols=["v"],
+                    direction="nearest").first()
+    assert got["v_asof"] == 20.0  # 10 min both ways -> backward wins
+
+    tight = asof_join(l, r, on=["k"], ts="ts", value_cols=["v"],
+                      direction="nearest", tolerance_us=5 * 60 * 1_000_000).first()
+    assert tight["v_asof"] is None  # both matches out of tolerance
+
+
+def test_asof_nearest_events_matches_duckdb_oracle(spark):
+    """Pre-registration oracle parity for the queued r05 query."""
+    import duckdb
+
+    from data_pipeline_who_gho_spark.plans.extras import (
+        ASOF_NEAREST_SQL,
+        asof_nearest_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, asof_nearest_events(spark, sf).collect()))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = sorted(map(tuple, con.sql(ASOF_NEAREST_SQL).fetchall()))
+    assert got == want
