@@ -174,6 +174,12 @@ _PRIORITY = [
     "train_order_shuffle", "hashed_doc_vectors", "remove_duplicate_spans",
     "stratified_split_exact", "cluster_prototypes", "quality_classifier_score",
     "ngram_novelty",
+    # round-5: the three r04-queued registrations first, then the six
+    # stale (rewritten-after-green) queries; the rest of the window fills
+    # with the oldest-green r01 cohort via the green-round sort
+    "asof_nearest_events", "bpe_encode_fingerprint", "bpe_vocab",
+    "etl_paged_fetch", "asof_join_events", "asof_tolerance_events",
+    "asof_forward_events", "ngram_novelty", "remove_duplicate_spans",
     # round-4: the analytics3-6 / vector / stateful-streaming backlog is
     # ranked FIRST this round (judge item 1 — never driver-checked), then
     # the new §2a seam queries (judge item 3)
@@ -193,6 +199,22 @@ _PRIORITY = [
     "etl_indicator_projection", "etl_json_interchange", "etl_pipeline_e2e",
     "perplexity_buckets", "dedup_cluster_best", "corpus_dedup_report",
 ]
+
+
+# Staleness ledger: queries whose registered implementation or output
+# contract materially changed DURING the noted round, after their last
+# driver-green row.  A green row only counts if its round >= the noted
+# round (the driver runs after the round's code is committed, so a
+# same-round row does verify the new code).  Entries self-clear once the
+# driver re-greens them; prune cleared entries when convenient.
+_STALE_SINCE = {
+    "etl_paged_fetch": 4,        # fetch fan-out rebuilt on spark.range (r04)
+    "asof_join_events": 4,       # asof refactor: shared _carried path (r04)
+    "asof_tolerance_events": 4,
+    "asof_forward_events": 4,
+    "ngram_novelty": 4,          # every-doc output contract change (r04)
+    "remove_duplicate_spans": 4,  # _okey 2^24 overflow guard (r04)
+}
 
 
 def _green_rounds() -> dict[str, int]:
@@ -223,8 +245,17 @@ def _green_rounds() -> dict[str, int]:
     return last
 
 
+def _effective_green() -> dict[str, int]:
+    """Green rounds that still vouch for the CURRENT code of each query."""
+    return {
+        n: r
+        for n, r in _green_rounds().items()
+        if r >= _STALE_SINCE.get(n, -1)
+    }
+
+
 def _rotated(names: list[str]) -> list[str]:
-    green = _green_rounds()
+    green = _effective_green()
     pri = {n: i for i, n in enumerate(_PRIORITY)}
     fallback = len(_PRIORITY)
     return sorted(

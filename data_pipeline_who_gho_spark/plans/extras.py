@@ -459,6 +459,7 @@ EXTRAS_QUERIES = {
     "asof_join_events": asof_join_events,
     "asof_tolerance_events": asof_tolerance_events,
     "asof_forward_events": asof_forward_events,
+    "asof_nearest_events": asof_nearest_events,
     "embed_neardup_pairs": embed_neardup_pairs,
     "rolling_hash_fingerprint": rolling_hash_fingerprint,
     "q3_shipping_priority": q3_shipping_priority,
@@ -470,6 +471,7 @@ EXTRAS_ORACLE_SQL = {
     "asof_join_events": ASOF_SQL,
     "asof_tolerance_events": ASOF_TOLERANCE_SQL,
     "asof_forward_events": ASOF_FORWARD_SQL,
+    "asof_nearest_events": ASOF_NEAREST_SQL,
     "embed_neardup_pairs": EMBED_NEARDUP_SQL,
     "rolling_hash_fingerprint": ROLLING_HASH_SQL,
     "q3_shipping_priority": Q3_SQL,

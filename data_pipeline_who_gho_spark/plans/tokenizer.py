@@ -438,9 +438,13 @@ BPE_VOCAB_SQL = _bpe_vocab_sql()
 TOKENIZER_QUERIES = {
     "bpe_learn_merges": bpe_learn_merges,
     "bpe_token_counts": bpe_token_counts,
+    "bpe_encode_fingerprint": bpe_encode_fingerprint,
+    "bpe_vocab": bpe_vocab,
 }
 
 TOKENIZER_ORACLE_SQL = {
     "bpe_learn_merges": BPE_LEARN_MERGES_SQL,
     "bpe_token_counts": BPE_TOKEN_COUNTS_SQL,
+    "bpe_encode_fingerprint": BPE_ENCODE_FINGERPRINT_SQL,
+    "bpe_vocab": BPE_VOCAB_SQL,
 }

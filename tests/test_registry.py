@@ -24,7 +24,7 @@ def test_every_query_has_an_oracle_twin():
 
 
 def test_rotation_puts_never_green_first():
-    green = set(entrymod._green_rounds())
+    green = set(entrymod._effective_green())
     names = list(entrymod.queries())
     seen_green = False
     for n in names:
@@ -38,7 +38,7 @@ def test_rotation_puts_never_green_first():
 
 
 def test_never_green_backlog_fits_one_window():
-    green = set(entrymod._green_rounds())
+    green = set(entrymod._effective_green())
     backlog = [n for n in entrymod.queries() if n not in green]
     assert len(backlog) <= WINDOW, (
         f"{len(backlog)} never-green queries exceed the ~{WINDOW}-query "
