@@ -277,6 +277,72 @@ def bpe_encode_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the encode/decode loop a training pipeline ships: decode
+    every document's BPE token sequence back to text and pin it against
+    the pre-tokenization normalized text (trim+lower+whitespace
+    collapse — exactly what the tokenizer saw).
+
+    Decoding consumes only the FLAT encoded stream — (seq order, token,
+    word_end flag) — not the word table: tokens concatenate within a
+    word and a space is emitted after each word-final token, which is
+    the ``</w>``-marker convention of shipped BPE decoders. word_end is
+    derived in-stream (next token belongs to a different word), so the
+    corpus-scale stage stays one broadcast join + one per-doc bounded
+    window + one doc-grain aggregate. Every doc reports: empty docs
+    decode to '' and trivially round-trip."""
+    _, state = _learn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("wpos", "word")
+    ).filter(F.length("word") > 0)
+    enc = words.join(
+        F.broadcast(state.select("word", F.col("pos").alias("spos"), "sym")),
+        "word",
+    )
+    w = Window.partitionBy("doc_id").orderBy("wpos", "spos")
+    flagged = enc.withColumn("nwpos", F.lead("wpos").over(w)).withColumn(
+        "piece",
+        F.concat(
+            F.col("sym"),
+            F.when(
+                F.col("nwpos").isNull() | (F.col("nwpos") != F.col("wpos")),
+                F.lit(" "),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.md5(
+            F.rtrim(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("wpos", "spos", "piece"))
+                        ),
+                        lambda s: s["piece"],
+                    ),
+                    "",
+                )
+            )
+        ).alias("decoded_fp"),
+    )
+    norm_fp = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
+    return (
+        docs.select("doc_id", norm_fp.alias("norm_fp"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("decoded_fp", F.md5(F.lit(""))).alias("decoded_fp"),
+            (F.coalesce("decoded_fp", F.md5(F.lit(""))) == F.col("norm_fp")).alias(
+                "roundtrip_ok"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenizer's third shipped artifact (merges → encode →
     VOCAB): every symbol in the post-merge state with its corpus
@@ -417,6 +483,46 @@ ORDER BY d.doc_id
 """
 
 
+def _bpe_decode_roundtrip_sql() -> str:
+    return f"""{_bpe_blocks()},
+doc_words AS (
+  SELECT doc_id,
+         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\\s+'), 1) AS wpos,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+),
+enc AS (
+  SELECT d.doc_id, d.wpos, s.pos AS spos, s.sym
+  FROM doc_words d JOIN state{BPE_STEPS} s USING (word)
+  WHERE length(d.word) > 0
+),
+flagged AS (
+  SELECT doc_id, wpos, spos,
+         sym || CASE WHEN lead(wpos) OVER (PARTITION BY doc_id
+                                           ORDER BY wpos, spos) IS DISTINCT FROM wpos
+                     THEN ' ' ELSE '' END AS piece
+  FROM enc
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         md5(rtrim(string_agg(piece, '' ORDER BY wpos, spos))) AS decoded_fp
+  FROM flagged GROUP BY doc_id
+),
+norm AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS norm_fp
+  FROM documents
+)
+SELECT n.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.decoded_fp, md5('')) AS decoded_fp,
+       COALESCE(p.decoded_fp, md5('')) = n.norm_fp AS roundtrip_ok
+FROM norm n
+LEFT JOIN per_doc p USING (doc_id)
+ORDER BY n.doc_id
+"""
+
+
 def _bpe_vocab_sql() -> str:
     return f"""{_bpe_blocks()},
 vocab AS (
@@ -433,6 +539,7 @@ BPE_LEARN_MERGES_SQL = _bpe_merges_sql()
 BPE_TOKEN_COUNTS_SQL = _bpe_token_counts_sql()
 BPE_ENCODE_FINGERPRINT_SQL = _bpe_encode_fp_sql()
 BPE_VOCAB_SQL = _bpe_vocab_sql()
+BPE_DECODE_ROUNDTRIP_SQL = _bpe_decode_roundtrip_sql()
 
 
 TOKENIZER_QUERIES = {
@@ -440,6 +547,7 @@ TOKENIZER_QUERIES = {
     "bpe_token_counts": bpe_token_counts,
     "bpe_encode_fingerprint": bpe_encode_fingerprint,
     "bpe_vocab": bpe_vocab,
+    "bpe_decode_roundtrip": bpe_decode_roundtrip,
 }
 
 TOKENIZER_ORACLE_SQL = {
@@ -447,4 +555,5 @@ TOKENIZER_ORACLE_SQL = {
     "bpe_token_counts": BPE_TOKEN_COUNTS_SQL,
     "bpe_encode_fingerprint": BPE_ENCODE_FINGERPRINT_SQL,
     "bpe_vocab": BPE_VOCAB_SQL,
+    "bpe_decode_roundtrip": BPE_DECODE_ROUNDTRIP_SQL,
 }
