@@ -34,6 +34,11 @@ HEADLINE = [
     "ann_cosine_topk",
     "q3_shipping_priority",
     "asof_join_events",
+    # r05: representatives of the three most expensive families per
+    # SCALING.md, previously absent from the headline set
+    "dedup_simhash",
+    "semantic_dedup_reps",
+    "bpe_token_counts",
 ]
 
 

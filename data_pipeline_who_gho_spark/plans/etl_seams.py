@@ -63,8 +63,11 @@ def _scratch(spark: SparkSession) -> str:
 def _memo(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, name)
     if key not in _MEMO:
-        if len(_MEMO) > 64:
-            _MEMO.clear()
+        while len(_MEMO) > 64:
+            # evict oldest-inserted entries one at a time — a wholesale
+            # clear() would re-run every warehouse-writing choreography
+            # at once on the next sweep
+            _MEMO.pop(next(iter(_MEMO)))
         _MEMO[key] = build()
     return _MEMO[key]
 
@@ -109,17 +112,23 @@ def etl_fetch_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the total yields exactly the limit, a limit above it is a no-op
     (reference: ``dev_run_limit``, etl/config.py). Both cases in one
     deterministic row."""
-    keys = spark.createDataFrame([(f"k{i}",) for i in range(10)], "key STRING")
-    schema = "key STRING, idx INT"
-    limited = fetch_paged(
-        spark, keys, pages_fetcher, schema, page_size=2, limit=17
-    ).count()
-    unlimited = fetch_paged(
-        spark, keys, pages_fetcher, schema, page_size=2, limit=999
-    ).count()
-    return spark.createDataFrame(
-        [(limited, unlimited)], "n_limited BIGINT, n_unlimited BIGINT"
-    )
+
+    def build() -> DataFrame:
+        keys = spark.createDataFrame(
+            [(f"k{i}",) for i in range(10)], "key STRING"
+        )
+        schema = "key STRING, idx INT"
+        limited = fetch_paged(
+            spark, keys, pages_fetcher, schema, page_size=2, limit=17
+        ).count()
+        unlimited = fetch_paged(
+            spark, keys, pages_fetcher, schema, page_size=2, limit=999
+        ).count()
+        return spark.createDataFrame(
+            [(limited, unlimited)], "n_limited BIGINT, n_unlimited BIGINT"
+        )
+
+    return _memo(spark, sf_dir, "fetch_limit", build)
 
 
 # 10 keys x 5 records: limit 17 truncates, limit 999 passes through

@@ -69,6 +69,10 @@ def main() -> None:
     with open(OUT, "w") as fh:
         json.dump(data, fh, indent=1, sort_keys=True)
     print(f"wrote {OUT}")
+    # header names the probed sfs and labels the ratio with its actual
+    # span (it silently widens when .scratch/sf1 is materialized)
+    header = " | ".join(f"sf{sf}" for sf in SFS)
+    print(f"| query | {header} | sf{SFS[-1]}/sf{SFS[0]} |")
     for name in names:
         row = [data[sf].get(name) for sf in SFS]
         if all(v is not None for v in row):
