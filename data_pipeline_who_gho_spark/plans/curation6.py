@@ -1,15 +1,16 @@
 """Round-5 curation stages, second set: repetition-based quality
 flags, cross-source contamination, and tokenizer fertility.
 
-* ``gopher_repetition_flags``: the repetition signals of the Gopher
-  quality rules (Rae et al., 2021 §A1.1), adapted to word n-grams
-  (the corpus is single-line text, so the line-based variants are
-  degenerate here): per document, the fraction of bigram occurrences
-  claimed by the single most common bigram and the fraction of
-  repeated-trigram occurrences, plus the keep decision at the
-  published-style thresholds. Two bounded doc-grain shuffles (n-gram
-  grain, then doc grain); every fraction is a ratio of exact integer
-  counts so both engines hold identical doubles.
+* ``gopher_repetition_flags``: the FULL multi-n repetition ladder of
+  the Gopher quality rules (Rae et al., 2021 §A1.1) — top-n-gram
+  fraction for n = 2..4 and duplicate-n-gram fraction for n = 5..6 —
+  composed into one keep decision. Complements (does not duplicate)
+  ``plans/training2.doc_repetition_stats``, which is the bigram-only
+  summary with character-mass metrics; this op is the multi-n FILTER a
+  curation pipeline actually gates on. Line-based Gopher variants are
+  degenerate on this single-line corpus and are documented out. One
+  n-gram-grain + one doc-grain shuffle per n, all counts exact
+  integers, so both engines hold identical doubles.
 
 * ``source_overlap_matrix``: pairwise cross-source contamination —
   for every source pair, how many distinct word-5-gram fingerprints
@@ -46,10 +47,10 @@ from .tokenizer import BPE_STEPS, _bpe_blocks, _learn
 # ---------------------------------------------------------------------------
 
 # Thresholds adapted to word-grain n-grams (Gopher's published numbers
-# are character-fraction thresholds); chosen so the decision is live on
-# real corpora rather than vacuously true.
-_TOP_BIGRAM_MAX = 0.10
-_DUP_TRIGRAM_MAX = 0.05
+# are character-fraction thresholds and decrease with n); chosen so the
+# decision is live on real corpora rather than vacuously true.
+_TOP_FRAC_MAX = {2: 0.10, 3: 0.08, 4: 0.06}
+_DUP_FRAC_MAX = {5: 0.03, 6: 0.02}
 
 
 def _ngrams(toks: F.Column, n: int) -> F.Column:
@@ -77,86 +78,108 @@ def _sql_ngrams(toks: str, n: int) -> str:
 
 
 def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc repetition signals + keep decision. top_bigram_frac =
-    occurrences of the most common bigram / all bigram occurrences
-    (ties irrelevant — max count is unique-valued); dup_trigram_frac =
-    1 - distinct/total trigram occurrences. Docs too short for a
-    bigram report 0.0 and keep = true (every-doc contract)."""
+    """Per-doc multi-n repetition signals + composed keep decision.
+    top{n}_frac (n = 2..4) = occurrences of the single most common
+    n-gram / all n-gram occurrences; dup{n}_frac (n = 5..6) =
+    1 - distinct/total n-gram occurrences. Docs too short for a given
+    n report 0.0 for it (every-doc contract); keep = all thresholds
+    pass."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
-    bi = toks.select("doc_id", F.explode(_ngrams(F.col("toks"), 2)).alias("g"))
-    bi_stats = (
-        bi.groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.max("c").alias("top_bi"),
-            F.sum("c").alias("n_bi"),
+    out = docs.select("doc_id")
+    frac_cols: list[F.Column] = []
+    for n in _TOP_FRAC_MAX:
+        g = toks.select("doc_id", F.explode(_ngrams(F.col("toks"), n)).alias("g"))
+        stats = (
+            g.groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(F.max("c").alias(f"top_{n}"), F.sum("c").alias(f"n_{n}"))
         )
-    )
-    tri = toks.select("doc_id", F.explode(_ngrams(F.col("toks"), 3)).alias("g"))
-    tri_stats = tri.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tri"),
-        F.countDistinct("g").alias("d_tri"),
-    )
-    top_bi_frac = F.coalesce(
-        F.col("top_bi").cast("double") / F.col("n_bi").cast("double"), F.lit(0.0)
-    )
-    dup_tri_frac = F.coalesce(
-        (F.col("n_tri") - F.col("d_tri")).cast("double")
-        / F.col("n_tri").cast("double"),
-        F.lit(0.0),
-    )
-    return (
-        docs.select("doc_id")
-        .join(bi_stats, "doc_id", "left")
-        .join(tri_stats, "doc_id", "left")
-        .select(
-            "doc_id",
-            top_bi_frac.alias("top_bigram_frac"),
-            dup_tri_frac.alias("dup_trigram_frac"),
-            (
-                (top_bi_frac <= _TOP_BIGRAM_MAX)
-                & (dup_tri_frac <= _DUP_TRIGRAM_MAX)
-            ).alias("keep"),
+        out = out.join(stats, "doc_id", "left")
+        frac_cols.append(
+            F.coalesce(
+                F.col(f"top_{n}").cast("double") / F.col(f"n_{n}").cast("double"),
+                F.lit(0.0),
+            ).alias(f"top{n}_frac")
         )
-        .orderBy("doc_id")
-    )
+    for n in _DUP_FRAC_MAX:
+        g = toks.select("doc_id", F.explode(_ngrams(F.col("toks"), n)).alias("g"))
+        stats = g.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias(f"t_{n}"),
+            F.countDistinct("g").alias(f"d_{n}"),
+        )
+        out = out.join(stats, "doc_id", "left")
+        frac_cols.append(
+            F.coalesce(
+                (F.col(f"t_{n}") - F.col(f"d_{n}")).cast("double")
+                / F.col(f"t_{n}").cast("double"),
+                F.lit(0.0),
+            ).alias(f"dup{n}_frac")
+        )
+    projected = out.select("doc_id", *frac_cols)
+    keep = F.lit(True)
+    for n, thr in _TOP_FRAC_MAX.items():
+        keep = keep & (F.col(f"top{n}_frac") <= thr)
+    for n, thr in _DUP_FRAC_MAX.items():
+        keep = keep & (F.col(f"dup{n}_frac") <= thr)
+    return projected.withColumn("keep", keep).orderBy("doc_id")
 
 
-GOPHER_REPETITION_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+def _gopher_sql() -> str:
+    ctes = [f"toks AS (SELECT doc_id, {_sql_tokens()} AS toks FROM documents)"]
+    sel = []
+    joins = []
+    keep = []
+    for n in _TOP_FRAC_MAX:
+        ctes.append(
+            f"""g{n} AS (
+  SELECT doc_id, unnest({_sql_ngrams("toks", n)}) AS g FROM toks
 ),
-bi AS (
-  SELECT doc_id, unnest({_sql_ngrams("toks", 2)}) AS g FROM toks
-),
-bi_stats AS (
-  SELECT doc_id, MAX(c) AS top_bi, CAST(SUM(c) AS BIGINT) AS n_bi
-  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g)
+s{n} AS (
+  SELECT doc_id, MAX(c) AS top_n, CAST(SUM(c) AS BIGINT) AS n_all
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM g{n} GROUP BY doc_id, g)
   GROUP BY doc_id
+)"""
+        )
+        expr = (
+            f"COALESCE(CAST(s{n}.top_n AS DOUBLE) / CAST(s{n}.n_all AS DOUBLE), 0.0)"
+        )
+        sel.append(f"{expr} AS top{n}_frac")
+        joins.append(f"LEFT JOIN s{n} USING (doc_id)")
+        keep.append(f"{expr} <= {_TOP_FRAC_MAX[n]}")
+    for n in _DUP_FRAC_MAX:
+        ctes.append(
+            f"""g{n} AS (
+  SELECT doc_id, unnest({_sql_ngrams("toks", n)}) AS g FROM toks
 ),
-tri AS (
-  SELECT doc_id, unnest({_sql_ngrams("toks", 3)}) AS g FROM toks
-),
-tri_stats AS (
-  SELECT doc_id, COUNT(*) AS n_tri, COUNT(DISTINCT g) AS d_tri
-  FROM tri GROUP BY doc_id
-)
-SELECT d.doc_id,
-       COALESCE(CAST(b.top_bi AS DOUBLE) / CAST(b.n_bi AS DOUBLE), 0.0)
-         AS top_bigram_frac,
-       COALESCE(CAST(t.n_tri - t.d_tri AS DOUBLE) / CAST(t.n_tri AS DOUBLE), 0.0)
-         AS dup_trigram_frac,
-       COALESCE(CAST(b.top_bi AS DOUBLE) / CAST(b.n_bi AS DOUBLE), 0.0)
-           <= {_TOP_BIGRAM_MAX}
-         AND COALESCE(CAST(t.n_tri - t.d_tri AS DOUBLE) / CAST(t.n_tri AS DOUBLE),
-                      0.0) <= {_DUP_TRIGRAM_MAX} AS keep
-FROM (SELECT doc_id FROM documents) d
-LEFT JOIN bi_stats b USING (doc_id)
-LEFT JOIN tri_stats t USING (doc_id)
-ORDER BY d.doc_id
-"""
+s{n} AS (
+  SELECT doc_id, COUNT(*) AS t_n, COUNT(DISTINCT g) AS d_n
+  FROM g{n} GROUP BY doc_id
+)"""
+        )
+        expr = (
+            f"COALESCE(CAST(s{n}.t_n - s{n}.d_n AS DOUBLE)"
+            f" / CAST(s{n}.t_n AS DOUBLE), 0.0)"
+        )
+        sel.append(f"{expr} AS dup{n}_frac")
+        joins.append(f"LEFT JOIN s{n} USING (doc_id)")
+        keep.append(f"{expr} <= {_DUP_FRAC_MAX[n]}")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT d.doc_id,\n       "
+        + ",\n       ".join(sel)
+        + ",\n       "
+        + " AND ".join(keep)
+        + " AS keep"
+        + "\nFROM (SELECT doc_id FROM documents) d\n"
+        + "\n".join(joins)
+        + "\nORDER BY d.doc_id"
+    )
+
+
+GOPHER_REPETITION_SQL = _gopher_sql()
 
 
 # ---------------------------------------------------------------------------

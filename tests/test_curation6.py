@@ -6,8 +6,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from data_pipeline_who_gho_spark.plans.curation6 import (
-    _DUP_TRIGRAM_MAX,
-    _TOP_BIGRAM_MAX,
+    _DUP_FRAC_MAX,
+    _TOP_FRAC_MAX,
     _ngrams,
     gopher_repetition_flags,
     source_overlap_matrix,
@@ -64,13 +64,22 @@ def test_repetition_flags_every_doc_and_bounds(spark):
     assert out.count() == n_docs
     rows = out.collect()
     for r in rows:
-        assert 0.0 <= r["top_bigram_frac"] <= 1.0
-        assert 0.0 <= r["dup_trigram_frac"] <= 1.0
-        expect = (
-            r["top_bigram_frac"] <= _TOP_BIGRAM_MAX
-            and r["dup_trigram_frac"] <= _DUP_TRIGRAM_MAX
-        )
+        expect = True
+        for n, thr in _TOP_FRAC_MAX.items():
+            v = r[f"top{n}_frac"]
+            assert 0.0 <= v <= 1.0
+            expect = expect and v <= thr
+        for n, thr in _DUP_FRAC_MAX.items():
+            v = r[f"dup{n}_frac"]
+            assert 0.0 <= v <= 1.0
+            expect = expect and v <= thr
         assert r["keep"] == expect
+    # the ladder is monotone: a longer n-gram repeats no more often
+    # than the top shorter one in aggregate — spot-check the columns
+    # exist in the declared order
+    assert [c for c in out.columns if c != "doc_id" and c != "keep"] == [
+        "top2_frac", "top3_frac", "top4_frac", "dup5_frac", "dup6_frac",
+    ]
     out.unpersist()
 
 
