@@ -226,3 +226,33 @@ def test_remove_duplicate_spans_ownership_partial_agg(spark):
 
     plan = _plan(remove_duplicate_spans(spark, SF))
     assert "partial_min" in plan  # fingerprint ownership map-side combined
+
+
+def test_model_encoder_arrow_vectorized_no_row_python(spark):
+    from data_pipeline_who_gho_spark.plans.curation5 import embed_with_model
+
+    plan = _plan(embed_with_model(spark, SF))
+    assert "ArrowEvalPython" in plan  # the pandas_udf seam runs via Arrow
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+    assert "CartesianProduct" not in plan
+
+
+def test_url_dedup_single_shuffle_map_only_normalization(spark):
+    from data_pipeline_who_gho_spark.plans.curation5 import url_normalize_dedup
+
+    plan = _plan(url_normalize_dedup(spark, SF))
+    # normalization is pure Catalyst expressions; only the url_norm
+    # grain aggregation (plus its presentation sort) may shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan and "partial_min" in plan
+    assert "PythonEval" not in plan and "BatchEvalPython" not in plan
+
+
+def test_source_overlap_joins_on_fingerprint(spark):
+    from data_pipeline_who_gho_spark.plans.curation6 import source_overlap_matrix
+
+    plan = _plan(source_overlap_matrix(spark, SF))
+    # the pair join must key on the fingerprint (bounded fan-out), and
+    # the per-source totals must come back via broadcast, not shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
