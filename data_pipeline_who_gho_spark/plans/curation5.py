@@ -119,10 +119,14 @@ def embed_with_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-registered form of the model encoder: the embedding
     exploded to one (doc_id, dim, feat) row per dimension (scalar
     columns only — the array form ``_model_vectors`` is the library
-    API, exactly like hashed_doc_vectors)."""
+    API, exactly like hashed_doc_vectors). posexplode_OUTER on purpose:
+    plain posexplode makes Catalyst insert a non-empty guard on the
+    generator input, which re-evaluates the encoder UDF a second time —
+    2× inference cost for a real model. The encoder always returns
+    ``_MODEL_DIM`` components, so outer semantics change nothing."""
     return (
         _model_vectors(spark, sf_dir)
-        .select("doc_id", F.posexplode("vec").alias("dim", "feat"))
+        .select("doc_id", F.posexplode_outer("vec").alias("dim", "feat"))
         .orderBy("doc_id", "dim")
     )
 

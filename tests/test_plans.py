@@ -232,7 +232,10 @@ def test_model_encoder_arrow_vectorized_no_row_python(spark):
     from data_pipeline_who_gho_spark.plans.curation5 import embed_with_model
 
     plan = _plan(embed_with_model(spark, SF))
-    assert "ArrowEvalPython" in plan  # the pandas_udf seam runs via Arrow
+    # the pandas_udf seam runs via Arrow, and EXACTLY once — a plain
+    # posexplode makes Catalyst guard the generator input and evaluate
+    # the encoder twice (2x inference cost for a real model)
+    assert plan.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in plan  # never row-at-a-time Python
     assert "CartesianProduct" not in plan
 
