@@ -122,6 +122,10 @@ from data_pipeline_who_gho_spark.plans.curation6 import (  # noqa: E402
     CURATION6_ORACLE_SQL,
     CURATION6_QUERIES,
 )
+from data_pipeline_who_gho_spark.plans.sketches import (  # noqa: E402
+    SKETCH_ORACLE_SQL,
+    SKETCH_QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -192,7 +196,7 @@ _PRIORITY = [
     "embed_with_model", "model_ann_topk", "url_normalize_dedup",
     "domain_stats", "bpe_decode_roundtrip",
     "gopher_repetition_flags", "source_overlap_matrix",
-    "tokenizer_fertility",
+    "tokenizer_fertility", "hll_distinct_per_source", "hll_union_total",
     # round-4: the analytics3-6 / vector / stateful-streaming backlog is
     # ranked FIRST this round (judge item 1 — never driver-checked), then
     # the new §2a seam queries (judge item 3)
@@ -307,6 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(CURATION4_QUERIES)
     out.update(CURATION5_QUERIES)
     out.update(CURATION6_QUERIES)
+    out.update(SKETCH_QUERIES)
     order = _rotated(list(out))
     return {name: out[name] for name in order}
 
@@ -314,6 +319,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted ⇒ rows-only)."""
     out: dict[str, str] = {}
-    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL, EXTRAS_ORACLE_SQL, STREAMING_ORACLE_SQL, TPCH_ORACLE_SQL, BEHAVIOR_ORACLE_SQL, TPCH2_ORACLE_SQL, TRAINING_ORACLE_SQL, ANALYTICS3_ORACLE_SQL, VECTOR_ANALYTICS_ORACLE_SQL, ANALYTICS4_ORACLE_SQL, TPCH3_ORACLE_SQL, ANALYTICS5_ORACLE_SQL, TPCH4_ORACLE_SQL, ANALYTICS6_ORACLE_SQL, TRAINING2_ORACLE_SQL, EXTENSION2_ORACLE_SQL, CURATION_ORACLE_SQL, CURATION2_ORACLE_SQL, TOKENIZER_ORACLE_SQL, CURATION3_ORACLE_SQL, ETL_SEAMS_ORACLE_SQL, CURATION4_ORACLE_SQL, CURATION5_ORACLE_SQL, CURATION6_ORACLE_SQL):
+    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL, EXTRAS_ORACLE_SQL, STREAMING_ORACLE_SQL, TPCH_ORACLE_SQL, BEHAVIOR_ORACLE_SQL, TPCH2_ORACLE_SQL, TRAINING_ORACLE_SQL, ANALYTICS3_ORACLE_SQL, VECTOR_ANALYTICS_ORACLE_SQL, ANALYTICS4_ORACLE_SQL, TPCH3_ORACLE_SQL, ANALYTICS5_ORACLE_SQL, TPCH4_ORACLE_SQL, ANALYTICS6_ORACLE_SQL, TRAINING2_ORACLE_SQL, EXTENSION2_ORACLE_SQL, CURATION_ORACLE_SQL, CURATION2_ORACLE_SQL, TOKENIZER_ORACLE_SQL, CURATION3_ORACLE_SQL, ETL_SEAMS_ORACLE_SQL, CURATION4_ORACLE_SQL, CURATION5_ORACLE_SQL, CURATION6_ORACLE_SQL, SKETCH_ORACLE_SQL):
         out.update({k: v for k, v in d.items() if v})
     return out

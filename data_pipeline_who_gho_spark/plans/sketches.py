@@ -1,0 +1,247 @@
+"""Deterministic HyperLogLog distinct sketches (Flajolet et al., 2007).
+
+``approx_count_distinct`` exists as a Spark built-in (its tolerance
+contract is pinned in tests/test_sketches.py), but its register layout
+is engine-internal, so it cannot be oracle-twinned. These queries
+implement HLL FROM ITS DEFINITION over md5 — register index = first
+two hex nibbles (m = 256), rho = leading-zero rank of the next 32 hash
+bits — so DuckDB computes the identical sketch from the identical
+algorithm text, and the driver's hash gate pins every register and
+estimate bit-for-bit.
+
+Two deliberate design points for cross-engine exactness:
+
+* Register sums use FIXED-POINT integers: Z = Σ 2^(32-M_j) summed as
+  BIGINT (exact regardless of order), divided out as a double only
+  once at the end. A naive Σ 2^-M_j in doubles is order-sensitive at
+  the margin, and shuffle order differs between engines.
+* The small-range ``m·ln(m/V)`` correction is intentionally OMITTED
+  (raw estimator + the zero-register count are reported instead):
+  ``ln`` is not guaranteed identically rounded across libm
+  implementations, which would poison the hash gate. The sketched key
+  is therefore the distinct word-5-gram SHINGLE (the cardinality a
+  near-dup planner sizes LSH work by, and the same fingerprint space
+  as ``curation6.source_overlap_matrix``) — its per-source and corpus
+  cardinalities sit well above the 2.5·m small-range cutoff, where the
+  raw estimator is the textbook path. The ±1.04/√m accuracy contract
+  is asserted in tests.
+
+Why this matters at 100 TB: the per-register MAX is a partial
+aggregate (map-side combined), so a corpus-wide distinct estimate
+costs one 256-row-per-group shuffle instead of a full distinct
+shuffle of the key universe — and sketches MERGE (``hll_union_total``
+demonstrates union-by-register-max), which is what makes incremental /
+cross-shard distinct rollups possible at all.
+
+The reference has no sketches (its only aggregate is COUNT(*),
+dags/who_gho_etl_dag.py:194-206); this extends SURVEY §2c's
+aggregation gap with the production approximate path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..sources.catalog import load_table
+from .curation6 import _ngrams, _sql_ngrams
+from .training import _nibble, _sql_nibble
+
+_HLL_M = 256  # 2^8 registers: index = first two md5 nibbles
+_HLL_BITS = 32  # rho drawn from the next 32 hash bits
+_HLL_K = 5  # shingle width of the sketched key
+# alpha_256 = 0.7213 / (1 + 1.079/256); ONE literal text shared by both
+# engines so they hold the identical double
+_HLL_ALPHA = "0.718538"
+
+
+def _hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, reg, m_j): per-source HLL register maxima over the
+    5-gram shingle stream. rho = 33 - bit_length(v) where v is the
+    32-bit slice of md5 after the register byte (v = 0 → rho = 33);
+    bit_length via length(bin(v)) — identical semantics in Spark and
+    DuckDB. The register max is a partial aggregate: map-side
+    combined, one ≤256-rows-per-source exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(_ngrams(TX.tokens(F.col("text")), _HLL_K)).alias("word"),
+    )
+    h = F.md5("word")
+    reg = (_nibble("h", 1) * 16 + _nibble("h", 2)).alias("reg")
+    # fold 8 hex nibbles to the 32-bit slice as LONGs — int32 would
+    # overflow at nibble weight 16^7 * 15
+    v = sum(
+        (_nibble("h", i).cast("long") * F.lit(16 ** (10 - i)) for i in range(3, 11)),
+        start=F.lit(0).cast("long"),
+    )
+    rho = F.when(v == 0, F.lit(_HLL_BITS + 1)).otherwise(
+        F.lit(_HLL_BITS + 1) - F.length(F.bin(v))
+    )
+    return (
+        toks.withColumn("h", h)
+        .select("source", reg, rho.alias("rho"))
+        .groupBy("source", "reg")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def _fixed_point_term() -> F.Column:
+    """2^(32 - m_j) as an exact BIGINT (shiftright semantics match
+    DuckDB's ``>>`` for every reachable m_j; m_j = 33 truncates the
+    2^-33 tail to 0 identically in both engines)."""
+    return F.expr(
+        f"cast(shiftright(cast({1 << _HLL_BITS} as bigint), "
+        "cast(m_j as int)) as bigint)"
+    )
+
+
+def _estimate(zsum: F.Column, n_regs: F.Column) -> F.Column:
+    """Raw HLL estimate from the fixed-point register sum. Registers
+    absent from the sparse table count as M_j = 0 (term 2^32)."""
+    total = zsum + (F.lit(_HLL_M) - n_regs) * F.lit(1 << _HLL_BITS)
+    return F.round(
+        F.lit(float(_HLL_ALPHA))
+        * F.lit(_HLL_M * _HLL_M)
+        * F.lit(float(1 << _HLL_BITS))
+        / total.cast("double"),
+        6,
+    )
+
+
+def hll_distinct_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-shingle estimate: the deterministic HLL
+    estimate next to the exact count (so the row itself documents the
+    sketch error). zero_regs = registers still at M_j = 0."""
+    regs = _hll_registers(spark, sf_dir)
+    # the register table is sparse (absent register ⇔ M_j = 0, and a
+    # present register always has rho ≥ 1), so zero_regs = m - n_regs
+    sketch = regs.groupBy("source").agg(
+        F.sum(_fixed_point_term()).alias("zsum"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (
+        docs.select(
+            "source",
+            F.explode(_ngrams(TX.tokens(F.col("text")), _HLL_K)).alias("word"),
+        )
+        .groupBy("source")
+        .agg(F.countDistinct("word").alias("n_exact"))
+    )
+    return (
+        sketch.join(exact, "source")
+        .select(
+            "source",
+            "n_exact",
+            _estimate(F.col("zsum"), F.col("n_regs")).alias("hll_estimate"),
+            (F.lit(_HLL_M) - F.col("n_regs")).cast("long").alias("zero_regs"),
+        )
+        .orderBy("source")
+    )
+
+
+def hll_union_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide distinct estimate by MERGING the per-source sketches
+    (register-wise max) — the mergeability that makes sketch rollups
+    work across shards/days without re-scanning: one row, estimate next
+    to the exact corpus distinct count."""
+    regs = _hll_registers(spark, sf_dir)
+    merged = regs.groupBy("reg").agg(F.max("m_j").alias("m_j"))
+    sketch = merged.agg(
+        F.sum(_fixed_point_term()).alias("zsum"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    exact = docs.select(
+        F.explode(_ngrams(TX.tokens(F.col("text")), _HLL_K)).alias("word")
+    ).agg(F.countDistinct("word").alias("n_exact"))
+    return sketch.crossJoin(exact).select(
+        "n_exact",
+        _estimate(F.col("zsum"), F.col("n_regs")).alias("hll_estimate"),
+    )
+
+
+_SQL_REG = f"({_sql_nibble('h', 1)} * 16 + {_sql_nibble('h', 2)})"
+_SQL_V = " + ".join(
+    f"CAST({_sql_nibble('h', i)} AS BIGINT) * {16 ** (10 - i)}"
+    for i in range(3, 11)
+)
+
+_SQL_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_SQL_SHINGLES = _sql_ngrams(_SQL_TOKS, _HLL_K)
+
+_HLL_REG_CTES = f"""shingles AS (
+  SELECT source, unnest({_SQL_SHINGLES}) AS word
+  FROM documents
+),
+tok AS (
+  SELECT source, md5(word) AS h FROM shingles
+),
+rr AS (
+  SELECT source, {_SQL_REG} AS reg,
+         CASE WHEN ({_SQL_V}) = 0 THEN {_HLL_BITS + 1}
+              ELSE {_HLL_BITS + 1} - length(bin({_SQL_V})) END AS rho
+  FROM tok
+),
+regs AS (
+  SELECT source, reg, MAX(rho) AS m_j FROM rr GROUP BY source, reg
+)"""
+
+
+def _sql_estimate(zsum: str, n_regs: str) -> str:
+    total = f"({zsum} + ({_HLL_M} - {n_regs}) * {1 << _HLL_BITS})"
+    # every constant cast to DOUBLE explicitly: DuckDB otherwise parses
+    # the literals as DECIMAL and the product overflows DECIMAL(18)
+    return (
+        f"round(CAST({_HLL_ALPHA} AS DOUBLE) * CAST({_HLL_M * _HLL_M} AS DOUBLE)"
+        f" * CAST({float(1 << _HLL_BITS)} AS DOUBLE)"
+        f" / CAST({total} AS DOUBLE), 6)"
+    )
+
+
+HLL_PER_SOURCE_SQL = f"""
+WITH {_HLL_REG_CTES},
+sketch AS (
+  SELECT source,
+         CAST(SUM({1 << _HLL_BITS} >> m_j) AS BIGINT) AS zsum,
+         COUNT(*) AS n_regs
+  FROM regs GROUP BY source
+),
+exact AS (
+  SELECT source, COUNT(DISTINCT word) AS n_exact
+  FROM shingles GROUP BY source
+)
+SELECT s.source, e.n_exact,
+       {_sql_estimate('s.zsum', 's.n_regs')} AS hll_estimate,
+       CAST({_HLL_M} - s.n_regs AS BIGINT) AS zero_regs
+FROM sketch s JOIN exact e USING (source)
+ORDER BY s.source
+"""
+
+HLL_UNION_SQL = f"""
+WITH {_HLL_REG_CTES},
+merged AS (SELECT reg, MAX(m_j) AS m_j FROM regs GROUP BY reg),
+sketch AS (
+  SELECT CAST(SUM({1 << _HLL_BITS} >> m_j) AS BIGINT) AS zsum,
+         COUNT(*) AS n_regs
+  FROM merged
+),
+exact AS (
+  SELECT COUNT(DISTINCT word) AS n_exact FROM shingles
+)
+SELECT e.n_exact, {_sql_estimate('s.zsum', 's.n_regs')} AS hll_estimate
+FROM sketch s CROSS JOIN exact e
+"""
+
+
+SKETCH_QUERIES = {
+    "hll_distinct_per_source": hll_distinct_per_source,
+    "hll_union_total": hll_union_total,
+}
+
+SKETCH_ORACLE_SQL = {
+    "hll_distinct_per_source": HLL_PER_SOURCE_SQL,
+    "hll_union_total": HLL_UNION_SQL,
+}

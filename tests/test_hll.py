@@ -1,0 +1,50 @@
+"""Deterministic HyperLogLog sketches (plans/sketches.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_pipeline_who_gho_spark.plans.sketches import (
+    _HLL_M,
+    hll_distinct_per_source,
+    hll_union_total,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_per_source_within_theory(spark):
+    """Raw-regime estimates land within ~4 standard errors of exact
+    (σ = 1.04/√m); every source is above the small-range cutoff where
+    the raw estimator applies."""
+    rows = hll_distinct_per_source(spark, SF).collect()
+    assert len(rows) > 0
+    sigma = 1.04 / math.sqrt(_HLL_M)
+    for r in rows:
+        assert r["n_exact"] > 2.5 * _HLL_M, "corpus left the raw-estimator regime"
+        rel = abs(r["hll_estimate"] - r["n_exact"]) / r["n_exact"]
+        assert rel < 4 * sigma, (r["source"], rel)
+        assert 0 <= r["zero_regs"] < _HLL_M
+
+
+def test_hll_union_merges_registers(spark):
+    """The merged-sketch estimate must approximate the CORPUS distinct
+    count (not the sum of per-source counts — shingles shared across
+    sources collapse)."""
+    u = hll_union_total(spark, SF).collect()[0]
+    rel = abs(u["hll_estimate"] - u["n_exact"]) / u["n_exact"]
+    assert rel < 4 * (1.04 / math.sqrt(_HLL_M))
+    per_source = hll_distinct_per_source(spark, SF).agg(
+        F.sum("n_exact").alias("s")
+    ).collect()[0]["s"]
+    assert u["n_exact"] < per_source  # sources genuinely overlap
+
+
+def test_hll_deterministic_across_runs(spark):
+    a = {r["source"]: r["hll_estimate"]
+         for r in hll_distinct_per_source(spark, SF).collect()}
+    b = {r["source"]: r["hll_estimate"]
+         for r in hll_distinct_per_source(spark, SF).collect()}
+    assert a == b
