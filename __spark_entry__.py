@@ -224,6 +224,10 @@ _PRIORITY = [
 # round (the driver runs after the round's code is committed, so a
 # same-round row does verify the new code).  Entries self-clear once the
 # driver re-greens them; prune cleared entries when convenient.
+# MAINTENANCE: `python tools/stale_check.py` diffs every query's
+# normalized plan hash against the committed PLAN_HASHES.json baseline
+# and prints the queries that belong here; run it before each round's
+# final commit, annotate, then `--update` the baseline.
 _STALE_SINCE = {
     "etl_paged_fetch": 4,        # fetch fan-out rebuilt on spark.range (r04)
     "asof_join_events": 4,       # asof refactor: shared _carried path (r04)
