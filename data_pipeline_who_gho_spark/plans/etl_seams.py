@@ -94,6 +94,9 @@ def etl_retry_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle derives the expected records from the FETCH CONTRACT (4 keys ×
+# the fetcher's 5 records/key, sources/testing.pages_fetcher), not from
+# pinned literals — a drift in either constant moves only one side.
 ETL_RETRY_FETCH_SQL = """
 SELECT concat('retry', CAST(i AS VARCHAR)) AS key, CAST(j AS INT) AS idx
 FROM range(4) t(i) CROSS JOIN range(5) u(j)
@@ -131,9 +134,19 @@ def etl_fetch_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo(spark, sf_dir, "fetch_limit", build)
 
 
-# 10 keys x 5 records: limit 17 truncates, limit 999 passes through
+# 10 keys × the fetcher's 5 records/key; the oracle DERIVES both
+# cardinalities from that population instead of pinning 17/50 as bare
+# literals: limit-below-total truncates to the limit, limit-above-total
+# is a no-op. If pages_fetcher's per-key total ever drifts, only the
+# population CTE moves and the gate catches the divergence.
 ETL_FETCH_LIMIT_SQL = """
-SELECT CAST(17 AS BIGINT) AS n_limited, CAST(50 AS BIGINT) AS n_unlimited
+WITH population AS (
+  SELECT COUNT(*) AS total
+  FROM range(10) k(i) CROSS JOIN range(5) r(j)
+)
+SELECT CAST(LEAST(17, total) AS BIGINT) AS n_limited,
+       CAST(LEAST(999, total) AS BIGINT) AS n_unlimited
+FROM population
 """
 
 
