@@ -235,6 +235,15 @@ _STALE_SINCE = {
     "asof_forward_events": 4,
     "ngram_novelty": 4,          # every-doc output contract change (r04)
     "remove_duplicate_spans": 4,  # _okey 2^24 overflow guard (r04)
+    # r05: global_rank gained the persisted-ranged-frame fix (its two
+    # passes could see different sampled range boundaries when exchange
+    # reuse failed — caught by the sf1 full-registry gate); every
+    # registered consumer re-earns its row
+    "train_order_shuffle": 5,
+    "stratified_split_exact": 5,
+    "curriculum_phases": 5,
+    "dedup_sorted_neighborhood": 5,
+    "perplexity_buckets": 5,
 }
 
 

@@ -13,16 +13,32 @@ standard two-pass fix implemented here:
    counts — #partitions rows, broadcast back).
 
 The rank value depends only on the total order, not on where the range
-boundaries fall, so the result is deterministic even though the range
-partitioner samples. Requires the sort key to be a total order (add a
-unique tiebreak column). Costs one extra pass over the ranged data for
-the counts — the price of not serializing 100 TB through one task.
+boundaries fall — PROVIDED the local-rank pass and the counts pass see
+the SAME boundaries. That is not automatic: the two passes are two
+consumers of the range exchange, and if exchange reuse ever fails, each
+evaluation re-SAMPLES its own boundaries (the range partitioner's
+sampling is seeded per RDD instance) and the offsets no longer match
+the local ranks — observed in the wild as a run-to-run nondeterministic
+rank shift in the round-5 full-registry sf1 gate (train_order_shuffle,
+one 318-row slide). The ranged frame is therefore PERSISTED (bounded
+app-scoped cache, unpersist on eviction): both passes then read the one
+materialization, which also makes repeated invocations of the same
+rank free. The persisted projection is rank-input-narrow (keys +
+carried columns), not corpus text.
+
+Requires the sort key to be a total order (add a unique tiebreak
+column). Costs one extra pass over the ranged data for the counts —
+the price of not serializing 100 TB through one task.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..caching import bounded_persist_cache
+
+_RANGED_CACHE: dict = {}
 
 
 def global_rank(
@@ -33,8 +49,17 @@ def global_rank(
     parts = partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    ranged = df.repartitionByRange(parts, *[F.col(c) for c in order_cols]).withColumn(
-        "__pid", F.spark_partition_id()
+    try:
+        sig = df.semanticHash()
+    except Exception:  # pragma: no cover - API fallback
+        sig = hash(df._jdf.queryExecution().analyzed().toString())
+    key = (df.sparkSession.sparkContext.applicationId, sig, tuple(order_cols), parts)
+    ranged = bounded_persist_cache(
+        _RANGED_CACHE,
+        key,
+        lambda: df.repartitionByRange(
+            parts, *[F.col(c) for c in order_cols]
+        ).withColumn("__pid", F.spark_partition_id()),
     )
     w = Window.partitionBy("__pid").orderBy(*order_cols)
     local = ranged.withColumn("__lrn", F.row_number().over(w))

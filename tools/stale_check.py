@@ -53,12 +53,30 @@ _NORMALIZERS = [
     (re.compile(r"\bq[0-9a-f]{8,}\b"), "qx"),
 ]
 
+_NODE_NAME = re.compile(r"^[\s+:*(\d)-]*([A-Za-z][A-Za-z0-9]+)")
+
 
 def plan_hash(df) -> str:
-    text = df._jdf.queryExecution().analyzed().toString()
+    # OPTIMIZED plan, not analyzed: cache substitution (InMemoryRelation)
+    # happens between the two, and a change like round-5's global_rank
+    # persist fix is invisible at the analyzed level
+    qe = df._jdf.queryExecution()
+    text = qe.analyzed().toString()
     for pat, repl in _NORMALIZERS:
         text = pat.sub(repl, text)
-    return hashlib.md5(text.encode()).hexdigest()
+    # The OPTIMIZED plan contributes structure only (sorted node-name
+    # multiset): cache substitution (InMemoryRelation — e.g. round-5's
+    # global_rank persist fix) happens after analysis, so the analyzed
+    # text alone misses it, while the optimized TEXT is unusable as-is —
+    # RewriteDistinctAggregates permutes grouping columns and gid
+    # literals from per-JVM hash-set iteration order. Node names are
+    # stable across runs and still move when the physical strategy does.
+    nodes = sorted(
+        m.group(1)
+        for ln in qe.optimizedPlan().toString().splitlines()
+        if (m := _NODE_NAME.match(ln))
+    )
+    return hashlib.md5((text + "\n--\n" + ",".join(nodes)).encode()).hexdigest()
 
 
 def main() -> None:
