@@ -56,6 +56,14 @@ _HLL_K = 5  # shingle width of the sketched key
 _HLL_ALPHA = "0.718538"
 
 
+def _shingles(docs: DataFrame) -> DataFrame:
+    """(source, word): the 5-gram shingle stream, with the token array
+    materialized as a column so the split evaluates once per doc."""
+    return docs.select(
+        "source", TX.tokens(F.col("text")).alias("toks")
+    ).select("source", F.explode(_ngrams(F.col("toks"), _HLL_K)).alias("word"))
+
+
 def _hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source, reg, m_j): per-source HLL register maxima over the
     5-gram shingle stream. rho = 33 - bit_length(v) where v is the
@@ -64,10 +72,11 @@ def _hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB. The register max is a partial aggregate: map-side
     combined, one ≤256-rows-per-source exchange."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source",
-        F.explode(_ngrams(TX.tokens(F.col("text")), _HLL_K)).alias("word"),
-    )
+    # materialize the token ARRAY as a named column before shingling:
+    # passing the tokens EXPRESSION into _ngrams re-evaluates the split
+    # inside the transform lambda for every shingle index (no CSE
+    # through lambdas) — O(doc²) per document, measured 10× slower
+    toks = _shingles(docs).select("source", F.col("word"))
     h = F.md5("word")
     reg = (_nibble("h", 1) * 16 + _nibble("h", 2)).alias("reg")
     # fold 8 hex nibbles to the 32-bit slice as LONGs — int32 would
@@ -123,10 +132,7 @@ def hll_distinct_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents")
     exact = (
-        docs.select(
-            "source",
-            F.explode(_ngrams(TX.tokens(F.col("text")), _HLL_K)).alias("word"),
-        )
+        _shingles(docs)
         .groupBy("source")
         .agg(F.countDistinct("word").alias("n_exact"))
     )
@@ -154,9 +160,7 @@ def hll_union_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_regs"),
     )
     docs = load_table(spark, sf_dir, "documents")
-    exact = docs.select(
-        F.explode(_ngrams(TX.tokens(F.col("text")), _HLL_K)).alias("word")
-    ).agg(F.countDistinct("word").alias("n_exact"))
+    exact = _shingles(docs).agg(F.countDistinct("word").alias("n_exact"))
     return sketch.crossJoin(exact).select(
         "n_exact",
         _estimate(F.col("zsum"), F.col("n_regs")).alias("hll_estimate"),
