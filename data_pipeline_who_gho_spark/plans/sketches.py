@@ -1,4 +1,6 @@
-"""Deterministic HyperLogLog distinct sketches (Flajolet et al., 2007).
+"""Deterministic sketches: HyperLogLog distinct counts (Flajolet et
+al., 2007) and Count-Min frequency estimation (Cormode &
+Muthukrishnan, 2005).
 
 ``approx_count_distinct`` exists as a Spark built-in (its tolerance
 contract is pinned in tests/test_sketches.py), but its register layout
@@ -7,7 +9,9 @@ implement HLL FROM ITS DEFINITION over md5 — register index = first
 two hex nibbles (m = 256), rho = leading-zero rank of the next 32 hash
 bits — so DuckDB computes the identical sketch from the identical
 algorithm text, and the driver's hash gate pins every register and
-estimate bit-for-bit.
+estimate bit-for-bit. The Count-Min sketch follows the same recipe:
+row hashes are md5 with per-row salts, so both engines hold the
+identical d×w counter table and the identical (over)estimates.
 
 Two deliberate design points for cross-engine exactness:
 
@@ -240,12 +244,160 @@ FROM sketch s CROSS JOIN exact e
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-Min sketch: bigram frequency estimation
+# ---------------------------------------------------------------------------
+#
+# The sketched key is the word BIGRAM: the 31-word fixture vocabulary
+# yields ≤ 961 distinct bigrams against w = 256 buckets per row, so
+# counter collisions — the thing a CMS trades space for — are live at
+# every scale factor (a unigram stream would be collision-free and the
+# overestimate column vacuously zero). Estimating n-gram frequencies
+# under fixed memory is the classic CMS deployment in LM pipelines.
+#
+# Why this matters at 100 TB: the sketch is a FIXED d×w counter table
+# built by one map-side-combined count per (row, bucket) — a ≤1024-row
+# shuffle regardless of corpus size — and CMS tables MERGE by cell-wise
+# addition, so per-shard sketches roll up without re-scanning. The
+# exact column exists to make the error observable under the oracle
+# gate (same pattern as hll_distinct_per_source's n_exact).
+
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # buckets per row: first two md5 nibbles of the salted hash
+_CMS_N = 2  # sketched key = word 2-gram
+_CMS_TOPK = 15  # exact heavy hitters probed against the sketch
+
+
+def _cms_bucket(col: F.Column, row: int) -> F.Column:
+    """Bucket of `col` under the row-salted md5 hash: rows use distinct
+    salts ("cms{row}_") so the d hash functions are independent."""
+    h = F.md5(F.concat(F.lit(f"cms{row}_"), col))
+    return (_nibble_of(h, 1) * 16 + _nibble_of(h, 2)).cast("int")
+
+
+def _nibble_of(h: F.Column, i: int) -> F.Column:
+    """Hex nibble i (1-based) of an md5 string column as an int."""
+    return (
+        F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - F.lit(1)
+    ).cast("int")
+
+
+def _cms_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bigram stream (one row per corpus bigram occurrence)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(TX.tokens(F.col("text")).alias("toks"))
+    return toks.select(F.explode(_ngrams(F.col("toks"), _CMS_N)).alias("bg"))
+
+
+def cms_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for the corpus's top bigrams:
+    exact count next to the CMS estimate and the (always ≥ 0)
+    overestimate, so the row itself documents the sketch error.
+
+    Plan: ONE stream scan builds the sketch (stack to (row, bucket),
+    map-side-combined count → ≤ d·w rows); the exact top-k is a
+    TakeOrdered over the bigram-grain counts; the probe is a broadcast
+    join of the 4·k probe rows against the tiny sketch. No full-vocab
+    shuffle rides the sketch path — at scale the exact column would be
+    dropped and the sketch IS the product."""
+    bg = _cms_bigrams(spark, sf_dir)
+    # build the d bucket columns, then stack to (row, bucket)
+    with_buckets = bg.select(
+        *[_cms_bucket(F.col("bg"), i).alias(f"b{i}") for i in range(_CMS_D)]
+    )
+    stacked = with_buckets.select(
+        F.expr(
+            "stack("
+            + str(_CMS_D)
+            + ", "
+            + ", ".join(f"{i}, b{i}" for i in range(_CMS_D))
+            + ") as (row, bucket)"
+        )
+    )
+    sketch = stacked.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+    exact_top = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("bg"))
+        .limit(_CMS_TOPK)
+    )
+    probe = exact_top.select(
+        "bg",
+        "n_exact",
+        *[_cms_bucket(F.col("bg"), i).alias(f"b{i}") for i in range(_CMS_D)],
+    ).select(
+        "bg",
+        "n_exact",
+        F.expr(
+            "stack("
+            + str(_CMS_D)
+            + ", "
+            + ", ".join(f"{i}, b{i}" for i in range(_CMS_D))
+            + ") as (row, bucket)"
+        ),
+    )
+    est = (
+        probe.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("bg")
+        .agg(F.max("n_exact").alias("n_exact"), F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("bg").alias("bigram"),
+        "n_exact",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("n_exact")).alias("overestimate"),
+    ).orderBy(F.col("n_exact").desc(), F.col("bigram"))
+
+
+_SQL_CMS_BIGRAMS = _sql_ngrams(_SQL_TOKS, _CMS_N)
+
+
+def _sql_cms_bucket(col: str, row: int) -> str:
+    h = f"md5('cms{row}_' || {col})"
+
+    def nib(i: int) -> str:
+        return f"(instr('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+
+    return f"({nib(1)} * 16 + {nib(2)})"
+
+
+CMS_BIGRAM_SQL = f"""
+WITH stream AS (
+  SELECT unnest({_SQL_CMS_BIGRAMS}) AS bg FROM documents
+),
+stacked AS (
+  {" UNION ALL ".join(f"SELECT {i} AS row, {_sql_cms_bucket('bg', i)} AS bucket FROM stream" for i in range(_CMS_D))}
+),
+sketch AS (
+  SELECT row, bucket, COUNT(*) AS c FROM stacked GROUP BY row, bucket
+),
+exact_top AS (
+  SELECT bg, COUNT(*) AS n_exact FROM stream GROUP BY bg
+  ORDER BY n_exact DESC, bg LIMIT {_CMS_TOPK}
+),
+probe AS (
+  {" UNION ALL ".join(f"SELECT bg, n_exact, {i} AS row, {_sql_cms_bucket('bg', i)} AS bucket FROM exact_top" for i in range(_CMS_D))}
+),
+est AS (
+  SELECT bg, MAX(n_exact) AS n_exact, MIN(c) AS cms_estimate
+  FROM probe JOIN sketch USING (row, bucket)
+  GROUP BY bg
+)
+SELECT bg AS bigram, n_exact, cms_estimate,
+       cms_estimate - n_exact AS overestimate
+FROM est ORDER BY n_exact DESC, bigram
+"""
+
+
 SKETCH_QUERIES = {
     "hll_distinct_per_source": hll_distinct_per_source,
     "hll_union_total": hll_union_total,
+    "cms_bigram_counts": cms_bigram_counts,
 }
 
 SKETCH_ORACLE_SQL = {
     "hll_distinct_per_source": HLL_PER_SOURCE_SQL,
     "hll_union_total": HLL_UNION_SQL,
+    "cms_bigram_counts": CMS_BIGRAM_SQL,
 }

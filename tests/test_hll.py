@@ -1,4 +1,4 @@
-"""Deterministic HyperLogLog sketches (plans/sketches.py)."""
+"""Deterministic HyperLogLog and Count-Min sketches (plans/sketches.py)."""
 
 from __future__ import annotations
 
@@ -7,7 +7,9 @@ import math
 from pyspark.sql import functions as F
 
 from data_pipeline_who_gho_spark.plans.sketches import (
+    _CMS_TOPK,
     _HLL_M,
+    cms_bigram_counts,
     hll_distinct_per_source,
     hll_union_total,
 )
@@ -48,3 +50,17 @@ def test_hll_deterministic_across_runs(spark):
     b = {r["source"]: r["hll_estimate"]
          for r in hll_distinct_per_source(spark, SF).collect()}
     assert a == b
+
+
+def test_cms_never_underestimates(spark):
+    """The CMS one-sided error guarantee: estimate ≥ exact for every
+    probed key, and collisions are LIVE on this corpus (some key
+    overestimates) — otherwise the sketch rows prove nothing."""
+    rows = cms_bigram_counts(spark, SF).collect()
+    assert len(rows) == _CMS_TOPK
+    assert all(r["cms_estimate"] >= r["n_exact"] for r in rows)
+    assert all(r["overestimate"] == r["cms_estimate"] - r["n_exact"] for r in rows)
+    assert any(r["overestimate"] > 0 for r in rows), "collision-free: sketch vacuous"
+    # ordered report: exact count desc, bigram asc tiebreak
+    keys = [(-r["n_exact"], r["bigram"]) for r in rows]
+    assert keys == sorted(keys)
