@@ -76,3 +76,50 @@ def test_salted_join_spreads_hot_key(spark):
     right = spark.createDataFrame([("hot", 1.0)], "k STRING, w DOUBLE")
     plan = salted_join(left, right, ["k"], salt_buckets=8)._jdf.queryExecution().optimizedPlan().toString()
     assert "__salt" in plan
+
+
+def test_skew_safe_event_rollup_matches_plain(spark):
+    """The registered rollup equals the single plain groupBy answer."""
+    from data_pipeline_who_gho_spark.plans.scale_ops import (
+        skew_safe_event_rollup,
+    )
+    from data_pipeline_who_gho_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r.asDict() for r in skew_safe_event_rollup(spark, sf).collect()}
+    ev = load_table(spark, sf, "events")
+    want = {
+        r["event_type"]: r.asDict()
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.sum(F.floor(F.col("value") * 1000000.0).cast("long"))
+            .cast("long")
+            .alias("value_micro_total"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_enrich_partner_consistency(spark):
+    """partner_events sums each joining user's total count, so the
+    corpus-wide sum equals sum over users of user_events²."""
+    from data_pipeline_who_gho_spark.plans.scale_ops import salted_join_enrich
+    from data_pipeline_who_gho_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = salted_join_enrich(spark, sf).collect()
+    ev = load_table(spark, sf, "events")
+    n = ev.count()
+    assert sum(r["n_events"] for r in rows) == n
+    sq = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert sum(r["partner_events"] for r in rows) == sq
