@@ -212,3 +212,38 @@ def extract_byte_features_arrow(df: DataFrame, id_col: str = "doc_id") -> DataFr
             )
 
     return df.select(id_col, "payload").mapInArrow(run, FEATURES_SCHEMA)
+
+
+BYTE_COUNTS_SCHEMA = "doc_id BIGINT, counts ARRAY<BIGINT>"
+
+
+def extract_byte_counts_arrow(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Raw (un-normalized) 256-bin byte histogram per payload over
+    ``mapInArrow``. Integer counts are the oracle-checkable form of
+    ``extract_byte_features`` (whose float32 normalization cannot be
+    reproduced bit-for-bit by another engine): downstream scalar
+    projections stay exact integers across engines. Map-only; merging
+    shard histograms is element-wise addition."""
+    import numpy as np
+    import pyarrow as pa
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0)
+            payloads = batch.column(1)
+            counts = []
+            for i in range(batch.num_rows):
+                buf = payloads[i].as_py()
+                if not buf:
+                    counts.append([0] * 256)
+                else:
+                    h = np.bincount(
+                        np.frombuffer(buf, dtype=np.uint8), minlength=256
+                    ).astype(np.int64)
+                    counts.append(h.tolist())
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(counts, pa.list_(pa.int64()))],
+                names=["doc_id", "counts"],
+            )
+
+    return df.select(id_col, "payload").mapInArrow(run, BYTE_COUNTS_SCHEMA)

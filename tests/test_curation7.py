@@ -1,0 +1,57 @@
+"""Gopher quality flags + media byte features (plans/curation7.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_who_gho_spark.plans.curation7 import (
+    gopher_quality_flags,
+    media_byte_features,
+)
+from data_pipeline_who_gho_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_gopher_flags_all_live(spark):
+    """Every flag must take BOTH values on the fixture corpus — a
+    constant flag proves nothing about the rule."""
+    rows = gopher_quality_flags(spark, SF).collect()
+    assert len(rows) > 0
+    for flag in ("wc_ok", "mwl_ok", "stop_ok", "kept"):
+        vals = {r[flag] for r in rows}
+        assert vals == {True, False}, f"{flag} is constant: {vals}"
+    for r in rows:
+        assert r["kept"] == (r["wc_ok"] and r["mwl_ok"] and r["stop_ok"])
+
+
+def test_gopher_mean_word_len_consistent(spark):
+    """mean_word_len · n_words ≈ character mass of the tokens (round-6
+    tolerance) and n_stop_distinct counts DISTINCT stopwords."""
+    rows = gopher_quality_flags(spark, SF).collect()
+    docs = {r["doc_id"]: r["text"] for r in load_table(spark, SF, "documents").collect()}
+    for r in rows[:50]:
+        toks = docs[r["doc_id"]].strip().lower().split()
+        assert r["n_words"] == len(toks)
+        mass = sum(len(t) for t in toks)
+        assert abs(r["mean_word_len"] - mass / len(toks)) < 1e-6
+
+
+def test_media_byte_features_match_python(spark):
+    """The Arrow-histogram path reproduces a direct python computation,
+    and the fixture payload is pure ASCII (the oracle depends on it)."""
+    rows = {r["doc_id"]: r for r in media_byte_features(spark, SF).collect()}
+    docs = load_table(spark, SF, "documents").collect()
+    assert len(rows) == len(docs)
+    for d in docs:
+        payload = d["text"].encode("utf-8")
+        assert all(b < 128 for b in payload), "fixture corpus must be ASCII"
+        r = rows[d["doc_id"]]
+        assert r["n_bytes"] == len(payload)
+        from collections import Counter
+
+        c = Counter(payload)
+        assert r["n_distinct_bytes"] == len(c)
+        top_count = max(c.values())
+        top_byte = min(b for b, n in c.items() if n == top_count)
+        assert (r["top_byte"], r["top_count"]) == (top_byte, top_count)
