@@ -319,12 +319,104 @@ ORDER BY cluster, proto_rank
 """
 
 
+# ---------------------------------------------------------------------------
+# ANN index evaluation: recall against the exact answer
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 3
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the approximate indexes against exact brute-force —
+    the evaluation every ANN deployment publishes before trading exact
+    search for an index. One row per method: query count, top-k hits
+    recovered, possible hits, recall.
+
+    The brute_force row is COMPUTED (self-join against the exact set),
+    not hardcoded, so a drift in the exact path surfaces here too.
+    Scale posture: the per-method sets are k·|Q| rows; every join and
+    aggregate below is on data proportional to the query budget, never
+    the corpus. The oracle re-derives all three methods in SQL, so even
+    the approximation error itself is driver-checked."""
+    from .extensions import ann_cosine_topk
+    from .extras import ann_ivf_nprobe, ann_ivf_search
+
+    exact = (
+        ann_cosine_topk(spark, sf_dir)
+        .filter(F.col("rank") <= _RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    methods = [
+        ("brute_force", exact),
+        ("ivf_nprobe1", ann_ivf_search(spark, sf_dir).select("query_id", "neighbor_id")),
+        ("ivf_nprobe2", ann_ivf_nprobe(spark, sf_dir).select("query_id", "neighbor_id")),
+    ]
+    possible = exact.agg(F.count(F.lit(1)).alias("possible"))
+    reports = []
+    for name, approx in methods:
+        hits = approx.join(exact, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("hits"),
+        )
+        nq = approx.agg(F.countDistinct("query_id").alias("n_queries"))
+        reports.append(
+            nq.crossJoin(hits)
+            .crossJoin(possible)
+            .select(
+                F.lit(name).alias("method"),
+                F.col("n_queries").cast("long").alias("n_queries"),
+                F.col("hits").cast("long").alias("hits"),
+                F.col("possible").cast("long").alias("possible"),
+                F.round(
+                    F.col("hits").cast("double") / F.col("possible"), 6
+                ).alias("recall"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("method")
+
+
+def _recall_sql() -> str:
+    from .extensions import ANN_COSINE_SQL
+    from .extras import ANN_IVF_NPROBE_SQL, ANN_IVF_SQL
+
+    def method_row(name: str, cte: str) -> str:
+        return f"""
+SELECT '{name}' AS method,
+       CAST((SELECT COUNT(DISTINCT query_id) FROM {cte}) AS BIGINT) AS n_queries,
+       CAST((SELECT COUNT(*) FROM {cte} a
+             JOIN exact e ON a.query_id = e.query_id
+                         AND a.neighbor_id = e.neighbor_id) AS BIGINT) AS hits,
+       CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS possible,
+       round(CAST((SELECT COUNT(*) FROM {cte} a
+                   JOIN exact e ON a.query_id = e.query_id
+                               AND a.neighbor_id = e.neighbor_id) AS DOUBLE)
+             / (SELECT COUNT(*) FROM exact), 6) AS recall"""
+
+    return f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM ({ANN_COSINE_SQL}) WHERE rank <= {_RECALL_K}
+),
+m1 AS (SELECT query_id, neighbor_id FROM ({ANN_IVF_SQL})),
+m2 AS (SELECT query_id, neighbor_id FROM ({ANN_IVF_NPROBE_SQL}))
+{method_row('brute_force', 'exact')}
+UNION ALL {method_row('ivf_nprobe1', 'm1')}
+UNION ALL {method_row('ivf_nprobe2', 'm2')}
+ORDER BY method
+"""
+
+
+ANN_RECALL_SQL = _recall_sql()
+
+
 VECTOR_ANALYTICS_QUERIES = {
     "label_centroids": label_centroids,
     "vector_norms": vector_norms,
     "knn_classify": knn_classify,
     "kmeans_assign": kmeans_assign,
     "cluster_prototypes": cluster_prototypes,
+    "ann_recall_report": ann_recall_report,
 }
 
 VECTOR_ANALYTICS_ORACLE_SQL = {
@@ -333,4 +425,5 @@ VECTOR_ANALYTICS_ORACLE_SQL = {
     "knn_classify": KNN_CLASSIFY_SQL,
     "kmeans_assign": KMEANS_SQL,
     "cluster_prototypes": CLUSTER_PROTOTYPES_SQL,
+    "ann_recall_report": ANN_RECALL_SQL,
 }

@@ -180,3 +180,20 @@ def test_strided_chunking_overlap_and_coverage(spark):
     )
     c0, c1 = toks[0:16], toks[8:24]
     assert c0[8:16] == c1[0:8]  # 8-token overlap between chunk 0 and 1
+
+
+def test_ann_recall_report_contract(spark):
+    """brute_force recall is exactly 1; adding probe cells never lowers
+    recall; every method is bounded by the possible hits."""
+    from data_pipeline_who_gho_spark.plans.vector_analytics import (
+        ann_recall_report,
+    )
+
+    rows = {r["method"]: r for r in ann_recall_report(spark, SF).collect()}
+    assert set(rows) == {"brute_force", "ivf_nprobe1", "ivf_nprobe2"}
+    assert rows["brute_force"]["recall"] == 1.0
+    assert rows["brute_force"]["hits"] == rows["brute_force"]["possible"]
+    assert rows["ivf_nprobe2"]["hits"] >= rows["ivf_nprobe1"]["hits"]
+    for r in rows.values():
+        assert r["n_queries"] == 10
+        assert 0 <= r["hits"] <= r["possible"]
