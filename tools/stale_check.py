@@ -41,6 +41,12 @@ SF_DIR = "/root/testdata/sf0.001"
 OUT = "/root/repo/PLAN_HASHES.json"
 
 _NORMALIZERS = [
+    # lambda-variable name suffixes (x_12) draw from a SESSION-GLOBAL
+    # counter: any earlier-registered query that uses a higher-order
+    # function shifts every later query's suffixes, so an unnormalized
+    # baseline churns on mere registry reordering (observed round 5:
+    # 6 new lambda-using queries "changed" 21 untouched plans)
+    (re.compile(r"\blambda ([A-Za-z]\w*?)_\d+"), r"lambda \1_n"),
     (re.compile(r"#\d+L?"), "#x"),  # expression ids
     (re.compile(r"plan_id=\d+"), "plan_id=x"),
     (re.compile(r"cachedrdd-\d+"), "cachedrdd-x"),
