@@ -512,6 +512,95 @@ def recursive_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(RECURSIVE_REACH_SQL)
 
 
+def interp_linear_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear time-series interpolation — LOCF's twin for metrics that
+    trend between observations: non-'view' events are gaps, filled by
+    interpolating the user's surrounding 'view' values in EVENT TIME
+    (not row position). Leading gaps backfill from the next
+    observation, trailing gaps carry the previous one forward.
+
+    Scale: one shuffle on user_id, two single-pass ordered frames
+    (last-non-null backward, first-non-null forward) — no self-join,
+    no as-of join. The arithmetic is one double expression evaluated
+    in the same order by both engines (µs-exact integer time deltas),
+    so the interpolated doubles hash-match the oracle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    mus = F.unix_micros("ts")
+    obs_val = F.when(F.col("event_type") == "view", F.col("value"))
+    obs_ts = F.when(F.col("event_type") == "view", mus)
+    order = [F.col("ts"), F.col("event_id")]
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    framed = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        mus.alias("t"),
+        F.last(obs_val, ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_ts, ignorenulls=True).over(back).alias("pt"),
+        F.first(obs_val, ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_ts, ignorenulls=True).over(fwd).alias("nt"),
+    )
+    interp = (
+        F.when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .when(F.col("nt") == F.col("pt"), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                (F.col("t") - F.col("pt")).cast("double")
+                / (F.col("nt") - F.col("pt")).cast("double")
+            )
+        )
+    )
+    return framed.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round(interp, 6).alias("filled"),
+    ).orderBy("user_id", "event_id")
+
+
+INTERP_LINEAR_SQL = """
+WITH framed AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+         last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         first_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM events
+)
+SELECT user_id, event_id, event_type,
+       round(CASE
+         WHEN pv IS NULL THEN nv
+         WHEN nv IS NULL THEN pv
+         WHEN nt = pt THEN pv
+         ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+       END, 6) AS filled
+FROM framed
+ORDER BY user_id, event_id
+"""
+
+
 ANALYTICS6_QUERIES = {
     "recursive_trade_reach": recursive_trade_reach,
     "table_profile": table_profile,
@@ -520,6 +609,7 @@ ANALYTICS6_QUERIES = {
     "ewma_user_value": ewma_user_value,
     "pagerank_customer_supplier": pagerank_customer_supplier,
     "locf_gap_fill": locf_gap_fill,
+    "interp_linear_fill": interp_linear_fill,
     "zorder_event_cells": zorder_event_cells,
     "join_null_safe": join_null_safe,
 }
@@ -532,6 +622,7 @@ ANALYTICS6_ORACLE_SQL = {
     "ewma_user_value": EWMA_SQL,
     "pagerank_customer_supplier": PAGERANK_SQL,
     "locf_gap_fill": LOCF_SQL,
+    "interp_linear_fill": INTERP_LINEAR_SQL,
     "zorder_event_cells": ZORDER_SQL,
     "join_null_safe": JOIN_NULL_SAFE_SQL,
 }

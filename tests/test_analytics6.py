@@ -69,3 +69,67 @@ def test_pagerank_iterations_shape(spark):
     # partial aggregation must be present (map-side combine of mass)
     assert "partial_sum" in plan
     assert plan.count("HashAggregate") >= PR_ITERS
+
+
+def test_interp_linear_fill_edge_cases(spark):
+    """Constructed frame pinning the interpolation contract: observation
+    rows keep their value, interior gaps interpolate in EVENT TIME,
+    leading gaps backfill, trailing gaps carry forward."""
+    import datetime as dt
+
+    from data_pipeline_who_gho_spark.plans import analytics6 as A6
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def row(eid, sec, etype, val):
+        return (eid, t0 + dt.timedelta(seconds=sec), 1, etype, val)
+
+    ev = spark.createDataFrame(
+        [
+            row(1, 0, "click", 99.0),   # leading gap -> backfill 10.0
+            row(2, 10, "view", 10.0),   # observation
+            row(3, 40, "click", 99.0),  # 3/4 of the way 10 -> 30: 25.0
+            row(4, 50, "view", 30.0),   # observation
+            row(5, 60, "click", 99.0),  # trailing gap -> carry 30.0
+        ],
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE",
+    )
+    orig = A6.load_table
+    A6.load_table = lambda spark_, sf_, name: ev
+    try:
+        got = {
+            r["event_id"]: r["filled"]
+            for r in A6.interp_linear_fill(spark, "ignored").collect()
+        }
+    finally:
+        A6.load_table = orig
+    assert got == {1: 10.0, 2: 10.0, 3: 25.0, 4: 30.0, 5: 30.0}
+
+
+def test_interp_linear_fill_no_observations_user(spark):
+    """A user with zero 'view' observations yields NULL fills, not a
+    crash or a borrowed neighbor value."""
+    import datetime as dt
+
+    from data_pipeline_who_gho_spark.plans import analytics6 as A6
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, t0, 7, "click", 5.0),
+            (2, t0 + dt.timedelta(seconds=9), 7, "error", 6.0),
+            (3, t0, 8, "view", 1.0),
+        ],
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE",
+    )
+    orig = A6.load_table
+    A6.load_table = lambda spark_, sf_, name: ev
+    try:
+        rows = {
+            r["event_id"]: r["filled"]
+            for r in A6.interp_linear_fill(spark, "ignored").collect()
+        }
+    finally:
+        A6.load_table = orig
+    assert rows[1] is None and rows[2] is None and rows[3] == 1.0
