@@ -131,3 +131,110 @@ def test_fuzzy_passjoin_matches_quadratic_on_random_corpora(spark, tmp_path_fact
                 if dist <= _MAX_DIST:
                     want[(ia, ib)] = dist
     assert got == want
+
+
+agg_rows = st.lists(
+    st.tuples(st.text(alphabet="xy", min_size=1, max_size=1),
+              st.integers(-50, 50)),
+    min_size=1, max_size=40,
+)
+
+
+@_slow
+@given(data=agg_rows, buckets=st.sampled_from([1, 2, 7]))
+def test_salted_agg_equals_plain_for_any_frame(spark, data, buckets):
+    """salted_agg is result-identical to the plain groupBy for every
+    frame and every salt width (salting is pure spreading)."""
+    from data_pipeline_who_gho_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(data, "k STRING, v INT")
+    got = {
+        (r["k"], r["n"], r["s"], r["mx"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "n": ("sum", F.count(F.lit(1))),
+                "s": ("sum", F.sum("v")),
+                "mx": ("max", F.max("v")),
+            },
+            salt_buckets=buckets,
+        ).collect()
+    }
+    expect = {}
+    for k, v in data:
+        n, s, mx = expect.get(k, (0, 0, None))
+        expect[k] = (n + 1, s + v, v if mx is None else max(mx, v))
+    assert got == {(k, n, s, mx) for k, (n, s, mx) in expect.items()}
+
+
+@_slow
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=2, max_size=12),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_cms_one_sided_on_random_streams(spark, tmp_path_factory, docs):
+    """CMS never underestimates on arbitrary corpora, and is exact for
+    any bigram whose buckets are collision-free."""
+    from data_pipeline_who_gho_spark.plans.sketches import cms_bigram_counts
+
+    sf = str(tmp_path_factory.mktemp("cmsprop"))
+    spark.createDataFrame(
+        [(i, " ".join(d), "en", "s", len(d)) for i, d in enumerate(docs)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    rows = cms_bigram_counts(spark, sf).collect()
+    exact = {}
+    for d in docs:
+        for a, b in zip(d, d[1:]):
+            exact[f"{a} {b}"] = exact.get(f"{a} {b}", 0) + 1
+    for r in rows:
+        assert r["n_exact"] == exact[r["bigram"]]
+        assert r["cms_estimate"] >= r["n_exact"]
+
+
+@_slow
+@given(
+    seq=st.lists(
+        st.tuples(st.booleans(), st.floats(0, 100, allow_nan=False)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_interp_bounded_by_neighbor_observations(spark, seq):
+    """Every interpolated value lies within [min, max] of the user's
+    observations; observation rows keep their own value."""
+    import datetime as dt
+
+    from data_pipeline_who_gho_spark.plans import analytics6 as A6
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=10 * i), 1,
+         "view" if is_obs else "click", float(v))
+        for i, (is_obs, v) in enumerate(seq)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE",
+    )
+    orig = A6.load_table
+    A6.load_table = lambda *a: ev
+    try:
+        got = {r["event_id"]: r["filled"]
+               for r in A6.interp_linear_fill(spark, "x").collect()}
+    finally:
+        A6.load_table = orig
+    obs = {i: v for i, (is_obs, v) in enumerate(seq) if is_obs}
+    if not obs:
+        assert all(v is None for v in got.values())
+        return
+    lo, hi = min(obs.values()), max(obs.values())
+    for eid, filled in got.items():
+        assert filled is not None
+        assert lo - 1e-6 <= filled <= hi + 1e-6
+        if eid in obs:
+            assert abs(filled - obs[eid]) < 1e-6
