@@ -187,12 +187,149 @@ GROUP BY p.doc_id
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Rank-based score calibration
+# ---------------------------------------------------------------------------
+
+
+def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile calibration of the quality score: every doc's score
+    mapped to its global percentile pct = (rank-1)/(n-1) — the
+    calibration step that makes heuristic scores comparable across
+    heterogeneous sources before thresholding (raw score distributions
+    differ per source; percentiles don't).
+
+    Scale: the global order comes from ``operators/rank.global_rank``
+    (range repartition + parallel local rank + broadcast offsets), so
+    no single-partition window; n rides in as one broadcast scalar.
+    doc_id breaks score ties, so row_number == rank and the oracle's
+    identical formula hash-matches."""
+    from ..operators.rank import global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.quality_score("text", "n_chars").alias("score")
+    )
+    ranked = global_rank(docs, ["score", "doc_id"], rank_col="rn")
+    total = docs.agg(F.count(F.lit(1)).alias("__n"))
+    pct = F.when(F.col("__n") == 1, F.lit(0.0)).otherwise(
+        (F.col("rn") - 1).cast("double") / (F.col("__n") - 1).cast("double")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round("score", 6).alias("score"),
+            F.round(pct, 6).alias("pct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _qn_sql() -> str:
+    from .extensions import _sql_quality
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {_sql_quality()} AS score FROM documents
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM scored
+)
+SELECT doc_id, round(score, 6) AS score,
+       round(CASE WHEN n = 1 THEN 0.0
+                  ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+             END, 6) AS pct
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+QUANTILE_NORMALIZE_SQL = _qn_sql()
+
+
+# ---------------------------------------------------------------------------
+# Embedding standardization
+# ---------------------------------------------------------------------------
+
+_STD_Q = 1 << 20  # fixed-point scale: floor(x · 2^20)
+
+
+def embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-standardization of the embedding table — the
+    whitening step before cosine/k-means treats dimensions equally.
+    Components are fixed-pointed (floor(x·2^20) as BIGINT) so the
+    per-dimension sums and sums-of-squares are EXACT integers
+    (order-free across shuffles); mean/std/z are then single double
+    expressions evaluated in the same order by both engines.
+
+    Scale: one partial-aggregated shuffle keyed by dim (64 groups,
+    map-side combined), stats broadcast back into a map-only z pass."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    )
+    xq = F.floor(F.col("x").cast("double") * F.lit(float(_STD_Q))).cast("long")
+    comp = emb.select("vec_id", "pos", xq.alias("xq"))
+    stats = comp.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("s"),
+        F.sum(F.col("xq") * F.col("xq")).alias("s2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = F.col("s2").cast("double") / F.col("n").cast("double") - mean * mean
+    sd = F.sqrt(var)
+    z = F.when(sd > 0, (F.col("xq").cast("double") - mean) / sd)
+    # + 0.0 folds IEEE negative zero (xq == mean) to +0.0 — the one
+    # double whose SIGN differs between engines after the division
+    return (
+        comp.join(F.broadcast(stats), "pos")
+        .select("vec_id", "pos", (F.round(z, 6) + F.lit(0.0)).alias("z"))
+        .orderBy("vec_id", "pos")
+    )
+
+
+EMBED_STANDARDIZE_SQL = f"""
+WITH comp AS (
+  SELECT vec_id, pos - 1 AS pos,
+         CAST(floor(CAST(x AS DOUBLE) * {float(_STD_Q)}) AS BIGINT) AS xq
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+),
+stats AS (
+  SELECT pos, COUNT(*) AS n,
+         CAST(SUM(xq) AS BIGINT) AS s,
+         CAST(SUM(xq * xq) AS BIGINT) AS s2
+  FROM comp GROUP BY pos
+)
+SELECT c.vec_id, c.pos,
+       round(CASE WHEN sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                            - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) > 0
+                  THEN (CAST(c.xq AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             END, 6) + 0.0 AS z
+FROM comp c JOIN stats USING (pos)
+ORDER BY c.vec_id, c.pos
+"""
+
+
 CURATION7_QUERIES = {
     "gopher_quality_flags": gopher_quality_flags,
     "media_byte_features": media_byte_features,
+    "quantile_normalize_scores": quantile_normalize_scores,
+    "embed_standardize": embed_standardize,
 }
 
 CURATION7_ORACLE_SQL = {
     "gopher_quality_flags": GOPHER_QUALITY_SQL,
     "media_byte_features": MEDIA_BYTE_FEATURES_SQL,
+    "quantile_normalize_scores": QUANTILE_NORMALIZE_SQL,
+    "embed_standardize": EMBED_STANDARDIZE_SQL,
 }

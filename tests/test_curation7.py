@@ -55,3 +55,40 @@ def test_media_byte_features_match_python(spark):
         top_count = max(c.values())
         top_byte = min(b for b, n in c.items() if n == top_count)
         assert (r["top_byte"], r["top_count"]) == (top_byte, top_count)
+
+
+def test_quantile_normalize_is_monotone_and_bounded(spark):
+    from data_pipeline_who_gho_spark.plans.curation7 import (
+        quantile_normalize_scores,
+    )
+
+    rows = quantile_normalize_scores(spark, SF).collect()
+    assert all(0.0 <= r["pct"] <= 1.0 for r in rows)
+    # a strictly lower (rounded) score can never carry a higher pct;
+    # rounded-equal scores are ordered by the raw score + doc_id inside
+    # the query, so only strict inequalities are comparable here
+    by_pct = sorted(rows, key=lambda r: r["pct"])
+    scores = [r["score"] for r in by_pct]
+    assert all(a <= b + 1e-9 for a, b in zip(scores, scores[1:]))
+    assert by_pct[0]["pct"] == 0.0 and by_pct[-1]["pct"] == 1.0
+    assert len({r["pct"] for r in rows}) == len(rows)  # all-distinct pcts
+
+
+def test_embed_standardize_unit_stats(spark):
+    """Per-dimension standardized components have mean ≈ 0 and
+    population sd ≈ 1 (exact up to the fixed-point floor)."""
+    import math
+    from collections import defaultdict
+
+    from data_pipeline_who_gho_spark.plans.curation7 import embed_standardize
+
+    dims = defaultdict(list)
+    for r in embed_standardize(spark, SF).collect():
+        assert r["z"] is not None
+        dims[r["pos"]].append(r["z"])
+    for pos, zs in dims.items():
+        n = len(zs)
+        mean = sum(zs) / n
+        sd = math.sqrt(sum((z - mean) ** 2 for z in zs) / n)
+        assert abs(mean) < 1e-4, (pos, mean)
+        assert abs(sd - 1.0) < 1e-4, (pos, sd)
