@@ -76,3 +76,34 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     ).withColumn("__salt", F.col("__salt").cast("int"))
     return salted_big.join(replicated, on + ["__salt"], how).drop("__salt")
+
+
+def salted_join_hot_keys(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    hot_keys: DataFrame,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """The production form of ``salted_join``: replicate the small side
+    ONLY for the keys in ``hot_keys`` (caller-detected — e.g. from a
+    count aggregate or a prior run's skew report); every other key
+    joins plainly. Avoids paying ``salt_buckets``× replication on the
+    whole small side when skew is concentrated in a handful of keys —
+    at 100 TB the difference between "shuffle the dim 16×" and
+    "shuffle 16 copies of three hot rows".
+
+    ``hot_keys`` must contain exactly the ``on`` columns. Result is
+    row-identical to the plain join (both branches partition the big
+    side by hot-key membership, so no row joins twice)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join_hot_keys supports inner|left, got {how!r}")
+    on = list(on)
+    hot = hot_keys.select(*on).distinct()
+    big_hot = big.join(F.broadcast(hot), on, "left_semi")
+    big_cold = big.join(F.broadcast(hot), on, "left_anti")
+    small_hot = small.join(F.broadcast(hot), on, "left_semi")
+    hot_joined = salted_join(big_hot, small_hot, on, how, salt_buckets)
+    cold_joined = big_cold.join(small, on, how)
+    return hot_joined.unionByName(cold_joined)

@@ -123,3 +123,41 @@ def test_salted_join_enrich_partner_consistency(spark):
         .collect()[0]["s"]
     )
     assert sum(r["partner_events"] for r in rows) == sq
+
+
+def test_salted_join_hot_keys_matches_plain(spark):
+    """Hot-key-targeted salting is row-identical to the plain join for
+    inner AND left joins, with hot keys spread and cold keys untouched."""
+    from data_pipeline_who_gho_spark.operators.skew import salted_join_hot_keys
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(300)]
+        + [(f"k{i % 5}", i) for i in range(50)]
+        + [("orphan", -1)],
+        "k STRING, v INT",
+    )
+    right = spark.createDataFrame(
+        [("hot", 100), ("k0", 1), ("k1", 2), ("k9", 9)], "k STRING, w INT"
+    )
+    hot = spark.createDataFrame([("hot",)], "k STRING")
+    for how in ("inner", "left"):
+        plain = {
+            tuple(r) for r in left.join(right, ["k"], how).collect()
+        }
+        salted = {
+            tuple(r)
+            for r in salted_join_hot_keys(
+                left, right, ["k"], hot, how=how, salt_buckets=4
+            ).collect()
+        }
+        assert salted == plain, how
+
+
+def test_salted_join_hot_keys_rejects_outer(spark):
+    import pytest
+
+    from data_pipeline_who_gho_spark.operators.skew import salted_join_hot_keys
+
+    df = spark.createDataFrame([("a", 1)], "k STRING, v INT")
+    with pytest.raises(ValueError):
+        salted_join_hot_keys(df, df, ["k"], df.select("k"), how="full")
