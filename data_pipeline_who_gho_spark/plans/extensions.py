@@ -759,8 +759,9 @@ _LSH_FOLD = (
     f"{_LSH_NIBBLE.format(i=3)}) * 16 + {_LSH_NIBBLE.format(i=4)})"
 )
 
-ANN_LSH_BUCKETS_SQL = f"""
-WITH planes AS (
+# the md5-seeded plane/projection/code chain, shared by the bucket
+# census and the LSH top-k search oracle
+_LSH_CODES_CTES = f"""planes AS (
   SELECT j, i, {_LSH_FOLD} - 32768 AS w
   FROM (SELECT j, i, md5('p' || CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)) AS h
         FROM range({_LSH_PLANES}) p(j) CROSS JOIN range({_LSH_DIMS}) d(i))
@@ -779,9 +780,88 @@ codes AS (
   SELECT vec_id,
          SUM(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bucket
   FROM proj GROUP BY vec_id
-)
+)"""
+
+ANN_LSH_BUCKETS_SQL = f"""
+WITH {_LSH_CODES_CTES}
 SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
 FROM codes GROUP BY bucket
+"""
+
+
+_LSH_SEARCH_BITS = 6  # search buckets = low 6 code bits (~N/64 per cell)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate search — the hash-based alternative to
+    the IVF cell probe: each query scans only the vectors sharing its
+    low-{bits} hyperplane code (≈ N/2^bits candidates), cosine top-3.
+    The full 16-bit code over this fixture would leave most buckets
+    singleton (no candidates at all), so the search bucket is the low
+    {bits} bits — the standard way an LSH index trades planes for
+    occupancy. Recall vs exact is REPORTED (and oracle-checked) by
+    ``vector_analytics.ann_recall_report`` — and it is LOW (~0.07 at
+    sf0.01 vs IVF's ~0.97): a single hash table with a single probe is
+    the textbook failure mode the report exists to expose; production
+    LSH search stacks multiple tables / multi-probe (the same remedy
+    MinHash banding applies to dedup). The op is registered as the
+    honest hash-based baseline next to the IVF family.
+
+    Scale shape: code assignment is map-only (the plane matrix rides
+    as literals); search shuffles once on the bucket id. A query with
+    an empty bucket (minus self) simply yields < k rows — the honest
+    LSH failure mode, visible in the recall report."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", VEC.as_double("embedding").alias("v")
+    )
+    coded = emb.withColumn(
+        "bucket", lsh_code_column(F.col("embedding")) % F.lit(1 << _LSH_SEARCH_BITS)
+    ).select("vec_id", "v", "bucket")
+    q = coded.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = q.join(
+        coded,
+        (F.col("qbucket") == F.col("bucket"))
+        & (F.col("query_id") != F.col("vec_id")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("cos", VEC.cosine(F.col("qv"), F.col("v")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+ANN_LSH_TOPK_SQL = f"""
+WITH {_LSH_CODES_CTES},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+coded AS (
+  SELECT e.vec_id, e.v, CAST(c.bucket % {1 << _LSH_SEARCH_BITS} AS BIGINT) AS bucket
+  FROM e JOIN codes c USING (vec_id)
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+      FROM coded WHERE vec_id < {N_QUERY_VECTORS}),
+scored AS (
+  SELECT query_id, c.vec_id,
+         list_sum(list_transform(list_zip(qv, c.v), x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+            * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS cos
+  FROM q JOIN coded c ON qbucket = c.bucket AND query_id <> c.vec_id
+)
+SELECT query_id, vec_id AS neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank,
+       round(cos, 6) AS cosine
+FROM scored
+QUALIFY rank <= 3
 """
 
 
@@ -893,6 +973,7 @@ EXTENSION_QUERIES = {
     "dedup_clusters": dedup_clusters,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
+    "ann_lsh_topk": ann_lsh_topk,
     "multimodal_meta": multimodal_meta,
 }
 
@@ -906,6 +987,7 @@ EXTENSION_ORACLE_SQL = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
+    "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     "ann_cosine_topk": ANN_COSINE_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
 }
