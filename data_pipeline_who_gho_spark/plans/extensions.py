@@ -865,6 +865,86 @@ QUALIFY rank <= 3
 """
 
 
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH search — the standard remedy for single-probe
+    LSH's recall collapse (measured ~0.07 by ``ann_recall_report``):
+    each query also probes every bucket at Hamming distance 1 from its
+    own code (1 + {bits} probes), recovering neighbors whose code
+    differs by one marginal hyperplane sign (Lv et al., 2007).
+
+    The probe set is EXPANDED (explode of code XOR single-bit masks)
+    so the search stays an EQUI-join on the bucket id — the plan you
+    can run at 100 TB — instead of a Hamming-distance theta join that
+    would nested-loop the corpus. Candidates stay disjoint across
+    probes (each vector lives in exactly one bucket), so no dedup pass
+    is needed before ranking."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", VEC.as_double("embedding").alias("v")
+    )
+    coded = emb.withColumn(
+        "bucket", lsh_code_column(F.col("embedding")) % F.lit(1 << _LSH_SEARCH_BITS)
+    ).select("vec_id", "v", "bucket")
+    masks = F.array(*[F.lit(m).cast("long") for m in
+                      [0] + [1 << b for b in range(_LSH_SEARCH_BITS)]])
+    q = (
+        coded.filter(F.col("vec_id") < N_QUERY_VECTORS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(masks).alias("m"),
+            F.col("bucket"),
+        )
+        .select(
+            "query_id", "qv",
+            F.expr("cast(bucket ^ m as bigint)").alias("probe"),
+        )
+    )
+    cand = q.join(
+        coded,
+        (F.col("probe") == F.col("bucket"))
+        & (F.col("query_id") != F.col("vec_id")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("cos", VEC.cosine(F.col("qv"), F.col("v")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+ANN_LSH_MULTIPROBE_SQL = f"""
+WITH {_LSH_CODES_CTES},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+coded AS (
+  SELECT e.vec_id, e.v, CAST(c.bucket % {1 << _LSH_SEARCH_BITS} AS BIGINT) AS bucket
+  FROM e JOIN codes c USING (vec_id)
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, CAST(xor(bucket, m) AS BIGINT) AS probe
+  FROM coded, unnest([{", ".join(str(m) for m in [0] + [1 << b for b in range(_LSH_SEARCH_BITS)])}]) AS t(m)
+  WHERE vec_id < {N_QUERY_VECTORS}
+),
+scored AS (
+  SELECT query_id, c.vec_id,
+         list_sum(list_transform(list_zip(qv, c.v), x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+            * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS cos
+  FROM q JOIN coded c ON probe = c.bucket AND query_id <> c.vec_id
+)
+SELECT query_id, vec_id AS neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank,
+       round(cos, 6) AS cosine
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dup-cluster canonicalization: near-dup pairs (exact n-gram Jaccard
     ≥ 0.6) → connected components → every clustered doc mapped to its
@@ -974,6 +1054,7 @@ EXTENSION_QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "multimodal_meta": multimodal_meta,
 }
 
@@ -988,6 +1069,7 @@ EXTENSION_ORACLE_SQL = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
+    "ann_lsh_multiprobe": ANN_LSH_MULTIPROBE_SQL,
     "ann_cosine_topk": ANN_COSINE_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
 }
