@@ -134,6 +134,10 @@ from data_pipeline_who_gho_spark.plans.curation7 import (  # noqa: E402
     CURATION7_ORACLE_SQL,
     CURATION7_QUERIES,
 )
+from data_pipeline_who_gho_spark.plans.curation8 import (  # noqa: E402
+    CURATION8_ORACLE_SQL,
+    CURATION8_QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -205,6 +209,10 @@ _PRIORITY = [
     "domain_stats", "bpe_decode_roundtrip",
     "gopher_repetition_flags", "source_overlap_matrix",
     "tokenizer_fertility", "hll_distinct_per_source", "hll_union_total",
+    # round-5 fourth set: bloom-pruned admission, OOV coverage,
+    # PQ→exact rerank, hopping-window streaming
+    "bloom_prune_incremental", "oov_rate_per_source", "ann_pq_rerank",
+    "stream_hopping_counts",
     # round-4: the analytics3-6 / vector / stateful-streaming backlog is
     # ranked FIRST this round (judge item 1 — never driver-checked), then
     # the new §2a seam queries (judge item 3)
@@ -335,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(SKETCH_QUERIES)
     out.update(SCALE_OPS_QUERIES)
     out.update(CURATION7_QUERIES)
+    out.update(CURATION8_QUERIES)
     order = _rotated(list(out))
     return {name: out[name] for name in order}
 
@@ -342,6 +351,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted ⇒ rows-only)."""
     out: dict[str, str] = {}
-    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL, EXTRAS_ORACLE_SQL, STREAMING_ORACLE_SQL, TPCH_ORACLE_SQL, BEHAVIOR_ORACLE_SQL, TPCH2_ORACLE_SQL, TRAINING_ORACLE_SQL, ANALYTICS3_ORACLE_SQL, VECTOR_ANALYTICS_ORACLE_SQL, ANALYTICS4_ORACLE_SQL, TPCH3_ORACLE_SQL, ANALYTICS5_ORACLE_SQL, TPCH4_ORACLE_SQL, ANALYTICS6_ORACLE_SQL, TRAINING2_ORACLE_SQL, EXTENSION2_ORACLE_SQL, CURATION_ORACLE_SQL, CURATION2_ORACLE_SQL, TOKENIZER_ORACLE_SQL, CURATION3_ORACLE_SQL, ETL_SEAMS_ORACLE_SQL, CURATION4_ORACLE_SQL, CURATION5_ORACLE_SQL, CURATION6_ORACLE_SQL, SKETCH_ORACLE_SQL, SCALE_OPS_ORACLE_SQL, CURATION7_ORACLE_SQL):
+    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL, EXTRAS_ORACLE_SQL, STREAMING_ORACLE_SQL, TPCH_ORACLE_SQL, BEHAVIOR_ORACLE_SQL, TPCH2_ORACLE_SQL, TRAINING_ORACLE_SQL, ANALYTICS3_ORACLE_SQL, VECTOR_ANALYTICS_ORACLE_SQL, ANALYTICS4_ORACLE_SQL, TPCH3_ORACLE_SQL, ANALYTICS5_ORACLE_SQL, TPCH4_ORACLE_SQL, ANALYTICS6_ORACLE_SQL, TRAINING2_ORACLE_SQL, EXTENSION2_ORACLE_SQL, CURATION_ORACLE_SQL, CURATION2_ORACLE_SQL, TOKENIZER_ORACLE_SQL, CURATION3_ORACLE_SQL, ETL_SEAMS_ORACLE_SQL, CURATION4_ORACLE_SQL, CURATION5_ORACLE_SQL, CURATION6_ORACLE_SQL, SKETCH_ORACLE_SQL, SCALE_OPS_ORACLE_SQL, CURATION7_ORACLE_SQL, CURATION8_ORACLE_SQL):
         out.update({k: v for k, v in d.items() if v})
     return out

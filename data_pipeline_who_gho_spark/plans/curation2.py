@@ -425,6 +425,11 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ_m dtable[m, code_m], accumulated in integer fixed point so the
     sum is order-free and exact. Returns top-10 neighbors per query
     (self excluded) by (approx distance, vec_id)."""
+    return _pq_approx(spark, sf_dir, _PQ_TOPK)
+
+
+def _pq_approx(spark: SparkSession, sf_dir: str, topk: int) -> DataFrame:
+    """PQ retrieval, parameterized top-k (reused by ann_pq_rerank)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", VEC.as_double("embedding").alias("v")
     )
@@ -481,7 +486,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "vec_id")
         .agg(F.sum("d2_fx").alias("approx_fx"))
         .withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= _PQ_TOPK)
+        .filter(F.col("rank") <= topk)
         .select("query_id", "vec_id", "approx_fx", "rank")
         .orderBy("query_id", "rank")
     )
@@ -498,7 +503,10 @@ def _l2(a, b):
 
 _PQ_D2 = "list_sum(list_transform(list_zip({a}, {b}), x -> (x[1]-x[2])*(x[1]-x[2])))"
 
-ANN_IVF_PQ_SQL = f"""
+
+def _pq_sql(topk: int) -> str:
+    """PQ retrieval SQL twin, parameterized top-k (reused by rerank)."""
+    return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 subs AS (
   SELECT vec_id, m.m, list_slice(v, m.m * {_PQ_W} + 1, (m.m + 1) * {_PQ_W}) AS sub
@@ -552,9 +560,12 @@ SELECT query_id, vec_id, approx_fx, rank FROM (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY approx_fx, vec_id) AS rank
   FROM approx
-) WHERE rank <= {_PQ_TOPK}
+) WHERE rank <= {topk}
 ORDER BY query_id, rank
 """
+
+
+ANN_IVF_PQ_SQL = _pq_sql(_PQ_TOPK)
 
 
 # ---------------------------------------------------------------------------

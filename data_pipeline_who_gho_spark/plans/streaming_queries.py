@@ -23,7 +23,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from ..streaming.incremental import stream_event_counts, stream_session_windows
+from ..streaming.incremental import (
+    stream_event_counts,
+    stream_hopping_counts as _hopping_counts,
+    stream_session_windows,
+)
 
 _EVENT_SCHEMA = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
 
@@ -142,6 +146,33 @@ SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
        event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2, 3
+"""
+
+
+def stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 2-hour windows hopping every hour: each event counts
+    toward exactly TWO overlapping windows. Oracle: replicate the window
+    assignment in batch SQL (start = hour-trunc minus 0 or 1 hours)."""
+    stream, _ = _events_stream(spark, sf_dir)
+    out = _hopping_counts(
+        stream, window="2 hours", slide="1 hour", watermark="2 hours"
+    )
+    return _run_to_df(spark, out).select(
+        "window_start", "window_end", "event_type", "n_events"
+    )
+
+
+STREAM_HOPPING_SQL = """
+WITH assigned AS (
+  SELECT CAST(date_trunc('hour', ts) - o.o * INTERVAL 1 HOUR AS TIMESTAMP)
+           AS window_start,
+         event_type
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o) o
+)
+SELECT window_start,
+       CAST(window_start + INTERVAL 2 HOUR AS TIMESTAMP) AS window_end,
+       event_type, COUNT(*) AS n_events
+FROM assigned GROUP BY 1, 2, 3
 """
 
 
@@ -413,6 +444,7 @@ STREAMING_QUERIES = {
     "stream_stateful_totals": stream_stateful_totals,
     "sliding_window_counts": sliding_window_counts,
     "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_hopping_counts": stream_hopping_counts,
     "stream_sessions": stream_sessions,
     "stream_dedup_events": stream_dedup_events,
     "stream_dedup_within_watermark": stream_dedup_within_watermark,
@@ -425,6 +457,7 @@ STREAMING_ORACLE_SQL = {
     "stream_stateful_totals": STREAM_STATEFUL_SQL,
     "sliding_window_counts": SLIDING_WINDOW_SQL,
     "stream_tumbling_counts": STREAM_TUMBLING_SQL,
+    "stream_hopping_counts": STREAM_HOPPING_SQL,
     "stream_sessions": STREAM_SESSIONS_SQL,
     "stream_dedup_events": STREAM_DEDUP_SQL,
     "stream_dedup_within_watermark": STREAM_DEDUP_WWM_SQL,

@@ -38,6 +38,29 @@ def stream_event_counts(events: DataFrame, window: str = "1 hour", watermark: st
     )
 
 
+def stream_hopping_counts(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Hopping (sliding) window counts: each event lands in
+    window/slide overlapping windows; state is bounded by the watermark
+    exactly as in the tumbling case — the overlap multiplies state rows,
+    not retention."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def stream_session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
     """Native session windows (gap-based) — the streaming twin of the
     batch ``sessionize_events`` query (plans/analytics.py)."""
