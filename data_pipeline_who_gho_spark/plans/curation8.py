@@ -67,50 +67,50 @@ _BLOOM_BITS = _BLOOM_WORDS * 64
 _BLOOM_K = 5                         # hash functions per key
 
 
-def _bloom_positions(df: DataFrame, *keep: str) -> DataFrame:
-    """Explode each fingerprint into its k bit positions (word, mask)."""
-    pos = F.array(
-        *[
-            F.pmod(F.xxhash64(F.col("fingerprint"), F.lit(i)), F.lit(_BLOOM_BITS))
-            for i in range(_BLOOM_K)
-        ]
-    )
-    return df.select(*keep, F.explode(pos).alias("pos")).select(
-        *keep,
-        (F.col("pos") / 64).cast("long").alias("word_idx"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
-    )
+def _bloom_pos(i: int):
+    """Bit position of the i-th hash of ``fingerprint``."""
+    return F.pmod(F.xxhash64(F.col("fingerprint"), F.lit(i)), F.lit(_BLOOM_BITS))
 
 
 def bloom_bitmap(hist: DataFrame) -> DataFrame:
-    """Bloom bitmap of ``hist.fingerprint`` as (word_idx, word) rows."""
-    return (
-        _bloom_positions(hist)
+    """Bloom bitmap of ``hist.fingerprint``, folded to ONE row holding a
+    word_idx→word map (≤ _BLOOM_WORDS entries, ~32 KB) so the probe can
+    broadcast it and stay entirely map-side."""
+    pos = F.array(*[_bloom_pos(i) for i in range(_BLOOM_K)])
+    words = (
+        hist.select(F.explode(pos).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+        )
         .groupBy("word_idx")
         .agg(F.bit_or("bit").alias("word"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word_idx", "word"))).alias("bm")
     )
 
 
 def bloom_probe(batch: DataFrame, bitmap: DataFrame, *keep: str) -> DataFrame:
     """Tag each batch row ``maybe_present``: all k bits set in the bitmap.
 
-    The bitmap side is broadcast (≤ _BLOOM_WORDS rows); a missing word
-    row means no key ever touched that word, i.e. the bit is unset.
+    The one-row bitmap map is broadcast into a cross join, so the probe
+    is a pure projection — no explode, no probe-side shuffle. A missing
+    map entry means no key ever touched that word, i.e. the bit is unset.
     """
-    probed = (
-        _bloom_positions(batch, *keep, "fingerprint")
-        .join(F.broadcast(bitmap), "word_idx", "left")
-        .withColumn(
-            "hit",
-            F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("bit")) != 0,
+    probed = batch.join(F.broadcast(bitmap))
+    hit = F.lit(True)
+    for i in range(_BLOOM_K):
+        pos = _bloom_pos(i)
+        word = F.coalesce(
+            F.element_at(F.col("bm"), (pos / 64).cast("long")), F.lit(0)
         )
-    )
-    return (
-        probed.groupBy(*keep, "fingerprint")
-        .agg(F.min(F.col("hit").cast("int")).alias("all_hit"))
-        .withColumn("maybe_present", F.col("all_hit") == 1)
-        .drop("all_hit")
-    )
+        bit = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64(fingerprint, {i}), "
+            f"{_BLOOM_BITS}) % 64 AS INT))"
+        )
+        hit = hit & (word.bitwiseAND(bit) != 0)
+    return probed.select(*keep, "fingerprint", hit.alias("maybe_present"))
 
 
 def bloom_prune_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
