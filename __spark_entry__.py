@@ -212,7 +212,7 @@ _PRIORITY = [
     # round-5 fourth set: bloom-pruned admission, OOV coverage,
     # PQ→exact rerank, hopping-window streaming
     "bloom_prune_incremental", "oov_rate_per_source", "ann_pq_rerank",
-    "stream_hopping_counts",
+    "stream_hopping_counts", "bucketed_colocated_join",
     # round-4: the analytics3-6 / vector / stateful-streaming backlog is
     # ranked FIRST this round (judge item 1 — never driver-checked), then
     # the new §2a seam queries (judge item 3)

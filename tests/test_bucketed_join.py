@@ -74,3 +74,42 @@ def test_bucket_pruning_on_key_filter(spark, bucketed):
         assert q.count() >= 1
     finally:
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+
+
+def test_registered_bucketed_query_is_exchange_free_and_correct(spark):
+    """The REGISTERED query (plans/scale_ops.bucketed_colocated_join)
+    must run its join without any hash-partitioning exchange — the
+    bucketed scans satisfy the SMJ's distribution — and must agree with
+    the plain (unbucketed) join+agg."""
+    from data_pipeline_who_gho_spark.plans.scale_ops import (
+        bucketed_colocated_join,
+    )
+
+    df = bucketed_colocated_join(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    # the join inputs must be exchange-free: everything BELOW the SMJ
+    # reads bucketed scans directly (the agg above it may exchange its
+    # 5 groups)
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange hashpartitioning" not in join_part
+
+    got = {r["o_orderpriority"]: (r["n_lines"], round(r["revenue"], 2))
+           for r in df.collect()}
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders")
+    plain = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,4)")
+                   - F.col("l_discount").cast("decimal(18,4)"))
+            ).cast("double").alias("revenue"),
+        )
+    )
+    want = {r["o_orderpriority"]: (r["n_lines"], round(r["revenue"], 2))
+            for r in plain.collect()}
+    assert got == want
