@@ -237,6 +237,94 @@ GROUP BY 1, 2, 3
 """
 
 
+_FEB_WAREHOUSE: dict[tuple[str, str], str] = {}
+
+
+def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming apply: the canonical production sink shape
+    ``foreachBatch`` + idempotent keyed MERGE.
+
+    The event stream (with every event_id % 5 == 0 re-injected as an
+    exact duplicate) is staged as MULTIPLE files and consumed in several
+    micro-batches (``maxFilesPerTrigger``); every batch is deduped
+    within-batch and MERGEd into a parquet warehouse table keyed by
+    event_id (``operators/load.upsert`` — anti-join + union + atomic
+    swap). Duplicates may land in DIFFERENT batches: cross-batch
+    updates-win semantics collapse them. The whole stream is then
+    REPLAYED with a fresh checkpoint — re-processing every record — and
+    the table must come out identical: end-to-end idempotence, which is
+    what "exactly-once" means for a MERGE sink (at-least-once delivery ×
+    idempotent apply). The oracle is the plain distinct-event rollup.
+    """
+    from ..operators.load import upsert
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _FEB_WAREHOUSE:
+        base = tempfile.mkdtemp(prefix="feb-upsert-")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        wh = os.path.join(base, "wh")
+
+        def write(path: str) -> None:
+            ev = load_table(spark, sf_dir, "events").select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            )
+            ev.unionByName(
+                ev.filter(F.col("event_id") % 5 == 0)
+            ).repartition(8).write.parquet(path)
+
+        stage = _staged_write(spark, "feb", sf_dir, write)
+
+        def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+            upsert(
+                spark,
+                batch.dropDuplicates(["event_id"]),
+                wh,
+                "event_facts",
+                ["event_id"],
+            )
+
+        for replay in ("first", "replay"):
+            stream = (
+                spark.readStream.schema(_EVENT_SCHEMA)
+                .option("maxFilesPerTrigger", 3)
+                .parquet(stage)
+            )
+            ckpt = os.path.join(base, f"ckpt-{replay}")
+            q = (
+                stream.writeStream.foreachBatch(apply_batch)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("foreachBatch upsert did not finish in 300s")
+        _FEB_WAREHOUSE[key] = wh
+    facts = spark.read.parquet(
+        os.path.join(_FEB_WAREHOUSE[key], "event_facts")
+    )
+    return (
+        facts.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").alias("n_ids"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAM_FEB_UPSERT_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_id) AS n_ids,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication: exact-duplicate events (every
     event_id % 5 == 0 re-appears) removed by ``dropDuplicates`` against
@@ -445,6 +533,7 @@ STREAMING_QUERIES = {
     "sliding_window_counts": sliding_window_counts,
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_hopping_counts": stream_hopping_counts,
+    "stream_upsert_foreachbatch": stream_upsert_foreachbatch,
     "stream_sessions": stream_sessions,
     "stream_dedup_events": stream_dedup_events,
     "stream_dedup_within_watermark": stream_dedup_within_watermark,
@@ -458,6 +547,7 @@ STREAMING_ORACLE_SQL = {
     "sliding_window_counts": SLIDING_WINDOW_SQL,
     "stream_tumbling_counts": STREAM_TUMBLING_SQL,
     "stream_hopping_counts": STREAM_HOPPING_SQL,
+    "stream_upsert_foreachbatch": STREAM_FEB_UPSERT_SQL,
     "stream_sessions": STREAM_SESSIONS_SQL,
     "stream_dedup_events": STREAM_DEDUP_SQL,
     "stream_dedup_within_watermark": STREAM_DEDUP_WWM_SQL,

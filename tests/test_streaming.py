@@ -119,3 +119,27 @@ def test_stream_restart_resumes_from_checkpoint_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 150                      # no loss, no dupes
     assert got.select("id").distinct().count() == 150
+
+
+def test_foreachbatch_upsert_idempotent_merge(spark):
+    """After multi-batch MERGE apply AND a full fresh-checkpoint replay,
+    the warehouse table holds each event exactly once (n_events==n_ids
+    per type) and matches the batch distinct rollup."""
+    from data_pipeline_who_gho_spark.plans.streaming_queries import (
+        stream_upsert_foreachbatch,
+    )
+    from data_pipeline_who_gho_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = stream_upsert_foreachbatch(spark, sf).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_events"] == r["n_ids"]
+    want = {
+        (r["event_type"], r["n"])
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {(r["event_type"], r["n_events"]) for r in rows}
+    assert got == want
