@@ -238,3 +238,43 @@ def test_interp_bounded_by_neighbor_observations(spark, seq):
         assert lo - 1e-6 <= filled <= hi + 1e-6
         if eid in obs:
             assert abs(filled - obs[eid]) < 1e-6
+
+
+@_slow
+@given(
+    hist=st.lists(st.text(alphabet="abcdef0123456789", min_size=1, max_size=12),
+                  min_size=1, max_size=40),
+    batch=st.lists(st.text(alphabet="abcdef0123456789", min_size=1, max_size=12),
+                   min_size=1, max_size=40),
+)
+def test_bloom_probe_lossless_for_any_keys(spark, hist, batch):
+    """For ARBITRARY key sets: (1) no false negatives — every key folded
+    into the bitmap probes maybe-present; (2) the bloom-pruned admit
+    (sure-new ∪ verified) equals the plain anti-join result exactly."""
+    from data_pipeline_who_gho_spark.plans.curation8 import (
+        bloom_bitmap,
+        bloom_probe,
+    )
+
+    hdf = spark.createDataFrame([(h,) for h in hist], "fingerprint string")
+    bdf = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(batch)], "doc_id long, fingerprint string"
+    )
+    bm = bloom_bitmap(hdf)
+    # (1) probing the bitmap's OWN keys can never miss
+    self_probe = bloom_probe(
+        hdf.withColumn("doc_id", F.monotonically_increasing_id()), bm, "doc_id"
+    )
+    assert self_probe.filter(~F.col("maybe_present")).count() == 0
+    # (2) pruned admit == plain anti-join
+    probed = bloom_probe(bdf, bm, "doc_id")
+    sure = probed.filter(~F.col("maybe_present")).select("doc_id", "fingerprint")
+    verified = (
+        probed.filter(F.col("maybe_present"))
+        .select("doc_id", "fingerprint")
+        .join(hdf, "fingerprint", "left_anti")
+        .select("doc_id", "fingerprint")
+    )
+    got = {tuple(r) for r in sure.unionByName(verified).collect()}
+    want = {(i, b) for i, b in enumerate(batch) if b not in set(hist)}
+    assert got == want
