@@ -44,7 +44,7 @@ aggregation gap with the production approximate path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -390,14 +390,222 @@ FROM est ORDER BY n_exact DESC, bigram
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / theta-style) distinct + intersection sketch
+# ---------------------------------------------------------------------------
+
+_KMV_K = 32          # sketch size; < the smallest per-type cardinality (153)
+_KMV_SHIFT = 20      # 60-bit md5 hash >> 20 → 40-bit estimate arithmetic
+_KMV_SCALE = 1 << 40
+
+
+def kmv_user_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct/intersection estimation over per-type (user, day)
+    activity — the sketch family's SET-ALGEBRA member (HLL here only
+    unions; KMV/theta also intersects).
+
+    Universe: distinct (event_type, user_id, day). Hash = first 15 md5
+    hex digits of "user:day" (60 bits — order-defining; collision odds
+    ~1e-8 at sf1); estimate arithmetic uses the top 40 bits so
+    (k−1)·2^40 stays far inside BIGINT. Per type, the sketch is the k=32
+    smallest hashes (one per-key window — scale-safe); the distinct
+    estimate is the textbook (k−1)·2^40 div kth_hash40, all-integer so
+    both engines hold it bit-for-bit. For every type pair the UNION
+    sketch (k smallest over A∪B) is intersected with the exact member
+    sets: jaccard_est = |{x ∈ K(A∪B) : x ∈ A ∧ x ∈ B}| / k and
+    inter_est = est_union · in_both div k — the standard KMV set
+    algebra. Exact n_a/n_b/inter_exact ride along as the error witness
+    (the same observable-approximation contract as cms_bigram_counts).
+
+    100 TB posture: a KMV sketch is a k-row mergeable state per key —
+    distinct AND overlap rollups across shards/sources cost k-row
+    unions instead of re-shuffling the key universe; the per-type
+    window partitions by event_type (5 keys here; at real key counts
+    the TOP-K per key is WindowGroupLimit-pruned map-side).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.col("ts").cast("date").cast("string").alias("day"),
+    )
+    ded = ev.dropDuplicates(["event_type", "user_id", "day"]).withColumn(
+        "h",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("user_id"), F.col("day")).cast("binary")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    exact = ded.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+
+    types = ded.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .crossJoin(types.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    # exact pair intersection (error witness): one self-join on (user, day)
+    inter_exact = (
+        ded.alias("x")
+        .join(
+            ded.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.day") == F.col("y.day"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter_exact"))
+    )
+
+    # union sketch per pair: k smallest hashes over distinct A∪B members
+    pu = (
+        F.broadcast(pairs)
+        .join(
+            ded,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .dropDuplicates(["type_a", "type_b", "user_id", "day"])
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy("h", "user_id", "day")
+    usk = pu.withColumn("rn", F.row_number().over(wu)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    member = ded.select("event_type", "user_id", "day")
+    in_a = usk.join(
+        member.alias("ma"),
+        (F.col("ma.event_type") == F.col("type_a"))
+        & (F.col("ma.user_id") == usk["user_id"])
+        & (F.col("ma.day") == usk["day"]),
+        "left_semi",
+    )
+    in_both = in_a.join(
+        member.alias("mb"),
+        (F.col("mb.event_type") == F.col("type_b"))
+        & (F.col("mb.user_id") == in_a["user_id"])
+        & (F.col("mb.day") == in_a["day"]),
+        "left_semi",
+    )
+    both_counts = in_both.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("in_both")
+    )
+    union_est = usk.groupBy("type_a", "type_b").agg(
+        F.max(F.shiftright(F.col("h"), _KMV_SHIFT)).alias("kth40")
+    ).select(
+        "type_a",
+        "type_b",
+        F.expr(f"{(_KMV_K - 1) * _KMV_SCALE} div kth40").alias("union_est"),
+    )
+
+    na = exact.select(F.col("event_type").alias("type_a"), F.col("n_exact").alias("n_a"))
+    nb = exact.select(F.col("event_type").alias("type_b"), F.col("n_exact").alias("n_b"))
+    return (
+        pairs.join(na, "type_a")
+        .join(nb, "type_b")
+        .join(inter_exact, ["type_a", "type_b"])
+        .join(union_est, ["type_a", "type_b"])
+        .join(both_counts, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "inter_exact",
+            "union_est",
+            "in_both",
+            F.expr(f"(1000 * in_both) div {_KMV_K}").alias("jaccard_est_permille"),
+            F.expr(f"(union_est * in_both) div {_KMV_K}").alias("inter_est"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+KMV_OVERLAP_SQL = f"""
+WITH ded AS (
+  SELECT DISTINCT event_type, user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+  FROM events
+),
+hashed AS (
+  SELECT event_type, user_id, day,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || day), 1, 15))::BIGINT AS h
+  FROM ded
+),
+exact AS (SELECT event_type, COUNT(*) AS n_exact FROM hashed GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM hashed) a,
+       (SELECT DISTINCT event_type FROM hashed) b
+  WHERE a.event_type < b.event_type
+),
+inter_exact AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b, COUNT(*) AS inter_exact
+  FROM hashed x JOIN hashed y
+    ON x.user_id = y.user_id AND x.day = y.day AND x.event_type < y.event_type
+  GROUP BY 1, 2
+),
+pu AS (
+  SELECT DISTINCT p.type_a, p.type_b, h.user_id, h.day, h.h
+  FROM pairs p JOIN hashed h
+    ON h.event_type = p.type_a OR h.event_type = p.type_b
+),
+usk AS (
+  SELECT * FROM (
+    SELECT type_a, type_b, user_id, day, h,
+           row_number() OVER (PARTITION BY type_a, type_b
+                              ORDER BY h, user_id, day) AS rn
+    FROM pu
+  ) WHERE rn <= {_KMV_K}
+),
+in_both AS (
+  SELECT u.type_a, u.type_b, COUNT(*) AS in_both
+  FROM usk u
+  WHERE EXISTS (SELECT 1 FROM hashed a WHERE a.event_type = u.type_a
+                AND a.user_id = u.user_id AND a.day = u.day)
+    AND EXISTS (SELECT 1 FROM hashed b WHERE b.event_type = u.type_b
+                AND b.user_id = u.user_id AND b.day = u.day)
+  GROUP BY 1, 2
+),
+union_est AS (
+  SELECT type_a, type_b,
+         {(_KMV_K - 1) * _KMV_SCALE} // MAX(h >> {_KMV_SHIFT}) AS union_est
+  FROM usk GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b,
+       ea.n_exact AS n_a, eb.n_exact AS n_b,
+       i.inter_exact,
+       u.union_est,
+       ib.in_both,
+       (1000 * ib.in_both) // {_KMV_K} AS jaccard_est_permille,
+       (u.union_est * ib.in_both) // {_KMV_K} AS inter_est
+FROM pairs p
+JOIN exact ea ON ea.event_type = p.type_a
+JOIN exact eb ON eb.event_type = p.type_b
+JOIN inter_exact i USING (type_a, type_b)
+JOIN union_est u USING (type_a, type_b)
+JOIN in_both ib USING (type_a, type_b)
+ORDER BY type_a, type_b
+"""
+
+
 SKETCH_QUERIES = {
     "hll_distinct_per_source": hll_distinct_per_source,
     "hll_union_total": hll_union_total,
     "cms_bigram_counts": cms_bigram_counts,
+    "kmv_user_day_overlap": kmv_user_day_overlap,
 }
 
 SKETCH_ORACLE_SQL = {
     "hll_distinct_per_source": HLL_PER_SOURCE_SQL,
     "hll_union_total": HLL_UNION_SQL,
     "cms_bigram_counts": CMS_BIGRAM_SQL,
+    "kmv_user_day_overlap": KMV_OVERLAP_SQL,
 }

@@ -64,3 +64,25 @@ def test_cms_never_underestimates(spark):
     # ordered report: exact count desc, bigram asc tiebreak
     keys = [(-r["n_exact"], r["bigram"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_kmv_overlap_invariants_and_accuracy(spark):
+    """KMV algebra invariants hold exactly and the estimates land within
+    the k=32 sampling band (generous 3σ bounds)."""
+    from data_pipeline_who_gho_spark.plans.sketches import (
+        _KMV_K,
+        kmv_user_day_overlap,
+    )
+
+    rows = kmv_user_day_overlap(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10  # C(5,2) type pairs
+    for r in rows:
+        assert 0 <= r["in_both"] <= _KMV_K
+        assert r["jaccard_est_permille"] == 1000 * r["in_both"] // _KMV_K
+        assert r["inter_est"] == r["union_est"] * r["in_both"] // _KMV_K
+        assert r["inter_exact"] <= min(r["n_a"], r["n_b"])
+        union_exact = r["n_a"] + r["n_b"] - r["inter_exact"]
+        # KMV distinct estimate: σ ≈ n/√(k−2) → generous 3σ band
+        assert union_exact * 0.4 <= r["union_est"] <= union_exact * 2.5
+        j_exact = 1000 * r["inter_exact"] // union_exact
+        assert abs(r["jaccard_est_permille"] - j_exact) <= 320
