@@ -455,6 +455,115 @@ QUALIFY rank <= 3
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the co-supply graph
+# ---------------------------------------------------------------------------
+
+_TRI_MIN_SHARED = 10  # edge = supplier pair sharing >= 10 orders
+
+
+def triangle_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-pattern analytics rounding out the graph family (pagerank,
+    connected components, recursive reach): triangle count and global
+    clustering coefficient of the co-supply graph.
+
+    Edges: supplier pairs appearing on >= 10 shared orders (the strong
+    ties — sparsity by construction: ~1k edges at sf1 vs 2.1M at >=3).
+    Edges are ORIENTED s1 < s2, so each triangle is enumerated exactly
+    once as (a<b<c): wedge join e(a,b) |><| e(b,c) on the shared middle
+    node, closed by a hash probe of e(a,c). Wedge volume is
+    sum_v C(deg_v, 2) — bounded by the degree distribution, which the
+    edge threshold controls (production triangle counting additionally
+    orients by DEGREE; with an id-orientation the worst-case hub cost is
+    quadratic in hub degree, fine at this density). The clustering
+    coefficient is all-integer fixed point: floor(3000·triangles /
+    wedges) permille.
+
+    The reference has no graph surface (pandas upserts,
+    etl/transform.py:1); this extends SURVEY §2c's analytics families.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    edges = pairs.filter(F.col("shared") >= _TRI_MIN_SHARED).select("s1", "s2")
+    deg = (
+        edges.select(F.col("s1").alias("s"))
+        .unionByName(edges.select(F.col("s2").alias("s")))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    tri = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e1.s2") == F.col("e2.s1"))
+        .join(
+            edges.alias("e3"),
+            (F.col("e3.s1") == F.col("e1.s1"))
+            & (F.col("e3.s2") == F.col("e2.s2")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    summary = (
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+        .crossJoin(tri)
+        .crossJoin(wedges)
+    )
+    return summary.select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        F.expr("(3000 * n_triangles) div n_wedges").alias("closed_permille"),
+    )
+
+
+TRIANGLE_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS shared
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+e AS (SELECT s1, s2 FROM pairs WHERE shared >= {_TRI_MIN_SHARED}),
+deg AS (
+  SELECT s, COUNT(*) AS deg FROM (
+    SELECT s1 AS s FROM e UNION ALL SELECT s2 AS s FROM e
+  ) GROUP BY s
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM e e1 JOIN e e2 ON e1.s2 = e2.s1
+  JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT n_triangles FROM tri) AS n_triangles,
+       CAST((SELECT SUM(deg * (deg - 1) / 2) FROM deg) AS BIGINT) AS n_wedges,
+       (3000 * (SELECT n_triangles FROM tri))
+         // CAST((SELECT SUM(deg * (deg - 1) / 2) FROM deg) AS BIGINT)
+         AS closed_permille
+"""
+
+
 EXTRAS_QUERIES = {
     "asof_join_events": asof_join_events,
     "asof_tolerance_events": asof_tolerance_events,
@@ -463,6 +572,7 @@ EXTRAS_QUERIES = {
     "embed_neardup_pairs": embed_neardup_pairs,
     "rolling_hash_fingerprint": rolling_hash_fingerprint,
     "q3_shipping_priority": q3_shipping_priority,
+    "triangle_cosupply": triangle_cosupply,
     "ann_ivf_search": ann_ivf_search,
     "ann_ivf_nprobe": ann_ivf_nprobe,
 }
@@ -475,6 +585,7 @@ EXTRAS_ORACLE_SQL = {
     "embed_neardup_pairs": EMBED_NEARDUP_SQL,
     "rolling_hash_fingerprint": ROLLING_HASH_SQL,
     "q3_shipping_priority": Q3_SQL,
+    "triangle_cosupply": TRIANGLE_SQL,
     "ann_ivf_search": ANN_IVF_SQL,
     "ann_ivf_nprobe": ANN_IVF_NPROBE_SQL,
 }

@@ -25,3 +25,50 @@ def test_chain_needs_iterations(spark):
 def test_no_edges(spark):
     out = _cc(spark, [7, 8], [])
     assert out == {7: 7, 8: 8}
+
+
+def test_triangle_cosupply_matches_python_enumeration(spark):
+    """Triangle count, wedge count, and clustering agree with a direct
+    python enumeration of the same edge contract."""
+    from itertools import combinations
+
+    from data_pipeline_who_gho_spark.plans.extras import (
+        _TRI_MIN_SHARED,
+        triangle_cosupply,
+    )
+    from data_pipeline_who_gho_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = {
+        (r["l_orderkey"], r["l_suppkey"])
+        for r in load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .collect()
+    }
+    by_order: dict = {}
+    for o, s in li:
+        by_order.setdefault(o, set()).add(s)
+    shared: dict = {}
+    for supps in by_order.values():
+        for a, b in combinations(sorted(supps), 2):
+            shared[(a, b)] = shared.get((a, b), 0) + 1
+    edges = {p for p, c in shared.items() if c >= _TRI_MIN_SHARED}
+    nodes = {s for e in edges for s in e}
+    deg: dict = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    n_wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    tris = sum(
+        1
+        for a, b in edges
+        for c in nodes
+        if b < c and (b, c) in edges and (a, c) in edges
+    )
+    row = triangle_cosupply(spark, sf).collect()[0]
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_edges"] == len(edges)
+    assert row["n_triangles"] == tris
+    assert row["n_wedges"] == n_wedges
+    assert row["closed_permille"] == 3000 * tris // n_wedges
