@@ -259,3 +259,44 @@ def test_source_overlap_joins_on_fingerprint(spark):
     # the per-source totals must come back via broadcast, not shuffle
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_probe_is_map_side(spark):
+    """The bloom probe must stay a projection against the broadcast
+    bitmap: no hash-partitioning exchange between the batch scan and the
+    maybe-present split, and the bitmap subtree built once (reused)."""
+    from data_pipeline_who_gho_spark.plans.curation8 import (
+        bloom_prune_incremental,
+    )
+
+    df = bloom_prune_incremental(spark, SF)
+    df.collect()  # final adaptive plan (ReusedExchange materializes there)
+    plan = _plan(df)
+    # exactly ONE bitmap build: the second union branch reuses it
+    assert "ReusedExchange" in plan
+    # the only hashpartitioning exchanges are the bitmap's bit_or agg
+    # (word_idx grain) — the probe side must contribute none
+    hash_ex = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert all("word_idx" in ln for ln in hash_ex), hash_ex
+
+
+def test_kmv_windows_are_key_grain(spark):
+    """Every exchange in the KMV plan partitions by sketch keys (type /
+    pair / member) — no single-partition global window anywhere."""
+    from data_pipeline_who_gho_spark.plans.sketches import kmv_user_day_overlap
+
+    plan = _plan(kmv_user_day_overlap(spark, SF))
+    for ln in plan.splitlines():
+        if "Exchange SinglePartition" in ln:
+            raise AssertionError(f"global funnel in KMV plan: {ln}")
+
+
+def test_triangle_join_has_partial_agg_edges(spark):
+    """The pair-count aggregate (the one corpus-grain shuffle) must
+    map-side combine before exchanging."""
+    from data_pipeline_who_gho_spark.plans.extras import triangle_cosupply
+
+    plan = _plan(triangle_cosupply(spark, SF))
+    assert "partial_count" in plan

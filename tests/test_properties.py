@@ -278,3 +278,40 @@ def test_bloom_probe_lossless_for_any_keys(spark, hist, batch):
     got = {tuple(r) for r in sure.unionByName(verified).collect()}
     want = {(i, b) for i, b in enumerate(batch) if b not in set(hist)}
     assert got == want
+
+
+@_slow
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(lambda t: t[0] < t[1]),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_triangle_join_matches_enumeration_on_random_graphs(spark, edges):
+    """The oriented wedge-join triangle count equals brute-force
+    enumeration for arbitrary graphs (not just the fixture's shape)."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F2
+
+    if not edges:
+        return
+    e = spark.createDataFrame(sorted(edges), "s1 long, s2 long")
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F2.col("e1.s2") == F2.col("e2.s1"))
+        .join(
+            e.alias("e3"),
+            (F2.col("e3.s1") == F2.col("e1.s1"))
+            & (F2.col("e3.s2") == F2.col("e2.s2")),
+        )
+        .count()
+    )
+    nodes = {v for ed in edges for v in ed}
+    want = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    )
+    assert tri == want
