@@ -133,8 +133,17 @@ def table_sig(pdf: pd.DataFrame):
 
 
 def main():
+    import os
+
     args = [a for a in sys.argv[1:]]
-    sf_dir = args.pop(0) if args and args[0].startswith("/") else "/root/testdata/sf0.01"
+    # the first arg is the sf dir if it IS a directory (absolute or
+    # relative) — the old startswith("/") test silently demoted a
+    # relative path like `.scratch/sf1` to an unknown query name and ran
+    # the gate at the default scale
+    if args and (args[0].startswith("/") or os.path.isdir(args[0])):
+        sf_dir = os.path.abspath(args.pop(0))
+    else:
+        sf_dir = "/root/testdata/sf0.01"
     only = set(args)
 
     spark = get_spark(app_name="check-correctness")
@@ -144,6 +153,12 @@ def main():
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        raise SystemExit(
+            f"unknown query name(s): {sorted(unknown)} — a mistyped name "
+            "(or a relative sf dir) would otherwise be silently skipped"
+        )
     failures, passed, skipped = [], 0, 0
 
     for name, fn in queries.items():
