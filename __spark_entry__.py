@@ -214,7 +214,7 @@ _PRIORITY = [
     "bloom_prune_incremental", "oov_rate_per_source", "ann_pq_rerank",
     "stream_hopping_counts", "bucketed_colocated_join",
     "stream_upsert_foreachbatch", "kmv_user_day_overlap",
-    "triangle_cosupply",
+    "triangle_cosupply", "quantile_sketch_by_flag",
     # round-4: the analytics3-6 / vector / stateful-streaming backlog is
     # ranked FIRST this round (judge item 1 — never driver-checked), then
     # the new §2a seam queries (judge item 3)

@@ -596,11 +596,142 @@ ORDER BY type_a, type_b
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Bottom-k hash sampling → approximate quantiles
+# ---------------------------------------------------------------------------
+
+_QSK_K = 64  # sample size per group
+
+
+def quantile_sketch_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles from a BOTTOM-K HASH SAMPLE — the sketch
+    family's quantile member (HLL=distinct, CMS=frequency, KMV=set
+    algebra), next to ``exact_percentiles`` (the exact path).
+
+    Per l_returnflag, the k=64 rows with the smallest md5(orderkey:line)
+    form a uniform, DETERMINISTIC, MERGEABLE sample (bottom-k by hash:
+    the union of two groups' samples re-cut to k is the sample of the
+    union — the same algebra as KMV). Estimates are percentile_disc on
+    the sample — an actual data value picked by integer index, so both
+    engines hold it bit-for-bit; the exact interpolated quantiles ride
+    along as the error witness (l_quantity is integer-valued, so the
+    interpolation is IEEE-exact, the exact_percentiles contract).
+
+    Scale: the bottom-k window is rank-limit-prunable
+    (WindowGroupLimit: per-partition top-k then merge — census-visible)
+    so the sample NEVER funnels a full group through one task; the
+    estimate window then runs on ≤ k rows per group.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("l_orderkey"), F.col("l_linenumber")
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = li.withColumn("h", h)
+    wk = Window.partitionBy("l_returnflag").orderBy(
+        "h", "l_orderkey", "l_linenumber"
+    )
+    sample = keyed.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= _QSK_K
+    )
+    wv = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "h", "l_orderkey", "l_linenumber"
+    )
+    ranked = sample.withColumn("vn", F.row_number().over(wv)).withColumn(
+        "k_actual", F.count(F.lit(1)).over(Window.partitionBy("l_returnflag"))
+    )
+    est = ranked.groupBy("l_returnflag", "k_actual").agg(
+        F.max(
+            F.when(
+                F.col("vn") == F.ceil(F.col("k_actual") * 0.5), F.col("l_quantity")
+            )
+        ).alias("est_p50"),
+        F.max(
+            F.when(
+                F.col("vn") == F.ceil(F.col("k_actual") * 0.9), F.col("l_quantity")
+            )
+        ).alias("est_p90"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("l_quantity", 0.5).alias("exact_p50"),
+        F.percentile("l_quantity", 0.9).alias("exact_p90"),
+    )
+    return (
+        exact.join(est, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            "k_actual",
+            "est_p50",
+            "est_p90",
+            "exact_p50",
+            "exact_p90",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUANTILE_SKETCH_SQL = f"""
+WITH keyed AS (
+  SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber,
+         ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                             CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM lineitem
+),
+sample AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                 ORDER BY h, l_orderkey, l_linenumber) AS rn
+    FROM keyed
+  ) WHERE rn <= {_QSK_K}
+),
+ranked AS (
+  SELECT l_returnflag, l_quantity,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_quantity, h, l_orderkey, l_linenumber) AS vn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS k_actual
+  FROM sample
+),
+est AS (
+  SELECT l_returnflag, k_actual,
+         MAX(CASE WHEN vn = CAST(ceil(k_actual * 0.5) AS BIGINT)
+                  THEN l_quantity END) AS est_p50,
+         MAX(CASE WHEN vn = CAST(ceil(k_actual * 0.9) AS BIGINT)
+                  THEN l_quantity END) AS est_p90
+  FROM ranked GROUP BY 1, 2
+),
+exact AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         quantile_cont(l_quantity, 0.5) AS exact_p50,
+         quantile_cont(l_quantity, 0.9) AS exact_p90
+  FROM lineitem GROUP BY 1
+)
+SELECT e.l_returnflag, e.n, s.k_actual, s.est_p50, s.est_p90,
+       e.exact_p50, e.exact_p90
+FROM exact e JOIN est s USING (l_returnflag)
+ORDER BY l_returnflag
+"""
+
+
 SKETCH_QUERIES = {
     "hll_distinct_per_source": hll_distinct_per_source,
     "hll_union_total": hll_union_total,
     "cms_bigram_counts": cms_bigram_counts,
     "kmv_user_day_overlap": kmv_user_day_overlap,
+    "quantile_sketch_by_flag": quantile_sketch_by_flag,
 }
 
 SKETCH_ORACLE_SQL = {
@@ -608,4 +739,5 @@ SKETCH_ORACLE_SQL = {
     "hll_union_total": HLL_UNION_SQL,
     "cms_bigram_counts": CMS_BIGRAM_SQL,
     "kmv_user_day_overlap": KMV_OVERLAP_SQL,
+    "quantile_sketch_by_flag": QUANTILE_SKETCH_SQL,
 }

@@ -86,3 +86,22 @@ def test_kmv_overlap_invariants_and_accuracy(spark):
         assert union_exact * 0.4 <= r["union_est"] <= union_exact * 2.5
         j_exact = 1000 * r["inter_exact"] // union_exact
         assert abs(r["jaccard_est_permille"] - j_exact) <= 320
+
+
+def test_quantile_sketch_sampling_band_and_plan(spark):
+    """The bottom-k sample estimates land inside a generous sampling
+    band around the exact quantiles, and the bottom-k window is
+    rank-limit pruned (WindowGroupLimit), not a full-group sort."""
+    from data_pipeline_who_gho_spark.plans.sketches import (
+        quantile_sketch_by_flag,
+    )
+
+    df = quantile_sketch_by_flag(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    for r in df.collect():
+        assert r["k_actual"] == 64  # every flag has >= k rows
+        # l_quantity spans 1..50; k=64 quantile σ ≈ p(1-p)/√k of the
+        # range — allow a generous ±12 band
+        assert abs(r["est_p50"] - r["exact_p50"]) <= 12
+        assert abs(r["est_p90"] - r["exact_p90"]) <= 12
