@@ -54,12 +54,19 @@ def global_rank(
     except Exception:  # pragma: no cover - API fallback
         sig = hash(df._jdf.queryExecution().analyzed().toString())
     key = (df.sparkSession.sparkContext.applicationId, sig, tuple(order_cols), parts)
+    # limit must exceed the number of global_rank consumers that can be
+    # LAZILY outstanding at once (a composed plan may build several
+    # ranked frames before any action runs); eviction unpersists, and an
+    # unpersisted ranged frame re-exposes the re-sampled-boundary
+    # nondeterminism this cache exists to prevent. 8 registered
+    # consumers today; 16 leaves headroom for composition.
     ranged = bounded_persist_cache(
         _RANGED_CACHE,
         key,
         lambda: df.repartitionByRange(
             parts, *[F.col(c) for c in order_cols]
         ).withColumn("__pid", F.spark_partition_id()),
+        limit=16,
     )
     w = Window.partitionBy("__pid").orderBy(*order_cols)
     local = ranged.withColumn("__lrn", F.row_number().over(w))

@@ -162,11 +162,17 @@ def media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the payload is the utf-8 encoding of ``text``; the fixture corpus is
 # pure ASCII (pinned by test_curation7), so byte == codepoint and the
-# oracle can rebuild the histogram from characters
+# oracle can rebuild the histogram from characters. The per-byte rollup
+# is LEFT-joined back to a documents anchor with zero defaults: the
+# Spark path emits an all-zeros row for an empty-text doc (the
+# histogram is zeros, array_max/array_position land on byte 0), and the
+# unnest path would otherwise drop it (split('','') yields [''], hence
+# the c <> '' guard).
 MEDIA_BYTE_FEATURES_SQL = """
 WITH chars AS (
   SELECT doc_id, ascii(c) AS byte
   FROM documents, unnest(split(text, '')) AS t(c)
+  WHERE c <> ''
 ),
 per_byte AS (
   SELECT doc_id, byte, COUNT(*) AS cnt FROM chars GROUP BY doc_id, byte
@@ -175,15 +181,24 @@ ranked AS (
   SELECT doc_id, byte, cnt,
          row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, byte) AS rn
   FROM per_byte
+),
+rolled AS (
+  SELECT p.doc_id,
+         CAST(SUM(p.cnt) AS BIGINT) AS n_bytes,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes,
+         CAST(MAX(CASE WHEN r.rn = 1 THEN r.byte END) AS BIGINT) AS top_byte,
+         CAST(MAX(CASE WHEN r.rn = 1 THEN r.cnt END) AS BIGINT) AS top_count
+  FROM per_byte p
+  JOIN ranked r ON p.doc_id = r.doc_id AND p.byte = r.byte
+  GROUP BY p.doc_id
 )
-SELECT p.doc_id,
-       CAST(SUM(p.cnt) AS BIGINT) AS n_bytes,
-       CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes,
-       CAST(MAX(CASE WHEN r.rn = 1 THEN r.byte END) AS BIGINT) AS top_byte,
-       CAST(MAX(CASE WHEN r.rn = 1 THEN r.cnt END) AS BIGINT) AS top_count
-FROM per_byte p
-JOIN ranked r ON p.doc_id = r.doc_id AND p.byte = r.byte
-GROUP BY p.doc_id
+SELECT d.doc_id,
+       COALESCE(n_bytes, 0) AS n_bytes,
+       COALESCE(n_distinct_bytes, 0) AS n_distinct_bytes,
+       COALESCE(top_byte, 0) AS top_byte,
+       COALESCE(top_count, 0) AS top_count
+FROM documents d
+LEFT JOIN rolled USING (doc_id)
 """
 
 

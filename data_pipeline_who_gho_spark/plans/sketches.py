@@ -55,9 +55,9 @@ from .training import _nibble, _sql_nibble
 _HLL_M = 256  # 2^8 registers: index = first two md5 nibbles
 _HLL_BITS = 32  # rho drawn from the next 32 hash bits
 _HLL_K = 5  # shingle width of the sketched key
-# alpha_256 = 0.7213 / (1 + 1.079/256); ONE literal text shared by both
-# engines so they hold the identical double
-_HLL_ALPHA = "0.718538"
+# alpha_256 = 0.7213 / (1 + 1.079/256) = 0.7182726... ≈ 0.718273; ONE
+# literal text shared by both engines so they hold the identical double
+_HLL_ALPHA = "0.718273"
 
 
 def _shingles(docs: DataFrame) -> DataFrame:

@@ -57,6 +57,39 @@ def test_media_byte_features_match_python(spark):
         assert (r["top_byte"], r["top_count"]) == (top_byte, top_count)
 
 
+def test_media_byte_features_empty_doc_parity(spark, tmp_path):
+    """An empty-text doc must produce an all-zeros row in BOTH engines
+    (the Spark histogram emits zeros; the oracle's documents anchor +
+    COALESCE reinstates the row the unnest path drops)."""
+    import duckdb
+    import pandas as pd
+
+    from data_pipeline_who_gho_spark.plans.curation7 import (
+        MEDIA_BYTE_FEATURES_SQL,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["abca", ""], "lang": ["en", "en"],
+         "source": ["s", "s"], "n_chars": [4, 0]}
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["n_distinct_bytes"], r["top_byte"], r["top_count"])
+        for r in media_byte_features(spark, str(tmp_path)).collect()
+    }
+    assert got[2] == (0, 0, 0, 0)
+    assert got[1] == (4, 3, ord("a"), 2)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(MEDIA_BYTE_FEATURES_SQL).fetchall()
+    }
+    assert oracle == got
+
+
 def test_quantile_normalize_is_monotone_and_bounded(spark):
     from data_pipeline_who_gho_spark.plans.curation7 import (
         quantile_normalize_scores,

@@ -63,9 +63,8 @@ _NODE_NAME = re.compile(r"^[\s+:*(\d)-]*([A-Za-z][A-Za-z0-9]+)")
 
 
 def plan_hash(df) -> str:
-    # OPTIMIZED plan, not analyzed: cache substitution (InMemoryRelation)
-    # happens between the two, and a change like round-5's global_rank
-    # persist fix is invisible at the analyzed level
+    # Hybrid scheme: normalized ANALYZED text + a sorted node-name
+    # multiset of the OPTIMIZED plan (rationale below, at `nodes`).
     qe = df._jdf.queryExecution()
     text = qe.analyzed().toString()
     for pat, repl in _NORMALIZERS:
