@@ -463,6 +463,97 @@ QUALIFY rank <= 3
 _TRI_MIN_SHARED = 10  # edge = supplier pair sharing >= 10 orders
 
 
+def degree_oriented_edges(edges: DataFrame) -> DataFrame:
+    """Direct each canonical (s1 < s2) undirected edge from its lower-
+    (deg, id)-ranked endpoint to the higher: ``(src, dst, dst_deg)``.
+
+    This is the standard degree orientation (Cohen; GraphFrames'
+    triangle count): out-degree under it is bounded by sqrt(2m)
+    REGARDLESS of hubs (a vertex with out-degree k has k neighbors of
+    degree >= its own >= k, so m >= k^2/2), which caps wedge-join work
+    at O(m^1.5). An id-orientation has no such bound — one low-id hub
+    of degree d costs C(d, 2) wedge candidates.
+    """
+    deg = (
+        edges.select(F.col("s1").alias("s"))
+        .unionByName(edges.select(F.col("s2").alias("s")))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        edges.join(deg.select(F.col("s").alias("s1"), F.col("deg").alias("d1")), "s1")
+        .join(deg.select(F.col("s").alias("s2"), F.col("deg").alias("d2")), "s2")
+    )
+    s1_first = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("s1") < F.col("s2"))
+    )
+    return ed.select(
+        F.when(s1_first, F.col("s1")).otherwise(F.col("s2")).alias("src"),
+        F.when(s1_first, F.col("s2")).otherwise(F.col("s1")).alias("dst"),
+        F.when(s1_first, F.col("d2")).otherwise(F.col("d1")).alias("dst_deg"),
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Triangle count + global clustering coefficient over a canonical
+    (s1 < s2) undirected edge list.
+
+    Each triangle is enumerated exactly once at its lowest-(deg, id)
+    vertex: wedge join pairs of OUT-edges sharing a src (ordered by the
+    (dst_deg, dst) rank so each out-pair appears once), closed by an
+    equi-probe of the oriented edge (e1.dst -> e2.dst) — which is the
+    orientation the closing edge must have, because rank(e1.dst) <
+    rank(e2.dst). Candidate volume is sum_u C(outdeg_u, 2) = O(m^1.5)
+    under degree orientation (see ``degree_oriented_edges``); the
+    reported ``n_wedges`` stays the UNDIRECTED sum_v C(deg_v, 2) — the
+    clustering-coefficient denominator. All-integer fixed point:
+    floor(3000·triangles / wedges) permille.
+    """
+    deg = (
+        edges.select(F.col("s1").alias("s"))
+        .unionByName(edges.select(F.col("s2").alias("s")))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    oe = degree_oriented_edges(edges)
+    rank_lt = (F.col("e1.dst_deg") < F.col("e2.dst_deg")) | (
+        (F.col("e1.dst_deg") == F.col("e2.dst_deg"))
+        & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    tri = (
+        oe.alias("e1")
+        .join(oe.alias("e2"), F.col("e1.src") == F.col("e2.src"))
+        .where(rank_lt)
+        .join(
+            oe.alias("e3"),
+            (F.col("e3.src") == F.col("e1.dst"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    summary = (
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+        .crossJoin(tri)
+        .crossJoin(wedges)
+    )
+    return summary.select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        # lazy CASE: a wedge-free graph (isolated edges) must yield NULL,
+        # not an ANSI divide-by-zero
+        F.expr(
+            "CASE WHEN n_wedges > 0"
+            " THEN (3000 * n_triangles) div n_wedges END"
+        ).alias("closed_permille"),
+    )
+
+
 def triangle_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-pattern analytics rounding out the graph family (pagerank,
     connected components, recursive reach): triangle count and global
@@ -470,15 +561,9 @@ def triangle_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Edges: supplier pairs appearing on >= 10 shared orders (the strong
     ties — sparsity by construction: ~1k edges at sf1 vs 2.1M at >=3).
-    Edges are ORIENTED s1 < s2, so each triangle is enumerated exactly
-    once as (a<b<c): wedge join e(a,b) |><| e(b,c) on the shared middle
-    node, closed by a hash probe of e(a,c). Wedge volume is
-    sum_v C(deg_v, 2) — bounded by the degree distribution, which the
-    edge threshold controls (production triangle counting additionally
-    orients by DEGREE; with an id-orientation the worst-case hub cost is
-    quadratic in hub degree, fine at this density). The clustering
-    coefficient is all-integer fixed point: floor(3000·triangles /
-    wedges) permille.
+    Counting is DEGREE-ORIENTED (``triangle_stats``): wedge work is
+    O(m^1.5) even if one supplier sits on every order, closing the
+    hub-quadratic hazard the id-oriented r05 version disclosed.
 
     The reference has no graph surface (pandas upserts,
     etl/transform.py:1); this extends SURVEY §2c's analytics families.
@@ -501,38 +586,7 @@ def triangle_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     edges = pairs.filter(F.col("shared") >= _TRI_MIN_SHARED).select("s1", "s2")
-    deg = (
-        edges.select(F.col("s1").alias("s"))
-        .unionByName(edges.select(F.col("s2").alias("s")))
-        .groupBy("s")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    wedges = deg.agg(
-        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges")
-    )
-    tri = (
-        edges.alias("e1")
-        .join(edges.alias("e2"), F.col("e1.s2") == F.col("e2.s1"))
-        .join(
-            edges.alias("e3"),
-            (F.col("e3.s1") == F.col("e1.s1"))
-            & (F.col("e3.s2") == F.col("e2.s2")),
-        )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    summary = (
-        edges.agg(F.count(F.lit(1)).alias("n_edges"))
-        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
-        .crossJoin(tri)
-        .crossJoin(wedges)
-    )
-    return summary.select(
-        "n_nodes",
-        "n_edges",
-        "n_triangles",
-        "n_wedges",
-        F.expr("(3000 * n_triangles) div n_wedges").alias("closed_permille"),
-    )
+    return triangle_stats(edges)
 
 
 TRIANGLE_SQL = f"""
@@ -558,9 +612,10 @@ SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
        (SELECT COUNT(*) FROM e) AS n_edges,
        (SELECT n_triangles FROM tri) AS n_triangles,
        CAST((SELECT SUM(deg * (deg - 1) / 2) FROM deg) AS BIGINT) AS n_wedges,
-       (3000 * (SELECT n_triangles FROM tri))
-         // CAST((SELECT SUM(deg * (deg - 1) / 2) FROM deg) AS BIGINT)
-         AS closed_permille
+       CASE WHEN CAST((SELECT SUM(deg * (deg - 1) / 2) FROM deg) AS BIGINT) > 0
+            THEN (3000 * (SELECT n_triangles FROM tri))
+              // CAST((SELECT SUM(deg * (deg - 1) / 2) FROM deg) AS BIGINT)
+       END AS closed_permille
 """
 
 

@@ -72,3 +72,46 @@ def test_triangle_cosupply_matches_python_enumeration(spark):
     assert row["n_triangles"] == tris
     assert row["n_wedges"] == n_wedges
     assert row["closed_permille"] == 3000 * tris // n_wedges
+
+
+def test_triangle_hot_hub_stays_subquadratic(spark):
+    """Adversarial hub regime (the shape that made id-orientation
+    quadratic): vertex 0 — the LOWEST id, so id-orientation would give
+    it every out-edge — is connected to every spoke, spokes form a
+    chain. Degree orientation must (a) count the n-1 hub triangles
+    exactly and (b) keep max out-degree within the sqrt(2m) degeneracy
+    bound, so wedge candidates stay O(m^1.5) instead of C(n_hub, 2)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_who_gho_spark.plans.extras import (
+        degree_oriented_edges,
+        triangle_stats,
+    )
+
+    n = 2000
+    hub = [(0, i) for i in range(1, n + 1)]
+    chain = [(i, i + 1) for i in range(1, n)]
+    e = spark.createDataFrame(hub + chain, "s1 long, s2 long")
+    row = triangle_stats(e).collect()[0]
+    m = len(hub) + len(chain)
+    assert row["n_edges"] == m
+    assert row["n_triangles"] == n - 1
+    # the hub dominates the undirected wedge count…
+    assert row["n_wedges"] >= n * (n - 1) // 2
+    # …but the oriented wedge-candidate volume stays near-linear
+    out = (
+        degree_oriented_edges(e)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .agg(
+            F.max("outdeg").alias("max_out"),
+            F.sum(F.col("outdeg") * (F.col("outdeg") - 1) / 2)
+            .cast("long")
+            .alias("candidates"),
+        )
+        .collect()[0]
+    )
+    assert out["max_out"] <= math.isqrt(2 * m)
+    assert out["candidates"] <= 4 * m  # vs C(2000, 2) ≈ 2.0M id-oriented

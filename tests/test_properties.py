@@ -289,29 +289,25 @@ def test_bloom_probe_lossless_for_any_keys(spark, hist, batch):
     )
 )
 def test_triangle_join_matches_enumeration_on_random_graphs(spark, edges):
-    """The oriented wedge-join triangle count equals brute-force
+    """The degree-oriented wedge-join triangle count equals brute-force
     enumeration for arbitrary graphs (not just the fixture's shape)."""
     from itertools import combinations
 
-    from pyspark.sql import functions as F2
+    from data_pipeline_who_gho_spark.plans.extras import triangle_stats
 
     if not edges:
         return
     e = spark.createDataFrame(sorted(edges), "s1 long, s2 long")
-    tri = (
-        e.alias("e1")
-        .join(e.alias("e2"), F2.col("e1.s2") == F2.col("e2.s1"))
-        .join(
-            e.alias("e3"),
-            (F2.col("e3.s1") == F2.col("e1.s1"))
-            & (F2.col("e3.s2") == F2.col("e2.s2")),
-        )
-        .count()
-    )
+    row = triangle_stats(e).collect()[0]
     nodes = {v for ed in edges for v in ed}
     want = sum(
         1
         for a, b, c in combinations(sorted(nodes), 3)
         if (a, b) in edges and (b, c) in edges and (a, c) in edges
     )
-    assert tri == want
+    assert row["n_triangles"] == want
+    deg: dict = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert row["n_wedges"] == sum(d * (d - 1) // 2 for d in deg.values())
