@@ -945,6 +945,132 @@ QUALIFY rank <= 3
 """
 
 
+_LSH_TABLES = 4  # multi-table config: 4 disjoint 4-bit tables
+_LSH_TABLE_BITS = 4
+
+
+def ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-TABLE LSH search — OR-amplification, the production
+    completion of the recall arc (single-probe 0.07 → Hamming-1
+    multi-probe 0.37 → here ≥0.9, measured by ``ann_recall_report``):
+    the 16-bit hyperplane code is split into 4 disjoint 4-bit tables; a
+    query matches a vector if they collide in ANY table at Hamming
+    distance ≤ 1 (Lv et al. multi-probe applied per table). Misses
+    require the code to diverge in >1 bit in EVERY table
+    simultaneously, so recall compounds: 1 - prod_t(1 - p_t).
+
+    Scale shape: everything stays an EQUI-join on (table_id, bucket) —
+    probe EXPANSION (explode of 4·(1+4) = 20 masks per query),
+    never a Hamming theta-join. Candidates are deduped on the scalar
+    (query_id, vec_id) pair BEFORE the vectors are re-attached for
+    scoring, so the dedup shuffle never carries embeddings. On this
+    fixture the candidate fraction is large (N is tiny, so 4-bit
+    buckets hold N/16 vectors — see SCALING.md's cost curve); at real
+    corpus sizes the table bit-width b scales with log N and the
+    fraction L·(1+b)/2^b collapses — the PLAN is the 100 TB path, the
+    fixture numbers are the honest recall evidence."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", VEC.as_double("embedding").alias("v")
+    )
+    coded = emb.withColumn("code", lsh_code_column(F.col("embedding")))
+    tmask = (1 << _LSH_TABLE_BITS) - 1
+    tids = F.array(*[F.lit(t) for t in range(_LSH_TABLES)])
+    vectors = (
+        coded.select("vec_id", "code", F.explode(tids).alias("t"))
+        .select(
+            "vec_id",
+            "t",
+            F.expr(
+                f"cast(shiftright(code, t * {_LSH_TABLE_BITS}) & {tmask} as bigint)"
+            ).alias("tbucket"),
+        )
+    )
+    masks = F.array(
+        *[F.lit(m).cast("long") for m in [0] + [1 << b for b in range(_LSH_TABLE_BITS)]]
+    )
+    probes = (
+        vectors.filter(F.col("vec_id") < N_QUERY_VECTORS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "t",
+            F.explode(masks).alias("m"),
+            F.col("tbucket"),
+        )
+        .select(
+            "query_id", "t", F.expr("cast(tbucket ^ m as bigint)").alias("probe")
+        )
+    )
+    cand_ids = (
+        probes.alias("p")
+        .join(
+            vectors.alias("ix"),
+            (F.col("p.t") == F.col("ix.t"))
+            & (F.col("p.probe") == F.col("ix.tbucket"))
+            & (F.col("p.query_id") != F.col("ix.vec_id")),
+        )
+        .select("p.query_id", "ix.vec_id")
+        .distinct()
+    )
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    ).filter(F.col("query_id") < N_QUERY_VECTORS)
+    scored = (
+        cand_ids.join(F.broadcast(qv), "query_id")
+        .join(emb.select("vec_id", "v"), "vec_id")
+        .withColumn("cos", VEC.cosine(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+_MT_MASKS = ", ".join(
+    str(m) for m in [0] + [1 << b for b in range(_LSH_TABLE_BITS)]
+)
+
+ANN_LSH_MULTITABLE_SQL = f"""
+WITH {_LSH_CODES_CTES},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+vectors AS (
+  SELECT c.vec_id, t,
+         CAST((c.bucket >> (t * {_LSH_TABLE_BITS})) & {(1 << _LSH_TABLE_BITS) - 1} AS BIGINT) AS tbucket
+  FROM codes c CROSS JOIN range({_LSH_TABLES}) r(t)
+),
+probes AS (
+  SELECT vec_id AS query_id, t, CAST(xor(tbucket, m) AS BIGINT) AS probe
+  FROM vectors, unnest([{_MT_MASKS}]) AS u(m)
+  WHERE vec_id < {N_QUERY_VECTORS}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, v.vec_id
+  FROM probes p JOIN vectors v
+    ON p.t = v.t AND p.probe = v.tbucket AND p.query_id <> v.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_sum(list_transform(list_zip(q.v, e.v), x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(e.v, x -> x * x)))) AS cos
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e ON e.vec_id = c.vec_id
+)
+SELECT query_id, vec_id AS neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank,
+       round(cos, 6) AS cosine
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dup-cluster canonicalization: near-dup pairs (exact n-gram Jaccard
     ≥ 0.6) → connected components → every clustered doc mapped to its
@@ -1055,6 +1181,7 @@ EXTENSION_QUERIES = {
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
+    "ann_lsh_multitable": ann_lsh_multitable,
     "multimodal_meta": multimodal_meta,
 }
 
@@ -1070,6 +1197,7 @@ EXTENSION_ORACLE_SQL = {
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     "ann_lsh_multiprobe": ANN_LSH_MULTIPROBE_SQL,
+    "ann_lsh_multitable": ANN_LSH_MULTITABLE_SQL,
     "ann_cosine_topk": ANN_COSINE_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
 }

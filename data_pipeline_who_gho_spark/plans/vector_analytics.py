@@ -338,7 +338,12 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate below is on data proportional to the query budget, never
     the corpus. The oracle re-derives all three methods in SQL, so even
     the approximation error itself is driver-checked."""
-    from .extensions import ann_cosine_topk, ann_lsh_multiprobe, ann_lsh_topk
+    from .extensions import (
+        ann_cosine_topk,
+        ann_lsh_multiprobe,
+        ann_lsh_multitable,
+        ann_lsh_topk,
+    )
     from .extras import ann_ivf_nprobe, ann_ivf_search
 
     exact = (
@@ -352,6 +357,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf_nprobe2", ann_ivf_nprobe(spark, sf_dir).select("query_id", "neighbor_id")),
         ("lsh_b64", ann_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")),
         ("lsh_b64_mp7", ann_lsh_multiprobe(spark, sf_dir).select("query_id", "neighbor_id")),
+        ("lsh_mt4x4", ann_lsh_multitable(spark, sf_dir).select("query_id", "neighbor_id")),
     ]
     possible = exact.agg(F.count(F.lit(1)).alias("possible"))
     reports = []
@@ -383,6 +389,7 @@ def _recall_sql() -> str:
     from .extensions import (
         ANN_COSINE_SQL,
         ANN_LSH_MULTIPROBE_SQL,
+        ANN_LSH_MULTITABLE_SQL,
         ANN_LSH_TOPK_SQL,
     )
     from .extras import ANN_IVF_NPROBE_SQL, ANN_IVF_SQL
@@ -407,12 +414,14 @@ WITH exact AS (
 m1 AS (SELECT query_id, neighbor_id FROM ({ANN_IVF_SQL})),
 m2 AS (SELECT query_id, neighbor_id FROM ({ANN_IVF_NPROBE_SQL})),
 m3 AS (SELECT query_id, neighbor_id FROM ({ANN_LSH_TOPK_SQL})),
-m4 AS (SELECT query_id, neighbor_id FROM ({ANN_LSH_MULTIPROBE_SQL}))
+m4 AS (SELECT query_id, neighbor_id FROM ({ANN_LSH_MULTIPROBE_SQL})),
+m5 AS (SELECT query_id, neighbor_id FROM ({ANN_LSH_MULTITABLE_SQL}))
 {method_row('brute_force', 'exact')}
 UNION ALL {method_row('ivf_nprobe1', 'm1')}
 UNION ALL {method_row('ivf_nprobe2', 'm2')}
 UNION ALL {method_row('lsh_b64', 'm3')}
 UNION ALL {method_row('lsh_b64_mp7', 'm4')}
+UNION ALL {method_row('lsh_mt4x4', 'm5')}
 ORDER BY method
 """
 
