@@ -155,7 +155,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # _PRIORITY below), then green ones stalest-round first.  Ground truth is
 # the CORRECTNESS_r*.json files the driver leaves in the repo root.
 _PRIORITY = [
-    # round-1 non-green rows (fixed this round) — must re-verify
+    # round-6 head: the two new registrations, then the five queries
+    # whose implementation or oracle changed this round (ledgered in
+    # _STALE_SINCE below); the remaining ~43 window slots fall to the
+    # oldest-green cohort via the green-round sort — r06 drains all 40
+    # r01 rows plus the top of the r02 cohort
+    "corpus_build_e2e", "ann_lsh_multitable",
+    "triangle_cosupply", "ann_recall_report",
+    "hll_distinct_per_source", "hll_union_total", "media_byte_features",
+    # round-1 non-green rows (fixed in r02) — re-verified r02
     "json_extraction", "sessionize_events", "array_agg_sorted",
     # dedup family
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
@@ -251,21 +259,18 @@ _PRIORITY = [
 # and prints the queries that belong here; run it before each round's
 # final commit, annotate, then `--update` the baseline.
 _STALE_SINCE = {
-    "etl_paged_fetch": 4,        # fetch fan-out rebuilt on spark.range (r04)
-    "asof_join_events": 4,       # asof refactor: shared _carried path (r04)
-    "asof_tolerance_events": 4,
-    "asof_forward_events": 4,
-    "ngram_novelty": 4,          # every-doc output contract change (r04)
-    "remove_duplicate_spans": 4,  # _okey 2^24 overflow guard (r04)
-    # r05: global_rank gained the persisted-ranged-frame fix (its two
-    # passes could see different sampled range boundaries when exchange
-    # reuse failed — caught by the sf1 full-registry gate); every
-    # registered consumer re-earns its row
-    "train_order_shuffle": 5,
-    "stratified_split_exact": 5,
-    "curriculum_phases": 5,
-    "dedup_sorted_neighborhood": 5,
-    "perplexity_buckets": 5,
+    # (r04/r05 entries all re-earned green rows in CORRECTNESS_r05 —
+    # pruned per the ledger's self-clearing rule)
+    # r06: degree-orientation rewrite of the triangle wedge join
+    "triangle_cosupply": 6,
+    # r06: the recall report gained the lsh_mt4x4 method row
+    "ann_recall_report": 6,
+    # r06: HLL alpha constant corrected 0.718538 -> 0.718273 (both
+    # engines — every register estimate shifts by the same factor)
+    "hll_distinct_per_source": 6,
+    "hll_union_total": 6,
+    # r06: oracle re-anchored on documents (empty-doc zeros row parity)
+    "media_byte_features": 6,
 }
 
 
@@ -308,7 +313,12 @@ def _effective_green() -> dict[str, int]:
 
 def _rotated(names: list[str]) -> list[str]:
     green = _effective_green()
-    pri = {n: i for i, n in enumerate(_PRIORITY)}
+    # FIRST occurrence wins: a query re-listed in a later round's block
+    # (for narrative grouping) must not silently demote its head-of-list
+    # rank — the list reads top-down as the effective priority
+    pri: dict[str, int] = {}
+    for i, n in enumerate(_PRIORITY):
+        pri.setdefault(n, i)
     fallback = len(_PRIORITY)
     return sorted(
         names,

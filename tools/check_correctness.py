@@ -51,6 +51,13 @@ def canon_obj(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        # negative-zero parity (verify-skill rule): the float-dtype canon
+        # path distinguishes 0.0 from -0.0 via repr, so the object-dtype
+        # path must too — the int collapse would fold -0.0 to "0" and
+        # mask exactly the embed_standardize-class divergence the rule
+        # exists to catch
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0.0"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(round(v, 9))

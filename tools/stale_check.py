@@ -84,6 +84,31 @@ def plan_hash(df) -> str:
     return hashlib.md5((text + "\n--\n" + ",".join(nodes)).encode()).hexdigest()
 
 
+def _reset_plan_caches(spark) -> None:
+    """Hermetic hashing: drop every module-level persisted-frame cache
+    and Spark's CacheManager entries before building a query's plan.
+
+    Without this the hash is ORDER-dependent: a query that runs earlier
+    in the rotation (e.g. round 6's corpus_build_e2e, which executes
+    dedup_clusters' eager localCheckpoint) leaves materialized frames
+    that Catalyst substitutes into later plans, so untouched queries
+    (dedup_ngram_jaccard, dedup_sorted_neighborhood) "drift" purely
+    because the registry order changed — verified by hashing them first
+    (baseline match) vs after e2e (mismatch) in one session."""
+    for mod_name, mod in list(sys.modules.items()):
+        if not mod_name.startswith("data_pipeline_who_gho_spark"):
+            continue
+        for attr, val in vars(mod).items():
+            if isinstance(val, dict) and attr.endswith("_CACHE"):
+                for df in list(val.values()):
+                    try:
+                        df.unpersist()
+                    except Exception:
+                        pass
+                val.clear()
+    spark.catalog.clearCache()
+
+
 def main() -> None:
     update = "--update" in sys.argv
     spark = get_spark(app_name="stale-check")
@@ -93,6 +118,7 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
         try:
+            _reset_plan_caches(spark)
             current[name] = plan_hash(fn(spark, SF_DIR))
         except Exception as exc:  # pragma: no cover - diagnostic path
             errors[name] = str(exc)[:200]
