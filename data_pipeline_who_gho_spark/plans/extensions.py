@@ -802,10 +802,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupancy. Recall vs exact is REPORTED (and oracle-checked) by
     ``vector_analytics.ann_recall_report`` — and it is LOW (~0.07 at
     sf0.01 vs IVF's ~0.97): a single hash table with a single probe is
-    the textbook failure mode the report exists to expose; production
-    LSH search stacks multiple tables / multi-probe (the same remedy
-    MinHash banding applies to dedup). The op is registered as the
-    honest hash-based baseline next to the IVF family.
+    the textbook failure mode the report exists to expose; the arc's
+    remedies are implemented downstream — ``ann_lsh_multiprobe``
+    (Hamming-1 probes, 0.37) and ``ann_lsh_multitable`` (4-table
+    OR-amplification, 0.90). The op is registered as the honest
+    hash-based baseline next to the IVF family.
 
     Scale shape: code assignment is map-only (the plane matrix rides
     as literals); search shuffles once on the bucket id. A query with
