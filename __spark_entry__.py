@@ -161,6 +161,7 @@ _PRIORITY = [
     # oldest-green cohort via the green-round sort — r06 drains all 40
     # r01 rows plus the top of the r02 cohort
     "corpus_build_e2e", "ann_lsh_multitable",
+    "compact_shards", "rrf_hybrid_search",
     "triangle_cosupply", "ann_recall_report",
     "hll_distinct_per_source", "hll_union_total", "media_byte_features",
     # round-1 non-green rows (fixed in r02) — re-verified r02

@@ -42,10 +42,11 @@ pipeline family.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..sources.catalog import load_table
 from .curation7 import _GQ_MAX_MWL, _GQ_MAX_WORDS, _GQ_MIN_MWL, _GQ_MIN_STOP, _GQ_MIN_WORDS
 from .extensions import CLUSTERS_CTES, _corpus, _sql_n_tokens
 from .training import _nibble, _sql_nibble
@@ -252,10 +253,215 @@ ORDER BY stage, split, shard
 CORPUS_BUILD_E2E_SQL = _e2e_sql()
 
 
+# ---------------------------------------------------------------------------
+# Small-fragment compaction plan (the lakehouse OPTIMIZE/compact op)
+# ---------------------------------------------------------------------------
+
+_FRAG_MOD = 37  # simulated input fragments: doc_id % 37 within a source
+_COMPACT_CAP = 2000  # target output-shard payload bytes
+
+
+def compact_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction PLAN: assign each input fragment to an
+    output shard so shards approach the target size — the OPTIMIZE /
+    compaction pass every parquet lake runs after streaming or
+    per-partition ingestion leaves thousands of undersized files.
+
+    Input fragments are simulated deterministically (doc_id % 37 within
+    each source; sizes = summed n_chars). Fold: walk a source's
+    fragments in frag_id order, first-fit into the current shard, open
+    a new shard when the next fragment would overflow the cap (an
+    over-cap fragment keeps a shard of its own — it is already
+    compact). The output is the MAPPING (source, frag_id -> out_shard)
+    plus fragment volumes — the plan a rewrite job executes; emitting
+    the decision rather than rewritten bytes keeps the op
+    oracle-checkable.
+
+    Scale shape: identical to ``training2.seq_packing`` — folding is
+    sequential per stream, so streams (sources; at 100 TB, table
+    partitions) pack independently under ``applyInPandas``, one task
+    each. The cap is deliberately in-band at the gate scale so BOTH
+    behaviors occur: multi-fragment merges and over-cap singletons.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    frags = docs.groupBy(
+        "source", F.pmod(F.col("doc_id"), F.lit(_FRAG_MOD)).alias("frag_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_bytes"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("frag_id").reset_index(drop=True)
+        shard, fill, out = 0, 0, []
+        for b in pdf["n_bytes"]:
+            b = int(b)
+            if fill > 0 and fill + b > _COMPACT_CAP:
+                shard += 1
+                fill = 0
+            fill += b
+            out.append(shard)
+        pdf["out_shard"] = out
+        return pdf[["source", "frag_id", "n_docs", "n_bytes", "out_shard"]]
+
+    return (
+        frags.groupBy("source")
+        .applyInPandas(
+            fold,
+            "source string, frag_id long, n_docs long, n_bytes long, out_shard long",
+        )
+        .orderBy("source", "frag_id")
+    )
+
+
+COMPACT_SHARDS_SQL = f"""
+WITH RECURSIVE frags AS MATERIALIZED (
+  SELECT source, doc_id % {_FRAG_MOD} AS frag_id,
+         COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id % {_FRAG_MOD}) AS rn
+  FROM documents GROUP BY source, doc_id % {_FRAG_MOD}
+),
+fold AS (
+  SELECT source, rn, frag_id, n_docs, n_bytes,
+         CAST(0 AS BIGINT) AS out_shard, n_bytes AS fill
+  FROM frags WHERE rn = 1
+  UNION ALL
+  SELECT f.source, f.rn, f.frag_id, f.n_docs, f.n_bytes,
+         CASE WHEN p.fill > 0 AND p.fill + f.n_bytes > {_COMPACT_CAP}
+              THEN p.out_shard + 1 ELSE p.out_shard END,
+         CASE WHEN p.fill > 0 AND p.fill + f.n_bytes > {_COMPACT_CAP}
+              THEN f.n_bytes ELSE p.fill + f.n_bytes END
+  FROM fold p JOIN frags f ON f.source = p.source AND f.rn = p.rn + 1
+)
+SELECT source, CAST(frag_id AS BIGINT) AS frag_id, n_docs, n_bytes, out_shard
+FROM fold
+ORDER BY source, frag_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of lexical and semantic lists
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al., 2009)
+_RRF_LIST_K = 20  # depth of each input list
+_RRF_TOPK = 10
+_RRF_QUERY_VEC = 0  # semantic query: doc 0's embedding
+
+
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 lexical top-20
+    (``extensions2.bm25_search``, fixed term query) with the
+    embedding-cosine semantic top-20 (query = doc 0's vector, self
+    excluded) by reciprocal-rank fusion. Fixture docs and vectors share
+    the 0..N-1 id space, so the two lists fuse doc-level; a production
+    deployment would embed the SAME text query — that encoder call is
+    the ``embed_with_model`` seam.
+
+    RRF score = Σ_lists floor(1e6 / (k + rank)) in integer micro-units
+    (k = 60), so fusion is EXACT in both engines — the float cosines
+    and BM25 scores only ever order their own list. Scale shape: both
+    lists are top-k-bounded (WindowGroupLimit / TakeOrdered), the
+    fusion is a k-row full-outer join — everything after the two
+    retrievals is query-budget-sized, never corpus-sized.
+    """
+    from ..functions import vectors as VEC
+    from .extensions2 import bm25_search
+
+    wl = Window.orderBy(F.desc("score"), "doc_id")
+    lex = (
+        bm25_search(spark, sf_dir)
+        .withColumn("lex_rank", F.row_number().over(wl))
+        .select(F.col("doc_id").alias("lex_id"), "lex_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VEC.as_double("embedding").alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        F.col("v").alias("qv")
+    )
+    ws = Window.orderBy(F.desc("cos"), "vec_id")
+    sem = (
+        emb.filter(F.col("vec_id") != _RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cos", VEC.cosine(F.col("qv"), F.col("v")))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(_RRF_LIST_K)
+        .withColumn("sem_rank", F.row_number().over(ws))
+        .select(F.col("vec_id").alias("sem_id"), "sem_rank")
+    )
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.floor(F.lit(1_000_000) / (F.lit(_RRF_K) + F.col(r))).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    fused = (
+        lex.join(sem, F.col("lex_id") == F.col("sem_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("lex_id"), F.col("sem_id")).alias("doc_id"),
+            "lex_rank",
+            "sem_rank",
+            (contrib("lex_rank") + contrib("sem_rank")).alias("rrf_micro"),
+        )
+    )
+    wf = Window.orderBy(F.desc("rrf_micro"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= _RRF_TOPK)
+        .select("rank", "doc_id", "lex_rank", "sem_rank", "rrf_micro")
+    )
+
+
+def _rrf_sql() -> str:
+    from .extensions2 import BM25_SQL
+
+    contrib = "COALESCE(CAST(floor(1000000.0 / ({k} + {r})) AS BIGINT), 0)"
+    return f"""
+WITH lex AS (
+  SELECT doc_id AS lex_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+  FROM ({BM25_SQL})
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {_RRF_QUERY_VEC}),
+scored AS (
+  SELECT vec_id,
+         list_sum(list_transform(list_zip(qv, v), x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+            * sqrt(list_sum(list_transform(v, x -> x * x)))) AS cos
+  FROM e CROSS JOIN q WHERE vec_id <> {_RRF_QUERY_VEC}
+),
+sem AS (
+  SELECT vec_id AS sem_id, sem_rank FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS sem_rank
+    FROM scored
+  ) WHERE sem_rank <= {_RRF_LIST_K}
+),
+fused AS (
+  SELECT COALESCE(lex_id, sem_id) AS doc_id, lex_rank, sem_rank,
+         {contrib.format(k=_RRF_K, r="lex_rank")}
+           + {contrib.format(k=_RRF_K, r="sem_rank")} AS rrf_micro
+  FROM lex FULL OUTER JOIN sem ON lex_id = sem_id
+)
+SELECT rank, doc_id, lex_rank, sem_rank, rrf_micro FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= {_RRF_TOPK}
+"""
+
+
+RRF_HYBRID_SQL = _rrf_sql()
+
+
 CURATION9_QUERIES = {
     "corpus_build_e2e": corpus_build_e2e,
+    "compact_shards": compact_shards,
+    "rrf_hybrid_search": rrf_hybrid_search,
 }
 
 CURATION9_ORACLE_SQL = {
     "corpus_build_e2e": CORPUS_BUILD_E2E_SQL,
+    "compact_shards": COMPACT_SHARDS_SQL,
+    "rrf_hybrid_search": RRF_HYBRID_SQL,
 }
