@@ -300,3 +300,26 @@ def test_triangle_join_has_partial_agg_edges(spark):
 
     plan = _plan(triangle_cosupply(spark, SF))
     assert "partial_count" in plan
+
+
+def test_lsh_multitable_stays_equi_join(spark):
+    """The multi-table probe search must never plan a Hamming theta
+    join: no CartesianProduct / BroadcastNestedLoopJoin anywhere, and
+    the candidate dedup must run BEFORE vectors re-attach (the distinct
+    exchange carries scalar ids, not embedding arrays)."""
+    from data_pipeline_who_gho_spark.plans.extensions import (
+        ann_lsh_multitable,
+    )
+
+    plan = _plan(ann_lsh_multitable(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the distinct's exchange partitions on (query_id, vec_id) only
+    import re
+
+    dedup_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "query_id" in ln and "vec_id" in ln
+    ]
+    assert dedup_exchanges, "candidate dedup exchange not found"
+    assert all("embedding" not in ln and " v#" not in ln for ln in dedup_exchanges)
