@@ -162,6 +162,7 @@ _PRIORITY = [
     # r01 rows plus the top of the r02 cohort
     "corpus_build_e2e", "ann_lsh_multitable",
     "compact_shards", "rrf_hybrid_search",
+    "quantile_normalize_scores",
     "triangle_cosupply", "ann_recall_report",
     "hll_distinct_per_source", "hll_union_total", "media_byte_features",
     # round-1 non-green rows (fixed in r02) — re-verified r02
@@ -272,6 +273,10 @@ _STALE_SINCE = {
     "hll_union_total": 6,
     # r06: oracle re-anchored on documents (empty-doc zeros row parity)
     "media_byte_features": 6,
+    # r06: output contract moved to floor-micro fixed point — round(x,6)
+    # disagreed across engines within 1 ulp of the grid midpoint (found
+    # by the sf1 rank-consumer re-gate)
+    "quantile_normalize_scores": 6,
 }
 
 

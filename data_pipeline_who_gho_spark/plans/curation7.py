@@ -220,7 +220,17 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (range repartition + parallel local rank + broadcast offsets), so
     no single-partition window; n rides in as one broadcast scalar.
     doc_id breaks score ties, so row_number == rank and the oracle's
-    identical formula hash-matches."""
+    identical formula hash-matches.
+
+    Outputs are FLOOR-micro fixed point (floor(x·1e6) as BIGINT), not
+    round(x, 6): the raw doubles are bit-identical across engines
+    (IEEE expressions in one order), but round-to-6dp DISAGREES when a
+    value lands within 1 ulp of the decimal grid midpoint — Spark
+    rounds the exact binary expansion (0.48538749999999997 → .485387)
+    while DuckDB rounds the scaled product (x·1e6 snaps to 485387.5 →
+    .485388). Found live at sf1 (doc 10003541, a tag-injected text
+    that only exists in the derived tier); floor of the identically-
+    computed product is engine-exact by construction."""
     from ..operators.rank import global_rank
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -235,8 +245,10 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.crossJoin(F.broadcast(total))
         .select(
             "doc_id",
-            F.round("score", 6).alias("score"),
-            F.round(pct, 6).alias("pct"),
+            F.floor(F.col("score") * F.lit(1_000_000.0)).cast("long").alias(
+                "score_micro"
+            ),
+            F.floor(pct * F.lit(1_000_000.0)).cast("long").alias("pct_micro"),
         )
         .orderBy("doc_id")
     )
@@ -255,10 +267,11 @@ ranked AS (
          COUNT(*) OVER () AS n
   FROM scored
 )
-SELECT doc_id, round(score, 6) AS score,
-       round(CASE WHEN n = 1 THEN 0.0
-                  ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
-             END, 6) AS pct
+SELECT doc_id,
+       CAST(floor(score * 1000000.0) AS BIGINT) AS score_micro,
+       CAST(floor((CASE WHEN n = 1 THEN 0.0
+                        ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                   END) * 1000000.0) AS BIGINT) AS pct_micro
 FROM ranked
 ORDER BY doc_id
 """

@@ -96,15 +96,15 @@ def test_quantile_normalize_is_monotone_and_bounded(spark):
     )
 
     rows = quantile_normalize_scores(spark, SF).collect()
-    assert all(0.0 <= r["pct"] <= 1.0 for r in rows)
-    # a strictly lower (rounded) score can never carry a higher pct;
-    # rounded-equal scores are ordered by the raw score + doc_id inside
-    # the query, so only strict inequalities are comparable here
-    by_pct = sorted(rows, key=lambda r: r["pct"])
-    scores = [r["score"] for r in by_pct]
-    assert all(a <= b + 1e-9 for a, b in zip(scores, scores[1:]))
-    assert by_pct[0]["pct"] == 0.0 and by_pct[-1]["pct"] == 1.0
-    assert len({r["pct"] for r in rows}) == len(rows)  # all-distinct pcts
+    assert all(0 <= r["pct_micro"] <= 1_000_000 for r in rows)
+    # a strictly lower (floored-micro) score can never carry a higher
+    # pct; micro-equal scores are ordered by the raw score + doc_id
+    # inside the query, so only strict inequalities are comparable here
+    by_pct = sorted(rows, key=lambda r: r["pct_micro"])
+    scores = [r["score_micro"] for r in by_pct]
+    assert all(a <= b for a, b in zip(scores, scores[1:]))
+    assert by_pct[0]["pct_micro"] == 0 and by_pct[-1]["pct_micro"] == 1_000_000
+    assert len({r["pct_micro"] for r in rows}) == len(rows)  # all distinct
 
 
 def test_embed_standardize_unit_stats(spark):
