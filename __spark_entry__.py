@@ -155,11 +155,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # _PRIORITY below), then green ones stalest-round first.  Ground truth is
 # the CORRECTNESS_r*.json files the driver leaves in the repo root.
 _PRIORITY = [
-    # round-6 head: the two new registrations, then the five queries
-    # whose implementation or oracle changed this round (ledgered in
-    # _STALE_SINCE below); the remaining ~43 window slots fall to the
-    # oldest-green cohort via the green-round sort — r06 drains all 40
-    # r01 rows plus the top of the r02 cohort
+    # round-7 head: the three new registrations (media decode, boiler-
+    # plate line strip, token-budget sampling) take the only spare
+    # slots; the remaining 47 window slots drain the ENTIRE r02-green
+    # cohort (the oldest hard signal, predating the r03 dtype-tagging
+    # and r04 lexsort canonicalizer changes) via the green-round sort
+    "media_decode_stats", "boilerplate_strip_audit", "token_budget_sample",
+    # round-6 head (all re-greened in r06)
     "corpus_build_e2e", "ann_lsh_multitable",
     "compact_shards", "rrf_hybrid_search",
     "quantile_normalize_scores",
@@ -260,23 +262,10 @@ _PRIORITY = [
 # normalized plan hash against the committed PLAN_HASHES.json baseline
 # and prints the queries that belong here; run it before each round's
 # final commit, annotate, then `--update` the baseline.
-_STALE_SINCE = {
-    # (r04/r05 entries all re-earned green rows in CORRECTNESS_r05 —
-    # pruned per the ledger's self-clearing rule)
-    # r06: degree-orientation rewrite of the triangle wedge join
-    "triangle_cosupply": 6,
-    # r06: the recall report gained the lsh_mt4x4 method row
-    "ann_recall_report": 6,
-    # r06: HLL alpha constant corrected 0.718538 -> 0.718273 (both
-    # engines — every register estimate shifts by the same factor)
-    "hll_distinct_per_source": 6,
-    "hll_union_total": 6,
-    # r06: oracle re-anchored on documents (empty-doc zeros row parity)
-    "media_byte_features": 6,
-    # r06: output contract moved to floor-micro fixed point — round(x,6)
-    # disagreed across engines within 1 ulp of the grid midpoint (found
-    # by the sf1 rank-consumer re-gate)
-    "quantile_normalize_scores": 6,
+_STALE_SINCE: dict[str, int] = {
+    # (all six r06 entries re-earned green rows in CORRECTNESS_r06 —
+    # pruned per the ledger's self-clearing rule, which
+    # tools/round_close.py now enforces at round close)
 }
 
 

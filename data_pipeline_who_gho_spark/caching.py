@@ -14,6 +14,63 @@ from collections.abc import Callable, Hashable, MutableMapping
 
 from pyspark.sql import DataFrame
 
+# Explicit registry of every module-level persisted-frame cache.  Tools
+# that must hash plans hermetically (tools/stale_check.py) or release
+# executor storage at a gate boundary (tools/check_correctness.py)
+# iterate THIS list; scanning module vars for a ``*_CACHE`` suffix is
+# kept only as an AUDIT (``unregistered_caches``) so a cache that
+# forgets to register fails loudly instead of silently reintroducing
+# order-dependent plan-hash drift.
+PLAN_CACHES: list[MutableMapping] = []
+
+
+def register_plan_cache(cache: MutableMapping) -> MutableMapping:
+    """Register a module-level cache dict at its definition site:
+    ``_FOO_CACHE = register_plan_cache({})``."""
+    PLAN_CACHES.append(cache)
+    return cache
+
+
+def _unpersist_value(val) -> None:
+    """Unpersist every DataFrame reachable from a cache value (values
+    may be bare frames or tuples/lists of them, e.g. the BPE learn
+    cache's ``(merge_frames, state)``)."""
+    if isinstance(val, DataFrame):
+        try:
+            val.unpersist()
+        except Exception:
+            pass
+    elif isinstance(val, (tuple, list)):
+        for v in val:
+            _unpersist_value(v)
+
+
+def clear_plan_caches() -> None:
+    """Drop every registered cache entry, unpersisting held frames.
+    Callers that also want Spark's CacheManager emptied follow up with
+    ``spark.catalog.clearCache()``."""
+    for cache in PLAN_CACHES:
+        for val in list(cache.values()):
+            _unpersist_value(val)
+        cache.clear()
+
+
+def unregistered_caches() -> list[str]:
+    """Audit: module-level ``*_CACHE`` dicts in this package that are
+    NOT in ``PLAN_CACHES`` (by identity). Non-empty means someone added
+    a cache without registering it — stale_check refuses to run."""
+    import sys
+
+    ids = {id(c) for c in PLAN_CACHES}
+    missing = []
+    for mod_name, mod in list(sys.modules.items()):
+        if not mod_name.startswith("data_pipeline_who_gho_spark"):
+            continue
+        for attr, val in vars(mod).items():
+            if isinstance(val, dict) and attr.endswith("_CACHE") and id(val) not in ids:
+                missing.append(f"{mod_name}.{attr}")
+    return sorted(missing)
+
 
 def bounded_persist_cache(
     cache: MutableMapping,

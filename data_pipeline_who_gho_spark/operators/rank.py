@@ -36,9 +36,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..caching import bounded_persist_cache
+from ..caching import bounded_persist_cache, register_plan_cache
 
-_RANGED_CACHE: dict = {}
+_RANGED_CACHE: dict = register_plan_cache({})
 
 
 def global_rank(

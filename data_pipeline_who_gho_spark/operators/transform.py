@@ -26,6 +26,7 @@ from collections.abc import Iterable, Sequence
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import register_plan_cache
 from ..schemas import OBSERVATION_KEY_COLUMNS, RAW_OBSERVATION
 
 OBSERVATION_REQUIRED_COLUMNS = [f.name for f in RAW_OBSERVATION.fields][1:]  # sans Id
@@ -97,7 +98,7 @@ def dedup_keep_first(
 # clean_observations runs once per pipeline stage but many times across a
 # bench/correctness session over the same input plan — the Id-usability
 # probe is a Spark job, so its verdict is memoized per (application, plan).
-_ID_PROBE_CACHE: dict[tuple[str, int], bool] = {}
+_ID_PROBE_CACHE: dict[tuple[str, int], bool] = register_plan_cache({})
 _ID_PROBE_CACHE_MAX = 64
 
 

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..caching import bounded_persist_cache
+from ..caching import bounded_persist_cache, register_plan_cache
 from ..operators.interval import interval_overlap_join
 from ..operators.layout import morton2, morton2_sql
 from ..sources.catalog import load_table
@@ -48,7 +48,7 @@ EWMA_ALPHA = 0.125  # exact binary fraction: 1/8
 
 # app-scoped cache of PageRank's invariant (edges ⋈ degree) relation —
 # referenced by every iteration; policy shared via caching.py
-_EDGE_CACHE: dict = {}
+_EDGE_CACHE: dict = register_plan_cache({})
 
 # fixed-point rank scale. Overflow headroom: a node's incoming mass is
 # bounded by the total (n_nodes · PR_SCALE), and the damping step

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..caching import bounded_persist_cache
+from ..caching import bounded_persist_cache, register_plan_cache
 from ..functions import text as TX
 from ..sources.catalog import load_table
 from .extensions import _sql_lang_id, _sql_n_tokens, _sql_quality
@@ -362,8 +362,8 @@ WHERE (CASE WHEN a.o_orderkey IS NULL THEN 'added'
 
 
 _SEM_TILE_ROWS = 1024  # target vectors per chunk (bounds the per-row arrays)
-_BLOCKED_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
-_BUCKETED_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_BLOCKED_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = register_plan_cache({})
+_BUCKETED_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = register_plan_cache({})
 
 
 def _tile_gemm(tiles: DataFrame, threshold: float) -> DataFrame:

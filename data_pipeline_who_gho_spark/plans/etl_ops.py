@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import register_plan_cache
 from ..operators.load import merge_cdc, merge_upsert
 from ..operators.transform import clean_observations, dedup_keep_first, ensure_columns
 from ..operators.validate import observation_rules, validate_split
@@ -434,7 +435,7 @@ FROM range(10) t(i) CROSS JOIN range(5) u(j)
 
 # the interrupt/resume choreography runs ~10 eager state-parquet jobs;
 # census/bench/gate loops re-request the query, so build it once per app
-_RESUME_CACHE: dict[str, DataFrame] = {}
+_RESUME_CACHE: dict[str, DataFrame] = register_plan_cache({})
 
 
 def etl_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:

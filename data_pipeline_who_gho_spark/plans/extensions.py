@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..caching import bounded_persist_cache
+from ..caching import bounded_persist_cache, register_plan_cache
 from ..functions import text as TX
 from ..functions import vectors as VEC
 from ..sources.catalog import load_table
@@ -58,7 +58,7 @@ JACCARD_THRESHOLD = 0.6
 NGRAM_DF_CUTOFF = 1000
 
 
-_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = register_plan_cache({})
 
 
 def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,7 +288,7 @@ def dedup_ngram_jaccard(
     return _jaccard_filtered(pairs)
 
 
-_ARRAYS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_ARRAYS_CACHE: dict[tuple[str, str], DataFrame] = register_plan_cache({})
 
 
 def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,7 +410,7 @@ _HASH_A = [((2 * i + 1) * 2654435761 % _MERSENNE_P) or 1 for i in range(1, NUM_H
 _HASH_B = [(i * 40503 * 65537 + 11) % _MERSENNE_P for i in range(1, NUM_HASHES + 1)]
 
 
-_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SIG_CACHE: dict[tuple[str, str], DataFrame] = register_plan_cache({})
 
 
 def _minhash_signatures(sh: DataFrame) -> DataFrame:

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import register_plan_cache
 from ..functions import text as TX
 from ..sources.catalog import load_table
 
@@ -121,7 +122,7 @@ def _merge_step(state: DataFrame) -> tuple[DataFrame, DataFrame]:
 # both registered queries consume the same K checkpointed iterations.
 # Bounded: entries pin localCheckpoint blocks, so a long-lived session
 # sweeping many sf dirs (census, scaling runs) must not accumulate them.
-_LEARN_CACHE: dict[tuple[str, str], tuple[list[DataFrame], DataFrame]] = {}
+_LEARN_CACHE: dict[tuple[str, str], tuple[list[DataFrame], DataFrame]] = register_plan_cache({})
 _LEARN_CACHE_MAX = 8
 
 

@@ -37,6 +37,27 @@ def test_rotation_puts_never_green_first():
             )
 
 
+def test_all_plan_caches_registered():
+    """Every module-level *_CACHE dict must be in caching.PLAN_CACHES
+    (ADVICE r06): stale_check's hermetic hashing and the gate-boundary
+    cleanup iterate the registry, so an unregistered cache would
+    silently reintroduce order-dependent plan-hash drift."""
+    from data_pipeline_who_gho_spark import caching
+
+    entrymod.queries()  # force-import every plans module
+    assert caching.unregistered_caches() == []
+
+
+def test_stale_ledger_reads_as_live_state():
+    """_STALE_SINCE entries self-clear once the driver re-greens them;
+    cleared entries must be pruned (VERDICT r06 item 6)."""
+    greens = entrymod._green_rounds()
+    cleared = sorted(
+        n for n, rnd in entrymod._STALE_SINCE.items() if greens.get(n, -1) >= rnd
+    )
+    assert cleared == [], f"prune self-cleared ledger entries: {cleared}"
+
+
 def test_never_green_backlog_fits_one_window():
     green = set(entrymod._effective_green())
     backlog = [n for n in entrymod.queries() if n not in green]

@@ -207,6 +207,14 @@ def main():
             passed += 1
             print(f"ok    {name}: rows={len(sb)} [{time.time()-t0:.1f}s]")
 
+    # gate boundary: release every persisted-frame cache (ADVICE r06 —
+    # the ranged-rank cache alone can pin up to 16 repartitioned copies;
+    # a sweep over several scale factors would otherwise stack them)
+    from data_pipeline_who_gho_spark.caching import clear_plan_caches
+
+    clear_plan_caches()
+    spark.catalog.clearCache()
+
     print(f"\n{passed} passed, {skipped} rows-only, {len(failures)} failed")
     if failures:
         print("FAILED QUERIES:")

@@ -53,10 +53,25 @@ def main() -> None:
         )
         rc = rc or drift
 
+    import __spark_entry__ as entrymod
+
+    # 1b. ledger liveness: a _STALE_SINCE entry whose query has since
+    # re-earned a driver-green row is self-cleared — prune it so the
+    # ledger always reads as live state (VERDICT r06 item 6)
+    greens = entrymod._green_rounds()
+    cleared = sorted(
+        n for n, rnd in entrymod._STALE_SINCE.items() if greens.get(n, -1) >= rnd
+    )
+    if cleared:
+        print(
+            f"self-cleared _STALE_SINCE entries (re-greened): {cleared} — "
+            "prune them from __spark_entry__ before closing the round",
+            flush=True,
+        )
+        rc = rc or 1
+
     # 2. window-50 gate at sf0.01 (what the driver will check next round)
     if not skip_gate:
-        import __spark_entry__ as entrymod
-
         window = list(entrymod.queries())[:WINDOW]
         gate = run(
             [

@@ -35,6 +35,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod
+from data_pipeline_who_gho_spark import caching
 from data_pipeline_who_gho_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -85,8 +86,9 @@ def plan_hash(df) -> str:
 
 
 def _reset_plan_caches(spark) -> None:
-    """Hermetic hashing: drop every module-level persisted-frame cache
-    and Spark's CacheManager entries before building a query's plan.
+    """Hermetic hashing: drop every registered persisted-frame cache
+    (``caching.PLAN_CACHES``) and Spark's CacheManager entries before
+    building a query's plan.
 
     Without this the hash is ORDER-dependent: a query that runs earlier
     in the rotation (e.g. round 6's corpus_build_e2e, which executes
@@ -94,23 +96,24 @@ def _reset_plan_caches(spark) -> None:
     that Catalyst substitutes into later plans, so untouched queries
     (dedup_ngram_jaccard, dedup_sorted_neighborhood) "drift" purely
     because the registry order changed — verified by hashing them first
-    (baseline match) vs after e2e (mismatch) in one session."""
-    for mod_name, mod in list(sys.modules.items()):
-        if not mod_name.startswith("data_pipeline_who_gho_spark"):
-            continue
-        for attr, val in vars(mod).items():
-            if isinstance(val, dict) and attr.endswith("_CACHE"):
-                for df in list(val.values()):
-                    try:
-                        df.unpersist()
-                    except Exception:
-                        pass
-                val.clear()
+    (baseline match) vs after e2e (mismatch) in one session.
+
+    Caches are found via the EXPLICIT registry, not a name-suffix scan
+    (ADVICE r06): ``main`` refuses to run if the audit finds a
+    ``*_CACHE`` module dict that forgot to register."""
+    caching.clear_plan_caches()
     spark.catalog.clearCache()
 
 
 def main() -> None:
     update = "--update" in sys.argv
+    rogue = caching.unregistered_caches()
+    if rogue:
+        raise SystemExit(
+            f"unregistered plan caches {rogue}: wrap the definition in "
+            "caching.register_plan_cache({}) or the hashes below would "
+            "be order-dependent"
+        )
     spark = get_spark(app_name="stale-check")
     spark.sparkContext.setLogLevel("ERROR")
 
