@@ -142,6 +142,10 @@ from data_pipeline_who_gho_spark.plans.curation9 import (  # noqa: E402
     CURATION9_ORACLE_SQL,
     CURATION9_QUERIES,
 )
+from data_pipeline_who_gho_spark.plans.curation10 import (  # noqa: E402
+    CURATION10_ORACLE_SQL,
+    CURATION10_QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -356,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(CURATION7_QUERIES)
     out.update(CURATION8_QUERIES)
     out.update(CURATION9_QUERIES)
+    out.update(CURATION10_QUERIES)
     order = _rotated(list(out))
     return {name: out[name] for name in order}
 
@@ -363,6 +368,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted ⇒ rows-only)."""
     out: dict[str, str] = {}
-    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL, EXTRAS_ORACLE_SQL, STREAMING_ORACLE_SQL, TPCH_ORACLE_SQL, BEHAVIOR_ORACLE_SQL, TPCH2_ORACLE_SQL, TRAINING_ORACLE_SQL, ANALYTICS3_ORACLE_SQL, VECTOR_ANALYTICS_ORACLE_SQL, ANALYTICS4_ORACLE_SQL, TPCH3_ORACLE_SQL, ANALYTICS5_ORACLE_SQL, TPCH4_ORACLE_SQL, ANALYTICS6_ORACLE_SQL, TRAINING2_ORACLE_SQL, EXTENSION2_ORACLE_SQL, CURATION_ORACLE_SQL, CURATION2_ORACLE_SQL, TOKENIZER_ORACLE_SQL, CURATION3_ORACLE_SQL, ETL_SEAMS_ORACLE_SQL, CURATION4_ORACLE_SQL, CURATION5_ORACLE_SQL, CURATION6_ORACLE_SQL, SKETCH_ORACLE_SQL, SCALE_OPS_ORACLE_SQL, CURATION7_ORACLE_SQL, CURATION8_ORACLE_SQL, CURATION9_ORACLE_SQL):
+    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL, EXTRAS_ORACLE_SQL, STREAMING_ORACLE_SQL, TPCH_ORACLE_SQL, BEHAVIOR_ORACLE_SQL, TPCH2_ORACLE_SQL, TRAINING_ORACLE_SQL, ANALYTICS3_ORACLE_SQL, VECTOR_ANALYTICS_ORACLE_SQL, ANALYTICS4_ORACLE_SQL, TPCH3_ORACLE_SQL, ANALYTICS5_ORACLE_SQL, TPCH4_ORACLE_SQL, ANALYTICS6_ORACLE_SQL, TRAINING2_ORACLE_SQL, EXTENSION2_ORACLE_SQL, CURATION_ORACLE_SQL, CURATION2_ORACLE_SQL, TOKENIZER_ORACLE_SQL, CURATION3_ORACLE_SQL, ETL_SEAMS_ORACLE_SQL, CURATION4_ORACLE_SQL, CURATION5_ORACLE_SQL, CURATION6_ORACLE_SQL, SKETCH_ORACLE_SQL, SCALE_OPS_ORACLE_SQL, CURATION7_ORACLE_SQL, CURATION8_ORACLE_SQL, CURATION9_ORACLE_SQL, CURATION10_ORACLE_SQL):
         out.update({k: v for k, v in d.items() if v})
     return out

@@ -26,10 +26,13 @@ MEDIA_META_SCHEMA = (
     "doc_id BIGINT, n_bytes INT, magic STRING, media_type STRING, sha256 STRING"
 )
 
-# magic-byte prefixes → media type (the sniffing is real; decoding is not)
+# magic-byte prefixes → media type (sniffing is real; decoding is real
+# for the uncompressed formats BMP/PPM, stubbed for compressed ones)
 _MAGIC = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
+    b"BM": "image/bmp",
+    b"P6": "image/ppm",
     b"RIFF": "audio/wav",
     b"ID3": "audio/mp3",
     b"\x00\x00\x00\x18ftyp": "video/mp4",
@@ -53,10 +56,115 @@ def sniff_media_type(payload: bytes | None) -> str:
     return "application/octet-stream"
 
 
-def decode_media(payload: bytes, media_type: str):  # pragma: no cover - stub
-    """STUB: real decode (PIL/librosa/ffmpeg) is unavailable in this
-    container. The Spark-side contract (signature, batching) is final;
-    swap this body for the real decoder on a cluster with media libs."""
+def encode_bmp(arr) -> bytes:
+    """24-bit uncompressed BMP (BITMAPINFOHEADER, BI_RGB) from an
+    (H, W, 3) uint8 RGB array: rows stored bottom-up, BGR, each padded
+    to a 4-byte boundary — the format every consumer agrees on and the
+    one format a pure-numpy decoder can round-trip exactly."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    body = rows.tobytes()
+    header = (
+        b"BM"
+        + (54 + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(body).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little", signed=True)
+        + (2835).to_bytes(4, "little", signed=True)
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+    )
+    return header + body
+
+
+def encode_ppm(arr) -> bytes:
+    """Binary PPM (P6, maxval 255) from an (H, W, 3) uint8 RGB array:
+    ASCII header then raw RGB rows top-down — no padding, no palette."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def _decode_bmp(payload: bytes):
+    """Pure-numpy decode of 24-bit uncompressed BMP → (H, W, 3) RGB.
+
+    Handles both bottom-up (positive height — the common case) and
+    top-down (negative height) row order and the per-row 4-byte
+    padding. Palette/compressed/other-depth BMPs raise — they belong to
+    the compressed-format stub below."""
+    import numpy as np
+
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP is supported (bpp={bpp}, "
+            f"compression={comp})"
+        )
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload, np.uint8, count=stride * abs(h), offset=off)
+    px = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)[..., ::-1]
+    if h > 0:  # bottom-up storage
+        px = px[::-1]
+    return np.ascontiguousarray(px)
+
+
+def _decode_ppm(payload: bytes):
+    """Pure-numpy decode of binary PPM (P6, maxval ≤ 255) → (H, W, 3)
+    RGB. The header tokenizer handles arbitrary whitespace and
+    ``#`` comments per the netpbm spec."""
+    import numpy as np
+
+    tokens, i = [], 2  # skip the "P6" magic
+    while len(tokens) < 3:
+        c = payload[i : i + 1]
+        if c == b"#":
+            i = payload.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(payload[i:j]))
+            i = j
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM (maxval > 255) is not supported")
+    i += 1  # exactly one whitespace byte after maxval
+    px = np.frombuffer(payload, np.uint8, count=h * w * 3, offset=i)
+    return np.ascontiguousarray(px.reshape(h, w, 3))
+
+
+def decode_media(payload: bytes, media_type: str):
+    """Default decoder: REAL pure-numpy decode for the uncompressed
+    image formats (24-bit BMP, binary PPM — header parse + reshape, no
+    external libs), NotImplementedError for compressed formats whose
+    codecs (PIL/librosa/ffmpeg) are absent in this container. The
+    Spark-side contract (signature, batching) is identical either way;
+    the injected-decoder override remains for cluster deployments with
+    real codec libraries."""
+    if media_type == "image/bmp" or (media_type is None and payload[:2] == b"BM"):
+        return _decode_bmp(payload)
+    if media_type == "image/ppm" or (media_type is None and payload[:2] == b"P6"):
+        return _decode_ppm(payload)
     raise NotImplementedError(
         f"media decoding for {media_type} requires image/audio libraries "
         "not present in this environment"

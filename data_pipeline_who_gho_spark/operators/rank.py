@@ -82,6 +82,89 @@ def global_rank(
     )
 
 
+_GROUPED_SUM_CACHE: dict = register_plan_cache({})
+
+
+def grouped_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    val_col: str,
+    out_col: str = "cum_before",
+    partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE per-group running sum of ``val_col`` (the sum of all
+    strictly-earlier rows in ``order_cols`` order within the group),
+    without ever funneling a whole group through one task.
+
+    ``sum() OVER (PARTITION BY group ORDER BY ...)`` sends each group to
+    ONE task — fine when groups are small, a scale trap when one group
+    is 30% of a 100 TB corpus (exactly the shape of a dominant source in
+    token-budget sampling). Same two-pass fix as ``global_rank``:
+
+    1. ``repartitionByRange`` on (group, order): each group's rows span
+       a RUN of consecutive partitions, ordered across them.
+    2. local exclusive prefix sum per (partition, group) — parallel.
+    3. add the per-(partition, group) totals' prefix (a #partitions ×
+       #groups-bounded relation, window-summed per group and broadcast
+       back).
+
+    The ranged frame is persisted for the same reason as global_rank's:
+    the local pass and the totals pass must see the SAME sampled range
+    boundaries (see the module docstring's nondeterminism note).
+
+    ``order_cols`` must totally order rows WITHIN each group (add a
+    unique tiebreak column).
+    """
+    parts = partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    try:
+        sig = df.semanticHash()
+    except Exception:  # pragma: no cover - API fallback
+        sig = hash(df._jdf.queryExecution().analyzed().toString())
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        sig,
+        tuple(group_cols),
+        tuple(order_cols),
+        val_col,
+        parts,
+    )
+    ranged = bounded_persist_cache(
+        _GROUPED_SUM_CACHE,
+        key,
+        lambda: df.repartitionByRange(
+            parts, *[F.col(c) for c in group_cols + order_cols]
+        ).withColumn("__pid", F.spark_partition_id()),
+        limit=8,
+    )
+    w_local = (
+        Window.partitionBy("__pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "__lsum", F.coalesce(F.sum(val_col).over(w_local), F.lit(0)).cast("long")
+    )
+    totals = ranged.groupBy("__pid", *group_cols).agg(
+        F.sum(val_col).cast("long").alias("__t")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__t").over(w_off), F.lit(0)).cast("long")
+    ).select("__pid", *group_cols, "__off")
+    return (
+        local.join(F.broadcast(offsets), ["__pid", *group_cols])
+        .withColumn(out_col, (F.col("__lsum") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lsum", "__off")
+    )
+
+
 def ntile_from_rank(rn: Column, total: Column, n: int) -> Column:
     """ANSI ntile(n) from a precomputed global rank + total count: the
     first (total % n) tiles get ceil(total/n) rows. Pure integer
