@@ -1,0 +1,215 @@
+"""Unigram-LM (SentencePiece-style) tokenizer training — the second
+tokenizer-training family next to BPE (plans/tokenizer.py).
+
+Algorithm (Kudo 2018, simplified to its EM core):
+
+1. **Seed**: every substring of every distinct word up to
+   ``max_piece_len`` chars, counted with word-frequency weights; the
+   top ``seed_size`` by count form the initial piece inventory (all
+   single characters are always kept so every word stays segmentable).
+2. **E-step**: per word, the Viterbi-best segmentation under the
+   current piece counts — maximize Π count(pᵢ) / T^k over
+   segmentations (T = Σ counts). Hard-EM: the best segmentation gets
+   weight 1 (the full forward-backward soft E-step changes little on
+   word-level corpora and would force float accumulators).
+3. **M-step**: piece counts re-estimated as Σ word_freq · uses(piece).
+4. **Prune**: keep the top ``vocab_size`` pieces by new count
+   (single chars always survive); repeat from 2.
+
+EXACTNESS: there is NO floating point anywhere. Viterbi compares
+candidate segmentations by exact integer cross-multiplication —
+score_a > score_b ⟺ prod_a · T^k_b > prod_b · T^k_a (Python bigints;
+words are short, so the products stay small) — with deterministic
+tie-breaks (fewer pieces, then lexicographically smaller piece tuple).
+Counts are integers end-to-end, so the trained vocabulary is a pure
+function of the corpus: the test suite pins it against an independent
+pure-Python reference (tests/test_unigram.py), and a future driver
+registration can hash-match exactly.
+
+Scale shape (the same as BPE's): ONE corpus scan builds the
+word-frequency table (shuffle keyed by word, map-side combined);
+everything after runs on that vocab-bounded table. The piece
+inventory (≤ seed_size entries) is driver-collected and shipped in
+the mapInPandas closure — the E-step is a map-only Arrow pass over
+distinct words that emits per-batch pre-aggregated (piece, count)
+partials, so the M-step shuffle moves ≤ batches × |pieces| rows, not
+corpus rows.
+
+Reference surface: none in the reference repo (tabular-only pandas
+ETL); this extends SURVEY §2c's tokenizer-training family. Public
+algorithm per Kudo (2018), "Subword Regularization".
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+UNIGRAM_VOCAB_SIZE = 64
+UNIGRAM_ITERS = 2
+UNIGRAM_MAX_PIECE = 4
+UNIGRAM_SEED_SIZE = 256
+
+
+def word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq) over the documents corpus — the one corpus-wide
+    scan; identical tokenization to the BPE family."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def seed_pieces(words: DataFrame, max_piece_len: int = UNIGRAM_MAX_PIECE,
+                seed_size: int = UNIGRAM_SEED_SIZE) -> DataFrame:
+    """Frequency-weighted substring counts → top ``seed_size`` pieces
+    (plus every single char, unconditionally). Substring explosion is
+    a JVM-side expression (sequence × sequence), no Python."""
+    # substr(word, i, n) with Column args via expr (F.substring wants
+    # literal pos/len on older APIs; the SQL form accepts columns)
+    exploded = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, length(word)), i -> "
+                f"transform(sequence(1, least({max_piece_len}, length(word) - i + 1)), "
+                "n -> substr(word, i, n))))"
+            )
+        ).alias("piece"),
+    )
+    counts = exploded.groupBy("piece").agg(F.sum("freq").alias("count"))
+    ranked = counts.orderBy(F.desc("count"), "piece").limit(seed_size)
+    chars = counts.filter(F.length("piece") == 1)
+    return ranked.unionByName(chars).groupBy("piece").agg(
+        F.max("count").alias("count")
+    )
+    # (union+max dedups pieces present in both the top-K and the char set)
+
+
+def _viterbi(word: str, counts: dict[str, int], total: int,
+             max_piece_len: int) -> list[str]:
+    """Exact-arithmetic Viterbi: best[i] = (prod, k, pieces) for the
+    prefix w[:i]; score prod/T^k compared by integer cross-multiply.
+    Tie-breaks: fewer pieces, then lexicographically smaller tuple."""
+    n = len(word)
+    best: list[tuple[int, int, tuple[str, ...]] | None] = [None] * (n + 1)
+    best[0] = (1, 0, ())
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_piece_len), i):
+            if best[j] is None:
+                continue
+            piece = word[j:i]
+            c = counts.get(piece)
+            if not c:
+                continue
+            pj, kj, sj = best[j]
+            cand = (pj * c, kj + 1, sj + (piece,))
+            cur = best[i]
+            if cur is None:
+                best[i] = cand
+                continue
+            # cand > cur ⟺ cand.prod · T^cur.k > cur.prod · T^cand.k
+            left = cand[0] * total ** cur[1]
+            right = cur[0] * total ** cand[1]
+            if left > right or (left == right and (cand[1], cand[2]) < (cur[1], cur[2])):
+                best[i] = cand
+    if best[n] is None:  # unreachable when all single chars are in vocab
+        return list(word)
+    return list(best[n][2])
+
+
+def em_step(words: DataFrame, pieces: dict[str, int],
+            max_piece_len: int = UNIGRAM_MAX_PIECE) -> DataFrame:
+    """One hard-EM round: Viterbi-segment every distinct word under
+    ``pieces``, return re-estimated (piece, count). Map-only over the
+    word table with per-batch partial aggregation; one tiny shuffle."""
+    total = sum(pieces.values())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            partial: dict[str, int] = {}
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                for piece in _viterbi(str(word), pieces, total, max_piece_len):
+                    partial[piece] = partial.get(piece, 0) + int(freq)
+            yield pd.DataFrame(
+                {"piece": list(partial), "count": list(partial.values())}
+            )
+
+    return (
+        words.mapInPandas(run, "piece STRING, count BIGINT")
+        .groupBy("piece")
+        .agg(F.sum("count").alias("count"))
+    )
+
+
+def unigram_train(
+    spark: SparkSession,
+    sf_dir: str,
+    vocab_size: int = UNIGRAM_VOCAB_SIZE,
+    iters: int = UNIGRAM_ITERS,
+    max_piece_len: int = UNIGRAM_MAX_PIECE,
+    seed_size: int = UNIGRAM_SEED_SIZE,
+) -> DataFrame:
+    """Train the unigram vocabulary; returns (piece, count) of the
+    final inventory — ≤ vocab_size multi-char pieces plus all single
+    chars, counts from the last E-step."""
+    words = word_freqs(spark, sf_dir)
+    # the word table is consumed once per EM round — materialize it
+    # (same rationale as the BPE learn loop's localCheckpoint)
+    words = words.localCheckpoint(eager=True)
+    inv = {
+        r["piece"]: int(r["count"])
+        for r in seed_pieces(words, max_piece_len, seed_size).collect()
+    }
+    for _ in range(iters):
+        est = em_step(words, inv, max_piece_len).collect()
+        new = {r["piece"]: int(r["count"]) for r in est}
+        # prune: top vocab_size by (count desc, piece asc); single
+        # chars always survive so segmentation never dead-ends — a char
+        # with zero Viterbi uses is NOT in `new` at all, so carry the
+        # char set over from the previous inventory with a floor of 1
+        prev_chars = [p for p in inv if len(p) == 1]
+        inv = dict(sorted(new.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size])
+        for ch in prev_chars:
+            inv.setdefault(ch, max(new.get(ch, 0), 1))
+    out = sorted(inv.items(), key=lambda kv: (-kv[1], kv[0]))
+    return spark.createDataFrame(
+        [(p, c, len(p)) for p, c in out], "piece STRING, count BIGINT, piece_len INT"
+    )
+
+
+def unigram_encode(words: DataFrame, inventory: dict[str, int],
+                   max_piece_len: int = UNIGRAM_MAX_PIECE) -> DataFrame:
+    """Viterbi-encode each word under a trained inventory: returns
+    (word, pieces ARRAY<STRING>, n_pieces) — the inference surface
+    (fertility, OOV analysis) mirroring bpe_encode."""
+    total = sum(inventory.values())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            segs = [
+                _viterbi(str(w), inventory, total, max_piece_len)
+                for w in pdf["word"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "pieces": segs,
+                    "n_pieces": [len(s) for s in segs],
+                }
+            )
+
+    return words.select("word").mapInPandas(
+        run, "word STRING, pieces ARRAY<STRING>, n_pieces INT"
+    )

@@ -1,0 +1,176 @@
+"""Unigram-LM tokenizer training pinned against an independent
+pure-Python reference (VERDICT r06 item 7's 'Done' criterion).
+
+The reference below re-implements the same semantics with DIFFERENT
+mechanics: Fraction-valued scores (exact rationals) instead of integer
+cross-multiplication, recursive memoized segmentation instead of
+iterative DP, collections.Counter M-steps instead of Spark aggregation.
+Agreement on every word and on the whole trained inventory therefore
+pins the semantics, not the implementation."""
+
+from __future__ import annotations
+
+from collections import Counter
+from fractions import Fraction
+from functools import lru_cache
+
+import pytest
+
+from data_pipeline_who_gho_spark.plans.unigram import (
+    _viterbi,
+    em_step,
+    seed_pieces,
+    unigram_encode,
+    unigram_train,
+    word_freqs,
+)
+
+MAXP = 4
+
+
+# ---------------------------------------------------------------------------
+# pure-Python reference (independent implementation)
+# ---------------------------------------------------------------------------
+
+
+def ref_seed(freqs: dict[str, int], max_len: int, seed_size: int) -> dict[str, int]:
+    c: Counter = Counter()
+    for w, f in freqs.items():
+        for i in range(len(w)):
+            for n in range(1, min(max_len, len(w) - i) + 1):
+                c[w[i : i + n]] += f
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:seed_size]
+    out = dict(top)
+    for p, n in c.items():
+        if len(p) == 1:
+            out.setdefault(p, n)
+    return out
+
+
+def ref_segment(word: str, counts: dict[str, int], total: int) -> list[str]:
+    @lru_cache(maxsize=None)
+    def go(s: str):
+        """Best (score, -len?) — returns (score Fraction, k, pieces)."""
+        if not s:
+            return (Fraction(1), 0, ())
+        best = None
+        for n in range(1, min(MAXP, len(s)) + 1):
+            piece = s[:n]
+            cnt = counts.get(piece)
+            if not cnt:
+                continue
+            sub = go(s[n:])
+            if sub is None:
+                continue
+            cand = (
+                Fraction(cnt, total) * sub[0],
+                1 + sub[1],
+                (piece,) + sub[2],
+            )
+            if (
+                best is None
+                or cand[0] > best[0]
+                or (cand[0] == best[0] and (cand[1], cand[2]) < (best[1], best[2]))
+            ):
+                best = cand
+        return best
+
+    r = go(word)
+    return list(word) if r is None else list(r[2])
+
+
+def ref_train(freqs, vocab_size, iters, max_len, seed_size):
+    inv = ref_seed(freqs, max_len, seed_size)
+    for _ in range(iters):
+        total = sum(inv.values())
+        new: Counter = Counter()
+        for w, f in freqs.items():
+            for p in ref_segment(w, inv, total):
+                new[p] += f
+        prev_chars = [p for p in inv if len(p) == 1]
+        nxt = dict(sorted(new.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size])
+        for ch in prev_chars:
+            nxt.setdefault(ch, max(new.get(ch, 0), 1))
+        inv = nxt
+    return inv
+
+
+CORPUS = [
+    "the spark table scan",
+    "the table scan is fast",
+    "fast table scan the spark",
+    "spark spark the the scanner",
+    "a scan a table a spark",
+]
+
+
+@pytest.fixture(scope="module")
+def sf_dir(tmp_path_factory, spark):
+    d = tmp_path_factory.mktemp("unigram")
+    rows = [(i, t) for i, t in enumerate(CORPUS)]
+    spark.createDataFrame(rows, "doc_id LONG, text STRING").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    return str(d)
+
+
+def _freqs() -> dict[str, int]:
+    c: Counter = Counter()
+    for t in CORPUS:
+        c.update(t.split())
+    return dict(c)
+
+
+def test_word_freqs_matches_counter(spark, sf_dir):
+    got = {r["word"]: r["freq"] for r in word_freqs(spark, sf_dir).collect()}
+    assert got == _freqs()
+
+
+def test_seed_matches_reference(spark, sf_dir):
+    words = word_freqs(spark, sf_dir)
+    got = {
+        r["piece"]: r["count"]
+        for r in seed_pieces(words, MAXP, 50).collect()
+    }
+    assert got == ref_seed(_freqs(), MAXP, 50)
+
+
+def test_viterbi_matches_reference_on_every_word():
+    inv = ref_seed(_freqs(), MAXP, 50)
+    total = sum(inv.values())
+    for w in _freqs():
+        assert _viterbi(w, inv, total, MAXP) == ref_segment(w, inv, total), w
+
+
+def test_em_step_matches_reference(spark, sf_dir):
+    freqs = _freqs()
+    inv = ref_seed(freqs, MAXP, 50)
+    total = sum(inv.values())
+    words = word_freqs(spark, sf_dir)
+    got = {r["piece"]: r["count"] for r in em_step(words, inv, MAXP).collect()}
+    want: Counter = Counter()
+    for w, f in freqs.items():
+        for p in ref_segment(w, inv, total):
+            want[p] += f
+    assert got == dict(want)
+
+
+def test_full_training_matches_reference(spark, sf_dir):
+    got = {
+        r["piece"]: r["count"]
+        for r in unigram_train(
+            spark, sf_dir, vocab_size=24, iters=2, max_piece_len=MAXP, seed_size=50
+        ).collect()
+    }
+    want = ref_train(_freqs(), 24, 2, MAXP, 50)
+    assert got == want
+
+
+def test_encode_surface(spark, sf_dir):
+    inv = ref_train(_freqs(), 24, 2, MAXP, 50)
+    words = word_freqs(spark, sf_dir)
+    out = {r["word"]: list(r["pieces"]) for r in unigram_encode(words, inv, MAXP).collect()}
+    total = sum(inv.values())
+    for w in _freqs():
+        assert "".join(out[w]) == w
+        assert out[w] == ref_segment(w, inv, total)
