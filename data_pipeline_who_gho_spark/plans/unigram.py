@@ -189,6 +189,46 @@ def unigram_train(
     )
 
 
+def maxmatch_encode(words: DataFrame, inventory: set[str] | dict[str, int],
+                    max_piece_len: int = UNIGRAM_MAX_PIECE) -> DataFrame:
+    """WordPiece-style GREEDY longest-match-first segmentation: at each
+    position take the longest inventory piece that matches (single
+    chars always match as the fallback, emitted verbatim even when
+    absent from the inventory — the '[UNK]-free' byte-fallback
+    convention). Fully deterministic and — unlike the unigram EM
+    objective — expressible as a recursive-CTE oracle, which is what a
+    driver registration will use.
+
+    Same execution shape as unigram_encode: inventory rides the
+    mapInPandas closure; one map-only Arrow pass over distinct words."""
+    vocab = set(inventory)
+
+    def seg(word: str) -> list[str]:
+        out, i, n = [], 0, len(word)
+        while i < n:
+            ln = min(max_piece_len, n - i)
+            while ln > 1 and word[i : i + ln] not in vocab:
+                ln -= 1
+            out.append(word[i : i + ln])
+            i += ln
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            segs = [seg(str(w)) for w in pdf["word"]]
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "pieces": segs,
+                    "n_pieces": [len(s) for s in segs],
+                }
+            )
+
+    return words.select("word").mapInPandas(
+        run, "word STRING, pieces ARRAY<STRING>, n_pieces INT"
+    )
+
+
 def unigram_encode(words: DataFrame, inventory: dict[str, int],
                    max_piece_len: int = UNIGRAM_MAX_PIECE) -> DataFrame:
     """Viterbi-encode each word under a trained inventory: returns

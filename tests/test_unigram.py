@@ -174,3 +174,32 @@ def test_encode_surface(spark, sf_dir):
     for w in _freqs():
         assert "".join(out[w]) == w
         assert out[w] == ref_segment(w, inv, total)
+
+
+def test_maxmatch_greedy_longest_first(spark, sf_dir):
+    """Greedy longest-match: independent per-word reference."""
+    from data_pipeline_who_gho_spark.plans.unigram import maxmatch_encode
+
+    inv = {"scan", "spar", "k", "ner", "ta", "ble", "the", "fas", "t"}
+    words = word_freqs(spark, sf_dir)
+    got = {
+        r["word"]: list(r["pieces"])
+        for r in maxmatch_encode(words, inv, MAXP).collect()
+    }
+
+    def ref(w):
+        out, i = [], 0
+        while i < len(w):
+            ln = min(MAXP, len(w) - i)
+            while ln > 1 and w[i : i + ln] not in inv:
+                ln -= 1
+            out.append(w[i : i + ln])
+            i += ln
+        return out
+
+    for w in _freqs():
+        assert got[w] == ref(w), w
+        assert "".join(got[w]) == w
+    # pinned concrete case: 'scanner' -> scan + ner; 'spark' -> spar + k
+    assert got["scanner"] == ["scan", "ner"]
+    assert got["spark"] == ["spar", "k"]

@@ -20,6 +20,7 @@ configs):
 
 Usage:
   python tools/strong_scaling.py                 # all configs, table
+  python tools/strong_scaling.py --sf .scratch/sf10text --queries dedup_simhash
   python tools/strong_scaling.py --child 8       # one config, JSON line
 """
 
@@ -37,15 +38,34 @@ CORES = [4, 8, 16, 32]
 QUERIES = ["dedup_simhash", "semantic_dedup_reps", "corpus_build_e2e"]
 
 
+def _flags() -> tuple[str, list[str], str]:
+    sf = SF_DIR
+    qs = QUERIES
+    mpb = "128m"
+    if "--sf" in sys.argv:
+        sf = sys.argv[sys.argv.index("--sf") + 1]
+    if "--queries" in sys.argv:
+        qs = sys.argv[sys.argv.index("--queries") + 1].split(",")
+    if "--max-partition-bytes" in sys.argv:
+        # fixtures are single parquet files (sf1 documents = 6.7 MB), so
+        # the DEFAULT 128m yields ONE input split and every pre-shuffle
+        # map stage is serial no matter the core count. Shrinking the
+        # split size recreates the multi-split input a real corpus has.
+        mpb = sys.argv[sys.argv.index("--max-partition-bytes") + 1]
+    return sf, qs, mpb
+
+
 def child(n: int) -> None:
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entrymod
     from data_pipeline_who_gho_spark.caching import clear_plan_caches
 
+    sf_dir, names, mpb = _flags()
     spark = (
         SparkSession.builder.appName(f"strong-scaling-{n}")
         .master(f"local[{n}]")
+        .config("spark.sql.files.maxPartitionBytes", mpb)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -58,13 +78,13 @@ def child(n: int) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     out = {}
-    for name in QUERIES:
+    for name in names:
         best = None
         for _run in range(2):
             clear_plan_caches()
             spark.catalog.clearCache()
             t0 = time.time()
-            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = time.time() - t0  # keep the LAST (JVM-warm) run
         out[name] = round(best, 2)
     print("RESULT " + json.dumps({"cores": n, "sec": out}))
@@ -74,10 +94,15 @@ def main() -> None:
     if "--child" in sys.argv:
         child(int(sys.argv[sys.argv.index("--child") + 1]))
         return
+    sf_dir, names, mpb = _flags()
     rows = []
     for n in CORES:
         proc = subprocess.run(
-            [sys.executable, __file__, "--child", str(n)],
+            [
+                sys.executable, __file__, "--child", str(n),
+                "--sf", sf_dir, "--queries", ",".join(names),
+                "--max-partition-bytes", mpb,
+            ],
             capture_output=True,
             text=True,
         )
@@ -92,7 +117,7 @@ def main() -> None:
     print("\n| query | " + " | ".join(f"local[{r['cores']}]" for r in rows)
           + " | efficiency 4→32 |")
     print("|---|" + "---|" * (len(rows) + 1))
-    for q in QUERIES:
+    for q in names:
         cells = [f"{r['sec'][q]:.2f} s" for r in rows]
         speedup = base["sec"][q] / rows[-1]["sec"][q]
         eff = speedup / (rows[-1]["cores"] / base["cores"])
