@@ -332,6 +332,113 @@ FROM c JOIN b USING (source)
 TOKEN_BUDGET_SAMPLE_SQL = _tbs_sql()
 
 
+# ---------------------------------------------------------------------------
+# media_resize_checksum — r08 registration candidate (window discipline:
+# r07's spare slots were spent; the oracle below is already gate-exact,
+# cross-checked by tests/test_curation10.py, so r08 registration is a
+# two-line edit)
+# ---------------------------------------------------------------------------
+
+_RSZ_H, _RSZ_W = 3, 4  # fixed output geometry of the registered resize
+
+_MEDIA_RESIZE_SCHEMA = (
+    "doc_id BIGINT, out_h BIGINT, out_w BIGINT, "
+    "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT, wsum BIGINT"
+)
+
+
+def media_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synth BMP → ``operators.multimodal.resize_images`` with the
+    DEFAULT decoder → exact integer stats of the RESIZED pixels.
+
+    Exercises the real operator composition (encode → decode → index-
+    grid resize) across Arrow stages, not a private reimplementation:
+    stage 1 synthesizes payloads, stage 2 IS resize_images, stage 3
+    reduces the resized buffers. All three are map-only; the oracle
+    replays the nearest-neighbor index math on the pixel formula."""
+    import numpy as np
+
+    from ..operators.multimodal import encode_bmp, resize_images
+
+    a_id, a_y, a_x, a_c = _PX
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 4 + doc_id % 5, 3 + doc_id % 4
+                y = np.arange(h).reshape(h, 1, 1)
+                x = np.arange(w).reshape(1, w, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                img = ((doc_id * a_id + y * a_y + x * a_x + c * a_c) % 256).astype(
+                    np.uint8
+                )
+                rows.append((doc_id, encode_bmp(img)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yo = np.arange(_RSZ_H).reshape(_RSZ_H, 1, 1)
+        xo = np.arange(_RSZ_W).reshape(1, _RSZ_W, 1)
+        c = np.arange(3).reshape(1, 1, 3)
+        wt = (yo * _RSZ_W + xo + 1) * (c + 1)
+        for pdf in batches:
+            rows = []
+            for doc_id, oh, ow, buf in zip(
+                pdf["doc_id"], pdf["out_h"], pdf["out_w"], pdf["pixels"]
+            ):
+                px = np.frombuffer(bytes(buf), np.uint8).reshape(
+                    int(oh), int(ow), 3
+                ).astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id), int(oh), int(ow),
+                        int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                        int(px[:, :, 2].sum()), int((px * wt).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "out_h", "out_w", "sum_r", "sum_g", "sum_b", "wsum"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(synth, "doc_id BIGINT, payload BINARY")
+    resized = resize_images(payloads, _RSZ_H, _RSZ_W)
+    return resized.mapInPandas(stats, _MEDIA_RESIZE_SCHEMA)
+
+
+# nearest-neighbor source index: y = min(yo*h // out_h, h-1) — identical
+# integer math to resize_images' index grid
+MEDIA_RESIZE_CHECKSUM_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, {_IMG_W} AS w, {_IMG_H} AS h FROM documents
+),
+cells AS (
+  SELECT doc_id, w, h, unnest(range(0, {_RSZ_H} * {_RSZ_W})) AS g FROM dims
+),
+chans AS (SELECT c FROM generate_series(0, 2) AS s(c)),
+vals AS (
+  SELECT doc_id, c,
+         (doc_id * {_PX[0]}
+          + least((g // {_RSZ_W}) * h // {_RSZ_H}, h - 1) * {_PX[1]}
+          + least((g % {_RSZ_W}) * w // {_RSZ_W}, w - 1) * {_PX[2]}
+          + c * {_PX[3]}) % 256 AS v,
+         ((g // {_RSZ_W}) * {_RSZ_W} + (g % {_RSZ_W}) + 1) * (c + 1) AS wt
+  FROM cells CROSS JOIN chans
+)
+SELECT doc_id,
+       CAST({_RSZ_H} AS BIGINT) AS out_h,
+       CAST({_RSZ_W} AS BIGINT) AS out_w,
+       CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+       CAST(SUM(v * wt) AS BIGINT) AS wsum
+FROM vals
+GROUP BY doc_id
+"""
+
+
 CURATION10_QUERIES = {
     "media_decode_stats": media_decode_stats,
     "boilerplate_strip_audit": boilerplate_strip_audit,

@@ -229,6 +229,106 @@ def maxmatch_encode(words: DataFrame, inventory: set[str] | dict[str, int],
     )
 
 
+# ---------------------------------------------------------------------------
+# maxmatch_segment_stats — r08 registration candidate. The greedy
+# longest-match objective (unlike unigram EM's bigint product scores)
+# is exactly expressible in SQL: a non-recursive (word, pos) match-
+# length table + a recursive walk over positions. Oracle cross-checked
+# in tests/test_unigram.py so r08 registration is a two-line edit.
+# ---------------------------------------------------------------------------
+
+_MM_SEED = 48  # top-K weighted substring pieces form the inventory
+
+
+def maxmatch_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match segmentation of every distinct corpus word
+    under the SQL-computable seed inventory (top _MM_SEED substrings by
+    weighted count, tie-broken by piece; single chars always usable as
+    fallback). Output: one scalar row per word — count of pieces, the
+    segmentation itself pinned via its '|'-joined md5."""
+    words = word_freqs(spark, sf_dir)
+    words = words.localCheckpoint(eager=True)  # two consumers: seed + encode
+    top = (
+        seed_pieces(words, UNIGRAM_MAX_PIECE, _MM_SEED)
+        .orderBy(F.desc("count"), "piece")
+        .limit(_MM_SEED)
+    )
+    inv = {r["piece"] for r in top.collect()}
+    enc = maxmatch_encode(words, inv, UNIGRAM_MAX_PIECE)
+    return (
+        enc.join(words, "word")
+        .select(
+            "word",
+            F.col("freq").cast("long").alias("freq"),
+            F.col("n_pieces").cast("long").alias("n_pieces"),
+            F.md5(F.array_join("pieces", "|")).alias("seg_md5"),
+        )
+    )
+
+
+def _maxmatch_sql() -> str:
+    from .extensions import _sql_tokens
+
+    k = UNIGRAM_MAX_PIECE
+    return f"""
+WITH RECURSIVE words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_sql_tokens()}) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+subs AS (
+  SELECT word, freq, i, unnest(range(1, least({k}, length(word) - i) + 1)) AS n
+  FROM (SELECT word, freq, unnest(range(0, length(word))) AS i FROM words)
+),
+pieces AS (
+  SELECT substr(word, i + 1, n) AS piece, CAST(SUM(freq) AS BIGINT) AS count
+  FROM subs GROUP BY 1
+),
+ranked AS (
+  SELECT piece FROM (
+    SELECT piece, row_number() OVER (ORDER BY count DESC, piece) AS rn
+    FROM pieces
+  ) WHERE rn <= {_MM_SEED}
+),
+-- greedy match length at every (word, pos): longest inventory piece
+-- starting there, else 1 (single-char fallback, vocab or not)
+mlen AS (
+  SELECT p.word, p.pos,
+         COALESCE(MAX(length(r.piece)), 1) AS plen
+  FROM (SELECT word, unnest(range(0, length(word))) AS pos FROM words) p
+  LEFT JOIN ranked r
+    ON length(r.piece) > 1
+   AND length(r.piece) <= {k}
+   AND substr(p.word, p.pos + 1, length(r.piece)) = r.piece
+  GROUP BY p.word, p.pos
+),
+walk AS (
+  SELECT word, 0 AS pos, 0 AS k, CAST('' AS VARCHAR) AS acc
+  FROM words
+  UNION ALL
+  SELECT w.word, w.pos + m.plen, w.k + 1,
+         w.acc || CASE WHEN w.k = 0 THEN '' ELSE '|' END
+               || substr(w.word, w.pos + 1, m.plen)
+  FROM walk w
+  JOIN mlen m ON m.word = w.word AND m.pos = w.pos
+),
+final AS (
+  SELECT w.word, w.k, w.acc,
+         row_number() OVER (PARTITION BY w.word ORDER BY w.pos DESC) AS rn
+  FROM walk w JOIN words ww ON ww.word = w.word
+  WHERE w.pos = length(w.word)
+)
+SELECT f.word, ww.freq,
+       CAST(f.k AS BIGINT) AS n_pieces,
+       md5(f.acc) AS seg_md5
+FROM final f JOIN words ww ON ww.word = f.word
+WHERE f.rn = 1
+"""
+
+
+MAXMATCH_SEGMENT_SQL = _maxmatch_sql()
+
+
 def unigram_encode(words: DataFrame, inventory: dict[str, int],
                    max_piece_len: int = UNIGRAM_MAX_PIECE) -> DataFrame:
     """Viterbi-encode each word under a trained inventory: returns

@@ -176,3 +176,24 @@ def test_token_budget_boundary_doc_included(spark, tmp_path):
     # selected tokens == budget exactly here; with uneven docs the rule
     # overshoots by at most the straddling doc and never undershoots
     assert sum(r["n_tok"] for r in out if r["selected"]) == 10
+
+
+def test_media_resize_checksum_matches_duckdb_oracle(spark):
+    """r08 registration candidate, gate-checked here already: the
+    Spark encode->resize_images->stats chain must hash-match the SQL
+    replay of the nearest-neighbor index math at sf0.001."""
+    import duckdb
+
+    from data_pipeline_who_gho_spark.plans.curation10 import (
+        MEDIA_RESIZE_CHECKSUM_SQL,
+        media_resize_checksum,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in media_resize_checksum(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = sorted(tuple(r) for r in con.sql(MEDIA_RESIZE_CHECKSUM_SQL).fetchall())
+    assert got == want

@@ -311,3 +311,32 @@ def test_triangle_join_matches_enumeration_on_random_graphs(spark, edges):
         deg[a] = deg.get(a, 0) + 1
         deg[b] = deg.get(b, 0) + 1
     assert row["n_wedges"] == sum(d * (d - 1) // 2 for d in deg.values())
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_ppm_roundtrip_any_shape(h, w, seed):
+    """Pure-numpy BMP/PPM encode→decode is the identity for ANY
+    (h, w) uint8 RGB image — every stride-padding residue class of w
+    and arbitrary pixel content (no Spark needed: the codec is the
+    unit under test)."""
+    import numpy as np
+
+    from data_pipeline_who_gho_spark.operators.multimodal import (
+        decode_media,
+        encode_bmp,
+        encode_ppm,
+        sniff_media_type,
+    )
+
+    a = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    for enc in (encode_bmp, encode_ppm):
+        payload = enc(a)
+        mtype = sniff_media_type(payload)
+        out = decode_media(payload, mtype)
+        assert out.shape == (h, w, 3)
+        assert (out == a).all()

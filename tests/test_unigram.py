@@ -203,3 +203,23 @@ def test_maxmatch_greedy_longest_first(spark, sf_dir):
     # pinned concrete case: 'scanner' -> scan + ner; 'spark' -> spar + k
     assert got["scanner"] == ["scan", "ner"]
     assert got["spark"] == ["spar", "k"]
+
+
+def test_maxmatch_segment_stats_matches_duckdb_oracle(spark):
+    """r08 registration candidate: greedy longest-match segmentation
+    under the SQL-computable seed inventory must match the recursive-
+    CTE oracle row for row at sf0.001."""
+    import duckdb
+
+    from data_pipeline_who_gho_spark.plans.unigram import (
+        MAXMATCH_SEGMENT_SQL,
+        maxmatch_segment_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in maxmatch_segment_stats(spark, sf).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = sorted(tuple(r) for r in con.sql(MAXMATCH_SEGMENT_SQL).fetchall())
+    assert len(got) == len(want)
+    assert got == want
