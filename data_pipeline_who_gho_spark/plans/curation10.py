@@ -183,21 +183,20 @@ def _doc_lines(docs: DataFrame) -> DataFrame:
     return toks.select("doc_id", F.posexplode(chunks).alias("line_no", "line"))
 
 
-def boilerplate_strip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strip corpus-frequent lines from every doc; audit per doc.
-
-    Plan: one shuffle to count distinct docs per line (map-side partial
-    agg), the >=threshold sliver BROADCAST into a left-anti join (no
-    second big shuffle for the filter), reassembly as a doc_id-keyed
-    sort_array(collect_list) — per-doc bounded. Docs whose every line is
-    boilerplate survive with empty cleaned text (documents anchor)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    lines = _doc_lines(docs)
+def strip_frequent_lines(
+    lines: DataFrame, min_docs: int = _BOILER_MIN_DOCS, joiner: str = " "
+) -> DataFrame:
+    """Library core of the boilerplate strip, over ANY (doc_id,
+    line_no, line) relation — the registered query feeds aligned
+    token-chunk lines (single-line fixture); production web text feeds
+    ``posexplode(split(text, '\\n'))`` lines and a ``'\\n'`` joiner
+    (pinned by test_newline_line_unit). Returns one audit row per doc:
+    n_lines, n_removed, cleaned length + md5."""
     boiler = (
         lines.filter(F.col("line") != "")
         .groupBy("line")
         .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= _BOILER_MIN_DOCS)
+        .filter(F.col("df") >= min_docs)
         .select("line", F.lit(1).alias("__boiler"))
     )
     # broadcast MARKER join (not anti): one pass then ONE doc_id groupBy
@@ -210,7 +209,7 @@ def boilerplate_strip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__boiler").isNull(), F.struct("line_no", "line")
     )
     ct = F.array_join(
-        F.transform(F.array_sort(F.col("__ls")), lambda s: s["line"]), " "
+        F.transform(F.array_sort(F.col("__ls")), lambda s: s["line"]), joiner
     )
     return (
         marked.groupBy("doc_id")
@@ -227,6 +226,18 @@ def boilerplate_strip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(ct).alias("clean_md5"),
         )
     )
+
+
+def boilerplate_strip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip corpus-frequent lines from every doc; audit per doc.
+
+    Plan: one map-side-combined shuffle counts distinct docs per line;
+    the >=threshold sliver is BROADCAST as a marker join; ONE doc-grain
+    groupBy computes the audit and the order-preserving reassembly
+    together (see strip_frequent_lines). Docs whose every line is
+    boilerplate survive with empty cleaned text."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return strip_frequent_lines(_doc_lines(docs))
 
 
 BOILERPLATE_STRIP_SQL = f"""

@@ -197,3 +197,34 @@ def test_media_resize_checksum_matches_duckdb_oracle(spark):
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
     want = sorted(tuple(r) for r in con.sql(MEDIA_RESIZE_CHECKSUM_SQL).fetchall())
     assert got == want
+
+
+def test_newline_line_unit(spark):
+    """Production path: real '\n' lines + '\n' joiner through the
+    library core — a header line shared by 3 docs is stripped while
+    body lines and document structure survive."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_who_gho_spark.plans.curation10 import strip_frequent_lines
+
+    header = "COMMON SITE HEADER"
+    rows = [(d, f"{header}\nbody {d} alpha\nbody {d} beta") for d in range(3)]
+    rows.append((3, "standalone doc\nno header here"))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("line_no", "line")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in strip_frequent_lines(lines, min_docs=3, joiner="\n").collect()
+    }
+    import hashlib
+
+    for d in range(3):
+        cleaned = f"body {d} alpha\nbody {d} beta"
+        assert out[d]["n_lines"] == 3
+        assert out[d]["n_removed"] == 1
+        assert out[d]["clean_n_chars"] == len(cleaned)
+        assert out[d]["clean_md5"] == hashlib.md5(cleaned.encode()).hexdigest()
+    assert out[3]["n_removed"] == 0
+    assert out[3]["n_lines"] == 2
