@@ -157,11 +157,23 @@ def grouped_running_sum(
     )
     offsets = totals.withColumn(
         "__off", F.coalesce(F.sum("__t").over(w_off), F.lit(0)).cast("long")
-    ).select("__pid", *group_cols, "__off")
+    ).select(
+        F.col("__pid").alias("__opid"),
+        *[F.col(c).alias(f"__og_{c}") for c in group_cols],
+        "__off",
+    )
+    # NULL-SAFE group equality: windows/groupBys treat NULL as one
+    # group, but a plain equi-join drops NULL-keyed rows — the
+    # stratified_split_exact class of bug (verify-skill rule). Fixtures
+    # carry no NULL groups; the constructed-DF test does.
+    cond = F.col("__pid") == F.col("__opid")
+    for c in group_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__og_{c}"))
     return (
-        local.join(F.broadcast(offsets), ["__pid", *group_cols])
+        local.join(F.broadcast(offsets), cond)
         .withColumn(out_col, (F.col("__lsum") + F.col("__off")).cast("long"))
-        .drop("__pid", "__lsum", "__off")
+        .drop("__pid", "__opid", "__lsum", "__off",
+              *[f"__og_{c}" for c in group_cols])
     )
 
 

@@ -302,13 +302,19 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = grouped_running_sum(
         docs, ["source"], ["k", "doc_id"], "n_tok", out_col="cum_before"
     )
-    return cum.join(F.broadcast(budgets), "source").select(
-        "doc_id",
-        "source",
-        "n_tok",
-        "cum_before",
-        "budget",
-        (F.col("cum_before") < F.col("budget")).alias("selected"),
+    # eqNullSafe: a NULL source is one group to groupBy/windows and must
+    # survive the budget attach (oracle uses IS NOT DISTINCT FROM)
+    b = F.broadcast(budgets.withColumnRenamed("source", "__bsrc"))
+    return (
+        cum.join(b, F.col("source").eqNullSafe(F.col("__bsrc")))
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            "cum_before",
+            "budget",
+            (F.col("cum_before") < F.col("budget")).alias("selected"),
+        )
     )
 
 
@@ -336,7 +342,7 @@ c AS (
 )
 SELECT c.doc_id, c.source, c.n_tok, c.cum_before, b.budget,
        c.cum_before < b.budget AS selected
-FROM c JOIN b USING (source)
+FROM c JOIN b ON c.source IS NOT DISTINCT FROM b.source
 """
 
 

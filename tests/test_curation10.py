@@ -228,3 +228,35 @@ def test_newline_line_unit(spark):
         assert out[d]["clean_md5"] == hashlib.md5(cleaned.encode()).hexdigest()
     assert out[3]["n_removed"] == 0
     assert out[3]["n_lines"] == 2
+
+
+def test_token_budget_null_source_is_one_group(spark, tmp_path):
+    """A NULL source must behave as ONE group end-to-end (null-safe
+    budget attach + null-safe offsets join inside grouped_running_sum);
+    the fixtures carry no NULL sources, so only this constructed table
+    catches the equi-join drop."""
+    import duckdb
+
+    from data_pipeline_who_gho_spark.plans.curation10 import (
+        TOKEN_BUDGET_SAMPLE_SQL,
+        token_budget_sample,
+    )
+
+    rows = [
+        (d, None if d < 4 else "s1", " ".join(f"w{d}t{i}" for i in range(10)))
+        for d in range(8)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id LONG, source STRING, text STRING"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    got = sorted(tuple(r) for r in token_budget_sample(spark, sf).collect())
+    assert len(got) == 8  # no NULL-source row dropped
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.sql(TOKEN_BUDGET_SAMPLE_SQL).fetchall())
+    assert got == want
