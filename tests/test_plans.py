@@ -323,3 +323,23 @@ def test_lsh_multitable_stays_equi_join(spark):
     ]
     assert dedup_exchanges, "candidate dedup exchange not found"
     assert all("embedding" not in ln and " v#" not in ln for ln in dedup_exchanges)
+
+
+def test_token_budget_sample_no_whole_group_window(spark):
+    """The per-source running sum must never funnel a whole source
+    through one task: every window over the big ranged relation
+    partitions by (spark_partition_id, source), the range exchange is
+    present, and the offsets/budgets attach by broadcast."""
+    from data_pipeline_who_gho_spark.plans.curation10 import token_budget_sample
+
+    plan = _plan(token_budget_sample(spark, "/root/testdata/sf0.001"))
+    assert "Exchange rangepartitioning" in plan
+    assert "BroadcastHashJoin" in plan
+    # the data-sized window keys on the physical partition id — a
+    # window spec of [source] alone over the ranged frame would be the
+    # single-task-per-source trap
+    import re
+
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    big_specs = [s for s in specs if "__pid" in s]
+    assert big_specs, f"no __pid-partitioned window found: {specs}"
