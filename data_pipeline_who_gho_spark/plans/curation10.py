@@ -349,6 +349,95 @@ FROM c JOIN b ON c.source IS NOT DISTINCT FROM b.source
 TOKEN_BUDGET_SAMPLE_SQL = _tbs_sql()
 
 
+def dedup_lines_within_doc(
+    lines: DataFrame, joiner: str = " "
+) -> DataFrame:
+    """Intra-document line dedup — the WITHIN-doc half of RefinedWeb
+    line cleaning (strip_frequent_lines is the across-corpus half):
+    keep each doc's FIRST occurrence of every line, reassemble in
+    original order, audit. One doc-grain shuffle; first-occurrence
+    selection and reassembly are array algebra inside the aggregate
+    (no second window or self-join)."""
+    w_first = F.array_sort(F.collect_list(F.struct("line_no", "line")))
+    # scan the sorted (line_no, line) structs once, keeping positions
+    # whose line has not appeared earlier — aggregate() threads the
+    # (seen_lines, kept_structs) state through JVM expressions
+    kept = F.aggregate(
+        w_first,
+        F.struct(
+            F.array().cast("array<string>").alias("seen"),
+            F.array().cast("array<struct<line_no:int,line:string>>").alias("keep"),
+        ),
+        lambda acc, s: F.struct(
+            F.when(
+                F.array_contains(acc["seen"], s["line"]), acc["seen"]
+            ).otherwise(F.array_append(acc["seen"], s["line"])).alias("seen"),
+            F.when(
+                F.array_contains(acc["seen"], s["line"]), acc["keep"]
+            ).otherwise(F.array_append(acc["keep"], s)).alias("keep"),
+        ),
+    )["keep"]
+    return (
+        lines.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            kept.alias("__k"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            (F.col("n_lines") - F.size("__k")).cast("long").alias("n_removed"),
+            F.length(
+                F.array_join(F.transform("__k", lambda s: s["line"]), joiner)
+            ).cast("long").alias("clean_n_chars"),
+            F.md5(
+                F.array_join(F.transform("__k", lambda s: s["line"]), joiner)
+            ).alias("clean_md5"),
+        )
+    )
+
+
+def intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of dedup_lines_within_doc over the fixture's
+    aligned token-chunk lines — r08 registration candidate (oracle
+    below, cross-checked in tests)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_lines_within_doc(_doc_lines(docs))
+
+
+INTRADOC_LINE_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_tokens()} AS t FROM documents
+),
+dims AS (
+  SELECT doc_id, t, CAST(ceil(len(t) / {float(_LINE_TOKENS)}) AS BIGINT) AS nl
+  FROM toks
+),
+lines AS (
+  SELECT doc_id, g AS line_no,
+         array_to_string(t[(g * {_LINE_TOKENS} + 1):(g * {_LINE_TOKENS} + {_LINE_TOKENS})], ' ') AS line
+  FROM (SELECT doc_id, t, unnest(range(0, nl)) AS g FROM dims)
+),
+flagged AS (
+  SELECT doc_id, line_no, line,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY line_no) AS occ
+  FROM lines
+),
+clean AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(line, ' ' ORDER BY line_no) AS ct
+  FROM flagged WHERE occ = 1 GROUP BY doc_id
+),
+base AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.n_lines AS BIGINT) AS n_lines,
+       CAST(b.n_lines - c.n_kept AS BIGINT) AS n_removed,
+       CAST(length(c.ct) AS BIGINT) AS clean_n_chars,
+       md5(c.ct) AS clean_md5
+FROM base b JOIN clean c USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # media_resize_checksum — r08 registration candidate (window discipline:
 # r07's spare slots were spent; the oracle below is already gate-exact,

@@ -260,3 +260,57 @@ def test_token_budget_null_source_is_one_group(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in con.sql(TOKEN_BUDGET_SAMPLE_SQL).fetchall())
     assert got == want
+
+
+def test_dedup_lines_within_doc(spark):
+    """First occurrence of each line survives IN ORDER; later repeats
+    are dropped; other docs are untouched."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_who_gho_spark.plans.curation10 import dedup_lines_within_doc
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a\nb\na\nc\nb\na"),
+            (2, "x\ny"),
+            (3, "z\nz\nz"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("line_no", "line")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines_within_doc(lines, joiner="\n").collect()
+    }
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (6, 3)
+    assert out[1]["clean_md5"] == hashlib.md5(b"a\nb\nc").hexdigest()
+    assert (out[2]["n_lines"], out[2]["n_removed"]) == (2, 0)
+    assert out[2]["clean_md5"] == hashlib.md5(b"x\ny").hexdigest()
+    assert (out[3]["n_lines"], out[3]["n_removed"]) == (3, 2)
+    assert out[3]["clean_n_chars"] == 1
+
+
+def test_intradoc_line_dedup_matches_duckdb_oracle(spark):
+    """Third r08 registration candidate, gate-checked here."""
+    import duckdb
+
+    from data_pipeline_who_gho_spark.plans.curation10 import (
+        INTRADOC_LINE_DEDUP_SQL,
+        intradoc_line_dedup,
+    )
+
+    for sf in ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+        got = sorted(tuple(r) for r in intradoc_line_dedup(spark, sf).collect())
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        want = sorted(
+            tuple(r) for r in con.sql(INTRADOC_LINE_DEDUP_SQL).fetchall()
+        )
+        assert got == want, sf
+        assert len(got) > 0
