@@ -163,7 +163,11 @@ _PRIORITY = [
     # plate line strip, token-budget sampling) take the only spare
     # slots; the remaining 47 window slots drain the ENTIRE r02-green
     # cohort (the oldest hard signal, predating the r03 dtype-tagging
-    # and r04 lexsort canonicalizer changes) via the green-round sort
+    # and r04 lexsort canonicalizer changes) via the green-round sort.
+    # Queued for r08 (already oracle-exact, cross-checked in pytest —
+    # registration is a two-line edit each): media_resize_checksum,
+    # maxmatch_segment_stats, intradoc_line_dedup (plans/curation10.py,
+    # plans/unigram.py)
     "media_decode_stats", "boilerplate_strip_audit", "token_budget_sample",
     # round-6 head (all re-greened in r06)
     "corpus_build_e2e", "ann_lsh_multitable",
