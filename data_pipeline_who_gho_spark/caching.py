@@ -58,8 +58,23 @@ def clear_plan_caches() -> None:
 def unregistered_caches() -> list[str]:
     """Audit: module-level ``*_CACHE`` dicts in this package that are
     NOT in ``PLAN_CACHES`` (by identity). Non-empty means someone added
-    a cache without registering it — stale_check refuses to run."""
+    a cache without registering it — stale_check refuses to run.
+
+    Walks the WHOLE package with pkgutil and imports every module
+    first: a cache in a module nothing has imported yet (e.g. a plans
+    module written but not registered in __spark_entry__) must not
+    escape the audit just because it wasn't in sys.modules."""
+    import importlib
+    import pkgutil
     import sys
+
+    import data_pipeline_who_gho_spark as pkg
+
+    for info in pkgutil.walk_packages(pkg.__path__, prefix=pkg.__name__ + "."):
+        try:
+            importlib.import_module(info.name)
+        except Exception:  # unimportable module is a different failure
+            pass
 
     ids = {id(c) for c in PLAN_CACHES}
     missing = []

@@ -118,7 +118,14 @@ def _decode_bmp(payload: bytes):
             f"only 24-bit uncompressed BMP is supported (bpp={bpp}, "
             f"compression={comp})"
         )
+    if w <= 0 or h == 0:
+        raise ValueError(f"malformed BMP dimensions {w}x{h}")
     stride = (w * 3 + 3) // 4 * 4
+    if len(payload) - off < stride * abs(h):
+        raise ValueError(
+            f"truncated BMP body: need {stride * abs(h)} bytes, "
+            f"have {len(payload) - off}"
+        )
     rows = np.frombuffer(payload, np.uint8, count=stride * abs(h), offset=off)
     px = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)[..., ::-1]
     if h > 0:  # bottom-up storage
@@ -132,23 +139,47 @@ def _decode_ppm(payload: bytes):
     ``#`` comments per the netpbm spec."""
     import numpy as np
 
+    # BOTH scans are bounded: any payload that merely starts with 'P6'
+    # (sniff_media_type routes on the magic alone) may be truncated or
+    # not a PPM at all — past-end payload[i:i+1] is b"", which is
+    # neither whitespace nor '#', so an unbounded loop would spin a
+    # Spark task forever instead of raising.
+    n_payload = len(payload)
     tokens, i = [], 2  # skip the "P6" magic
     while len(tokens) < 3:
+        if i >= n_payload:
+            raise ValueError("truncated PPM header")
         c = payload[i : i + 1]
         if c == b"#":
-            i = payload.index(b"\n", i) + 1
+            nl = payload.find(b"\n", i)
+            if nl < 0:
+                raise ValueError("truncated PPM header (unterminated comment)")
+            i = nl + 1
         elif c.isspace():
             i += 1
         else:
             j = i
-            while not payload[j : j + 1].isspace():
+            while j < n_payload and not payload[j : j + 1].isspace():
                 j += 1
-            tokens.append(int(payload[i:j]))
+            if j == n_payload:
+                raise ValueError("truncated PPM header")
+            try:
+                tokens.append(int(payload[i:j]))
+            except ValueError:
+                raise ValueError(
+                    f"malformed PPM header token {payload[i:j]!r}"
+                ) from None
             i = j
     w, h, maxval = tokens
+    if w <= 0 or h <= 0:
+        raise ValueError(f"malformed PPM dimensions {w}x{h}")
     if maxval > 255:
         raise NotImplementedError("16-bit PPM (maxval > 255) is not supported")
     i += 1  # exactly one whitespace byte after maxval
+    if n_payload - i < h * w * 3:
+        raise ValueError(
+            f"truncated PPM body: need {h * w * 3} bytes, have {n_payload - i}"
+        )
     px = np.frombuffer(payload, np.uint8, count=h * w * 3, offset=i)
     return np.ascontiguousarray(px.reshape(h, w, 3))
 

@@ -41,11 +41,26 @@ from ..caching import bounded_persist_cache, register_plan_cache
 _RANGED_CACHE: dict = register_plan_cache({})
 
 
+def _guard_reserved(df: DataFrame, reserved: set[str], op: str) -> None:
+    """Both rank ops inject fixed temp columns (``__pid`` etc.) into the
+    caller's frame; a caller column with one of those names would
+    silently produce wrong sums (or an ambiguous-column analysis
+    error). Fail loudly at entry instead — the same defensive contract
+    the docstrings state for ``order_cols``."""
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"{op}: input columns {sorted(clash)} collide with reserved "
+            f"temp names; rename them before calling"
+        )
+
+
 def global_rank(
     df: DataFrame, order_cols: list[str], rank_col: str = "rn", partitions: int | None = None
 ) -> DataFrame:
     """Dense global row_number over ``order_cols`` (must form a total
     order), computed without a single-partition window."""
+    _guard_reserved(df, {"__pid", "__lrn", "__off", rank_col}, "global_rank")
     parts = partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
@@ -116,6 +131,12 @@ def grouped_running_sum(
     ``order_cols`` must totally order rows WITHIN each group (add a
     unique tiebreak column).
     """
+    _guard_reserved(
+        df,
+        {"__pid", "__opid", "__lsum", "__off", "__t", out_col}
+        | {f"__og_{c}" for c in group_cols},
+        "grouped_running_sum",
+    )
     parts = partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )

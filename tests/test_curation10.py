@@ -55,9 +55,36 @@ def test_ppm_roundtrip_with_comment():
 
 def test_compressed_formats_still_stubbed():
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG....", "image/png")
-    with pytest.raises(NotImplementedError):
         decode_media(b"\xff\xd8\xffrest", "image/jpeg")
+
+
+def test_malformed_ppm_raises_instead_of_hanging():
+    """sniff_media_type routes ANY payload starting with 'P6' to the PPM
+    decoder — a text doc beginning 'P6...' or a truncated upload must
+    raise, not spin the header scan forever (ADVICE r07)."""
+    a = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    good = encode_ppm(a)
+    for bad in (
+        b"P6",                          # nothing after the magic
+        b"P6\n",                        # whitespace then EOF
+        b"P6\n# comment with no newline",
+        b"P6\n2 2",                     # EOF inside the dims token run
+        b"P6\n2 2\n255",                # header ends at EOF, no body
+        good[:-1],                      # body one byte short
+        b"P6 please read this doc",     # text that merely starts with P6
+        b"P6\n-3 2\n255\n" + b"\x00" * 64,  # negative dimension
+    ):
+        with pytest.raises(ValueError):
+            decode_media(bad, "image/ppm")
+    assert (decode_media(good, "image/ppm") == a).all()
+
+
+def test_truncated_bmp_raises():
+    a = np.arange(3 * 5 * 3, dtype=np.uint8).reshape(3, 5, 3)
+    payload = encode_bmp(a)
+    with pytest.raises(ValueError):
+        decode_media(payload[:-4], "image/bmp")
+    assert (decode_media(payload, "image/bmp") == a).all()
 
 
 def test_resize_with_default_decoder_on_real_bmp(spark):

@@ -82,3 +82,25 @@ def test_ntile_from_rank_equals_ansi_ntile_across_shapes(spark):
         want = df.withColumn("ansi", F.ntile(n).over(w))
         joined = got.join(want, ["total", "rn"])
         assert joined.filter(F.col("mine") != F.col("ansi")).count() == 0
+
+
+def test_reserved_temp_name_collision_raises(spark):
+    """Both rank ops inject __pid/__lsum/... temp columns; a caller
+    frame already carrying one must fail loudly, not corrupt sums
+    (ADVICE r07)."""
+    import pytest
+
+    from data_pipeline_who_gho_spark.operators.rank import grouped_running_sum
+
+    df = spark.createDataFrame([(1, 1, "a")], "k INT, v INT, __pid STRING")
+    with pytest.raises(ValueError, match="__pid"):
+        global_rank(df, ["k"])
+    with pytest.raises(ValueError, match="__pid"):
+        grouped_running_sum(df, ["k"], ["k"], "v")
+    df2 = spark.createDataFrame([(1, 1, "a")], "k INT, v INT, __og_k STRING")
+    with pytest.raises(ValueError, match="__og_k"):
+        grouped_running_sum(df2, ["k"], ["k"], "v")
+    # out_col/rank_col collisions count too
+    df3 = spark.createDataFrame([(1, 1)], "k INT, rn INT")
+    with pytest.raises(ValueError, match="rn"):
+        global_rank(df3, ["k"])

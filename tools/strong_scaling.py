@@ -79,14 +79,16 @@ def child(n: int) -> None:
     qs = entrymod.queries()
     out = {}
     for name in names:
-        best = None
-        for _run in range(2):
+        # keep min over the two JVM-warm runs (runs 2 and 3; run 1 is
+        # the cold warmup) so a single GC/AQE hiccup can't skew the row
+        last_two = []
+        for _run in range(3):
             clear_plan_caches()
             spark.catalog.clearCache()
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = time.time() - t0  # keep the LAST (JVM-warm) run
-        out[name] = round(best, 2)
+            last_two.append(time.time() - t0)
+        out[name] = round(min(last_two[1:]), 2)
     print("RESULT " + json.dumps({"cores": n, "sec": out}))
 
 
