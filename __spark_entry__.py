@@ -146,6 +146,14 @@ from data_pipeline_who_gho_spark.plans.curation10 import (  # noqa: E402
     CURATION10_ORACLE_SQL,
     CURATION10_QUERIES,
 )
+from data_pipeline_who_gho_spark.plans.curation11 import (  # noqa: E402
+    CURATION11_ORACLE_SQL,
+    CURATION11_QUERIES,
+)
+from data_pipeline_who_gho_spark.plans.unigram import (  # noqa: E402
+    UNIGRAM_ORACLE_SQL,
+    UNIGRAM_QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -159,15 +167,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # _PRIORITY below), then green ones stalest-round first.  Ground truth is
 # the CORRECTNESS_r*.json files the driver leaves in the repo root.
 _PRIORITY = [
-    # round-7 head: the three new registrations (media decode, boiler-
-    # plate line strip, token-budget sampling) take the only spare
-    # slots; the remaining 47 window slots drain the ENTIRE r02-green
-    # cohort (the oldest hard signal, predating the r03 dtype-tagging
-    # and r04 lexsort canonicalizer changes) via the green-round sort.
-    # Queued for r08 (already oracle-exact, cross-checked in pytest —
-    # registration is a two-line edit each): media_resize_checksum,
-    # maxmatch_segment_stats, intradoc_line_dedup (plans/curation10.py,
-    # plans/unigram.py)
+    # round-8 head: six new registrations — the three r07-queued ops
+    # (media resize, maxmatch segmentation, intra-doc line dedup) plus
+    # the three round-8 builds (stdlib-zlib PNG decode, the newline-
+    # unit boilerplate path, quantized-inventory unigram Viterbi
+    # encode).  The remaining 44 window slots drain the ENTIRE r03-
+    # green cohort (40) + the 4 oldest r04 via the green-round sort.
+    "media_resize_checksum", "maxmatch_segment_stats", "intradoc_line_dedup",
+    "media_decode_png_stats", "boilerplate_strip_newline",
+    "unigram_encode_stats",
+    # round-7 head
     "media_decode_stats", "boilerplate_strip_audit", "token_budget_sample",
     # round-6 head (all re-greened in r06)
     "corpus_build_e2e", "ann_lsh_multitable",
@@ -365,6 +374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(CURATION8_QUERIES)
     out.update(CURATION9_QUERIES)
     out.update(CURATION10_QUERIES)
+    out.update(CURATION11_QUERIES)
+    out.update(UNIGRAM_QUERIES)
     order = _rotated(list(out))
     return {name: out[name] for name in order}
 
@@ -372,6 +383,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted ⇒ rows-only)."""
     out: dict[str, str] = {}
-    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL, EXTRAS_ORACLE_SQL, STREAMING_ORACLE_SQL, TPCH_ORACLE_SQL, BEHAVIOR_ORACLE_SQL, TPCH2_ORACLE_SQL, TRAINING_ORACLE_SQL, ANALYTICS3_ORACLE_SQL, VECTOR_ANALYTICS_ORACLE_SQL, ANALYTICS4_ORACLE_SQL, TPCH3_ORACLE_SQL, ANALYTICS5_ORACLE_SQL, TPCH4_ORACLE_SQL, ANALYTICS6_ORACLE_SQL, TRAINING2_ORACLE_SQL, EXTENSION2_ORACLE_SQL, CURATION_ORACLE_SQL, CURATION2_ORACLE_SQL, TOKENIZER_ORACLE_SQL, CURATION3_ORACLE_SQL, ETL_SEAMS_ORACLE_SQL, CURATION4_ORACLE_SQL, CURATION5_ORACLE_SQL, CURATION6_ORACLE_SQL, SKETCH_ORACLE_SQL, SCALE_OPS_ORACLE_SQL, CURATION7_ORACLE_SQL, CURATION8_ORACLE_SQL, CURATION9_ORACLE_SQL, CURATION10_ORACLE_SQL):
+    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL, EXTRAS_ORACLE_SQL, STREAMING_ORACLE_SQL, TPCH_ORACLE_SQL, BEHAVIOR_ORACLE_SQL, TPCH2_ORACLE_SQL, TRAINING_ORACLE_SQL, ANALYTICS3_ORACLE_SQL, VECTOR_ANALYTICS_ORACLE_SQL, ANALYTICS4_ORACLE_SQL, TPCH3_ORACLE_SQL, ANALYTICS5_ORACLE_SQL, TPCH4_ORACLE_SQL, ANALYTICS6_ORACLE_SQL, TRAINING2_ORACLE_SQL, EXTENSION2_ORACLE_SQL, CURATION_ORACLE_SQL, CURATION2_ORACLE_SQL, TOKENIZER_ORACLE_SQL, CURATION3_ORACLE_SQL, ETL_SEAMS_ORACLE_SQL, CURATION4_ORACLE_SQL, CURATION5_ORACLE_SQL, CURATION6_ORACLE_SQL, SKETCH_ORACLE_SQL, SCALE_OPS_ORACLE_SQL, CURATION7_ORACLE_SQL, CURATION8_ORACLE_SQL, CURATION9_ORACLE_SQL, CURATION10_ORACLE_SQL, CURATION11_ORACLE_SQL, UNIGRAM_ORACLE_SQL):
         out.update({k: v for k, v in d.items() if v})
     return out

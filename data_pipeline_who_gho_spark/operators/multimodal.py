@@ -184,11 +184,180 @@ def _decode_ppm(payload: bytes):
     return np.ascontiguousarray(px.reshape(h, w, 3))
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): pick whichever of left (a),
+    up (b), upper-left (c) is closest to a + b - c, ties a > b > c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(arr, row_filters=None) -> bytes:
+    """8-bit RGB PNG (color type 2, no interlace) from an (H, W, 3)
+    uint8 array, pure stdlib zlib + numpy.
+
+    ``row_filters`` (optional, len H) picks the per-row filter type
+    0..4 (None/Sub/Up/Average/Paeth); the encoder APPLIES the filter
+    transform, so a decoder must correctly reverse every filter it is
+    fed — which is exactly what makes the registered decode query
+    load-bearing on the un-filtering math, not just on zlib."""
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    filters = list(row_filters) if row_filters is not None else [0] * h
+    if len(filters) != h:
+        raise ValueError(f"row_filters must have length {h}")
+    raw = a.astype(np.int64).reshape(h, w * 3)
+    out = bytearray()
+    zero = np.zeros(w * 3, dtype=np.int64)
+    for y in range(h):
+        cur = raw[y]
+        up = raw[y - 1] if y > 0 else zero
+        left = np.concatenate([[0, 0, 0], cur[:-3]])
+        upleft = np.concatenate([[0, 0, 0], up[:-3]])
+        f = filters[y]
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - up
+        elif f == 3:
+            filt = cur - (left + up) // 2
+        elif f == 4:
+            pred = np.array(
+                [_paeth(int(l), int(u), int(ul))
+                 for l, u, ul in zip(left, up, upleft)],
+                dtype=np.int64,
+            )
+            filt = cur - pred
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out.append(f)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        import zlib as z
+
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + (z.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # bit depth 8, RGB, deflate, adaptive, no interlace
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes):
+    """Pure-stdlib decode of 8-bit RGB PNG (color type 2, no interlace)
+    → (H, W, 3): chunk walk with CRC verification, zlib inflate, then
+    per-row reversal of all five adaptive filters (None/Sub/Up/Average/
+    Paeth). Other bit depths, color types, and interlacing raise — the
+    remaining genuinely-codec-library formats (JPEG etc.) keep the
+    NotImplementedError stub."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    pos, n = 8, len(payload)
+    ihdr = None
+    idat = bytearray()
+    seen_iend = False
+    while pos < n:
+        if n - pos < 8:
+            raise ValueError("truncated PNG chunk header")
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        if n - pos < 12 + length:
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        data = payload[pos + 8 : pos + 8 + length]
+        crc = int.from_bytes(payload[pos + 8 + length : pos + 12 + length], "big")
+        if (zlib.crc32(ctype + data) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + length
+    if ihdr is None or not seen_iend or not idat:
+        raise ValueError("PNG missing IHDR/IDAT/IEND")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype_, comp, filt_m, interlace = ihdr[8:13]
+    if depth != 8 or ctype_ != 2:
+        raise NotImplementedError(
+            f"only 8-bit RGB PNG is supported (depth={depth}, color type={ctype_})"
+        )
+    if comp != 0 or filt_m != 0 or interlace != 0:
+        raise NotImplementedError(
+            "compressed-method/interlaced PNG variants are not supported"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"malformed PNG dimensions {w}x{h}")
+    raw = zlib.decompress(bytes(idat))
+    rowlen = w * 3
+    if len(raw) != h * (rowlen + 1):
+        raise ValueError(
+            f"PNG pixel data wrong size: {len(raw)} != {h * (rowlen + 1)}"
+        )
+    scan = np.frombuffer(raw, np.uint8).reshape(h, rowlen + 1)
+    recon = np.zeros((h, rowlen), dtype=np.int64)
+    zero = np.zeros(rowlen, dtype=np.int64)
+    for y in range(h):
+        f = int(scan[y, 0])
+        cur = scan[y, 1:].astype(np.int64)
+        up = recon[y - 1] if y > 0 else zero
+        if f == 0:
+            recon[y] = cur
+        elif f == 1:  # Sub: per-channel prefix sum, mod 256
+            recon[y] = np.cumsum(cur.reshape(w, 3), axis=0).reshape(rowlen) % 256
+        elif f == 2:  # Up
+            recon[y] = (cur + up) % 256
+        elif f == 3:  # Average: left-dependency forces the in-row scan
+            row = recon[y]
+            for x in range(rowlen):
+                left = row[x - 3] if x >= 3 else 0
+                row[x] = (cur[x] + (left + up[x]) // 2) % 256
+        elif f == 4:  # Paeth
+            row = recon[y]
+            for x in range(rowlen):
+                left = int(row[x - 3]) if x >= 3 else 0
+                upleft = int(up[x - 3]) if x >= 3 else 0
+                row[x] = (cur[x] + _paeth(left, int(up[x]), upleft)) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f} in row {y}")
+    return np.ascontiguousarray(recon.astype(np.uint8).reshape(h, w, 3))
+
+
 def decode_media(payload: bytes, media_type: str):
-    """Default decoder: REAL pure-numpy decode for the uncompressed
-    image formats (24-bit BMP, binary PPM — header parse + reshape, no
-    external libs), NotImplementedError for compressed formats whose
-    codecs (PIL/librosa/ffmpeg) are absent in this container. The
+    """Default decoder: REAL decode for 24-bit BMP, binary PPM (pure
+    numpy: header parse + reshape) and 8-bit RGB PNG (stdlib zlib +
+    numpy un-filtering — a genuinely COMPRESSED format, no external
+    libs), NotImplementedError for the codec-library formats
+    (JPEG/WAV/MP4) absent in this container. The
     Spark-side contract (signature, batching) is identical either way;
     the injected-decoder override remains for cluster deployments with
     real codec libraries."""
@@ -196,6 +365,10 @@ def decode_media(payload: bytes, media_type: str):
         return _decode_bmp(payload)
     if media_type == "image/ppm" or (media_type is None and payload[:2] == b"P6"):
         return _decode_ppm(payload)
+    if media_type == "image/png" or (
+        media_type is None and payload[:4] == b"\x89PNG"
+    ):
+        return _decode_png(payload)
     raise NotImplementedError(
         f"media decoding for {media_type} requires image/audio libraries "
         "not present in this environment"

@@ -399,8 +399,8 @@ def dedup_lines_within_doc(
 
 def intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered form of dedup_lines_within_doc over the fixture's
-    aligned token-chunk lines — r08 registration candidate (oracle
-    below, cross-checked in tests)."""
+    aligned token-chunk lines — registered r08 (oracle below,
+    cross-checked in tests)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return dedup_lines_within_doc(_doc_lines(docs))
 
@@ -439,10 +439,8 @@ FROM base b JOIN clean c USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
-# media_resize_checksum — r08 registration candidate (window discipline:
-# r07's spare slots were spent; the oracle below is already gate-exact,
-# cross-checked by tests/test_curation10.py, so r08 registration is a
-# two-line edit)
+# media_resize_checksum — registered r08 (written in r07; the oracle is
+# gate-exact, cross-checked by tests/test_curation10.py)
 # ---------------------------------------------------------------------------
 
 _RSZ_H, _RSZ_W = 3, 4  # fixed output geometry of the registered resize
@@ -549,10 +547,15 @@ CURATION10_QUERIES = {
     "media_decode_stats": media_decode_stats,
     "boilerplate_strip_audit": boilerplate_strip_audit,
     "token_budget_sample": token_budget_sample,
+    # registered r08 (written + oracle-exact in r07; window discipline)
+    "media_resize_checksum": media_resize_checksum,
+    "intradoc_line_dedup": intradoc_line_dedup,
 }
 
 CURATION10_ORACLE_SQL = {
     "media_decode_stats": MEDIA_DECODE_STATS_SQL,
     "boilerplate_strip_audit": BOILERPLATE_STRIP_SQL,
     "token_budget_sample": TOKEN_BUDGET_SAMPLE_SQL,
+    "media_resize_checksum": MEDIA_RESIZE_CHECKSUM_SQL,
+    "intradoc_line_dedup": INTRADOC_LINE_DEDUP_SQL,
 }

@@ -1,0 +1,216 @@
+"""Round-8 curation additions (VERDICT r07 items 3 and 6).
+
+``media_decode_png_stats`` — the engine decodes a genuinely COMPRESSED
+format in-container: documents drive the same deterministic pixel
+formula as ``media_decode_stats`` (plans/curation10.py), but encoded as
+8-bit RGB PNG via stdlib zlib with a DIFFERENT adaptive filter per row
+(``(doc_id + y) % 5`` — None/Sub/Up/Average/Paeth all load-bearing),
+then decoded by the DEFAULT ``decode_media`` (chunk walk + CRC check +
+inflate + per-row un-filtering, ``operators/multimodal.py``) and
+reduced to exact integer channel statistics. The oracle recomputes the
+statistics from the pixel formula alone, so any un-filtering defect —
+wrong predictor, missed left/up dependency, modular-arithmetic slip —
+breaks the hash on the rows whose filters exercise it.
+
+``boilerplate_strip_newline`` — the PRODUCTION line unit of
+``strip_frequent_lines`` given a driver row: real multiline text is
+synthesized in-plan (the fixture corpus is single-line) by joining each
+doc's aligned token chunks with ``'\\n'``, and the query then runs the
+production path verbatim — ``posexplode(split(text, '\\n'))`` lines, a
+``'\\n'`` reassembly joiner — per VERDICT r07 item 3. The registered
+``boilerplate_strip_audit`` keeps covering the parameterized chunk
+unit; this covers the newline unit end-to-end.
+
+Scale notes: PNG decode is a map-only Arrow pass (identical plan shape
+to media_decode_stats — decode never crosses a partition boundary; at
+100 TB the payload column rides parquet BYTE_ARRAY pages and the
+per-task working set is one Arrow batch of images). The newline strip
+has the same plan as the chunk strip: ONE map-side-combined shuffle for
+line document-frequency, a broadcast marker join, ONE doc-grain groupBy
+for audit + reassembly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .curation10 import (
+    _BOILER_MIN_DOCS,
+    _IMG_H,
+    _IMG_W,
+    _LINE_TOKENS,
+    _MEDIA_STATS_SCHEMA,
+    _PX,
+    strip_frequent_lines,
+)
+from .extensions import _sql_tokens
+
+# ---------------------------------------------------------------------------
+# media_decode_png_stats
+# ---------------------------------------------------------------------------
+
+_PNG_STATS_SCHEMA = _MEDIA_STATS_SCHEMA.replace("fmt STRING, ", "")
+
+
+def media_decode_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode (zlib, per-row adaptive filters) → REAL decode → exact
+    stats, one Arrow batch pass. Row y of doc d is filtered with type
+    ``(d + y) % 5``, so every PNG filter's inverse is exercised and
+    pinned by the formula oracle."""
+    from ..operators.multimodal import decode_media, encode_png, sniff_media_type
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        a_id, a_y, a_x, a_c = _PX
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 4 + doc_id % 5, 3 + doc_id % 4
+                y = np.arange(h).reshape(h, 1, 1)
+                x = np.arange(w).reshape(1, w, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                img = ((doc_id * a_id + y * a_y + x * a_x + c * a_c) % 256).astype(
+                    np.uint8
+                )
+                payload = encode_png(
+                    img, row_filters=[(doc_id + yy) % 5 for yy in range(h)]
+                )
+                dec = decode_media(payload, sniff_media_type(payload))
+                dec = dec.astype(np.int64)
+                wt = (y * w + x + 1) * (c + 1)
+                rows.append(
+                    (
+                        doc_id,
+                        h,
+                        w,
+                        h * w,
+                        int(dec[:, :, 0].sum()),
+                        int(dec[:, :, 1].sum()),
+                        int(dec[:, :, 2].sum()),
+                        int((dec * wt).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "h", "w", "n_px", "sum_r", "sum_g", "sum_b", "wsum"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(run, _PNG_STATS_SCHEMA)
+
+
+MEDIA_DECODE_PNG_STATS_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, {_IMG_W} AS w, {_IMG_H} AS h FROM documents
+),
+cells AS (
+  SELECT doc_id, w, h, unnest(range(0, w * h)) AS g FROM dims
+),
+chans AS (SELECT c FROM generate_series(0, 2) AS s(c)),
+vals AS (
+  SELECT doc_id, w, h, c,
+         (doc_id * {_PX[0]} + (g // w) * {_PX[1]}
+          + (g % w) * {_PX[2]} + c * {_PX[3]}) % 256 AS v,
+         ((g // w) * w + (g % w) + 1) * (c + 1) AS wt
+  FROM cells CROSS JOIN chans
+)
+SELECT doc_id,
+       CAST(h AS BIGINT) AS h,
+       CAST(w AS BIGINT) AS w,
+       CAST(h * w AS BIGINT) AS n_px,
+       CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+       CAST(SUM(v * wt) AS BIGINT) AS wsum
+FROM vals
+GROUP BY doc_id, h, w
+"""
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_strip_newline
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_strip_newline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The newline-unit production path of strip_frequent_lines, driven
+    end-to-end: synthesize real multiline text (each doc's aligned
+    10-token chunks joined by '\\n'), then split on '\\n'
+    with posexplode and reassemble with the '\\n' joiner — the exact
+    path production web text takes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    k = _LINE_TOKENS
+    nl = F.ceil(F.size("t") / F.lit(k)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda g: F.array_join(F.slice("t", g * k + 1, k), " "),
+    )
+    multiline = toks.select(
+        "doc_id", F.array_join(chunks, "\n").alias("text_nl")
+    )
+    lines = multiline.select(
+        "doc_id", F.posexplode(F.split("text_nl", "\n")).alias("line_no", "line")
+    )
+    return strip_frequent_lines(lines, joiner="\n")
+
+
+# the chunks contain no '\n' (space-joined whitespace-split tokens), so
+# the post-split line relation equals the chunk relation; the oracle
+# computes it directly and joins the cleaned text with chr(10)
+BOILERPLATE_STRIP_NEWLINE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_tokens()} AS t FROM documents
+),
+dims AS (
+  SELECT doc_id, t, CAST(ceil(len(t) / {float(_LINE_TOKENS)}) AS BIGINT) AS nl
+  FROM toks
+),
+lines AS (
+  SELECT doc_id, g AS line_no,
+         array_to_string(t[(g * {_LINE_TOKENS} + 1):(g * {_LINE_TOKENS} + {_LINE_TOKENS})], ' ') AS line
+  FROM (SELECT doc_id, t, unnest(range(0, nl)) AS g FROM dims)
+),
+boiler AS (
+  SELECT line FROM lines WHERE line <> ''
+  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}
+),
+kept AS (
+  SELECT * FROM lines WHERE line NOT IN (SELECT line FROM boiler)
+),
+clean AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY line_no) AS ct
+  FROM kept GROUP BY doc_id
+),
+base AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(b.n_lines AS BIGINT) AS n_lines,
+       CAST(b.n_lines - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed,
+       CAST(length(COALESCE(c.ct, '')) AS BIGINT) AS clean_n_chars,
+       md5(COALESCE(c.ct, '')) AS clean_md5
+FROM documents d
+JOIN base b USING (doc_id)
+LEFT JOIN clean c USING (doc_id)
+"""
+
+
+CURATION11_QUERIES = {
+    "media_decode_png_stats": media_decode_png_stats,
+    "boilerplate_strip_newline": boilerplate_strip_newline,
+}
+
+CURATION11_ORACLE_SQL = {
+    "media_decode_png_stats": MEDIA_DECODE_PNG_STATS_SQL,
+    "boilerplate_strip_newline": BOILERPLATE_STRIP_NEWLINE_SQL,
+}

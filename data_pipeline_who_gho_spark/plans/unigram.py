@@ -230,7 +230,7 @@ def maxmatch_encode(words: DataFrame, inventory: set[str] | dict[str, int],
 
 
 # ---------------------------------------------------------------------------
-# maxmatch_segment_stats — r08 registration candidate. The greedy
+# maxmatch_segment_stats — registered r08. The greedy
 # longest-match objective (unlike unigram EM's bigint product scores)
 # is exactly expressible in SQL: a non-recursive (word, pos) match-
 # length table + a recursive walk over positions. Oracle cross-checked
@@ -330,11 +330,17 @@ MAXMATCH_SEGMENT_SQL = _maxmatch_sql()
 
 
 def unigram_encode(words: DataFrame, inventory: dict[str, int],
-                   max_piece_len: int = UNIGRAM_MAX_PIECE) -> DataFrame:
+                   max_piece_len: int = UNIGRAM_MAX_PIECE,
+                   total: int | None = None) -> DataFrame:
     """Viterbi-encode each word under a trained inventory: returns
     (word, pieces ARRAY<STRING>, n_pieces) — the inference surface
-    (fertility, OOV analysis) mirroring bpe_encode."""
-    total = sum(inventory.values())
+    (fertility, OOV analysis) mirroring bpe_encode.
+
+    ``total`` overrides the normalizer T in the score Π count(pᵢ)/T^k
+    (default: the inventory's count sum). The registered driver query
+    passes a power of two so the exact cross-multiplied comparison
+    reduces to an integer-sum comparison its DuckDB oracle replays."""
+    total = total if total is not None else sum(inventory.values())
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -353,3 +359,127 @@ def unigram_encode(words: DataFrame, inventory: dict[str, int],
     return words.select("word").mapInPandas(
         run, "word STRING, pieces ARRAY<STRING>, n_pieces INT"
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram_encode_stats — registered r08 (VERDICT r07 item 4). The EM
+# objective itself is NOT oracled (bigint cross-products overflow DuckDB
+# HUGEINT); the ENCODE surface is, by construction: the registered query
+# quantizes the SQL-computable seed inventory's counts to powers of two
+# and normalizes by T = 2^t, so the exact Viterbi comparison
+# prod_a·T^k_b > prod_b·T^k_a collapses to an integer-sum comparison
+# (Σe_a − t·k_a > Σe_b − t·k_b) a recursive-CTE oracle can replay by
+# enumerating every segmentation (fixture words are ≤ 8 chars, so the
+# path count per word is tetranacci-bounded and tiny). The tie-break
+# (fewer pieces, then lexicographically smaller piece tuple) maps to
+# ORDER BY k, tab-joined-segmentation: a '\t' separator sorts below
+# every word character, making joined-string order equal tuple order.
+# ---------------------------------------------------------------------------
+
+_UE_SEED = 48  # top-K weighted substring pieces (plus all single chars)
+
+
+def unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi-encode every distinct corpus word under the power-of-two
+    quantized seed inventory (top _UE_SEED substrings by weighted count
+    ∪ all single chars; count → 2^(bit_length−1); T = 2^bit_length(Σ
+    raw counts)). Output: one scalar row per word — piece count and the
+    '|'-joined segmentation md5, exactly the maxmatch_segment_stats
+    shape so the two segmenters are directly comparable."""
+    words = word_freqs(spark, sf_dir)
+    words = words.localCheckpoint(eager=True)  # two consumers: seed + encode
+    raw = {
+        r["piece"]: int(r["count"])
+        for r in seed_pieces(words, UNIGRAM_MAX_PIECE, _UE_SEED).collect()
+    }
+    quantized = {p: 1 << (c.bit_length() - 1) for p, c in raw.items()}
+    total = 1 << sum(raw.values()).bit_length()
+    enc = unigram_encode(words, quantized, UNIGRAM_MAX_PIECE, total=total)
+    return enc.join(words, "word").select(
+        "word",
+        F.col("freq").cast("long").alias("freq"),
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        F.md5(F.array_join("pieces", "|")).alias("seg_md5"),
+    )
+
+
+def _unigram_encode_sql() -> str:
+    from .extensions import _sql_tokens
+
+    k = UNIGRAM_MAX_PIECE
+    return f"""
+WITH RECURSIVE words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_sql_tokens()}) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+subs AS (
+  SELECT word, freq, i, unnest(range(1, least({k}, length(word) - i) + 1)) AS n
+  FROM (SELECT word, freq, unnest(range(0, length(word))) AS i FROM words)
+),
+pieces AS (
+  SELECT substr(word, i + 1, n) AS piece, CAST(SUM(freq) AS BIGINT) AS count
+  FROM subs GROUP BY 1
+),
+ranked AS (
+  SELECT piece, count FROM (
+    SELECT piece, count, row_number() OVER (ORDER BY count DESC, piece) AS rn
+    FROM pieces
+  ) WHERE rn <= {_UE_SEED}
+),
+inv AS (
+  -- seed_pieces semantics: top-K ∪ every single char, deduped
+  SELECT piece, MAX(count) AS count FROM (
+    SELECT piece, count FROM ranked
+    UNION ALL
+    SELECT piece, count FROM pieces WHERE length(piece) = 1
+  ) GROUP BY piece
+),
+qinv AS (
+  -- exponent of the power-of-two quantization: bit_length(count) - 1,
+  -- computed exactly via base-2 digits (no float log2)
+  SELECT piece, CAST(length(to_base(count, 2)) - 1 AS BIGINT) AS e FROM inv
+),
+tt AS (
+  SELECT CAST(length(to_base(CAST(SUM(count) AS BIGINT), 2)) AS BIGINT) AS t FROM inv
+),
+walk AS (
+  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS esum,
+         CAST('' AS VARCHAR) AS acc
+  FROM words
+  UNION ALL
+  SELECT w.word, w.pos + length(q.piece), w.k + 1, w.esum + q.e,
+         w.acc || CASE WHEN w.k = 0 THEN '' ELSE chr(9) END || q.piece
+  FROM walk w
+  JOIN qinv q ON q.piece = substr(w.word, w.pos + 1, length(q.piece))
+  WHERE w.pos < length(w.word)
+),
+best AS (
+  SELECT d.word, d.k, d.acc,
+         row_number() OVER (
+           PARTITION BY d.word
+           ORDER BY d.esum - tt.t * d.k DESC, d.k, d.acc
+         ) AS rn
+  FROM walk d CROSS JOIN tt
+  WHERE d.pos = length(d.word)
+)
+SELECT b.word, w.freq,
+       CAST(b.k AS BIGINT) AS n_pieces,
+       md5(replace(b.acc, chr(9), '|')) AS seg_md5
+FROM best b JOIN words w USING (word)
+WHERE b.rn = 1
+"""
+
+
+UNIGRAM_ENCODE_STATS_SQL = _unigram_encode_sql()
+
+
+UNIGRAM_QUERIES = {
+    "maxmatch_segment_stats": maxmatch_segment_stats,
+    "unigram_encode_stats": unigram_encode_stats,
+}
+
+UNIGRAM_ORACLE_SQL = {
+    "maxmatch_segment_stats": MAXMATCH_SEGMENT_SQL,
+    "unigram_encode_stats": UNIGRAM_ENCODE_STATS_SQL,
+}

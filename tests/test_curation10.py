@@ -341,3 +341,59 @@ def test_intradoc_line_dedup_matches_duckdb_oracle(spark):
         )
         assert got == want, sf
         assert len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (round 8): stdlib zlib + numpy un-filtering
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_every_filter_type():
+    from data_pipeline_who_gho_spark.operators.multimodal import encode_png
+
+    rng = np.random.default_rng(8)
+    a = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    for f in range(5):  # one uniform filter type per image
+        payload = encode_png(a, row_filters=[f] * 7)
+        assert sniff_media_type(payload) == "image/png"
+        assert (decode_media(payload, "image/png") == a).all(), f"filter {f}"
+    # mixed per-row filters (the registered query's shape)
+    mixed = encode_png(a, row_filters=[y % 5 for y in range(7)])
+    assert (decode_media(mixed, "image/png") == a).all()
+
+
+def test_png_roundtrip_shapes():
+    from data_pipeline_who_gho_spark.operators.multimodal import encode_png
+
+    for shape in [(1, 1, 3), (3, 5, 3), (6, 4, 3), (8, 8, 3)]:
+        a = (np.arange(np.prod(shape)) * 37 % 256).astype(np.uint8).reshape(shape)
+        filters = [y % 5 for y in range(shape[0])]
+        assert (decode_media(encode_png(a, filters), "image/png") == a).all()
+
+
+def test_png_rejects_corruption_and_unsupported():
+    import zlib
+
+    from data_pipeline_who_gho_spark.operators.multimodal import encode_png
+
+    a = np.arange(3 * 4 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    good = encode_png(a)
+    # flip one IDAT byte -> CRC mismatch
+    bad = bytearray(good)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_media(bytes(bad), "image/png")
+    with pytest.raises(ValueError):
+        decode_media(good[:-5], "image/png")  # truncated
+    with pytest.raises(ValueError):
+        decode_media(b"\x89PNG\r\n\x1a\n", "image/png")  # header only
+    # grayscale (color type 0) stays a documented stub
+    ihdr = (4).to_bytes(4, "big") + (3).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+    def chunk(t, d):
+        return len(d).to_bytes(4, "big") + t + d + (zlib.crc32(t + d) & 0xFFFFFFFF).to_bytes(4, "big")
+    gray = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (3 * 5)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_media(gray, "image/png")

@@ -34,8 +34,11 @@ def test_magic_sniffing():
     assert sniff_media_type(None) == "empty"
 
 
-def test_decode_is_stubbed():
+def test_codec_formats_still_stubbed_and_bad_png_raises():
     with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff...", "image/jpeg")
+    # PNG now decodes for real — a bare magic is a TRUNCATED png, not a stub
+    with pytest.raises(ValueError):
         decode_media(b"\x89PNG", "image/png")
 
 

@@ -223,3 +223,83 @@ def test_maxmatch_segment_stats_matches_duckdb_oracle(spark):
     want = sorted(tuple(r) for r in con.sql(MAXMATCH_SEGMENT_SQL).fetchall())
     assert len(got) == len(want)
     assert got == want
+
+
+def test_unigram_encode_stats_matches_bruteforce_and_oracle(spark, tmp_path):
+    """Registered r08: the quantized-inventory Viterbi encode must (a)
+    equal an independent brute-force enumeration over ALL segmentations
+    under the same quantized scores, and (b) match the recursive-CTE
+    DuckDB oracle row for row — on a CONSTRUCTED corpus with tie-bait
+    words, not just the fixture."""
+    import duckdb
+
+    from data_pipeline_who_gho_spark.plans.unigram import (
+        UNIGRAM_ENCODE_STATS_SQL,
+        UNIGRAM_MAX_PIECE,
+        _UE_SEED,
+        seed_pieces,
+        unigram_encode_stats,
+        word_freqs,
+    )
+
+    # tie-bait: 'abab' segments as ab+ab / a+bab? / aba+b ... with many
+    # equal-count pieces; 'zzzz' stresses repeated chars
+    docs = [
+        (1, "abab banana zzzz scan scanner"),
+        (2, "abab banana band scan the"),
+        (3, "ab ba banana scanner zzzz the"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id LONG, text STRING").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+
+    got = {r["word"]: r for r in unigram_encode_stats(spark, sf).collect()}
+
+    # (a) brute force: enumerate every segmentation, score exactly
+    words = {r["word"]: int(r["freq"]) for r in word_freqs(spark, sf).collect()}
+    raw = {
+        r["piece"]: int(r["count"])
+        for r in seed_pieces(
+            word_freqs(spark, sf).localCheckpoint(eager=True),
+            UNIGRAM_MAX_PIECE, _UE_SEED,
+        ).collect()
+    }
+    q = {p: c.bit_length() - 1 for p, c in raw.items()}  # exponents
+    t = sum(raw.values()).bit_length()
+
+    def all_segs(w):
+        if not w:
+            yield ()
+            return
+        for ln in range(1, min(UNIGRAM_MAX_PIECE, len(w)) + 1):
+            if w[:ln] in q:
+                for rest in all_segs(w[ln:]):
+                    yield (w[:ln],) + rest
+
+    import hashlib
+
+    for w, freq in words.items():
+        best = max(
+            all_segs(w),
+            key=lambda s: (
+                sum(q[p] for p in s) - t * len(s),   # score
+                -len(s),                             # fewer pieces
+                tuple(-ord(ch) for ch in "\t".join(s)),  # lexicographically smaller
+            ),
+        )
+        assert got[w]["n_pieces"] == len(best), (w, best)
+        assert (
+            got[w]["seg_md5"]
+            == hashlib.md5("|".join(best).encode()).hexdigest()
+        ), (w, best)
+        assert got[w]["freq"] == freq
+
+    # (b) oracle parity on the same constructed corpus
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(UNIGRAM_ENCODE_STATS_SQL).fetchall())
+    assert sorted(tuple(r) for r in got.values()) == want
