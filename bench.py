@@ -51,6 +51,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    load_start = os.getloadavg()  # BEFORE the JVM spins up: ambient load
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
@@ -75,6 +76,9 @@ def main() -> None:
             timings[name] = min(timings[name], time.time() - t0)
     timings = {n: round(v, 3) for n, v in timings.items()}
 
+    # machine-load context: BENCH_r07 read +18% vs r06 with ZERO plan
+    # drift (judged environmental); recording the 1/5/15-min loadavg
+    # alongside lets any future drift be attributed without a rerun
     print(
         json.dumps(
             {
@@ -83,6 +87,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "loadavg_start": [round(v, 2) for v in load_start],
+                "loadavg_end": [round(v, 2) for v in os.getloadavg()],
+                "cpus": os.cpu_count(),
             }
         )
     )

