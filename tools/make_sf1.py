@@ -33,6 +33,7 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 SHIFT = 10_000_000
+TARGET_ROW_GROUPS = 64
 
 
 def main() -> None:
@@ -43,11 +44,22 @@ def main() -> None:
     con.sql("SET threads TO 16")
 
     def build(table: str, select_for_copy) -> None:
+        # ROW_GROUP_SIZE targets ~TARGET_ROW_GROUPS groups per table:
+        # pre-shuffle scan parallelism equals the row-group count (byte
+        # splits without a row-group start read zero rows — SCALING.md
+        # round-7), so DuckDB's 122 880-row default would collapse the
+        # small-row-count tables (documents: 50k rows -> ONE group) to
+        # single-task scans and make every sf1 strong-scaling row
+        # measure the layout, not the engine.
         parts = " UNION ALL ".join(select_for_copy(c) for c in range(copies))
+        n_src = con.sql(
+            f"SELECT COUNT(*) FROM '{SRC}/{table}.parquet'"
+        ).fetchone()[0]
+        rg = max(2048, -(-n_src * copies // TARGET_ROW_GROUPS))
         dest = os.path.join(out, f"{table}.parquet")
-        con.sql(f"COPY ({parts}) TO '{dest}' (FORMAT PARQUET)")
+        con.sql(f"COPY ({parts}) TO '{dest}' (FORMAT PARQUET, ROW_GROUP_SIZE {rg})")
         n = con.sql(f"SELECT COUNT(*) FROM '{dest}'").fetchone()[0]
-        print(f"{table}: {n} rows", flush=True)
+        print(f"{table}: {n} rows, row_group_size {rg}", flush=True)
 
     for dim in ("nation", "region"):
         con.sql(

@@ -49,7 +49,11 @@ def main() -> None:
         for c in range(copies)
     )
     dest = os.path.join(out, "documents.parquet")
-    con.sql(f"COPY ({parts}) TO '{dest}' (FORMAT PARQUET)")
+    # ~64 row groups so pre-shuffle scan parallelism isn't layout-capped
+    # (scan parallelism = row-group count; SCALING.md round-7)
+    n_src = con.sql(f"SELECT COUNT(*) FROM '{SRC}/documents.parquet'").fetchone()[0]
+    rg = max(2048, -(-n_src * copies // 64))
+    con.sql(f"COPY ({parts}) TO '{dest}' (FORMAT PARQUET, ROW_GROUP_SIZE {rg})")
     n, tok = con.sql(
         f"SELECT COUNT(*), SUM(len(regexp_split_to_array(trim(text), '\\s+'))) FROM '{dest}'"
     ).fetchone()
