@@ -167,15 +167,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # _PRIORITY below), then green ones stalest-round first.  Ground truth is
 # the CORRECTNESS_r*.json files the driver leaves in the repo root.
 _PRIORITY = [
-    # round-8 head: six new registrations — the three r07-queued ops
-    # (media resize, maxmatch segmentation, intra-doc line dedup) plus
-    # the three round-8 builds (stdlib-zlib PNG decode, the newline-
-    # unit boilerplate path, quantized-inventory unigram Viterbi
-    # encode).  The remaining 44 window slots drain the ENTIRE r03-
-    # green cohort (40) + the 4 oldest r04 via the green-round sort.
+    # round-8 head: eight new registrations — the three r07-queued ops
+    # (media resize, maxmatch segmentation, intra-doc line dedup), the
+    # three round-8 builds (stdlib-zlib PNG decode, the newline-unit
+    # boilerplate path, quantized-inventory unigram Viterbi encode),
+    # and the round-8 second pair that makes decode REAL across all
+    # three modalities (16-bit-PCM WAV audio, mono-Y4M video).  The
+    # remaining 42 window slots drain the ENTIRE r03-green cohort (40)
+    # + the 2 oldest r04 via the green-round sort.
     "media_resize_checksum", "maxmatch_segment_stats", "intradoc_line_dedup",
     "media_decode_png_stats", "boilerplate_strip_newline",
-    "unigram_encode_stats",
+    "unigram_encode_stats", "audio_decode_stats", "video_frame_stats",
     # round-7 head
     "media_decode_stats", "boilerplate_strip_audit", "token_budget_sample",
     # round-6 head (all re-greened in r06)

@@ -27,7 +27,8 @@ MEDIA_META_SCHEMA = (
 )
 
 # magic-byte prefixes → media type (sniffing is real; decoding is real
-# for the uncompressed formats BMP/PPM, stubbed for compressed ones)
+# for BMP/PPM/PNG images, 16-bit PCM WAV audio, and Y4M video — only
+# the codec-library formats JPEG/MP3/MP4 remain stubbed)
 _MAGIC = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
@@ -35,6 +36,7 @@ _MAGIC = {
     b"P6": "image/ppm",
     b"RIFF": "audio/wav",
     b"ID3": "audio/mp3",
+    b"YUV4MPEG2": "video/y4m",
     b"\x00\x00\x00\x18ftyp": "video/mp4",
     b"\x00\x00\x00\x20ftyp": "video/mp4",
 }
@@ -352,6 +354,149 @@ def _decode_png(payload: bytes):
     return np.ascontiguousarray(recon.astype(np.uint8).reshape(h, w, 3))
 
 
+def encode_wav(samples, rate: int = 16000) -> bytes:
+    """Canonical RIFF/WAVE, 16-bit PCM, from an (N,) or (N, C) int16
+    array — the one WAV layout every consumer agrees on, and (like BMP/
+    PPM) an UNCOMPRESSED format a pure-numpy decoder round-trips
+    exactly."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a.reshape(-1, 1)
+    n, ch = a.shape
+    body = a.astype("<i2").tobytes()  # interleaved little-endian frames
+    block = ch * 2
+    fmt = (
+        (1).to_bytes(2, "little")          # PCM
+        + ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")       # bits per sample
+    )
+    return (
+        b"RIFF"
+        + (4 + 8 + len(fmt) + 8 + len(body)).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(body).to_bytes(4, "little") + body
+    )
+
+
+def _decode_wav(payload: bytes):
+    """Pure-numpy decode of 16-bit PCM RIFF/WAVE → (N, C) int16.
+
+    Walks the RIFF chunk list (tolerating extra chunks like LIST/fact),
+    validates the fmt chunk, and reshapes the data chunk. Non-PCM
+    codecs (float, ADPCM, mp3-in-wav) and other bit depths raise —
+    they belong to the codec-library stub."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt = data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        clen = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if pos + 8 + clen > n:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        if cid == b"fmt ":
+            fmt = payload[pos + 8 : pos + 8 + clen]
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("malformed WAV fmt chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    ch = int.from_bytes(fmt[2:4], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV is supported (format={audio_fmt}, bits={bits})"
+        )
+    if ch < 1:
+        raise ValueError(f"malformed WAV channel count {ch}")
+    if len(data) % (2 * ch):
+        raise ValueError("WAV data chunk is not a whole number of frames")
+    import numpy as np
+
+    a = np.frombuffer(data, "<i2").reshape(-1, ch)
+    return np.ascontiguousarray(a)
+
+
+def wav_sample_rate(payload: bytes) -> int:
+    """Sample rate from the fmt chunk (metadata twin of _decode_wav)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        clen = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if cid == b"fmt ":
+            return int.from_bytes(payload[pos + 12 : pos + 16], "little")
+        pos += 8 + clen + (clen & 1)
+    raise ValueError("WAV missing fmt chunk")
+
+
+def encode_y4m(frames, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """YUV4MPEG2 (mono colourspace) from a (T, H, W) uint8 luma array:
+    plain-text stream header, then 'FRAME\\n' + H·W raw bytes per frame
+    — the uncompressed video container (mjpegtools), exactly
+    round-trippable like PPM is for images."""
+    import numpy as np
+
+    a = np.asarray(frames, dtype=np.uint8)
+    t, h, w = a.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 Cmono\n".encode()
+    return head + b"".join(b"FRAME\n" + a[i].tobytes() for i in range(t))
+
+
+def _decode_y4m(payload: bytes):
+    """Pure-numpy decode of mono-colourspace YUV4MPEG2 → (T, H, W)
+    uint8. Chroma-carrying colourspaces (C420 etc.) raise — decoding
+    them is mechanical but no producer in this engine emits them."""
+    import numpy as np
+
+    nl = payload.find(b"\n")
+    if not payload.startswith(b"YUV4MPEG2") or nl < 0:
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    cspace = "C420"  # the format's default when no C tag is present
+    for tag in payload[10:nl].split(b" "):
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"C":
+            cspace = tag.decode()
+    if not w or not h or w <= 0 or h <= 0:
+        raise ValueError("malformed Y4M stream header")
+    if cspace != "Cmono":
+        raise NotImplementedError(
+            f"only mono-colourspace Y4M is supported (got {cspace})"
+        )
+    frames = []
+    pos, fsize, n = nl + 1, w * h, len(payload)
+    while pos < n:
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed Y4M frame header")
+        start = fnl + 1
+        if start + fsize > n:
+            raise ValueError("truncated Y4M frame")
+        frames.append(
+            np.frombuffer(payload, np.uint8, count=fsize, offset=start).reshape(h, w)
+        )
+        pos = start + fsize
+    if not frames:
+        raise ValueError("Y4M stream with zero frames")
+    return np.stack(frames)
+
+
 def decode_media(payload: bytes, media_type: str):
     """Default decoder: REAL decode for 24-bit BMP, binary PPM (pure
     numpy: header parse + reshape) and 8-bit RGB PNG (stdlib zlib +
@@ -369,6 +514,14 @@ def decode_media(payload: bytes, media_type: str):
         media_type is None and payload[:4] == b"\x89PNG"
     ):
         return _decode_png(payload)
+    if media_type == "audio/wav" or (
+        media_type is None and payload[:4] == b"RIFF"
+    ):
+        return _decode_wav(payload)
+    if media_type == "video/y4m" or (
+        media_type is None and payload[:9] == b"YUV4MPEG2"
+    ):
+        return _decode_y4m(payload)
     raise NotImplementedError(
         f"media decoding for {media_type} requires image/audio libraries "
         "not present in this environment"

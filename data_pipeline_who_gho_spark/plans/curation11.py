@@ -214,3 +214,201 @@ CURATION11_ORACLE_SQL = {
     "media_decode_png_stats": MEDIA_DECODE_PNG_STATS_SQL,
     "boilerplate_strip_newline": BOILERPLATE_STRIP_NEWLINE_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# audio_decode_stats / video_frame_stats — round-8 second pair: with the
+# pure-numpy 16-bit-PCM WAV and mono-Y4M decoders, the decode seam is
+# real across ALL THREE modalities (image/audio/video). Same contract
+# as media_decode_stats: deterministic synthetic signal from a small-
+# integer formula, encode to the real on-disk format, decode with the
+# DEFAULT decode_media, reduce to exact integer statistics; the oracle
+# replays the formula, so any decode defect (endianness, channel
+# de-interleave, frame framing) breaks the hash.
+# ---------------------------------------------------------------------------
+
+# s(doc_id, i, c) = ((doc_id*11 + i*17 + c*29) % 65536) - 32768  (int16)
+_AU = (11, 17, 29)
+_AUDIO_STATS_SCHEMA = (
+    "doc_id BIGINT, n_samples BIGINT, n_ch BIGINT, rate BIGINT, "
+    "sum_all BIGINT, wsum BIGINT"
+)
+
+
+def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synth int16 PCM (mono for even docs, stereo for odd; 40..46
+    samples; rate 8000+100·(doc_id%5)) → encode_wav → REAL default
+    decode → exact sums. wsum = Σ s·(i+1)·(c+1) catches channel
+    de-interleave and sample-order defects the plain sum misses."""
+    from ..operators.multimodal import (
+        decode_media,
+        encode_wav,
+        sniff_media_type,
+        wav_sample_rate,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        a_id, a_i, a_c = _AU
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 40 + doc_id % 7
+                ch = 1 + doc_id % 2
+                rate = 8000 + 100 * (doc_id % 5)
+                i = np.arange(n).reshape(n, 1)
+                c = np.arange(ch).reshape(1, ch)
+                s = ((doc_id * a_id + i * a_i + c * a_c) % 65536 - 32768).astype(
+                    np.int16
+                )
+                payload = encode_wav(s, rate=rate)
+                dec = decode_media(payload, sniff_media_type(payload)).astype(
+                    np.int64
+                )
+                wt = (i + 1) * (c + 1)
+                rows.append(
+                    (
+                        doc_id,
+                        dec.shape[0],
+                        dec.shape[1],
+                        wav_sample_rate(payload),
+                        int(dec.sum()),
+                        int((dec * wt).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "n_ch", "rate", "sum_all", "wsum"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(run, _AUDIO_STATS_SCHEMA)
+
+
+AUDIO_DECODE_STATS_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, 40 + doc_id % 7 AS n, 1 + doc_id % 2 AS nch,
+         8000 + 100 * (doc_id % 5) AS rate
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, n, nch, rate, unnest(range(0, n * nch)) AS g FROM dims
+),
+vals AS (
+  SELECT doc_id, n, nch, rate,
+         (doc_id * {_AU[0]} + (g // nch) * {_AU[1]}
+          + (g % nch) * {_AU[2]}) % 65536 - 32768 AS s,
+         ((g // nch) + 1) * ((g % nch) + 1) AS wt
+  FROM cells
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(nch AS BIGINT) AS n_ch,
+       CAST(rate AS BIGINT) AS rate,
+       CAST(SUM(s) AS BIGINT) AS sum_all,
+       CAST(SUM(s * wt) AS BIGINT) AS wsum
+FROM vals
+GROUP BY doc_id, n, nch, rate
+"""
+
+
+# v(doc_id, t, y, x) = (doc_id*5 + t*19 + y*23 + x*3) % 256
+_VID = (5, 19, 23, 3)
+_VIDEO_EVERY_N = 2  # sample every 2nd frame, the sample_frames contract
+
+_VIDEO_STATS_SCHEMA = (
+    "doc_id BIGINT, frame_idx BIGINT, f_sum BIGINT, f_wsum BIGINT"
+)
+
+
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synth (T, H, W) luma video → encode_y4m → REAL default decode →
+    every-2nd-frame sampling → exact per-frame sums. One row per
+    sampled frame (the fan-out batch shape real frame extraction has);
+    f_wsum = Σ v·(y·w+x+1) catches frame-framing and row-order
+    defects."""
+    from ..operators.multimodal import decode_media, encode_y4m, sniff_media_type
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        a_id, a_t, a_y, a_x = _VID
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                t_n, h, w = 4 + doc_id % 4, 3 + doc_id % 3, 4 + doc_id % 3
+                t = np.arange(t_n).reshape(t_n, 1, 1)
+                y = np.arange(h).reshape(1, h, 1)
+                x = np.arange(w).reshape(1, 1, w)
+                vid = ((doc_id * a_id + t * a_t + y * a_y + x * a_x) % 256).astype(
+                    np.uint8
+                )
+                payload = encode_y4m(vid)
+                dec = decode_media(payload, sniff_media_type(payload)).astype(
+                    np.int64
+                )
+                wt = (y * w + x + 1).reshape(h, w)
+                for idx in range(0, dec.shape[0], _VIDEO_EVERY_N):
+                    rows.append(
+                        (
+                            doc_id,
+                            idx,
+                            int(dec[idx].sum()),
+                            int((dec[idx] * wt).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "f_sum", "f_wsum"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(run, _VIDEO_STATS_SCHEMA)
+
+
+VIDEO_FRAME_STATS_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 4 AS tn, 3 + doc_id % 3 AS h, 4 + doc_id % 3 AS w
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, h, w, unnest(range(0, tn)) AS t FROM dims
+  WHERE tn > 0
+),
+sampled AS (
+  SELECT * FROM frames WHERE t % {_VIDEO_EVERY_N} = 0
+),
+cells AS (
+  SELECT doc_id, h, w, t, unnest(range(0, h * w)) AS g FROM sampled
+),
+vals AS (
+  SELECT doc_id, t,
+         (doc_id * {_VID[0]} + t * {_VID[1]} + (g // w) * {_VID[2]}
+          + (g % w) * {_VID[3]}) % 256 AS v,
+         (g // w) * w + (g % w) + 1 AS wt
+  FROM cells
+)
+SELECT doc_id,
+       CAST(t AS BIGINT) AS frame_idx,
+       CAST(SUM(v) AS BIGINT) AS f_sum,
+       CAST(SUM(v * wt) AS BIGINT) AS f_wsum
+FROM vals
+GROUP BY doc_id, t
+"""
+
+
+CURATION11_QUERIES.update(
+    {
+        "audio_decode_stats": audio_decode_stats,
+        "video_frame_stats": video_frame_stats,
+    }
+)
+
+CURATION11_ORACLE_SQL.update(
+    {
+        "audio_decode_stats": AUDIO_DECODE_STATS_SQL,
+        "video_frame_stats": VIDEO_FRAME_STATS_SQL,
+    }
+)
