@@ -171,13 +171,16 @@ _PRIORITY = [
     # (media resize, maxmatch segmentation, intra-doc line dedup), the
     # three round-8 builds (stdlib-zlib PNG decode, the newline-unit
     # boilerplate path, quantized-inventory unigram Viterbi encode),
-    # and the round-8 second pair that makes decode REAL across all
-    # three modalities (16-bit-PCM WAV audio, mono-Y4M video).  The
-    # remaining 42 window slots drain the ENTIRE r03-green cohort (40)
-    # + the 2 oldest r04 via the green-round sort.
+    # the round-8 second pair that makes decode REAL across all three
+    # modalities (16-bit-PCM WAV audio, mono-Y4M video), and the
+    # row-group layout planner that operationalizes this round's
+    # row-groups-vs-files scaling finding.  The remaining 41 window
+    # slots drain the ENTIRE r03-green cohort (40) + the oldest r04
+    # via the green-round sort.
     "media_resize_checksum", "maxmatch_segment_stats", "intradoc_line_dedup",
     "media_decode_png_stats", "boilerplate_strip_newline",
     "unigram_encode_stats", "audio_decode_stats", "video_frame_stats",
+    "row_group_layout_plan",
     # round-7 head
     "media_decode_stats", "boilerplate_strip_audit", "token_budget_sample",
     # round-6 head (all re-greened in r06)

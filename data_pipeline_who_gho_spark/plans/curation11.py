@@ -412,3 +412,73 @@ CURATION11_ORACLE_SQL.update(
         "video_frame_stats": VIDEO_FRAME_STATS_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# row_group_layout_plan — the prescription step for the round-8 scaling
+# finding (SCALING.md round-8): scan parallelism equals the row-group
+# count, independent of file count, so the WRITER must size row groups
+# to ~task volume. This op computes that prescription per source from
+# corpus stats: rows per group = target group bytes / average doc
+# bytes (floored), groups = ceil(docs / rows-per-group) = the scan
+# parallelism a rewrite of that source will have. Complements
+# compact_shards (which decides what merges into which FILE — the
+# orthogonal knob, per the measured row-groups-vs-files table).
+# Pure integer arithmetic, one map-side-combined groupBy.
+# ---------------------------------------------------------------------------
+
+_RG_TARGET_BYTES = 2000  # in-band at fixture scale: several groups/source
+_RG_MIN_ROWS = 4
+
+
+def row_group_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_bytes"),
+    )
+    avg = F.expr("n_bytes div n_docs")
+    rpg = F.greatest(
+        F.lit(_RG_MIN_ROWS).cast("long"),
+        F.expr(f"{_RG_TARGET_BYTES} div (n_bytes div n_docs)"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_bytes",
+        avg.alias("avg_doc_bytes"),
+        rpg.alias("rows_per_group"),
+        F.expr(
+            f"(n_docs + greatest({_RG_MIN_ROWS}, "
+            f"{_RG_TARGET_BYTES} div (n_bytes div n_docs)) - 1) div "
+            f"greatest({_RG_MIN_ROWS}, "
+            f"{_RG_TARGET_BYTES} div (n_bytes div n_docs))"
+        ).cast("long").alias("n_row_groups"),
+    )
+
+
+ROW_GROUP_LAYOUT_PLAN_SQL = f"""
+WITH agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_bytes
+  FROM documents GROUP BY source
+),
+plan AS (
+  SELECT source, n_docs, n_bytes,
+         n_bytes // n_docs AS avg_doc_bytes,
+         greatest({_RG_MIN_ROWS}, {_RG_TARGET_BYTES} // (n_bytes // n_docs))
+           AS rows_per_group
+  FROM agg
+)
+SELECT source, n_docs, n_bytes,
+       CAST(avg_doc_bytes AS BIGINT) AS avg_doc_bytes,
+       CAST(rows_per_group AS BIGINT) AS rows_per_group,
+       CAST((n_docs + rows_per_group - 1) // rows_per_group AS BIGINT)
+         AS n_row_groups
+FROM plan
+"""
+
+
+CURATION11_QUERIES["row_group_layout_plan"] = row_group_layout_plan
+CURATION11_ORACLE_SQL["row_group_layout_plan"] = ROW_GROUP_LAYOUT_PLAN_SQL
