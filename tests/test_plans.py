@@ -343,3 +343,48 @@ def test_token_budget_sample_no_whole_group_window(spark):
     specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
     big_specs = [s for s in specs if "__pid" in s]
     assert big_specs, f"no __pid-partitioned window found: {specs}"
+
+
+def test_media_decode_queries_are_map_only(spark):
+    """The four decode-stats queries (BMP/PPM, PNG, WAV, Y4M) must stay
+    single-stage Arrow passes: a shuffle appearing here means decode
+    stopped being partition-local — the property the 100 TB posture
+    depends on."""
+    from data_pipeline_who_gho_spark.plans.curation10 import media_decode_stats
+    from data_pipeline_who_gho_spark.plans.curation11 import (
+        audio_decode_stats,
+        media_decode_png_stats,
+        video_frame_stats,
+    )
+
+    for q in (media_decode_stats, media_decode_png_stats,
+              audio_decode_stats, video_frame_stats):
+        plan = _plan(q(spark, SF))
+        assert "Exchange" not in plan, q.__name__
+        assert "MapInPandas" in plan, q.__name__
+        # column pruning: only doc_id leaves the scan
+        assert "text" not in plan.split("FileScan")[1][:400], q.__name__
+
+
+def test_boilerplate_newline_single_linefreq_shuffle_and_broadcast(spark):
+    """One hash shuffle for line document-frequency, the boiler sliver
+    BROADCAST (never a shuffled join), one doc-grain aggregation."""
+    from data_pipeline_who_gho_spark.plans.curation11 import (
+        boilerplate_strip_newline,
+    )
+
+    plan = _plan(boilerplate_strip_newline(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan  # map-side combined line-frequency agg
+
+
+def test_row_group_layout_plan_one_shuffle(spark):
+    from data_pipeline_who_gho_spark.plans.curation11 import (
+        row_group_layout_plan,
+    )
+
+    plan = _plan(row_group_layout_plan(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "Join" not in plan  # pure single-relation arithmetic
