@@ -1,4 +1,6 @@
-"""Round-8 curation additions (VERDICT r07 items 3 and 6).
+"""Round-8 curation additions (VERDICT r07 items 3 and 6, plus the
+round-8 second wave: real audio/video decode and the row-group layout
+planner that operationalizes this round's scaling finding).
 
 ``media_decode_png_stats`` — the engine decodes a genuinely COMPRESSED
 format in-container: documents drive the same deterministic pixel
