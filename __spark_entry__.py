@@ -174,13 +174,14 @@ _PRIORITY = [
     # the round-8 second pair that makes decode REAL across all three
     # modalities (16-bit-PCM WAV audio, mono-Y4M video), and the
     # row-group layout planner that operationalizes this round's
-    # row-groups-vs-files scaling finding.  The remaining 41 window
-    # slots drain the ENTIRE r03-green cohort (40) + the oldest r04
-    # via the green-round sort.
+    # row-groups-vs-files scaling finding, and the gzip text-container
+    # round trip (real corpora ship as .gz shards).  The remaining 40
+    # window slots drain EXACTLY the ENTIRE r03-green cohort via the
+    # green-round sort.
     "media_resize_checksum", "maxmatch_segment_stats", "intradoc_line_dedup",
     "media_decode_png_stats", "boilerplate_strip_newline",
     "unigram_encode_stats", "audio_decode_stats", "video_frame_stats",
-    "row_group_layout_plan",
+    "row_group_layout_plan", "gzip_roundtrip_stats",
     # round-7 head
     "media_decode_stats", "boilerplate_strip_audit", "token_budget_sample",
     # round-6 head (all re-greened in r06)

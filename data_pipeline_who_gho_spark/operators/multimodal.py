@@ -37,6 +37,7 @@ _MAGIC = {
     b"RIFF": "audio/wav",
     b"ID3": "audio/mp3",
     b"YUV4MPEG2": "video/y4m",
+    b"\x1f\x8b": "application/gzip",
     b"\x00\x00\x00\x18ftyp": "video/mp4",
     b"\x00\x00\x00\x20ftyp": "video/mp4",
 }
@@ -495,6 +496,26 @@ def _decode_y4m(payload: bytes):
     if not frames:
         raise ValueError("Y4M stream with zero frames")
     return np.stack(frames)
+
+
+def decompress_payload(payload: bytes, media_type: str | None = None) -> bytes:
+    """Container decompression for text-bearing payloads (corpora ship
+    as .gz shards): gzip via stdlib. Returns the decompressed BYTES —
+    the caller owns the charset decode. Unlike decode_media this is
+    bytes→bytes, so it composes in front of any text operator."""
+    import gzip
+    import zlib
+
+    if media_type == "application/gzip" or (
+        media_type is None and payload[:2] == b"\x1f\x8b"
+    ):
+        try:
+            return gzip.decompress(payload)
+        except (OSError, EOFError, zlib.error) as exc:
+            raise ValueError(f"corrupt gzip payload: {exc}") from None
+    raise NotImplementedError(
+        f"no decompressor for {media_type or 'unsniffed payload'}"
+    )
 
 
 def decode_media(payload: bytes, media_type: str):

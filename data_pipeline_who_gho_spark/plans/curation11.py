@@ -484,3 +484,79 @@ FROM plan
 
 CURATION11_QUERIES["row_group_layout_plan"] = row_group_layout_plan
 CURATION11_ORACLE_SQL["row_group_layout_plan"] = ROW_GROUP_LAYOUT_PLAN_SQL
+
+
+# ---------------------------------------------------------------------------
+# gzip_roundtrip_stats — container decompression seam: real corpora
+# arrive as gzip shards, so the engine must read compressed payloads
+# without a staging rewrite. The query compresses each doc's utf-8
+# bytes in one Arrow stage (deterministic content; the gzip header
+# mtime is pinned to 0) and a SECOND Arrow stage sniffs + decompresses
+# with operators.multimodal.decompress_payload and reduces to stats of
+# the DECOMPRESSED text. The oracle computes the same stats from the
+# plain text column — so any corruption across the compress→decompress
+# round trip (charset, truncation, framing) breaks the md5/hash. The
+# compressed byte COUNT is deliberately NOT in the result: deflate
+# output depends on the zlib build and would make the result
+# environment-dependent.
+# ---------------------------------------------------------------------------
+
+
+def gzip_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import gzip
+
+    from ..operators.multimodal import decompress_payload, sniff_media_type
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        gzip.compress(str(t).encode("utf-8"), mtime=0)
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = decompress_payload(bytes(payload), sniff_media_type(bytes(payload)))
+                text = raw.decode("utf-8")
+                toks = [t for t in text.strip().split() if t]
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(text),
+                        len(toks),
+                        hashlib.md5(raw).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_chars", "n_tok", "text_md5"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    packed = docs.mapInPandas(pack, "doc_id BIGINT, payload BINARY")
+    return packed.mapInPandas(
+        unpack, "doc_id BIGINT, n_chars BIGINT, n_tok BIGINT, text_md5 STRING"
+    )
+
+
+GZIP_ROUNDTRIP_STATS_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+            END AS BIGINT) AS n_tok,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+
+CURATION11_QUERIES["gzip_roundtrip_stats"] = gzip_roundtrip_stats
+CURATION11_ORACLE_SQL["gzip_roundtrip_stats"] = GZIP_ROUNDTRIP_STATS_SQL

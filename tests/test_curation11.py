@@ -189,3 +189,34 @@ def test_audio_video_stats_rows(spark):
         (d * 5 + 0 * 19 + y * 23 + x * 3) % 256 for y in range(h) for x in range(w)
     )
     assert r0["f_sum"] == want_f0
+
+
+def test_gzip_roundtrip_stats_and_decompress_guardrails(spark):
+    import gzip
+
+    import pytest
+
+    from data_pipeline_who_gho_spark.operators.multimodal import (
+        decompress_payload,
+        sniff_media_type,
+    )
+    from data_pipeline_who_gho_spark.plans.curation11 import gzip_roundtrip_stats
+
+    payload = gzip.compress("hello gz world".encode(), mtime=0)
+    assert sniff_media_type(payload) == "application/gzip"
+    assert decompress_payload(payload) == b"hello gz world"
+    with pytest.raises(ValueError):
+        decompress_payload(payload[:-2])  # truncated stream
+    with pytest.raises(NotImplementedError):
+        decompress_payload(b"plain bytes", "text/plain")
+
+    import hashlib
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["doc_id"]: r for r in gzip_roundtrip_stats(spark, sf).collect()}
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{sf}/documents.parquet").collect()}
+    assert set(out) == set(docs)
+    for d, t in list(docs.items())[:20]:
+        assert out[d]["n_chars"] == len(t)
+        assert out[d]["text_md5"] == hashlib.md5(t.encode()).hexdigest()
