@@ -560,3 +560,110 @@ FROM documents
 
 CURATION11_QUERIES["gzip_roundtrip_stats"] = gzip_roundtrip_stats
 CURATION11_ORACLE_SQL["gzip_roundtrip_stats"] = GZIP_ROUNDTRIP_STATS_SQL
+
+
+# ---------------------------------------------------------------------------
+# kcenter_coreset — diversity-aware data selection (greedy k-center /
+# farthest-point coreset, the classic 2-approximation): pick the
+# min-vec_id seed, then k−1 times pick the point FARTHEST (max-min
+# squared distance) from everything picked so far. The selection is the
+# coreset a diversity-sampling stage feeds to training-data mixing.
+#
+# EXACTNESS: embeddings are quantized to integer fixed point
+# (floor(x·10⁴) — the float→double promotion and multiply are
+# IEEE-identical across engines, floor has no midpoint), so every
+# distance is an exact BIGINT and the argmax (ties → smaller vec_id)
+# is engine-independent. The oracle unrolls the k rounds as chained
+# CTEs over the same integer math.
+#
+# Scale shape: k passes over the embedding table; each round is one
+# map (distance to ≤ k broadcast-inlined centers) + a global top-1 —
+# the k driver collects are single rows (same bounded posture as the
+# BPE/unigram learn loops). At 100 TB this is the standard greedy
+# k-center schedule; for k beyond a handful, switch to the bucketed
+# ANN machinery for candidate pruning.
+# ---------------------------------------------------------------------------
+
+_KC_K = 5
+_KC_Q = 10000
+
+
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform(embedding, x -> CAST(floor(x * {_KC_Q}.0) AS BIGINT))"
+            ).alias("q"),
+        )
+        .localCheckpoint(eager=True)  # k consumers: one scan per round
+    )
+
+    def dist_expr(center: list[int]):
+        lits = ",".join(f"{int(v)}L" for v in center)
+        return F.expr(
+            f"aggregate(zip_with(q, array({lits}), (a, b) -> (a - b) * (a - b)), "
+            "0L, (acc, x) -> acc + x)"
+        )
+
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]
+    picks = [(1, int(seed["vec_id"]), 0)]
+    mind = dist_expr(list(seed["q"]))
+    for rnd in range(2, _KC_K + 1):
+        top = (
+            emb.withColumn("d", mind)
+            .orderBy(F.desc("d"), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((rnd, int(top["vec_id"]), int(top["d"])))
+        mind = F.least(mind, dist_expr(list(top["q"])))
+    return spark.createDataFrame(
+        picks, "pick INT, vec_id BIGINT, dist_sq BIGINT"
+    )
+
+
+def _kcenter_sql() -> str:
+    dist = (
+        "CAST(list_sum(list_transform(range(1, len(m.qe) + 1), "
+        "i -> (m.qe[i] - c.qe[i]) * (m.qe[i] - c.qe[i]))) AS BIGINT)"
+    )
+    parts = [
+        f"""WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(x * {_KC_Q}.0) AS BIGINT)) AS qe
+  FROM embeddings
+),
+c1 AS (SELECT vec_id, qe FROM q ORDER BY vec_id LIMIT 1),
+m1 AS (
+  SELECT m.vec_id, m.qe, {dist} AS d
+  FROM q m, c1 c
+)"""
+    ]
+    for r in range(2, _KC_K + 1):
+        parts.append(
+            f"""c{r} AS (SELECT vec_id, qe, d FROM m{r - 1} ORDER BY d DESC, vec_id LIMIT 1),
+m{r} AS (
+  SELECT m.vec_id, m.qe, LEAST(m.d, {dist}) AS d
+  FROM m{r - 1} m, c{r} c
+)"""
+        )
+        # (the last m{K} is unused by the SELECT; DuckDB prunes it)
+    selects = ["SELECT 1 AS pick, vec_id, CAST(0 AS BIGINT) AS dist_sq FROM c1"] + [
+        f"SELECT {r} AS pick, vec_id, CAST(d AS BIGINT) AS dist_sq FROM c{r}"
+        for r in range(2, _KC_K + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+KCENTER_CORESET_SQL = _kcenter_sql()
+
+
+# r09 registration queue (window discipline: the r08 window is exactly
+# 10 new + the full 40-query r03 drain; an 11th registration would push
+# one r03 row out). Oracle-exact — verified against the chained-CTE
+# twin in tests/test_curation11.py and a one-off gate run at sf0.01 —
+# so r09 registration is a two-line edit:
+#   CURATION11_QUERIES["kcenter_coreset"] = kcenter_coreset
+#   CURATION11_ORACLE_SQL["kcenter_coreset"] = KCENTER_CORESET_SQL

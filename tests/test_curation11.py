@@ -220,3 +220,44 @@ def test_gzip_roundtrip_stats_and_decompress_guardrails(spark):
     for d, t in list(docs.items())[:20]:
         assert out[d]["n_chars"] == len(t)
         assert out[d]["text_md5"] == hashlib.md5(t.encode()).hexdigest()
+
+
+def test_kcenter_coreset_matches_bruteforce_and_oracle(spark):
+    """r09 registration queue: greedy max-min selection must equal an
+    independent numpy recomputation AND the chained-CTE DuckDB oracle
+    at sf0.001."""
+    import duckdb
+    import numpy as np
+
+    from data_pipeline_who_gho_spark.plans.curation11 import (
+        _KC_K,
+        _KC_Q,
+        KCENTER_CORESET_SQL,
+        kcenter_coreset,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in kcenter_coreset(spark, sf).collect())
+
+    # independent numpy recomputation over the same quantization
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    order = np.argsort(ids)
+    ids = ids[order]
+    qv = np.floor(
+        np.array([r["embedding"] for r in emb], dtype=np.float64)[order] * _KC_Q
+    ).astype(np.int64)
+    picks = [(1, int(ids[0]), 0)]
+    mind = ((qv - qv[0]) ** 2).sum(axis=1)
+    for rnd in range(2, _KC_K + 1):
+        best = np.lexsort((ids, -mind))[0]  # max d, tie -> min vec_id
+        picks.append((rnd, int(ids[best]), int(mind[best])))
+        mind = np.minimum(mind, ((qv - qv[best]) ** 2).sum(axis=1))
+    assert got == sorted(picks)
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.sql(KCENTER_CORESET_SQL).fetchall())
+    assert got == want
