@@ -340,3 +340,71 @@ def test_bmp_ppm_roundtrip_any_shape(h, w, seed):
         out = decode_media(payload, mtype)
         assert out.shape == (h, w, 3)
         assert (out == a).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    seed=st.integers(0, 2**31),
+    data=st.data(),
+)
+def test_png_roundtrip_any_shape_and_filters(h, w, seed, data):
+    """PNG encode→decode is the identity for ANY (h, w) uint8 RGB image
+    under ANY per-row filter assignment — the un-filtering math (Sub/Up/
+    Average/Paeth left-up dependencies) must hold on arbitrary content,
+    not just the fixture formula."""
+    import numpy as np
+
+    from data_pipeline_who_gho_spark.operators.multimodal import (
+        decode_media,
+        encode_png,
+    )
+
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h), label="filters"
+    )
+    a = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = decode_media(encode_png(a, row_filters=filters), "image/png")
+    assert (out == a).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(1, 200),
+    ch=st.integers(1, 4),
+    rate=st.integers(1000, 192000),
+    seed=st.integers(0, 2**31),
+)
+def test_wav_roundtrip_any_signal(n, ch, rate, seed):
+    import numpy as np
+
+    from data_pipeline_who_gho_spark.operators.multimodal import (
+        decode_media,
+        encode_wav,
+        wav_sample_rate,
+    )
+
+    a = np.random.default_rng(seed).integers(-32768, 32768, (n, ch), dtype=np.int16)
+    payload = encode_wav(a, rate=rate)
+    assert (decode_media(payload, "audio/wav") == a).all()
+    assert wav_sample_rate(payload) == rate
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    t=st.integers(1, 8),
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    seed=st.integers(0, 2**31),
+)
+def test_y4m_roundtrip_any_video(t, h, w, seed):
+    import numpy as np
+
+    from data_pipeline_who_gho_spark.operators.multimodal import (
+        decode_media,
+        encode_y4m,
+    )
+
+    a = np.random.default_rng(seed).integers(0, 256, (t, h, w), dtype=np.uint8)
+    assert (decode_media(encode_y4m(a), "video/y4m") == a).all()
