@@ -46,12 +46,36 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _calibrate() -> dict[str, float]:
+    """Spark-independent host-speed yardstick, run before the JVM
+    starts: a fixed single-core Python loop and a fixed numpy matmul.
+    Round-over-round bench drift that tracks these numbers is the HOST
+    (steal/frequency/thermal), not the engine — the r07->r08 +20%
+    uniform drift across 17 unchanged plans motivated recording it."""
+    import time as _t
+
+    import numpy as np
+
+    t0 = _t.time()
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    py = _t.time() - t0
+    a = np.random.default_rng(0).random((2000, 2000))
+    t0 = _t.time()
+    for _ in range(3):
+        (a @ a).sum()
+    mm = _t.time() - t0
+    return {"python_loop_sec": round(py, 3), "matmul_sec": round(mm, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
     load_start = os.getloadavg()  # BEFORE the JVM spins up: ambient load
+    calib = _calibrate()  # Spark-independent host-speed yardstick
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
@@ -87,6 +111,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calib": calib,
                 "loadavg_start": [round(v, 2) for v in load_start],
                 "loadavg_end": [round(v, 2) for v in os.getloadavg()],
                 "cpus": os.cpu_count(),
