@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata (north-star extension).
 
-Design per the brief: the *Spark-side* mechanics — BinaryType columns,
-schema, Arrow-batched ``mapInPandas`` with correct batch shapes, partition
-sizing — are real and tested; the actual media decoding is stubbed behind
-``NotImplementedError`` (no image/audio libs in this container) with a
-deterministic fake used by tests and fixtures.
+The Spark-side mechanics — BinaryType columns, schema, Arrow-batched
+``mapInPandas`` with correct batch shapes, partition sizing — are real
+and tested, and so is the decoding itself for every format a pure
+stdlib+numpy implementation can carry: BMP, PPM, PNG and baseline JPEG
+images, 16-bit PCM WAV audio, mono Y4M video, gzip text containers.
+Only MP3/MP4 (codec libraries absent in this container) remain behind
+``NotImplementedError``, with a deterministic fake decoder available
+for tests that want arbitrary payloads.
 
 Scale notes: binary payloads ride the normal columnar path (parquet
 BYTE_ARRAY); metadata extraction is a map-only Arrow pipeline. Partition
@@ -27,8 +30,8 @@ MEDIA_META_SCHEMA = (
 )
 
 # magic-byte prefixes → media type (sniffing is real; decoding is real
-# for BMP/PPM/PNG images, 16-bit PCM WAV audio, and Y4M video — only
-# the codec-library formats JPEG/MP3/MP4 remain stubbed)
+# for BMP/PPM/PNG/baseline-JPEG images, 16-bit PCM WAV audio, and Y4M
+# video — only MP3 audio and MP4 video remain stubbed)
 _MAGIC = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
@@ -519,11 +522,12 @@ def decompress_payload(payload: bytes, media_type: str | None = None) -> bytes:
 
 
 def decode_media(payload: bytes, media_type: str):
-    """Default decoder: REAL decode for 24-bit BMP, binary PPM (pure
-    numpy: header parse + reshape) and 8-bit RGB PNG (stdlib zlib +
-    numpy un-filtering — a genuinely COMPRESSED format, no external
-    libs), NotImplementedError for the codec-library formats
-    (JPEG/WAV/MP4) absent in this container. The
+    """Default decoder: REAL decode for every image format
+    (24-bit BMP, binary PPM, 8-bit RGB PNG via stdlib zlib, baseline
+    grayscale/4:4:4 JPEG via operators/jpeg.py), 16-bit PCM WAV audio
+    and mono Y4M video — all pure stdlib + numpy, no external codec
+    libs. NotImplementedError only for MP3/MP4, whose codecs
+    (librosa/ffmpeg) are absent in this container. The
     Spark-side contract (signature, batching) is identical either way;
     the injected-decoder override remains for cluster deployments with
     real codec libraries."""
@@ -543,6 +547,12 @@ def decode_media(payload: bytes, media_type: str):
         media_type is None and payload[:9] == b"YUV4MPEG2"
     ):
         return _decode_y4m(payload)
+    if media_type == "image/jpeg" or (
+        media_type is None and payload[:3] == b"\xff\xd8\xff"
+    ):
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"media decoding for {media_type} requires image/audio libraries "
         "not present in this environment"

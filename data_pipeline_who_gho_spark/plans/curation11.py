@@ -667,3 +667,93 @@ KCENTER_CORESET_SQL = _kcenter_sql()
 # so r09 registration is a two-line edit:
 #   CURATION11_QUERIES["kcenter_coreset"] = kcenter_coreset
 #   CURATION11_ORACLE_SQL["kcenter_coreset"] = KCENTER_CORESET_SQL
+
+
+# ---------------------------------------------------------------------------
+# jpeg_decode_stats — r09 registration queue (window discipline, same
+# as kcenter_coreset). The LAST image-codec stub retired: baseline JPEG
+# decode (operators/jpeg.py — marker walk, canonical Huffman, DC
+# prediction, dequant, inverse zig-zag, IDCT) driven end-to-end on
+# synthesized payloads whose decode is EXACTLY predictable: the encoder
+# writes DC-ONLY quantized coefficient blocks (dc a multiple of 8), so
+# every decoded 8×8 block is the flat value dc/8 + 128 and the oracle
+# replays the per-block formula in integer SQL. The AC/entropy general
+# path is pinned by tests/test_jpeg.py (exact per-coefficient round
+# trip); this query makes the Huffman+prediction+IDCT pipeline a
+# driver-checked production body.
+#   CURATION11_QUERIES["jpeg_decode_stats"] = jpeg_decode_stats
+#   CURATION11_ORACLE_SQL["jpeg_decode_stats"] = JPEG_DECODE_STATS_SQL
+# ---------------------------------------------------------------------------
+
+# per-block flat value: p(doc, b) = (doc_id*13 + b*29) % 128 + 64
+_JP = (13, 29)
+
+
+def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.jpeg import encode_jpeg_gray
+    from ..operators.multimodal import decode_media, sniff_media_type
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        a_id, a_b = _JP
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                by, bx = 1 + doc_id % 2, 1 + doc_id % 3
+                coefs = np.zeros((by, bx, 8, 8), dtype=np.int64)
+                for b in range(by * bx):
+                    v = (doc_id * a_id + b * a_b) % 128 - 64
+                    coefs[b // bx, b % bx, 0, 0] = v * 8
+                payload = encode_jpeg_gray(
+                    coef_blocks=coefs, shape=(by * 8, bx * 8)
+                )
+                dec = decode_media(payload, sniff_media_type(payload)).astype(
+                    np.int64
+                )
+                bw = np.arange(by * bx).reshape(by, bx) + 1  # block weight b+1
+                wt = np.repeat(np.repeat(bw, 8, axis=0), 8, axis=1)
+                rows.append(
+                    (
+                        doc_id,
+                        dec.shape[0],
+                        dec.shape[1],
+                        dec.size,
+                        int(dec.sum()),
+                        int((dec * wt).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "h", "w", "n_px", "sum_all", "wsum"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        "doc_id BIGINT, h BIGINT, w BIGINT, n_px BIGINT, "
+        "sum_all BIGINT, wsum BIGINT",
+    )
+
+
+JPEG_DECODE_STATS_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, 1 + doc_id % 2 AS by, 1 + doc_id % 3 AS bx FROM documents
+),
+blocks AS (
+  SELECT doc_id, by, bx, unnest(range(0, by * bx)) AS b FROM dims
+),
+vals AS (
+  SELECT doc_id, by, bx, b,
+         (doc_id * {_JP[0]} + b * {_JP[1]}) % 128 + 64 AS p
+  FROM blocks
+)
+SELECT doc_id,
+       CAST(by * 8 AS BIGINT) AS h,
+       CAST(bx * 8 AS BIGINT) AS w,
+       CAST(by * bx * 64 AS BIGINT) AS n_px,
+       CAST(SUM(64 * p) AS BIGINT) AS sum_all,
+       CAST(SUM(64 * p * (b + 1)) AS BIGINT) AS wsum
+FROM vals
+GROUP BY doc_id, by, bx
+"""

@@ -53,9 +53,9 @@ def test_ppm_roundtrip_with_comment():
     assert (decode_media(commented, "image/ppm") == a).all()
 
 
-def test_compressed_formats_still_stubbed():
+def test_codec_stub_is_now_only_mp3_mp4():
     with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xffrest", "image/jpeg")
+        decode_media(b"\x00\x00\x00\x18ftypisom", "video/mp4")
 
 
 def test_malformed_ppm_raises_instead_of_hanging():

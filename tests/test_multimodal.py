@@ -34,12 +34,14 @@ def test_magic_sniffing():
     assert sniff_media_type(None) == "empty"
 
 
-def test_codec_formats_still_stubbed_and_bad_png_raises():
+def test_codec_formats_still_stubbed_and_bad_magic_raises():
     with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xff...", "image/jpeg")
-    # PNG now decodes for real — a bare magic is a TRUNCATED png, not a stub
+        decode_media(b"ID3\x04rest of an mp3", "audio/mp3")
+    # PNG/JPEG now decode for real — bare magics are TRUNCATED payloads
     with pytest.raises(ValueError):
         decode_media(b"\x89PNG", "image/png")
+    with pytest.raises(ValueError):
+        decode_media(b"\xff\xd8\xff...", "image/jpeg")
 
 
 def test_resize_plumbing_with_fake_decoder(spark):
