@@ -280,6 +280,94 @@ def encode_jpeg_gray(
     return b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
 
 
+def encode_jpeg_color444(
+    coef_blocks: np.ndarray, shape: tuple[int, int]
+) -> bytes:
+    """Baseline 3-component 4:4:4 JPEG from QUANTIZED coefficient
+    blocks (by, bx, 3, 8, 8) — all components share quant table 0 and
+    the luminance Huffman tables (legal, and keeps the writer small).
+    Interleaved scan: one block per component per MCU, per T.81 A.2.3.
+    Exercises the decoder's multi-component MCU walk and per-component
+    DC prediction; like the grayscale coefficient path, decode is
+    exactly predictable."""
+    coef_blocks = np.asarray(coef_blocks, dtype=np.int64)
+    by, bx, nc = coef_blocks.shape[:3]
+    if nc != 3:
+        raise ValueError("encode_jpeg_color444 expects 3 components")
+    h, w = shape
+    dc_codes = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _canonical_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    wbits = _BitWriter()
+    preds = [0, 0, 0]
+    for i in range(by):
+        for j in range(bx):
+            for c in range(3):
+                zz = coef_blocks[i, j, c].reshape(64)[_ZIGZAG]
+                diff = int(zz[0]) - preds[c]
+                preds[c] = int(zz[0])
+                t, mag = _magnitude(diff)
+                if t > 11:
+                    raise ValueError(f"DC diff {diff} exceeds category 11")
+                code, ln = dc_codes[t]
+                wbits.write(code, ln)
+                if t:
+                    wbits.write(mag, t)
+                run = 0
+                last_nz = max([k for k in range(1, 64) if zz[k]], default=0)
+                for k in range(1, last_nz + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        wbits.write(code, ln)
+                        run -= 16
+                    t, mag = _magnitude(v)
+                    if t > 10:
+                        raise ValueError(f"AC {v} exceeds category 10")
+                    code, ln = ac_codes[(run << 4) | t]
+                    wbits.write(code, ln)
+                    wbits.write(mag, t)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_codes[0x00]
+                    wbits.write(code, ln)
+    entropy = wbits.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    q = np.full(64, 1, dtype=np.uint8)
+    dqt = seg(0xDB, bytes([0]) + q.tobytes())
+    sof = seg(
+        0xC0,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+        + bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """JFIF YCbCr → RGB in integer fixed point (×2¹⁶ coefficients,
+    round-half-up shift) — deterministic across platforms, unlike a
+    float matrix multiply."""
+    y = ycc[..., 0].astype(np.int64)
+    cb = ycc[..., 1].astype(np.int64) - 128
+    cr = ycc[..., 2].astype(np.int64) - 128
+    half = 1 << 15
+    r = y + ((91881 * cr + half) >> 16)
+    g = y - ((22554 * cb + 46802 * cr + half) >> 16)
+    b = y + ((116130 * cb + half) >> 16)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline grayscale / 4:4:4 JPEG → (H, W) or (H, W, 3) uint8.
 

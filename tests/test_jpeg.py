@@ -143,3 +143,34 @@ def test_jpeg_decode_stats_matches_oracle(spark):
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
     want = sorted(tuple(r) for r in con.sql(JPEG_DECODE_STATS_SQL).fetchall())
     assert len(got) > 0 and got == want
+
+
+def test_color444_three_component_decode_exact():
+    """The decoder's interleaved multi-component MCU walk and
+    per-component DC prediction, pinned coefficient-exact; plus the
+    integer YCbCr->RGB transform on the decoded planes."""
+    from data_pipeline_who_gho_spark.operators.jpeg import (
+        encode_jpeg_color444,
+        ycbcr_to_rgb,
+    )
+
+    rng = np.random.default_rng(5)
+    coefs = np.zeros((2, 2, 3, 8, 8), dtype=np.int64)
+    for i in range(2):
+        for j in range(2):
+            for c in range(3):
+                coefs[i, j, c] = rng.integers(-40, 40, (8, 8))
+    payload = encode_jpeg_color444(coefs, shape=(16, 16))
+    img = decode_jpeg(payload)
+    assert img.shape == (16, 16, 3)
+    for i in range(2):
+        for j in range(2):
+            for c in range(3):
+                got = img[i * 8 : (i + 1) * 8, j * 8 : (j + 1) * 8, c]
+                assert (got == _expected(coefs[i, j, c])).all(), (i, j, c)
+    rgb = ycbcr_to_rgb(img.astype(np.int64))
+    assert rgb.shape == (16, 16, 3) and rgb.dtype == np.uint8
+    # gray pixel (Cb = Cr = 128) maps to R = G = B = Y
+    gray = np.full((1, 1, 3), 128, dtype=np.int64)
+    gray[0, 0, 0] = 77
+    assert (ycbcr_to_rgb(gray) == 77).all()
