@@ -174,3 +174,16 @@ def test_color444_three_component_decode_exact():
     gray = np.full((1, 1, 3), 128, dtype=np.int64)
     gray[0, 0, 0] = 77
     assert (ycbcr_to_rgb(gray) == 77).all()
+
+
+def test_tolerates_app0_and_comment_segments():
+    """Real-world JPEGs carry APP0 (JFIF) and COM segments the encoder
+    never writes — the marker walk must skip any length-framed segment
+    it does not interpret."""
+    coefs = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    coefs[0, 0, 0, 0] = 80
+    good = encode_jpeg_gray(coef_blocks=coefs, shape=(8, 8))
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    com = b"\xff\xfe" + (9).to_bytes(2, "big") + b"comment"
+    patched = good[:2] + app0 + com + good[2:]
+    assert (decode_jpeg(patched) == decode_jpeg(good)).all()
