@@ -388,3 +388,43 @@ def test_row_group_layout_plan_one_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_count" in plan and "partial_sum" in plan
     assert "Join" not in plan  # pure single-relation arithmetic
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
+    """The runtime bloom-filter join (SCALING.md round-8: 23.8× shuffle
+    cut, gated to fire at ≥10 GiB scans) must still inject when the
+    gate is cleared — a Spark upgrade or conf regression that silently
+    loses it costs the big-join family its shuffle reduction at scale."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_who_gho_spark.sources.catalog import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        part = load_table(spark, SF, "part").filter(F.col("p_brand") == "Brand#11")
+        li = load_table(spark, SF, "lineitem")
+        q = (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert "might_contain" in _plan(q)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
