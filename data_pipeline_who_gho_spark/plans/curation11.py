@@ -757,3 +757,75 @@ SELECT doc_id,
 FROM vals
 GROUP BY doc_id, by, bx
 """
+
+
+# ---------------------------------------------------------------------------
+# audio_frame_features — r09 registration queue. The audio analog of
+# media_resize_checksum: real operator COMPOSITION over the decoded
+# samples (decode → fixed framing → per-frame features), not just a
+# decode checksum. Per doc: mono 16-bit PCM synthesized from the _AU
+# formula, encode_wav → DEFAULT decode → 16-sample frames → per-frame
+# energy (Σ s², exact BIGINT) and zero-crossing count (s_i·s_{i−1} < 0
+# within the frame — the integer-exact ZCR definition both engines can
+# replay). One row per (doc, frame); map-only Arrow pass.
+#   CURATION11_QUERIES["audio_frame_features"] = audio_frame_features
+#   CURATION11_ORACLE_SQL["audio_frame_features"] = AUDIO_FRAME_FEATURES_SQL
+# ---------------------------------------------------------------------------
+
+_AF_FRAME = 16  # samples per analysis frame
+
+
+def audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_media, encode_wav, sniff_media_type
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        a_id, a_i, _ = _AU
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 32 + 16 * (doc_id % 3)  # 2..4 complete frames
+                i = np.arange(n)
+                s = ((doc_id * a_id + i * a_i) % 65536 - 32768).astype(np.int16)
+                payload = encode_wav(s, rate=16000)
+                dec = decode_media(payload, sniff_media_type(payload))
+                mono = dec[:, 0].astype(np.int64)
+                frames = mono.reshape(-1, _AF_FRAME)
+                energy = (frames * frames).sum(axis=1)
+                zcr = (frames[:, 1:] * frames[:, :-1] < 0).sum(axis=1)
+                for f in range(frames.shape[0]):
+                    rows.append((doc_id, f, int(energy[f]), int(zcr[f])))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "energy", "zcr"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run, "doc_id BIGINT, frame_idx BIGINT, energy BIGINT, zcr BIGINT"
+    )
+
+
+AUDIO_FRAME_FEATURES_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, 32 + 16 * (doc_id % 3) AS n FROM documents
+),
+cells AS (
+  SELECT doc_id, unnest(range(0, n)) AS i FROM dims
+),
+vals AS (
+  SELECT doc_id, i, i // {_AF_FRAME} AS f,
+         (doc_id * {_AU[0]} + i * {_AU[1]}) % 65536 - 32768 AS s,
+         CASE WHEN i % {_AF_FRAME} = 0 THEN NULL
+              ELSE (doc_id * {_AU[0]} + (i - 1) * {_AU[1]}) % 65536 - 32768
+         END AS sp
+  FROM cells
+)
+SELECT doc_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(SUM(s * s) AS BIGINT) AS energy,
+       CAST(SUM(CASE WHEN s * sp < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+FROM vals
+GROUP BY doc_id, f
+"""

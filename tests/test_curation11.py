@@ -261,3 +261,21 @@ def test_kcenter_coreset_matches_bruteforce_and_oracle(spark):
     )
     want = sorted(tuple(r) for r in con.sql(KCENTER_CORESET_SQL).fetchall())
     assert got == want
+
+
+def test_audio_frame_features_matches_oracle(spark):
+    """r09 queue: decode -> framing -> energy/ZCR must match the
+    formula-replay oracle row for row at sf0.001."""
+    import duckdb
+
+    from data_pipeline_who_gho_spark.plans.curation11 import (
+        AUDIO_FRAME_FEATURES_SQL,
+        audio_frame_features,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in audio_frame_features(spark, sf).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = sorted(tuple(r) for r in con.sql(AUDIO_FRAME_FEATURES_SQL).fetchall())
+    assert len(got) > 0 and got == want

@@ -408,3 +408,31 @@ def test_y4m_roundtrip_any_video(t, h, w, seed):
 
     a = np.random.default_rng(seed).integers(0, 256, (t, h, w), dtype=np.uint8)
     assert (decode_media(encode_y4m(a), "video/y4m") == a).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 2**31), by=st.integers(1, 3), bx=st.integers(1, 3))
+def test_jpeg_coefficient_roundtrip_any_blocks(seed, by, bx):
+    """Arbitrary in-category quantized coefficient blocks survive the
+    full JPEG entropy pipeline exactly — Huffman, DC prediction, ZRL,
+    EOB, inverse zig-zag all content-independent."""
+    import numpy as np
+
+    from data_pipeline_who_gho_spark.operators.jpeg import (
+        _idct_block,
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(seed)
+    coefs = rng.integers(-200, 200, (by, bx, 8, 8)).astype(np.int64)
+    # sparsify: most blocks in real JPEGs are mostly zero — and this
+    # exercises ZRL/EOB far more than dense blocks do
+    mask = rng.random((by, bx, 8, 8)) < 0.8
+    coefs[mask] = 0
+    img = decode_jpeg(encode_jpeg_gray(coef_blocks=coefs, shape=(by * 8, bx * 8)))
+    for i in range(by):
+        for j in range(bx):
+            s = _idct_block(coefs[i, j].astype(float))
+            want = np.clip(np.trunc(s + 0.5 * np.sign(s)) + 128, 0, 255)
+            assert (img[i * 8 : (i + 1) * 8, j * 8 : (j + 1) * 8] == want).all()
