@@ -181,7 +181,7 @@ _PRIORITY = [
     # Queued for r09 (already oracle-exact, cross-checked in pytest —
     # registration is a two-line edit each, commented at their
     # definition sites in plans/curation11.py): kcenter_coreset,
-    # jpeg_decode_stats, audio_frame_features.
+    # jpeg_decode_stats, audio_frame_features, image_blockhash_neardup.
     "media_resize_checksum", "maxmatch_segment_stats", "intradoc_line_dedup",
     "media_decode_png_stats", "boilerplate_strip_newline",
     "unigram_encode_stats", "audio_decode_stats", "video_frame_stats",

@@ -829,3 +829,139 @@ SELECT doc_id,
 FROM vals
 GROUP BY doc_id, f
 """
+
+
+# ---------------------------------------------------------------------------
+# image_blockhash_neardup — r09 registration queue. Perceptual image
+# near-dup detection (aHash/blockhash family) composed over the REAL
+# decode path, exact integers end-to-end so the oracle can replay it:
+#
+#   decode (BMP) → grayscale (r+g+b)//3 → 4×4 grid of 4×4-pixel block
+#   means (integer //16) → 4-bit quantization (mean//16) → four 16-bit
+#   BANDS of 4 packed nibbles → banded self-join (the simhash/LSH
+#   OR-amplification posture: candidate pairs share ≥1 band bucket,
+#   near-dups keep ≥ _IBH_MIN_BANDS) — never all-pairs.
+#
+# Synthesis: even docs carry their pair's base image, odd docs the same
+# image with ONE block's pixels shifted ±16 — a true near-dup differs
+# in exactly one nibble, lands with its partner in 3 of 4 bands, and
+# unrelated docs collide only at the ~1/16⁴ per-band rate because each
+# block's value band is an independent multiplicative-hash nibble
+# (pixels stay in [16h, 16h+15+2+3]: NO mod-256 wraparound, so the
+# block mean carries h exactly — the first design wrapped and every
+# doc's nibbles collapsed to ~8, degenerating the banding into
+# all-pairs; measured at sf0.01: 20 954 pairs with the wrapped linear
+# formula → 264 after the no-wrap squared-congruential fix, 250 of
+# them the planted ones).
+#   CURATION11_QUERIES["image_blockhash_neardup"] = image_blockhash_neardup
+#   CURATION11_ORACLE_SQL["image_blockhash_neardup"] = IMAGE_BLOCKHASH_SQL
+# ---------------------------------------------------------------------------
+
+_IBH_SIZE = 16       # image is 16×16; blocks are a 4×4 grid of 4×4 px
+_IBH_MIN_BANDS = 2   # pair survives with >= this many matching bands
+_IBH_MIX = 131  # per-block offset in the squared-congruential mix
+
+
+def image_blockhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_media, encode_bmp, sniff_media_type
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        sz = _IBH_SIZE
+        y = np.arange(sz).reshape(sz, 1, 1)
+        x = np.arange(sz).reshape(1, sz, 1)
+        c = np.arange(3).reshape(1, 1, 3)
+        blk = (y // 4) * 4 + (x // 4)  # (sz, sz, 1) block index
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                base = doc_id - (doc_id % 2)  # pair partner shares the base
+                # squared congruential mix: LINEAR mixes (base·K + blk·k)
+                # leave nibble DIFFERENCES constant across blocks for
+                # nearby bases, re-collapsing the banding; squaring makes
+                # the per-block difference depend on blk
+                h = ((base + blk * _IBH_MIX + 7) ** 2 % 65521) // 4096  # 0..15
+                img = (16 * h + (y % 4) * 2 + (x % 4) + c).astype(np.int64)
+                if doc_id % 2:  # perturb ONE block of the odd partner
+                    b = doc_id % 16
+                    by, bx = (b // 4) * 4, (b % 4) * 4
+                    hb = int(h[by, bx, 0])
+                    img[by : by + 4, bx : bx + 4, :] += 16 if hb < 15 else -16
+                payload = encode_bmp(img.astype(np.uint8))
+                dec = decode_media(payload, sniff_media_type(payload)).astype(
+                    np.int64
+                )
+                gray = dec.sum(axis=2) // 3
+                means = gray.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(
+                    16, 16
+                ).sum(axis=1) // 16
+                nibbles = means // 16  # 16 values in 0..15
+                for band in range(4):
+                    val = 0
+                    for j in range(4):
+                        val += int(nibbles[band * 4 + j]) * (16 ** j)
+                    rows.append((doc_id, band, val))
+            yield pd.DataFrame(rows, columns=["doc_id", "band", "val"])
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fp = docs.mapInPandas(
+        fingerprint, "doc_id BIGINT, band INT, val BIGINT"
+    )
+    a = fp.alias("a")
+    b = fp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("matched_bands"))
+        .filter(F.col("matched_bands") >= _IBH_MIN_BANDS)
+    )
+    return pairs
+
+
+# gray of the UNperturbed pixel is exactly 16h + (y%4)*2 + (x%4) + 1
+# (channels are v, v+1, v+2 — no wraparound by construction), so the
+# block mean is 16h + 5 and the nibble is h; the oracle replays that
+# formula, with the odd doc's one perturbed block shifted ±16
+IMAGE_BLOCKHASH_SQL = f"""
+WITH cells AS (
+  SELECT doc_id, doc_id - (doc_id % 2) AS base,
+         g // {_IBH_SIZE} AS y, g % {_IBH_SIZE} AS x,
+         ((g // {_IBH_SIZE}) // 4) * 4 + ((g % {_IBH_SIZE}) // 4) AS blk
+  FROM (SELECT doc_id, unnest(range(0, {_IBH_SIZE * _IBH_SIZE})) AS g
+        FROM documents)
+),
+gray AS (
+  SELECT doc_id, blk,
+         16 * ((((base + blk * {_IBH_MIX} + 7) * (base + blk * {_IBH_MIX} + 7)) % 65521) // 4096)
+         + (y % 4) * 2 + (x % 4) + 1
+         + CASE WHEN doc_id % 2 = 1 AND blk = doc_id % 16
+                THEN CASE WHEN (((base + blk * {_IBH_MIX} + 7) * (base + blk * {_IBH_MIX} + 7)) % 65521) // 4096 < 15
+                          THEN 16 ELSE -16 END
+                ELSE 0 END AS gv
+  FROM cells
+),
+nibs AS (
+  SELECT doc_id, blk, (SUM(gv) // 16) // 16 AS nib
+  FROM gray GROUP BY doc_id, blk
+),
+bands AS (
+  SELECT doc_id, blk // 4 AS band,
+         CAST(SUM(nib * power(16, blk % 4)) AS BIGINT) AS val
+  FROM nibs GROUP BY doc_id, blk // 4
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS matched_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {_IBH_MIN_BANDS}
+"""

@@ -279,3 +279,32 @@ def test_audio_frame_features_matches_oracle(spark):
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
     want = sorted(tuple(r) for r in con.sql(AUDIO_FRAME_FEATURES_SQL).fetchall())
     assert len(got) > 0 and got == want
+
+
+def test_image_blockhash_neardup_finds_planted_pairs(spark):
+    """r09 queue: every planted (even, even+1) perturbed pair must be
+    found with exactly 3 matching bands (one block differs), spurious
+    collisions stay rare, and the result matches the formula-replay
+    oracle row for row."""
+    import duckdb
+
+    from data_pipeline_who_gho_spark.plans.curation11 import (
+        IMAGE_BLOCKHASH_SQL,
+        image_blockhash_neardup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in image_blockhash_neardup(spark, sf).collect())
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    planted = {(a, a + 1) for a in range(0, n_docs - 1, 2)}
+    found = {(a, b) for a, b, m in got}
+    assert planted <= found
+    for a, b, m in got:
+        if (a, b) in planted:
+            assert m == 3, (a, b, m)  # exactly one block perturbed
+    assert len(got) <= len(planted) + 0.2 * n_docs  # banding stays selective
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = sorted(tuple(r) for r in con.sql(IMAGE_BLOCKHASH_SQL).fetchall())
+    assert got == want
