@@ -906,9 +906,13 @@ def image_blockhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "band", "val"])
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # materialize the (tiny, 4-rows-per-doc) fingerprint relation ONCE:
+    # the banded self-join otherwise evaluates the mapInPandas on BOTH
+    # sides (plan-checked: 2× MapInPandas, no ReusedExchange) — i.e.
+    # decodes every image twice, which is real money at corpus scale
     fp = docs.mapInPandas(
         fingerprint, "doc_id BIGINT, band INT, val BIGINT"
-    )
+    ).localCheckpoint(eager=True)
     a = fp.alias("a")
     b = fp.alias("b")
     pairs = (
