@@ -84,7 +84,10 @@ def test_frame_sampling_fans_out(spark):
         assert len(idxs) >= 2  # fake videos have >= 4 frames
 
 
-def test_default_decoder_is_stub(spark):
+def test_default_decoder_rejects_unknown_payloads(spark):
+    """The default decoder is REAL for the supported formats, but an
+    unsniffable payload (here: plain utf-8 text) must still fail loudly
+    inside the Arrow task rather than produce garbage pixels."""
     from data_pipeline_who_gho_spark.operators.multimodal import resize_images
 
     df = spark.createDataFrame([(1, "x")], "doc_id LONG, text STRING")
