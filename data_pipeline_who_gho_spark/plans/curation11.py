@@ -665,8 +665,8 @@ KCENTER_CORESET_SQL = _kcenter_sql()
 # one r03 row out). Oracle-exact — verified against the chained-CTE
 # twin in tests/test_curation11.py and a one-off gate run at sf0.01 —
 # so r09 registration is a two-line edit:
-#   CURATION11_QUERIES["kcenter_coreset"] = kcenter_coreset
-#   CURATION11_ORACLE_SQL["kcenter_coreset"] = KCENTER_CORESET_SQL
+CURATION11_QUERIES["kcenter_coreset"] = kcenter_coreset
+CURATION11_ORACLE_SQL["kcenter_coreset"] = KCENTER_CORESET_SQL
 
 
 # ---------------------------------------------------------------------------
@@ -681,8 +681,6 @@ KCENTER_CORESET_SQL = _kcenter_sql()
 # path is pinned by tests/test_jpeg.py (exact per-coefficient round
 # trip); this query makes the Huffman+prediction+IDCT pipeline a
 # driver-checked production body.
-#   CURATION11_QUERIES["jpeg_decode_stats"] = jpeg_decode_stats
-#   CURATION11_ORACLE_SQL["jpeg_decode_stats"] = JPEG_DECODE_STATS_SQL
 # ---------------------------------------------------------------------------
 
 # per-block flat value: p(doc, b) = (doc_id*13 + b*29) % 128 + 64
@@ -768,8 +766,6 @@ GROUP BY doc_id, by, bx
 # energy (Σ s², exact BIGINT) and zero-crossing count (s_i·s_{i−1} < 0
 # within the frame — the integer-exact ZCR definition both engines can
 # replay). One row per (doc, frame); map-only Arrow pass.
-#   CURATION11_QUERIES["audio_frame_features"] = audio_frame_features
-#   CURATION11_ORACLE_SQL["audio_frame_features"] = AUDIO_FRAME_FEATURES_SQL
 # ---------------------------------------------------------------------------
 
 _AF_FRAME = 16  # samples per analysis frame
@@ -853,8 +849,6 @@ GROUP BY doc_id, f
 # all-pairs; measured at sf0.01: 20 954 pairs with the wrapped linear
 # formula → 264 after the no-wrap squared-congruential fix, 250 of
 # them the planted ones).
-#   CURATION11_QUERIES["image_blockhash_neardup"] = image_blockhash_neardup
-#   CURATION11_ORACLE_SQL["image_blockhash_neardup"] = IMAGE_BLOCKHASH_SQL
 # ---------------------------------------------------------------------------
 
 _IBH_SIZE = 16       # image is 16×16; blocks are a 4×4 grid of 4×4 px
@@ -976,3 +970,10 @@ FROM bands a JOIN bands b
 GROUP BY a.doc_id, b.doc_id
 HAVING COUNT(*) >= {_IBH_MIN_BANDS}
 """
+
+CURATION11_QUERIES["jpeg_decode_stats"] = jpeg_decode_stats
+CURATION11_ORACLE_SQL["jpeg_decode_stats"] = JPEG_DECODE_STATS_SQL
+CURATION11_QUERIES["audio_frame_features"] = audio_frame_features
+CURATION11_ORACLE_SQL["audio_frame_features"] = AUDIO_FRAME_FEATURES_SQL
+CURATION11_QUERIES["image_blockhash_neardup"] = image_blockhash_neardup
+CURATION11_ORACLE_SQL["image_blockhash_neardup"] = IMAGE_BLOCKHASH_SQL
