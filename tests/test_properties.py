@@ -369,6 +369,32 @@ def test_png_roundtrip_any_shape_and_filters(h, w, seed, data):
     assert (out == a).all()
 
 
+@settings(max_examples=50, deadline=None)
+@given(w=st.integers(1, 80), mode=st.integers(3, 4), seed=st.integers(0, 2**31))
+def test_png_unfilter_scan_matches_naive_reference(w, mode, seed):
+    """The optimized per-channel int scan (_unfilter_scan) equals the
+    literal RFC 2083 §6.5-6.6 per-pixel recurrence on arbitrary rows —
+    pinned directly (not just via round-trip) so an encode-side bug
+    can't mask a decode-side one, and at widths beyond the fixture's."""
+    import numpy as np
+
+    from data_pipeline_who_gho_spark.operators.multimodal import (
+        _paeth,
+        _unfilter_scan,
+    )
+
+    rng = np.random.default_rng(seed)
+    cur = rng.integers(0, 256, w * 3).tolist()
+    up = rng.integers(0, 256, w * 3).tolist()
+    ref = [0] * (w * 3)
+    for x in range(w * 3):
+        left = ref[x - 3] if x >= 3 else 0
+        upleft = up[x - 3] if x >= 3 else 0
+        pred = (left + up[x]) // 2 if mode == 3 else _paeth(left, up[x], upleft)
+        ref[x] = (cur[x] + pred) % 256
+    assert _unfilter_scan(cur, up, mode) == ref
+
+
 @settings(max_examples=20, deadline=None)
 @given(
     n=st.integers(1, 200),
