@@ -4,11 +4,14 @@ the LAST image-codec stub retired.
 Scope (enough for an honest in-container seam; everything else raises):
 
 * decode: baseline sequential DCT (SOF0), 8-bit, grayscale (1
-  component) or YCbCr 4:4:4 (3 components, no subsampling); canonical
-  Huffman per Annex C, byte-stuffing-aware bit reader, DC predictive +
-  AC run-length entropy decode, dequantize, dezigzag, float IDCT with
-  round-half-away + clamp. Progressive (SOF2), arithmetic coding,
-  subsampled chroma and restart intervals raise ``NotImplementedError``.
+  component) or YCbCr with any divisor sampling factors — 4:4:4,
+  4:2:0, 4:2:2/4:4:0 (interleaved MCU walk per A.2.3, chroma restored
+  by sample replication) — plus restart intervals (DRI/RSTn per
+  E.2.4); canonical Huffman per Annex C, byte-stuffing-aware bit
+  reader, DC predictive + AC run-length entropy decode, dequantize,
+  dezigzag, float IDCT with round-half-away + clamp. Progressive
+  (SOF2), arithmetic coding, and non-divisor sampling grids raise
+  ``NotImplementedError``.
 * encode: same profile, quality expressed by the caller's quant table.
   The encoder can either (a) forward-DCT real samples (lossy round
   trip, pinned within a tolerance in tests) or (b) take QUANTIZED
@@ -93,10 +96,19 @@ class _BitWriter:
             self.n -= 8
         self.acc &= (1 << self.n) - 1
 
-    def flush(self) -> bytes:
+    def pad_to_byte(self) -> None:
         if self.n:
             pad = 8 - self.n
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+    def raw(self, b: bytes) -> None:
+        """Emit marker bytes verbatim (caller must be byte-aligned)."""
+        if self.n:
+            raise ValueError("raw marker emit while not byte-aligned")
+        self.buf.extend(b)
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.buf)
 
 
@@ -106,6 +118,19 @@ class _BitReader:
         self.pos = 0
         self.acc = 0
         self.n = 0
+
+    def restart(self, m: int) -> None:
+        """Consume the byte-aligned RSTm marker at a restart boundary
+        (T.81 E.2.4): discard pad bits, then expect 0xFF 0xD0+m."""
+        self.acc = 0
+        self.n = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + m
+        ):
+            raise ValueError(f"missing or out-of-order restart marker RST{m}")
+        self.pos += 2
 
     def _fill(self) -> None:
         if self.pos >= len(self.data):
@@ -159,6 +184,42 @@ def _magnitude(v: int) -> tuple[int, int]:
     """signed value -> (category t, t-bit code)."""
     t = abs(v).bit_length()
     return t, (v if v >= 0 else v + (1 << t) - 1)
+
+
+def _write_block(wbits: _BitWriter, zz, pred: int, dc_codes, ac_codes) -> int:
+    """Entropy-encode one zig-zag coefficient vector (T.81 F.1.2: DC
+    diff category + magnitude, then AC run/size with ZRL and EOB);
+    returns the new DC predictor."""
+    diff = int(zz[0]) - pred
+    t, mag = _magnitude(diff)
+    if t > 11:
+        raise ValueError(f"DC diff {diff} exceeds baseline category 11")
+    code, ln = dc_codes[t]
+    wbits.write(code, ln)
+    if t:
+        wbits.write(mag, t)
+    run = 0
+    last_nz = max([k for k in range(1, 64) if zz[k]], default=0)
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            wbits.write(code, ln)
+            run -= 16
+        t, mag = _magnitude(v)
+        if t > 10:
+            raise ValueError(f"AC coefficient {v} exceeds baseline category 10")
+        code, ln = ac_codes[(run << 4) | t]
+        wbits.write(code, ln)
+        wbits.write(mag, t)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        wbits.write(code, ln)
+    return int(zz[0])
 
 
 def _idct_block(coef: np.ndarray) -> np.ndarray:
@@ -228,36 +289,7 @@ def encode_jpeg_gray(
     for i in range(by):
         for j in range(bx):
             zz = coef_blocks[i, j].reshape(64)[_ZIGZAG]
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            t, mag = _magnitude(diff)
-            if t > 11:
-                raise ValueError(f"DC diff {diff} exceeds baseline category 11")
-            code, ln = dc_codes[t]
-            wbits.write(code, ln)
-            if t:
-                wbits.write(mag, t)
-            run = 0
-            last_nz = max([k for k in range(1, 64) if zz[k]], default=0)
-            for k in range(1, last_nz + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    wbits.write(code, ln)
-                    run -= 16
-                t, mag = _magnitude(v)
-                if t > 10:
-                    raise ValueError(f"AC coefficient {v} exceeds baseline category 10")
-                code, ln = ac_codes[(run << 4) | t]
-                wbits.write(code, ln)
-                wbits.write(mag, t)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_codes[0x00]  # EOB
-                wbits.write(code, ln)
+            pred = _write_block(wbits, zz, pred, dc_codes, ac_codes)
     entropy = wbits.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -303,36 +335,7 @@ def encode_jpeg_color444(
         for j in range(bx):
             for c in range(3):
                 zz = coef_blocks[i, j, c].reshape(64)[_ZIGZAG]
-                diff = int(zz[0]) - preds[c]
-                preds[c] = int(zz[0])
-                t, mag = _magnitude(diff)
-                if t > 11:
-                    raise ValueError(f"DC diff {diff} exceeds category 11")
-                code, ln = dc_codes[t]
-                wbits.write(code, ln)
-                if t:
-                    wbits.write(mag, t)
-                run = 0
-                last_nz = max([k for k in range(1, 64) if zz[k]], default=0)
-                for k in range(1, last_nz + 1):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_codes[0xF0]
-                        wbits.write(code, ln)
-                        run -= 16
-                    t, mag = _magnitude(v)
-                    if t > 10:
-                        raise ValueError(f"AC {v} exceeds category 10")
-                    code, ln = ac_codes[(run << 4) | t]
-                    wbits.write(code, ln)
-                    wbits.write(mag, t)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = ac_codes[0x00]
-                    wbits.write(code, ln)
+                preds[c] = _write_block(wbits, zz, preds[c], dc_codes, ac_codes)
     entropy = wbits.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -354,6 +357,83 @@ def encode_jpeg_color444(
     return b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
 
 
+def encode_jpeg_subsampled(
+    y_blocks: np.ndarray,
+    cb_blocks: np.ndarray,
+    cr_blocks: np.ndarray,
+    shape: tuple[int, int],
+    sampling: tuple[int, int] = (2, 2),
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline 3-component JPEG with subsampled chroma from QUANTIZED
+    coefficient blocks — the dominant real-web profile (4:2:0 is
+    sampling=(2, 2); 4:2:2 is (2, 1)).
+
+    Y carries sampling factors (hy, vy) and contributes hy*vy blocks
+    per MCU in raster order (T.81 A.2.3); Cb and Cr are 1x1 and
+    contribute one block each.  ``y_blocks`` is (my*vy, mx*hy, 8, 8)
+    and each chroma array is (my, mx, 8, 8) where my/mx is the MCU
+    grid for ``shape``.  With ``restart_interval`` = Ri > 0 a DRI
+    segment is written and RSTm markers (m cycling 0..7) are emitted
+    every Ri MCUs with byte-aligned padding and DC-predictor resets
+    (T.81 E.2.4).  All components share quant table 0 and the
+    luminance Huffman tables, like encode_jpeg_color444."""
+    hy, vy = sampling
+    if not (1 <= hy <= 2 and 1 <= vy <= 2) or (hy, vy) == (1, 1):
+        raise ValueError("sampling must be (2,2), (2,1) or (1,2)")
+    y_blocks = np.asarray(y_blocks, dtype=np.int64)
+    cb_blocks = np.asarray(cb_blocks, dtype=np.int64)
+    cr_blocks = np.asarray(cr_blocks, dtype=np.int64)
+    h, w = shape
+    my, mx = -(-h // (8 * vy)), -(-w // (8 * hy))
+    if y_blocks.shape[:2] != (my * vy, mx * hy):
+        raise ValueError(
+            f"y_blocks grid {y_blocks.shape[:2]} != {(my * vy, mx * hy)}"
+        )
+    if cb_blocks.shape[:2] != (my, mx) or cr_blocks.shape[:2] != (my, mx):
+        raise ValueError("chroma block grids must match the MCU grid")
+
+    dc_codes = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _canonical_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    wbits = _BitWriter()
+    preds = [0, 0, 0]
+    mcu = 0
+    for i in range(my):
+        for j in range(mx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                wbits.pad_to_byte()
+                wbits.raw(bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]))
+                preds = [0, 0, 0]
+            for v in range(vy):
+                for u in range(hy):
+                    zz = y_blocks[i * vy + v, j * hy + u].reshape(64)[_ZIGZAG]
+                    preds[0] = _write_block(wbits, zz, preds[0], dc_codes, ac_codes)
+            for c, blocks in ((1, cb_blocks), (2, cr_blocks)):
+                zz = blocks[i, j].reshape(64)[_ZIGZAG]
+                preds[c] = _write_block(wbits, zz, preds[c], dc_codes, ac_codes)
+            mcu += 1
+    entropy = wbits.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    q = np.full(64, 1, dtype=np.uint8)
+    dqt = seg(0xDB, bytes([0]) + q.tobytes())
+    sof = seg(
+        0xC0,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([3, 1, (hy << 4) | vy, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+        + bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS),
+    )
+    dri = seg(0xDD, restart_interval.to_bytes(2, "big")) if restart_interval else b""
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + entropy + b"\xff\xd9"
+
+
 def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     """JFIF YCbCr → RGB in integer fixed point (×2¹⁶ coefficients,
     round-half-up shift) — deterministic across platforms, unlike a
@@ -369,9 +449,12 @@ def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline grayscale / 4:4:4 JPEG → (H, W) or (H, W, 3) uint8.
+    """Baseline JPEG → (H, W) grayscale or (H, W, 3) YCbCr uint8.
 
-    Output is YCbCr component samples for 3-component images (the
+    Handles 4:4:4 and subsampled-chroma frames (4:2:0 / 4:2:2 / any
+    divisor factors; subsampled components are restored to full
+    resolution by sample replication) and restart intervals.  Output
+    is YCbCr component samples for 3-component images (the
     color-transform-to-RGB step is a separate, exactly-specified
     integer op the caller composes if needed); grayscale returns the
     luma plane directly."""
@@ -383,9 +466,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     scan = None
+    dri = 0
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker;
+        # skip them so seg_len is never read from a fill byte (ADVICE r08)
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -425,18 +515,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"illegal sampling factors {hi}x{vi}")
+                comps.append((cid, hi, vi, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for cid, hi, vi, tq in comps:
+                if hmax % hi or vmax % vi:
                     raise NotImplementedError(
-                        "subsampled chroma (non-1x1 factors) unsupported"
+                        f"non-divisor sampling factors {hi}x{vi} (max "
+                        f"{hmax}x{vmax}): replication upsampling undefined"
                     )
-                comps.append((cid, tq))
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError("only baseline sequential (SOF0) JPEG")
         elif marker == 0xDD:  # DRI
-            if int.from_bytes(body, "big") != 0:
-                raise NotImplementedError("restart intervals unsupported")
+            dri = int.from_bytes(body, "big")
         elif marker == 0xDA:  # SOS
             ns = body[0]
             scan_comps = []
@@ -457,54 +553,94 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if end < 0:
         raise ValueError("JPEG missing EOI")
     reader = _BitReader(payload[data_start:end])
-    by, bx = -(-h // 8), -(-w // 8)
-    planes = []
-    comp_by_id = dict(comps)
-    # non-interleaved single component, or interleaved 4:4:4: same MCU
-    # walk because every component has 1x1 sampling
+    samp = {cid: (hi, vi) for cid, hi, vi, _ in comps}
+    tq_of = {cid: tq for cid, hi, vi, tq in comps}
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+
+    def decode_block(td: int, ta: int, cs: int, preds: dict) -> np.ndarray:
+        zz = np.zeros(64, dtype=np.int64)
+        t = reader.huff(huff_dc[td])
+        diff = _extend(reader.bits(t), t) if t else 0
+        preds[cs] += diff
+        zz[0] = preds[cs]
+        k = 1
+        while k < 64:
+            rs = reader.huff(huff_ac[ta])
+            r, t = rs >> 4, rs & 0xF
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += r
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            zz[k] = _extend(reader.bits(t), t)
+            k += 1
+        blk = np.zeros(64, dtype=np.int64)
+        blk[_ZIGZAG] = zz  # inverse zig-zag: natural[zz_index[k]] = zz[k]
+        return blk.reshape(8, 8)
+
     preds = {cs: 0 for cs, _, _ in scan_comps}
-    out_blocks = {
-        cs: np.zeros((by, bx, 8, 8), dtype=np.int64) for cs, _, _ in scan_comps
-    }
-    for i in range(by):
-        for j in range(bx):
-            for cs, td, ta in scan_comps:
-                zz = np.zeros(64, dtype=np.int64)
-                t = reader.huff(huff_dc[td])
-                diff = _extend(reader.bits(t), t) if t else 0
-                preds[cs] += diff
-                zz[0] = preds[cs]
-                k = 1
-                while k < 64:
-                    rs = reader.huff(huff_ac[ta])
-                    r, t = rs >> 4, rs & 0xF
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    zz[k] = _extend(reader.bits(t), t)
-                    k += 1
-                blk = np.zeros(64, dtype=np.int64)
-                blk[_ZIGZAG] = zz  # inverse zig-zag: natural[zz_index[k]] = zz[k]
-                out_blocks[cs][i, j] = blk.reshape(8, 8)
+    if len(scan_comps) == 1:
+        # non-interleaved scan: the MCU is one block, walking this
+        # component's own block grid (T.81 A.2.2)
+        cs, td, ta = scan_comps[0]
+        hi, vi = samp[cs]
+        ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)  # sample dims
+        cby, cbx = -(-ch // 8), -(-cw // 8)
+        grids = {cs: np.zeros((cby, cbx, 8, 8), dtype=np.int64)}
+        mcu_iter = [(cs, i, j) for i in range(cby) for j in range(cbx)]
+        per_mcu = 1
+    else:
+        # interleaved: each MCU carries hi*vi blocks per component in
+        # raster order (T.81 A.2.3)
+        my, mx = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+        grids = {
+            cs: np.zeros((my * samp[cs][1], mx * samp[cs][0], 8, 8), np.int64)
+            for cs, _, _ in scan_comps
+        }
+        mcu_iter = []
+        for i in range(my):
+            for j in range(mx):
+                for cs, _, _ in scan_comps:
+                    hi, vi = samp[cs]
+                    for v in range(vi):
+                        for u in range(hi):
+                            mcu_iter.append((cs, i * vi + v, j * hi + u))
+        per_mcu = sum(samp[cs][0] * samp[cs][1] for cs, _, _ in scan_comps)
+    tables = {cs: (td, ta) for cs, td, ta in scan_comps}
+    for b, (cs, bi, bj) in enumerate(mcu_iter):
+        if dri and b and b % (dri * per_mcu) == 0:
+            reader.restart((b // (dri * per_mcu) - 1) % 8)
+            preds = {c: 0 for c in preds}
+        td, ta = tables[cs]
+        grids[cs][bi, bj] = decode_block(td, ta, cs, preds)
+
+    planes = []
     for cs, _, _ in scan_comps:
-        tq = comp_by_id[cs]
-        q = quant.get(tq)
+        q = quant.get(tq_of[cs])
         if q is None:
-            raise ValueError(f"missing quant table {tq}")
-        plane = np.zeros((by * 8, bx * 8), dtype=np.uint8)
-        for i in range(by):
-            for j in range(bx):
-                s = _idct_block(out_blocks[cs][i, j] * q)
+            raise ValueError(f"missing quant table {tq_of[cs]}")
+        hi, vi = samp[cs]
+        gby, gbx = grids[cs].shape[:2]
+        plane = np.zeros((gby * 8, gbx * 8), dtype=np.uint8)
+        for i in range(gby):
+            for j in range(gbx):
+                s = _idct_block(grids[cs][i, j] * q)
                 # round half away from zero, level shift, clamp
                 s = np.trunc(s + 0.5 * np.sign(s))
                 plane[i * 8 : i * 8 + 8, j * 8 : j * 8 + 8] = np.clip(
                     s + 128, 0, 255
                 ).astype(np.uint8)
+        # crop to this component's sample dims, then replicate each
+        # sample hmax/hi x vmax/vi back to full resolution (box
+        # upsampling — the exactly-specified integer choice)
+        ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
+        plane = plane[:ch, :cw]
+        if (hmax // hi, vmax // vi) != (1, 1):
+            plane = np.repeat(np.repeat(plane, vmax // vi, 0), hmax // hi, 1)
         planes.append(plane[:h, :w])
     if len(planes) == 1:
         return planes[0]

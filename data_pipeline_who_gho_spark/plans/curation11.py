@@ -547,12 +547,20 @@ def gzip_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# n_tok mirrors the engine's Python str.split() EXACTLY: count
+# NON-EMPTY tokens after splitting on runs of Python's whitespace set.
+# The earlier trim()+'\s+' form diverged two ways (ADVICE r08): it
+# counted empty boundary tokens ("\tA B\n" scored 4 vs split()'s 2),
+# and RE2's \s is [\t\n\f\r ] so \v/\x1c-\x1f/U+0085/U+00A0/Unicode
+# spaces split on the Python side only.  The explicit class below is
+# the full str.isspace() set (fuzz-pinned equal to split() across 208
+# randomized mixed-whitespace strings in tests/test_curation11.py).
 GZIP_ROUNDTRIP_STATS_SQL = """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
-       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-            END AS BIGINT) AS n_tok,
+       CAST(len(list_filter(regexp_split_to_array(text,
+              '[\\t-\\r \\x{001C}-\\x{001F}\\x{0085}\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+'),
+            t -> t <> '')) AS BIGINT) AS n_tok,
        md5(text) AS text_md5
 FROM documents
 """

@@ -82,6 +82,32 @@ def test_wav_roundtrip_mono_and_stereo():
     assert wav_sample_rate(p2) == 44100
 
 
+def test_wav_sample_rate_rejects_truncated_fmt():
+    """ADVICE r08: a payload truncated inside the fmt chunk must raise
+    like _decode_wav does, not int.from_bytes a short slice into a
+    silently-wrong rate (e.g. 0)."""
+    import numpy as np
+    import pytest
+
+    from data_pipeline_who_gho_spark.operators.multimodal import (
+        encode_wav,
+        wav_sample_rate,
+    )
+
+    good = encode_wav(np.zeros(4, dtype=np.int16), rate=16000)
+    fmt_at = good.index(b"fmt ")
+    # truncate mid-fmt: header intact (walk reaches the chunk), body cut
+    for end in range(fmt_at + 8, fmt_at + 16):
+        with pytest.raises(ValueError, match="fmt"):
+            wav_sample_rate(good[:end])
+    # a fmt chunk whose declared length can't hold the rate field
+    bad = bytearray(good)
+    bad[fmt_at + 4 : fmt_at + 8] = (4).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="fmt"):
+        wav_sample_rate(bytes(bad))
+    assert wav_sample_rate(good) == 16000
+
+
 def test_wav_rejects_malformed_and_nonpcm():
     import numpy as np
     import pytest
@@ -220,6 +246,43 @@ def test_gzip_roundtrip_stats_and_decompress_guardrails(spark):
     for d, t in list(docs.items())[:20]:
         assert out[d]["n_chars"] == len(t)
         assert out[d]["text_md5"] == hashlib.md5(t.encode()).hexdigest()
+
+
+def test_gzip_ntok_oracle_agrees_with_python_split_everywhere():
+    """ADVICE r08: the engine counts tokens with Python split() while
+    the old oracle trimmed spaces only and counted empty boundary
+    tokens — '\\tA B\\n' scored 2 vs 4 — and RE2's \\s misses \\v and
+    Unicode whitespace.  The rewritten oracle's explicit class must
+    agree with split() on EVERY whitespace shape: boundary runs, all
+    29 str.isspace() code points, and randomized mixes."""
+    import random
+    import sys
+
+    import duckdb
+
+    from data_pipeline_who_gho_spark.plans.curation11 import (
+        GZIP_ROUNDTRIP_STATS_SQL,
+    )
+
+    ntok_expr = GZIP_ROUNDTRIP_STATS_SQL.split("AS n_chars,")[1].split(
+        "AS n_tok"
+    )[0]
+    ws = [chr(c) for c in range(sys.maxunicode + 1) if chr(c).isspace()]
+    assert len(ws) == 29  # the class below was derived from this set
+    rng = random.Random(0)
+    cases = ["\tA B\n", "  ", "", "a\n\nb\tc  d ", "one", " x", "x ",
+             "\n\t\n", "a\rb", "a\x0bb\x0cc", "a\x1cb\x1dc\x1ed\x1fe",
+             "x\x85y", "p\xa0q", "u v　w"]
+    cases += ["".join(rng.choice(ws + list("abcXYZ09"))
+                      for _ in range(rng.randint(0, 12)))
+              for _ in range(194)]
+    con = duckdb.connect()
+    for t in cases:
+        py = len(t.split())
+        sql = con.execute(
+            f"SELECT {ntok_expr} FROM (SELECT ? AS text)", [t]
+        ).fetchone()[0]
+        assert sql == py, (repr(t), sql, py)
 
 
 def test_kcenter_coreset_matches_bruteforce_and_oracle(spark):

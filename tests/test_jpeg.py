@@ -187,3 +187,27 @@ def test_tolerates_app0_and_comment_segments():
     com = b"\xff\xfe" + (9).to_bytes(2, "big") + b"comment"
     patched = good[:2] + app0 + com + good[2:]
     assert (decode_jpeg(patched) == decode_jpeg(good)).all()
+
+
+def test_tolerates_marker_fill_bytes():
+    """T.81 B.1.1.2 allows any run of 0xFF fill bytes before a marker;
+    the walk must not read a segment length out of a fill byte
+    (ADVICE r08 — it used to skip a bogus span silently)."""
+    coefs = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    coefs[0, 0, 0, 0] = 80
+    good = encode_jpeg_gray(coef_blocks=coefs, shape=(8, 8))
+    want = decode_jpeg(good)
+    # fill runs of 1/3/7 bytes immediately after SOI (before the first
+    # length-framed segment's own 0xFF)
+    for k in (1, 3, 7):
+        patched = good[:2] + b"\xff" * k + good[2:]
+        assert (decode_jpeg(patched) == want).all(), k
+    # fill bytes before a mid-stream marker too: splice before the SOS
+    sos = good.index(b"\xff\xda")
+    patched = good[:sos] + b"\xff\xff" + good[sos:]
+    assert (decode_jpeg(patched) == want).all()
+    # a trailing all-fill tail (no real marker) must terminate, not spin
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:2] + b"\xff" * 6)
