@@ -1,0 +1,39 @@
+"""Round-9 queue queries (plans/curation12.py): oracle parity pinned in
+pytest ahead of their r10 driver registration."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from data_pipeline_who_gho_spark.session import get_spark
+
+    return get_spark(app_name="test-curation12")
+
+
+def test_jpeg420_decode_stats_matches_oracle(spark):
+    """The full 4:2:0 pipeline — interleaved MCU walk, restart markers,
+    DC prediction resets, dequant, IDCT, 2x2 chroma replication — must
+    reproduce the closed-form oracle on every doc, including the
+    position-weighted sums that pin block order and upsample
+    geometry."""
+    import duckdb
+
+    from data_pipeline_who_gho_spark.plans.curation12 import (
+        JPEG420_DECODE_STATS_SQL,
+        jpeg420_decode_stats,
+    )
+
+    got = sorted(tuple(r) for r in jpeg420_decode_stats(spark, SF).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in
+                  con.execute(JPEG420_DECODE_STATS_SQL).fetchall())
+    assert got == want
+    assert len(got) > 0
