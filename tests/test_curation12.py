@@ -37,3 +37,33 @@ def test_jpeg420_decode_stats_matches_oracle(spark):
                   con.execute(JPEG420_DECODE_STATS_SQL).fetchall())
     assert got == want
     assert len(got) > 0
+
+
+def test_audio_fingerprint_neardup_matches_oracle_and_recall(spark):
+    """Banded audio-fingerprint near-dup over the real WAV decode path:
+    must equal the closed-form oracle at sf0.001, and every planted
+    even/odd pair must survive with exactly 3 of 4 matched bands (the
+    perturbed frame flips one nibble, killing exactly one band)."""
+    import duckdb
+
+    from data_pipeline_who_gho_spark.plans.curation12 import (
+        AUDIO_FP_NEARDUP_SQL,
+        audio_fingerprint_neardup,
+    )
+
+    got = sorted(tuple(r) for r in audio_fingerprint_neardup(spark, SF).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in
+                  con.execute(AUDIO_FP_NEARDUP_SQL).fetchall())
+    assert got == want
+    pairs = {(a, b): m for a, b, m in got}
+    doc_ids = {r["doc_id"] for r in
+               spark.read.parquet(f"{SF}/documents.parquet")
+               .select("doc_id").collect()}
+    planted = [(d, d + 1) for d in doc_ids if d % 2 == 0 and d + 1 in doc_ids]
+    assert planted, "fixture should contain even/odd partner pairs"
+    for a, b in planted:
+        assert pairs.get((a, b)) == 3, (a, b, pairs.get((a, b)))
