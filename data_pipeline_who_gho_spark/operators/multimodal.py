@@ -5,7 +5,8 @@ The Spark-side mechanics — BinaryType columns, schema, Arrow-batched
 ``mapInPandas`` with correct batch shapes, partition sizing — are real
 and tested, and so is the decoding itself for every format a pure
 stdlib+numpy implementation can carry: BMP, PPM, PNG and baseline JPEG
-images, 16-bit PCM WAV audio, mono Y4M video, gzip text containers.
+images, 16-bit PCM WAV and FLAC audio, mono Y4M video, gzip text
+containers.
 Only MP3/MP4 (codec libraries absent in this container) remain behind
 ``NotImplementedError``, with a deterministic fake decoder available
 for tests that want arbitrary payloads.
@@ -30,14 +31,15 @@ MEDIA_META_SCHEMA = (
 )
 
 # magic-byte prefixes → media type (sniffing is real; decoding is real
-# for BMP/PPM/PNG/baseline-JPEG images, 16-bit PCM WAV audio, and Y4M
-# video — only MP3 audio and MP4 video remain stubbed)
+# for BMP/PPM/PNG/baseline-JPEG images, 16-bit PCM WAV and FLAC audio,
+# and Y4M video — only MP3 audio and MP4 video remain stubbed)
 _MAGIC = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
     b"BM": "image/bmp",
     b"P6": "image/ppm",
     b"RIFF": "audio/wav",
+    b"fLaC": "audio/flac",
     b"ID3": "audio/mp3",
     b"YUV4MPEG2": "video/y4m",
     b"\x1f\x8b": "application/gzip",
@@ -565,9 +567,10 @@ def decompress_payload(payload: bytes, media_type: str | None = None) -> bytes:
 def decode_media(payload: bytes, media_type: str):
     """Default decoder: REAL decode for every image format
     (24-bit BMP, binary PPM, 8-bit RGB PNG via stdlib zlib, baseline
-    grayscale/4:4:4 JPEG via operators/jpeg.py), 16-bit PCM WAV audio
-    and mono Y4M video — all pure stdlib + numpy, no external codec
-    libs. NotImplementedError only for MP3/MP4, whose codecs
+    JPEG incl. 4:2:0 via operators/jpeg.py), 16-bit PCM WAV and FLAC
+    audio (operators/flac.py) and mono Y4M video — all pure stdlib +
+    numpy, no external codec libs. NotImplementedError only for
+    MP3/MP4, whose codecs
     (librosa/ffmpeg) are absent in this container. The
     Spark-side contract (signature, batching) is identical either way;
     the injected-decoder override remains for cluster deployments with
@@ -584,6 +587,12 @@ def decode_media(payload: bytes, media_type: str):
         media_type is None and payload[:4] == b"RIFF"
     ):
         return _decode_wav(payload)
+    if media_type == "audio/flac" or (
+        media_type is None and payload[:4] == b"fLaC"
+    ):
+        from .flac import decode_flac
+
+        return decode_flac(payload)
     if media_type == "video/y4m" or (
         media_type is None and payload[:9] == b"YUV4MPEG2"
     ):

@@ -271,3 +271,80 @@ FROM bands a JOIN bands b
 GROUP BY a.doc_id, b.doc_id
 HAVING COUNT(*) >= {_AFP_MIN_BANDS}
 """
+
+
+# ---------------------------------------------------------------------------
+# flac_decode_stats — r10 registration queue (VERDICT r08 task 5: one
+# compressed codec per modality — PNG/zlib for images, now FLAC/Rice
+# for audio).  Per doc the plan synthesizes a deterministic int16
+# signal, compresses it to a REAL FLAC stream (fixed predictors +
+# Rice residuals, operators/flac.py), decodes it with the DEFAULT
+# decode_media (bit-level Rice decode, fixed-prediction reconstruction,
+# CRC-8/CRC-16/MD5 all verified in-line), and reduces to exact integer
+# stats.  The 480-sample signal spans 3 frames at block size 192 — the
+# short 96-sample LAST frame is load-bearing (a decoder that pads or
+# drops the tail breaks every sum).  The position-weighted sum pins
+# sample ORDER across frame boundaries, not just totals.
+# Registration (two-line edit, r10 window):
+#   CURATION12_QUERIES["flac_decode_stats"] = flac_decode_stats
+#   CURATION12_ORACLE_SQL["flac_decode_stats"] = FLAC_DECODE_STATS_SQL
+# ---------------------------------------------------------------------------
+
+_FLAC_N = 480          # samples per doc: 2 full frames + a short tail
+_FLAC_BS = 192         # encoder block size
+_FLAC_FORM = (3, 5)    # s_i = ((doc_id*3 + i*5) % 199) - 99
+
+
+def flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.flac import encode_flac
+    from ..operators.multimodal import decode_media, sniff_media_type
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        a_d, a_i = _FLAC_FORM
+        i_idx = np.arange(_FLAC_N, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                sig = ((d * a_d + i_idx * a_i) % 199 - 99).astype(np.int16)
+                payload = encode_flac(sig, rate=16000, block_size=_FLAC_BS)
+                dec = decode_media(payload, sniff_media_type(payload))
+                s = dec.reshape(-1).astype(np.int64)
+                rows.append(
+                    (
+                        d,
+                        len(s),
+                        int(s.sum()),
+                        int((s * s).sum()),
+                        int((s * (i_idx + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "s_sum", "s_sumsq", "s_wsum"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        "doc_id BIGINT, n_samples BIGINT, "
+        "s_sum BIGINT, s_sumsq BIGINT, s_wsum BIGINT",
+    )
+
+
+# the compressed byte count is deliberately NOT a result column — it is
+# not oracle-replayable (DuckDB cannot run the encoder); the pytest
+# asserts the compression ratio instead.  The oracle pins the decoded
+# samples, which IS the decode contract.
+FLAC_DECODE_STATS_SQL = f"""
+SELECT doc_id,
+       CAST({_FLAC_N} AS BIGINT) AS n_samples,
+       CAST(SUM((doc_id * {_FLAC_FORM[0]} + i.x * {_FLAC_FORM[1]}) % 199 - 99) AS BIGINT) AS s_sum,
+       CAST(SUM(((doc_id * {_FLAC_FORM[0]} + i.x * {_FLAC_FORM[1]}) % 199 - 99)
+              * ((doc_id * {_FLAC_FORM[0]} + i.x * {_FLAC_FORM[1]}) % 199 - 99)) AS BIGINT) AS s_sumsq,
+       CAST(SUM(((doc_id * {_FLAC_FORM[0]} + i.x * {_FLAC_FORM[1]}) % 199 - 99) * (i.x + 1)) AS BIGINT) AS s_wsum
+FROM documents, range({_FLAC_N}) i(x)
+GROUP BY doc_id
+"""

@@ -67,3 +67,35 @@ def test_audio_fingerprint_neardup_matches_oracle_and_recall(spark):
     assert planted, "fixture should contain even/odd partner pairs"
     for a, b in planted:
         assert pairs.get((a, b)) == 3, (a, b, pairs.get((a, b)))
+
+
+def test_flac_decode_stats_matches_oracle_and_compresses(spark):
+    """Rice-coded FLAC decode as a production body: engine stats must
+    equal the closed-form oracle at sf0.001, and the synthesized
+    signal (sawtooth-modular, order-1-predictable) must actually
+    compress — a verbatim-only 'encoder' would fail the ratio bound."""
+    import duckdb
+    import numpy as np
+
+    from data_pipeline_who_gho_spark.operators.flac import encode_flac
+    from data_pipeline_who_gho_spark.plans.curation12 import (
+        _FLAC_BS,
+        _FLAC_FORM,
+        _FLAC_N,
+        FLAC_DECODE_STATS_SQL,
+        flac_decode_stats,
+    )
+
+    got = sorted(tuple(r) for r in flac_decode_stats(spark, SF).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in
+                  con.execute(FLAC_DECODE_STATS_SQL).fetchall())
+    assert got == want
+    assert len(got) > 0
+    i = np.arange(_FLAC_N, dtype=np.int64)
+    sig = ((7 * _FLAC_FORM[0] + i * _FLAC_FORM[1]) % 199 - 99).astype(np.int16)
+    payload = encode_flac(sig, rate=16000, block_size=_FLAC_BS)
+    assert len(payload) < 0.5 * sig.size * 2

@@ -1,0 +1,271 @@
+"""FLAC codec (operators/flac.py) — the compressed-audio analog of the
+stdlib PNG work (VERDICT r08 task 5).
+
+The encoder only writes CONSTANT / FIXED / VERBATIM subframes with
+single-partition Rice, so round-trips alone would leave the decoder's
+LPC, partitioned-Rice, mid/side and wasted-bits paths dead code; the
+hand-rolled stream builder below exercises those against an
+independent numpy reconstruction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from data_pipeline_who_gho_spark.operators.flac import (
+    _BitWriter,
+    _crc8,
+    _crc16,
+    _utf8_number,
+    _zigzag,
+    decode_flac,
+    encode_flac,
+)
+
+
+def test_roundtrip_signal_shapes():
+    rng = np.random.RandomState(5)
+    t = np.arange(2000)
+    cases = [
+        np.full(500, 123, np.int16),                      # CONSTANT
+        (np.arange(1000) % 3000).astype(np.int16),        # FIXED low order
+        rng.randint(-32768, 32768, 800).astype(np.int16), # noise: escape/verbatim
+        (3000 * np.sin(t / 20)).astype(np.int16),         # FIXED high order
+        np.array([7], np.int16),                          # single sample
+        np.array([32767, -32768] * 50, np.int16),         # extremes
+    ]
+    for sig in cases:
+        for bsz in (16, 192, 256, 4096):
+            out = decode_flac(encode_flac(sig, rate=22050, block_size=bsz))
+            assert (out == sig.reshape(-1, 1)).all()
+
+
+def test_roundtrip_stereo_and_fuzz():
+    rng = np.random.RandomState(7)
+    for trial in range(60):
+        n = rng.randint(1, 500)
+        if trial % 2:
+            sig = np.cumsum(rng.randint(-50, 51, n)).clip(-32768, 32767)
+            sig = sig.astype(np.int16)
+        else:
+            sig = np.stack(
+                [np.cumsum(rng.randint(-30, 31, n)).clip(-32768, 32767),
+                 rng.randint(-300, 300, n)], 1
+            ).astype(np.int16)
+        out = decode_flac(encode_flac(sig, block_size=int(rng.choice([16, 64, 333]))))
+        assert (out == (sig.reshape(-1, 1) if sig.ndim == 1 else sig)).all()
+
+
+def test_compresses_structured_signals():
+    t = np.arange(4000)
+    sig = (3000 * np.sin(t / 20)).astype(np.int16)
+    assert len(encode_flac(sig)) < 0.3 * sig.size * 2
+
+
+def test_corruption_raises():
+    sig = (np.arange(600) % 97).astype(np.int16)
+    good = bytearray(encode_flac(sig, block_size=192))
+    # flip a bit in the entropy body -> frame CRC-16 must catch it
+    bad = bytearray(good)
+    bad[-40] ^= 0x10
+    with pytest.raises(ValueError):
+        decode_flac(bytes(bad))
+    # flip a bit in a frame header -> CRC-8 must catch it
+    hdr = bytes(good).index(b"\xff\xf8")
+    bad = bytearray(good)
+    bad[hdr + 2] ^= 0x40
+    with pytest.raises(ValueError):
+        decode_flac(bytes(bad))
+    with pytest.raises(ValueError, match="magic"):
+        decode_flac(b"fLaX" + bytes(good[4:]))
+
+
+def test_rejects_non_16bit_streaminfo():
+    sig = (np.arange(100) % 50).astype(np.int16)
+    p = bytearray(encode_flac(sig))
+    # STREAMINFO body begins at payload byte 8.  Body bits 103..107 are
+    # bps-1 = 15 (0b01111): bit 103 is the LSB of body byte 12, bits
+    # 104..107 the top nibble of body byte 13 (payload byte 21).
+    # Clearing bit 105 (mask 0x40) yields bps-1 = 0b01011 -> 12-bit.
+    assert p[21] & 0x40
+    p[21] &= ~0x40
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_flac(bytes(p))
+
+
+class _StreamBuilder:
+    """Hand-rolled FLAC stream writer for decoder paths the encoder
+    never emits (LPC, partitioned Rice, mid/side, wasted bits)."""
+
+    def __init__(self, n: int, ch: int, rate: int = 8000, block_size: int = 64):
+        self.n, self.ch, self.rate, self.bsz = n, ch, rate, block_size
+        self.frames = []
+
+    def header(self, md5: bytes) -> bytes:
+        si = _BitWriter()
+        si.write(self.bsz, 16)
+        si.write(self.bsz, 16)
+        si.write(0, 24)
+        si.write(0, 24)
+        si.write(self.rate, 20)
+        si.write(self.ch - 1, 3)
+        si.write(15, 5)
+        si.write(self.n, 36)
+        info = si.bytes() + md5
+        return b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big") + info
+
+    def frame(self, fno: int, bs: int, ca: int, write_subframes) -> bytes:
+        hdr = _BitWriter()
+        hdr.write(0x3FFE, 14)
+        hdr.write(0, 2)
+        hdr.write(7, 4)   # 16-bit block size follows
+        hdr.write(0, 4)   # rate from STREAMINFO
+        hdr.write(ca, 4)
+        hdr.write(4, 3)   # 16 bps
+        hdr.write(0, 1)
+        head = hdr.bytes() + _utf8_number(fno) + (bs - 1).to_bytes(2, "big")
+        head += bytes([_crc8(head)])
+        w = _BitWriter()
+        write_subframes(w)
+        w.pad_to_byte()
+        f = head + w.bytes()
+        return f + _crc16(f).to_bytes(2, "big")
+
+
+def _write_rice(w, resid, p):
+    for v in _zigzag(np.asarray(resid, dtype=np.int64)):
+        w.unary(int(v) >> p)
+        if p:
+            w.write(int(v) & ((1 << p) - 1), p)
+
+
+def test_decodes_lpc_subframe_with_partitioned_rice():
+    """LPC order 2 (coefs [3, -1], shift 1) with partition order 1 and
+    the 5-bit Rice2 method — all paths the encoder never writes."""
+    n = 64
+    order, shift = 2, 1
+    coefs = [3, -1]
+    s = [100, 103]
+    rng = np.random.RandomState(1)
+    resid = rng.randint(-8, 9, n - order).tolist()
+    for i, rv in enumerate(resid):
+        pred = (coefs[0] * s[order + i - 1] + coefs[1] * s[order + i - 2]) >> shift
+        s.append(rv + pred)
+    want = np.array(s, dtype=np.int16).reshape(-1, 1)
+
+    def subframes(w):
+        w.write(0, 1)
+        w.write(32 + order - 1, 6)  # LPC, order bits = order-1
+        w.write(0, 1)               # no wasted bits
+        for v in s[:order]:
+            w.write(v, 16)
+        w.write(4 - 1, 4)           # precision 4 bits
+        w.write(shift, 5)
+        for c in coefs:
+            w.write(c, 4)
+        w.write(1, 2)               # residual method: Rice2 (5-bit)
+        w.write(1, 4)               # partition order 1 -> 2 partitions
+        first = resid[: n // 2 - order]
+        second = resid[n // 2 - order :]
+        w.write(3, 5)
+        _write_rice(w, first, 3)
+        w.write(2, 5)
+        _write_rice(w, second, 2)
+
+    b = _StreamBuilder(n, 1, block_size=n)
+    md5 = hashlib.md5(want.astype("<i2").tobytes()).digest()
+    payload = b.header(md5) + b.frame(0, n, 0, subframes)
+    assert (decode_flac(payload) == want).all()
+
+
+def test_decodes_mid_side_and_wasted_bits():
+    """Mid/side stereo with a wasted-bits CONSTANT side channel."""
+    n = 32
+    left = np.arange(n, dtype=np.int64) * 4 + 100
+    right = left - 24  # side constant 24 (even, 3 wasted bits usable)
+    mid = (left + right) >> 1
+    side = left - right
+    want = np.stack([left, right], 1).astype(np.int16)
+
+    def subframes(w):
+        # mid channel: VERBATIM 16-bit
+        w.write(0, 1)
+        w.write(1, 6)
+        w.write(0, 1)
+        for v in mid:
+            w.write(int(v), 16)
+        # side channel (17-bit): CONSTANT 24 with 3 wasted bits -> 3
+        w.write(0, 1)
+        w.write(0, 6)
+        w.write(1, 1)   # wasted-bits flag
+        w.unary(2)      # unary k -> wasted = k+1 = 3
+        w.write(3, 17 - 3)  # constant value 24 >> 3
+    b = _StreamBuilder(n, 2, block_size=n)
+    md5 = hashlib.md5(want.astype("<i2").tobytes()).digest()
+    payload = b.header(md5) + b.frame(0, n, 0xA, subframes)
+    assert (decode_flac(payload) == want).all()
+
+
+def test_decodes_left_side_and_right_side():
+    n = 16
+    left = (np.arange(n, dtype=np.int64) * 7 - 30)
+    right = left // 2 + 5
+    want = np.stack([left, right], 1).astype(np.int16)
+    md5 = hashlib.md5(want.astype("<i2").tobytes()).digest()
+
+    def verbatim(w, vals, bits):
+        w.write(0, 1)
+        w.write(1, 6)
+        w.write(0, 1)
+        for v in vals:
+            w.write(int(v), bits)
+
+    # left/side: channel 0 = L (16b), channel 1 = L - R (17b)
+    def ls(w):
+        verbatim(w, left, 16)
+        verbatim(w, left - right, 17)
+
+    b = _StreamBuilder(n, 2, block_size=n)
+    assert (decode_flac(b.header(md5) + b.frame(0, n, 0x8, ls)) == want).all()
+
+    # right/side: channel 0 = L - R (17b), channel 1 = R (16b)
+    def rs(w):
+        verbatim(w, left - right, 17)
+        verbatim(w, right, 16)
+
+    assert (decode_flac(b.header(md5) + b.frame(0, n, 0x9, rs)) == want).all()
+
+
+def test_decodes_escape_partition():
+    """A Rice partition with the escape parameter stores residuals raw."""
+    n = 16
+    s = np.array([5] + [1000 * (-1) ** i for i in range(n - 1)], dtype=np.int64)
+    resid = np.diff(np.concatenate([[0], s]))[1:]  # order-1 fixed residual
+    want = s.astype(np.int16).reshape(-1, 1)
+
+    def subframes(w):
+        w.write(0, 1)
+        w.write(8 + 1, 6)  # FIXED order 1
+        w.write(0, 1)
+        w.write(int(s[0]), 16)
+        w.write(0, 2)   # 4-bit Rice method
+        w.write(0, 4)   # partition order 0
+        w.write(15, 4)  # escape
+        w.write(13, 5)  # raw width
+        for v in resid:
+            w.write(int(v), 13)
+
+    b = _StreamBuilder(n, 1, block_size=n)
+    md5 = hashlib.md5(want.astype("<i2").tobytes()).digest()
+    assert (decode_flac(b.header(md5) + b.frame(0, n, 0, subframes)) == want).all()
+
+
+def test_md5_mismatch_raises():
+    sig = (np.arange(100) % 50).astype(np.int16)
+    p = bytearray(encode_flac(sig))
+    p[30] ^= 0xFF  # corrupt a byte inside the STREAMINFO MD5 field
+    with pytest.raises(ValueError, match="MD5"):
+        decode_flac(bytes(p))
