@@ -39,7 +39,13 @@ HEADLINE = [
     "dedup_simhash",
     "semantic_dedup_reps",
     "bpe_token_counts",
+    # r09 RE-BASE: first decode-family representative (the 17-query set
+    # predates the media stack; this row tracks the PNG un-filter work
+    # directly).  The comparable legacy total is preserved alongside as
+    # legacy17_total — compare r01-r08 BENCH values against THAT.
+    "media_decode_png_stats",
 ]
+_REBASED_R09 = {"media_decode_png_stats"}
 
 
 def force(df) -> None:
@@ -103,6 +109,7 @@ def main() -> None:
     # machine-load context: BENCH_r07 read +18% vs r06 with ZERO plan
     # drift (judged environmental); recording the 1/5/15-min loadavg
     # alongside lets any future drift be attributed without a rerun
+    legacy17 = sum(v for n, v in timings.items() if n not in _REBASED_R09)
     print(
         json.dumps(
             {
@@ -110,6 +117,11 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "legacy17_total": round(legacy17, 3),
+                "rebase_note": (
+                    "r09 added media_decode_png_stats to the headline set; "
+                    "legacy17_total is the r01-r08-comparable figure"
+                ),
                 "sf": sf,
                 "calib": calib,
                 "loadavg_start": [round(v, 2) for v in load_start],

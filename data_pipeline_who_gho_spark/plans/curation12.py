@@ -348,3 +348,106 @@ SELECT doc_id,
 FROM documents, range({_FLAC_N}) i(x)
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# audio_spectral_features — r10 registration queue (closes the VERDICT
+# r08 "what's missing" item 4: frequency-domain audio features; the
+# queued audio_frame_features covers time-domain energy/ZCR only).
+#
+# The filterbank is a 4-point DFT, chosen because its twiddle factors
+# are exactly 0/±1 — the one DFT size whose bins are INTEGER-exact, so
+# DuckDB replays the whole pipeline with no float drift (an 8-point DFT
+# needs √2/2; Goertzel needs cos constants whose engine-vs-oracle ulp
+# behavior is unpinnable).  Per 16-sample frame, each of the 4
+# consecutive 4-sample blocks contributes
+#     X0 = x0+x1+x2+x3              (DC)
+#     |X1|² = (x0-x2)² + (x1-x3)²   (fs/4 band; X3 is its conjugate)
+#     X2 = x0-x1+x2-x3              (Nyquist)
+# and the frame's band energies are the sums of squares over blocks.
+# Parseval pins the arithmetic: e_dc + 2·e_mid + e_nyq = 4·Σs² — the
+# pytest asserts it against audio_frame_features' energy column.
+#
+# The decode path is FLAC (operators/flac.py) — the compressed audio
+# codec composed into a real feature pipeline, exactly as
+# media_decode_png_stats did for compressed images.  Map-only Arrow
+# pass; one row per (doc, frame).
+# Registration (two-line edit, r10 window):
+#   CURATION12_QUERIES["audio_spectral_features"] = audio_spectral_features
+#   CURATION12_ORACLE_SQL["audio_spectral_features"] = AUDIO_SPECTRAL_SQL
+# ---------------------------------------------------------------------------
+
+_ASF_FRAME = 16        # samples per frame; 4 DFT blocks of 4
+_ASF_FORM = (9, 23)    # s_i = (doc_id*9 + i*23) % 65536 - 32768
+
+
+def audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.flac import encode_flac
+    from ..operators.multimodal import decode_media, sniff_media_type
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        a_d, a_i = _ASF_FORM
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 64 + 16 * (d % 3)  # 4..6 complete frames
+                i = np.arange(n)
+                sig = ((d * a_d + i * a_i) % 65536 - 32768).astype(np.int16)
+                payload = encode_flac(sig, rate=16000, block_size=64)
+                dec = decode_media(payload, sniff_media_type(payload))
+                blocks = dec[:, 0].astype(np.int64).reshape(-1, 4, 4)
+                x0, x1, x2, x3 = (blocks[:, :, k] for k in range(4))
+                dc = x0 + x1 + x2 + x3
+                mid = (x0 - x2) ** 2 + (x1 - x3) ** 2
+                nyq = x0 - x1 + x2 - x3
+                e_dc = (dc * dc).sum(axis=1)
+                e_mid = mid.sum(axis=1)
+                e_nyq = (nyq * nyq).sum(axis=1)
+                for f in range(blocks.shape[0]):
+                    rows.append(
+                        (d, f, int(e_dc[f]), int(e_mid[f]), int(e_nyq[f]))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "e_dc", "e_mid", "e_nyq"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        "doc_id BIGINT, frame_idx BIGINT, e_dc BIGINT, e_mid BIGINT, "
+        "e_nyq BIGINT",
+    )
+
+
+AUDIO_SPECTRAL_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, 64 + 16 * (doc_id % 3) AS n FROM documents
+),
+cells AS (
+  SELECT doc_id, unnest(range(0, n)) AS i FROM dims
+),
+vals AS (
+  SELECT doc_id, i // 16 AS f, (i % 16) // 4 AS blk, i % 4 AS k,
+         (doc_id * {_ASF_FORM[0]} + i * {_ASF_FORM[1]}) % 65536 - 32768 AS s
+  FROM cells
+),
+bins AS (
+  SELECT doc_id, f, blk,
+         SUM(s) AS dc,
+         SUM(CASE WHEN k = 0 THEN s WHEN k = 2 THEN -s ELSE 0 END) AS re1,
+         SUM(CASE WHEN k = 1 THEN s WHEN k = 3 THEN -s ELSE 0 END) AS im1,
+         SUM(CASE WHEN k % 2 = 0 THEN s ELSE -s END) AS nyq
+  FROM vals GROUP BY doc_id, f, blk
+)
+SELECT doc_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(SUM(dc * dc) AS BIGINT) AS e_dc,
+       CAST(SUM(re1 * re1 + im1 * im1) AS BIGINT) AS e_mid,
+       CAST(SUM(nyq * nyq) AS BIGINT) AS e_nyq
+FROM bins
+GROUP BY doc_id, f
+"""

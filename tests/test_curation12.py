@@ -99,3 +99,33 @@ def test_flac_decode_stats_matches_oracle_and_compresses(spark):
     sig = ((7 * _FLAC_FORM[0] + i * _FLAC_FORM[1]) % 199 - 99).astype(np.int16)
     payload = encode_flac(sig, rate=16000, block_size=_FLAC_BS)
     assert len(payload) < 0.5 * sig.size * 2
+
+
+def test_audio_spectral_features_matches_oracle_and_parseval(spark):
+    """4-point-DFT filterbank over the FLAC decode path: engine rows
+    must equal the closed-form oracle, and Parseval must hold against
+    the time-domain energy (e_dc + 2*e_mid + e_nyq = 4*sum(s^2)) — an
+    independent arithmetic pin on the bin formulas."""
+    import duckdb
+    import numpy as np
+
+    from data_pipeline_who_gho_spark.plans.curation12 import (
+        _ASF_FORM,
+        AUDIO_SPECTRAL_SQL,
+        audio_spectral_features,
+    )
+
+    rows = audio_spectral_features(spark, SF).collect()
+    got = sorted(tuple(r) for r in rows)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(AUDIO_SPECTRAL_SQL).fetchall())
+    assert got == want
+    assert len(got) > 0
+    a_d, a_i = _ASF_FORM
+    for d, f, e_dc, e_mid, e_nyq in got[:50]:
+        i = np.arange(16 * f, 16 * (f + 1), dtype=np.int64)
+        s = (d * a_d + i * a_i) % 65536 - 32768
+        assert e_dc + 2 * e_mid + e_nyq == 4 * int((s * s).sum()), (d, f)

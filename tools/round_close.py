@@ -37,10 +37,56 @@ def run(cmd: list[str]) -> int:
     return subprocess.call(cmd)
 
 
+def bench_norm_report() -> None:
+    """Restate every recorded bench in HOST-NORMALIZED units (VERDICT
+    r08 task 6): total / calib.python_loop_sec.  The yardstick is a
+    Spark-independent Python loop run just before the JVM starts, so a
+    raw total that drifts while the normalized figure holds is the host
+    (steal/frequency phases — the r07 17.13 s episode), not the engine.
+    Reference: r08 = 15.156 s at python_loop 0.405 s -> 37.4 loop-units;
+    the established 13.5-15.2 s fast-phase raw band is 33-38 loop-units.
+    Rounds before r08 predate the calib field and print raw-only."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    print("\n=== bench history (raw and host-normalized) ===", flush=True)
+    for path in sorted(
+        glob.glob(os.path.join(root, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    ):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError) as exc:
+            print(f"{os.path.basename(path)}: unreadable ({exc})")
+            continue
+        if isinstance(rec.get("parsed"), dict):
+            rec = rec["parsed"]  # driver wraps bench stdout as "parsed"
+        name = os.path.basename(path)
+        value = rec.get("value")
+        legacy = rec.get("legacy17_total", value)
+        loop = (rec.get("calib") or {}).get("python_loop_sec")
+        if loop:
+            print(
+                f"{name}: total {value} s, legacy17 {legacy} s, "
+                f"python_loop {loop} s -> normalized {legacy / loop:.1f} "
+                f"loop-units"
+            )
+        else:
+            print(f"{name}: total {value} s (no calib recorded)")
+
+
 def main() -> None:
     update = "--update" in sys.argv
     skip_gate = "--skip-gate" in sys.argv
     rc = 0
+
+    # 0. bench history in normalized units (diagnosis by arithmetic,
+    # not re-investigation, when a driver run lands in a slow host phase)
+    bench_norm_report()
 
     # 1. drift report (non-zero exit = drift or errors; keep going so the
     # gate still runs, but remember the failure)
