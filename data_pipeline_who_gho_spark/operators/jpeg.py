@@ -72,11 +72,21 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> value, for the reader."""
-    return {
-        (length, code): v for v, (code, length) in _canonical_codes(bits, vals).items()
-    }
+def _decode_table(bits: list[int], vals: list[int]):
+    """((length, code) -> value map, 8-bit-lookahead LUT) for the reader.
+
+    The LUT resolves every code of length <= 8 from one peek (for the
+    Annex-K tables that covers the overwhelming share of symbols); the
+    map remains the fallback for longer codes."""
+    codes = _canonical_codes(bits, vals)
+    mapping = {(length, code): v for v, (code, length) in codes.items()}
+    lut: list[tuple[int, int] | None] = [None] * 256
+    for v, (code, length) in codes.items():
+        if length <= 8:
+            base = code << (8 - length)
+            for i in range(1 << (8 - length)):
+                lut[base + i] = (v, length)
+    return mapping, lut
 
 
 class _BitWriter:
@@ -132,44 +142,60 @@ class _BitReader:
             raise ValueError(f"missing or out-of-order restart marker RST{m}")
         self.pos += 2
 
-    def _fill(self) -> None:
+    def _fill(self) -> bool:
+        """Pull one more entropy byte into the accumulator.  Returns
+        False — WITHOUT consuming anything — when the stream ends or a
+        real marker (e.g. RSTn before a restart boundary) is next, so
+        Huffman lookahead can stop cleanly and ``restart()`` still
+        finds the marker in place."""
         if self.pos >= len(self.data):
-            raise ValueError("truncated JPEG entropy stream")
+            return False
         byte = self.data[self.pos]
-        self.pos += 1
         if byte == 0xFF:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated JPEG entropy stream at 0xFF")
-            marker = self.data[self.pos]
-            if marker == 0x00:
-                self.pos += 1  # stuffed byte
-            else:
-                raise ValueError(
-                    f"unexpected marker 0xFF{marker:02X} inside entropy data"
-                )
+            if self.pos + 1 >= len(self.data):
+                return False
+            if self.data[self.pos + 1] != 0x00:
+                return False  # a real marker: not entropy data
+            self.pos += 2  # stuffed byte
+        else:
+            self.pos += 1
         self.acc = (self.acc << 8) | byte
         self.n += 8
+        return True
 
     def bit(self) -> int:
-        if self.n == 0:
-            self._fill()
+        if self.n == 0 and not self._fill():
+            raise ValueError("truncated JPEG entropy stream")
         self.n -= 1
         b = (self.acc >> self.n) & 1
         self.acc &= (1 << self.n) - 1
         return b
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        while self.n < k:
+            if not self._fill():
+                raise ValueError("truncated JPEG entropy stream")
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
         return v
 
-    def huff(self, table: dict[tuple[int, int], int]) -> int:
+    def huff(self, table) -> int:
+        mapping, lut = table
+        while self.n < 8 and self._fill():
+            pass
+        if self.n >= 8:
+            hit = lut[(self.acc >> (self.n - 8)) & 0xFF]
+            if hit is not None:
+                v, ln = hit
+                self.n -= ln
+                self.acc &= (1 << self.n) - 1
+                return v
         code, length = 0, 0
         while length <= 16:
             code = (code << 1) | self.bit()
             length += 1
-            v = table.get((length, code))
+            v = mapping.get((length, code))
             if v is not None:
                 return v
         raise ValueError("invalid Huffman code in JPEG entropy stream")
@@ -222,23 +248,25 @@ def _write_block(wbits: _BitWriter, zz, pred: int, dc_codes, ac_codes) -> int:
     return int(zz[0])
 
 
-def _idct_block(coef: np.ndarray) -> np.ndarray:
-    """Float 2-D IDCT of one 8x8 coefficient block (T.81 A.3.3):
-    S(y,x) = 1/4 ΣΣ C(u)C(v) F(v,u) cos((2x+1)uπ/16) cos((2y+1)vπ/16)."""
+def _dct_basis() -> np.ndarray:
     x = np.arange(8)
     cosm = np.cos((2 * x[:, None] + 1) * x[None, :] * np.pi / 16)  # [n, k]
     c = np.where(x == 0, np.sqrt(0.5), 1.0)
-    m = cosm * c[None, :]
-    return 0.25 * m @ coef @ m.T
+    return cosm * c[None, :]
+
+
+_DCT_M = _dct_basis()  # built once: per-block rebuilds dominated decode
+
+
+def _idct_block(coef: np.ndarray) -> np.ndarray:
+    """Float 2-D IDCT of one 8x8 coefficient block (T.81 A.3.3):
+    S(y,x) = 1/4 ΣΣ C(u)C(v) F(v,u) cos((2x+1)uπ/16) cos((2y+1)vπ/16)."""
+    return 0.25 * _DCT_M @ coef @ _DCT_M.T
 
 
 def _fdct_block(samples: np.ndarray) -> np.ndarray:
     """Float 2-D forward DCT of one 8x8 sample block."""
-    x = np.arange(8)
-    cosm = np.cos((2 * x[:, None] + 1) * x[None, :] * np.pi / 16)  # [n, k]
-    c = np.where(x == 0, np.sqrt(0.5), 1.0)
-    m = cosm * c[None, :]
-    return 0.25 * m.T @ samples @ m
+    return 0.25 * _DCT_M.T @ samples @ _DCT_M
 
 
 def encode_jpeg_gray(

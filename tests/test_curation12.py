@@ -129,3 +129,18 @@ def test_audio_spectral_features_matches_oracle_and_parseval(spark):
         i = np.arange(16 * f, 16 * (f + 1), dtype=np.int64)
         s = (d * a_d + i * a_i) % 65536 - 32768
         assert e_dc + 2 * e_mid + e_nyq == 4 * int((s * s).sum()), (d, f)
+
+
+def test_audio_fingerprint_decodes_payloads_once(spark):
+    """The fingerprint relation is localCheckpoint-ed before the banded
+    self-join: the join plan must read the materialized relation (no
+    MapInPandas on either side), otherwise every payload is decoded
+    twice — the same guard image_blockhash_neardup carries."""
+    from data_pipeline_who_gho_spark.plans.curation12 import (
+        audio_fingerprint_neardup,
+    )
+
+    df = audio_fingerprint_neardup(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    assert plan.count("ExistingRDD") >= 2  # both join sides reuse it

@@ -1,0 +1,62 @@
+"""Scaling probe for UNREGISTERED r10-queue queries (plans/curation12).
+
+Same protocol as tools/scaling_probe.py (warm session, best-of-2,
+noop-sink force) but resolves callables from the curation12 module
+instead of the registry, and prints a markdown row per query without
+touching SCALING.json (queued queries enter the json when registered).
+
+Usage: python tools/queue_scaling_probe.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from data_pipeline_who_gho_spark.plans import curation12
+from data_pipeline_who_gho_spark.session import get_spark
+
+SF_DIRS = {
+    "0.001": "/root/testdata/sf0.001",
+    "0.01": "/root/testdata/sf0.01",
+    "0.1": "/root/testdata/sf0.1",
+    "1": "/root/repo/.scratch/sf1",
+}
+
+QUEUE = [
+    "jpeg420_decode_stats",
+    "audio_fingerprint_neardup",
+    "flac_decode_stats",
+    "audio_spectral_features",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="queue-scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    sfs = [sf for sf, d in SF_DIRS.items() if os.path.exists(d)]
+    rows = {}
+    for name in QUEUE:
+        fn = getattr(curation12, name)
+        rows[name] = {}
+        for sf in sfs:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, SF_DIRS[sf]).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+            rows[name][sf] = round(best, 2)
+    print("| query | " + " | ".join(f"sf{sf}" for sf in sfs) + " | sf1/sf0.001 |")
+    for name, r in rows.items():
+        ratio = round(r.get("1", r[sfs[-1]]) / r["0.001"], 1)
+        cells = " | ".join(str(r[sf]) for sf in sfs)
+        print(f"| {name} | {cells} | {ratio} |")
+
+
+if __name__ == "__main__":
+    main()
