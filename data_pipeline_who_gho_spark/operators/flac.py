@@ -44,21 +44,35 @@ _CRC8_POLY = 0x07
 _CRC16_POLY = 0x8005
 
 
+def _crc_table(poly: int, width: int) -> list[int]:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    table = []
+    for b in range(256):
+        crc = b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _crc_table(_CRC8_POLY, 8)
+_CRC16_TABLE = _crc_table(_CRC16_POLY, 16)
+
+
 def _crc8(data: bytes) -> int:
     crc = 0
+    table = _CRC8_TABLE
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ _CRC8_POLY) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = table[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
+    table = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ _CRC16_POLY) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFF00) ^ table[(crc >> 8) ^ b]
     return crc
 
 
@@ -95,6 +109,22 @@ class _BitWriter:
             self.write(0, 32)
             q -= 32
         self.write(1, q + 1)  # q zero bits then a one bit
+
+    def write_rice_run(self, folded, p: int) -> None:
+        """Rice-code a run of folded (non-negative) residuals — the
+        encoder's hot loop, with the accumulator kept in locals."""
+        acc, n, buf = self.acc, self.n, self.buf
+        mask = (1 << p) - 1
+        for v in folded:
+            v = int(v)
+            q = v >> p
+            acc = (acc << (q + 1 + p)) | (1 << p) | (v & mask)
+            n += q + 1 + p
+            while n >= 8:
+                buf.append((acc >> (n - 8)) & 0xFF)
+                n -= 8
+            acc &= (1 << n) - 1
+        self.acc, self.n = acc, n
 
     def pad_to_byte(self) -> None:
         if self.n:
@@ -150,14 +180,49 @@ class _BitReader:
             self.bit = 0
             self.byte += 1
 
+    def read_rice_run(self, cnt: int, p: int) -> list[int]:
+        """Decode ``cnt`` Rice codes (unary quotient, p-bit remainder,
+        zig-zag unfold) — the decoder's hot loop.  Works on a flat bit
+        cursor: the unary scan steps a byte at a time (quotients are
+        short by construction of p) and the remainder is one
+        int.from_bytes window, instead of per-bit method calls."""
+        data = self.data
+        n8 = len(data)
+        bp = self.byte * 8 + self.bit
+        out = []
+        mask = (1 << p) - 1
+        for _ in range(cnt):
+            byte_i = bp >> 3
+            if byte_i >= n8:
+                raise ValueError("truncated FLAC unary code")
+            cur = data[byte_i] & (0xFF >> (bp & 7))
+            while cur == 0:
+                byte_i += 1
+                if byte_i >= n8:
+                    raise ValueError("truncated FLAC unary code")
+                cur = data[byte_i]
+            one_pos = byte_i * 8 + 8 - cur.bit_length()
+            q = one_pos - bp
+            bp = one_pos + 1
+            if p:
+                end = (bp + p + 7) >> 3
+                if end > n8:
+                    raise ValueError("truncated FLAC rice remainder")
+                word = int.from_bytes(data[bp >> 3 : end], "big")
+                rem = (word >> ((end << 3) - bp - p)) & mask
+                bp += p
+            else:
+                rem = 0
+            u = (q << p) | rem
+            out.append(u >> 1 if u % 2 == 0 else -((u + 1) >> 1))
+        self.byte = bp >> 3
+        self.bit = bp & 7
+        return out
+
 
 def _zigzag(r: np.ndarray) -> np.ndarray:
     """Signed residual -> folded non-negative (spec: even = r>=0)."""
     return np.where(r >= 0, 2 * r, -2 * r - 1)
-
-
-def _rice_cost(folded: np.ndarray, p: int) -> int:
-    return int((folded >> p).sum()) + len(folded) * (1 + p)
 
 
 def _signed_width(r: np.ndarray) -> int:
@@ -170,13 +235,15 @@ def _signed_width(r: np.ndarray) -> int:
 def _best_rice(folded: np.ndarray, rawbits: int) -> tuple[int, int]:
     """(parameter, cost) minimizing single-partition Rice size; the
     escape path (parameter 15, residuals raw at ``rawbits``) is
-    signalled by returning p=15."""
-    best_p, best_c = 15, 5 + len(folded) * rawbits
-    for p in range(15):
-        c = _rice_cost(folded, p)
-        if c < best_c:
-            best_p, best_c = p, c
-    return best_p, best_c
+    signalled by returning p=15.  All 15 candidate costs in one
+    broadcast shift."""
+    n = len(folded)
+    ps = np.arange(15)
+    costs = (folded[None, :] >> ps[:, None]).sum(axis=1) + n * (1 + ps)
+    p = int(costs.argmin())
+    c = int(costs[p])
+    esc = 5 + n * rawbits
+    return (15, esc) if esc < c else (p, c)
 
 
 def encode_flac(samples, rate: int = 16000, block_size: int = 256) -> bytes:
@@ -273,11 +340,7 @@ def _write_subframe(w: _BitWriter, s: np.ndarray) -> None:
             w.write(int(v), rawbits)
     else:
         w.write(p, 4)
-        folded = _zigzag(r)
-        for v in folded:
-            w.unary(int(v) >> p)
-            if p:
-                w.write(int(v) & ((1 << p) - 1), p)
+        w.write_rice_run(_zigzag(r), p)
 
 
 _BLOCK_SIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
@@ -431,14 +494,32 @@ def _read_subframe(rd: _BitReader, bs: int, bps: int) -> list[int]:
         s = [v] * bs
     elif stype == 1:  # VERBATIM
         s = [rd.signed(bps) for _ in range(bs)]
-    elif 8 <= stype <= 12:  # FIXED
+    elif 8 <= stype <= 12:  # FIXED (orders specialized: the hot path)
         order = stype - 8
         s = [rd.signed(bps) for _ in range(order)]
         resid = _read_residual(rd, bs, order)
-        coefs = _FIXED_COEFS[order]
-        for i, rv in enumerate(resid):
-            pred = sum(cf * s[order + i - 1 - j] for j, cf in enumerate(coefs))
-            s.append(rv + pred)
+        if order == 0:
+            s = resid
+        elif order == 1:
+            a = s[0]
+            for rv in resid:
+                a = rv + a
+                s.append(a)
+        elif order == 2:
+            a, b = s[1], s[0]
+            for rv in resid:
+                a, b = rv + 2 * a - b, a
+                s.append(a)
+        elif order == 3:
+            a, b, c = s[2], s[1], s[0]
+            for rv in resid:
+                a, b, c = rv + 3 * a - 3 * b + c, a, b
+                s.append(a)
+        else:
+            a, b, c, d = s[3], s[2], s[1], s[0]
+            for rv in resid:
+                a, b, c, d = rv + 4 * a - 6 * b + 4 * c - d, a, b, c
+                s.append(a)
     elif stype >= 32:  # LPC, order = low 5 bits + 1
         order = (stype & 31) + 1
         s = [rd.signed(bps) for _ in range(order)]
@@ -480,10 +561,6 @@ def _read_residual(rd: _BitReader, bs: int, order: int) -> list[int]:
             raw = rd.read(5)
             vals = [rd.signed(raw) if raw else 0 for _ in range(cnt)]
         else:
-            vals = []
-            for _ in range(cnt):
-                q = rd.unary()
-                v = (q << p) | (rd.read(p) if p else 0)
-                vals.append(v >> 1 if v % 2 == 0 else -((v + 1) >> 1))
+            vals = rd.read_rice_run(cnt, p)
         out.extend(vals)
     return out
