@@ -15,11 +15,12 @@ Scope (enough for an honest in-container seam; everything else raises):
   with CRC-8 (header), CRC-16 (frame) and the STREAMINFO MD5 of the
   decoded stream all VERIFIED.  Non-16-bit sample sizes raise
   ``NotImplementedError`` (the encoder below never writes them).
-* encode: 16-bit mono/stereo (independent channels), fixed blocking;
-  per subframe it picks the cheapest of CONSTANT / FIXED order 0-4
-  (optimal single-partition Rice parameter, escape when Rice loses) /
-  VERBATIM — so every subframe type and the escape path are
-  load-bearing in round-trip tests.
+* encode: 16-bit mono/stereo, fixed blocking; per subframe it picks
+  the cheapest of CONSTANT / FIXED order 0-4 (optimal single-partition
+  Rice parameter, escape when Rice loses) / VERBATIM, and per stereo
+  frame the cheapest channel assignment (independent, left/side,
+  right/side, mid/side) — so every subframe type, the escape path and
+  every decorrelation are load-bearing in round-trip tests.
 
 No reference-repo analog (the reference pipeline is tabular-only);
 written from the public spec like operators/jpeg.py was from T.81.
@@ -278,35 +279,63 @@ def encode_flac(samples, rate: int = 16000, block_size: int = 256) -> bytes:
     for fno, start in enumerate(range(0, n, block_size)):
         blk = a[start : start + block_size]
         bs = blk.shape[0]
+        if ch == 1:
+            ca = 0
+            planned = [(blk[:, 0].astype(np.int64), 16)]
+        else:
+            # stereo decorrelation: plan all four channel assignments
+            # (spec §9.1.3) and keep the cheapest — correlated channels
+            # compress through the 17-bit side channel, and the round
+            # trip exercises every decoder decorrelation organically
+            left = blk[:, 0].astype(np.int64)
+            right = blk[:, 1].astype(np.int64)
+            side = left - right
+            mid = (left + right) >> 1
+            candidates = [
+                (1, [(left, 16), (right, 16)]),   # independent
+                (0x8, [(left, 16), (side, 17)]),  # left/side
+                (0x9, [(side, 17), (right, 16)]),  # right/side
+                (0xA, [(mid, 16), (side, 17)]),   # mid/side
+            ]
+            ca, planned, best = None, None, None
+            for code, items in candidates:
+                plans = [(s, bps, _plan_subframe(s, bps)) for s, bps in items]
+                cost = sum(pl[2] for _, _, pl in plans)
+                if best is None or cost < best:
+                    ca, planned, best = code, plans, cost
         hdr = _BitWriter()
         hdr.write(0x3FFE, 14)  # sync
         hdr.write(0, 1)  # reserved
         hdr.write(0, 1)  # fixed blocking
         hdr.write(7, 4)  # block size: 16-bit value - 1 follows
         hdr.write(0, 4)  # sample rate: from STREAMINFO
-        hdr.write(ch - 1, 4)  # independent channels
+        hdr.write(ca, 4)  # channel assignment
         hdr.write(4, 3)  # 16 bits per sample
         hdr.write(0, 1)  # reserved
         head = hdr.bytes() + _utf8_number(fno) + (bs - 1).to_bytes(2, "big")
         head += bytes([_crc8(head)])
         w = _BitWriter()
-        for c in range(ch):
-            _write_subframe(w, blk[:, c].astype(np.int64))
+        for item in planned:
+            if len(item) == 3:
+                s, bps, plan = item
+                _emit_subframe(w, s, bps, plan)
+            else:
+                s, bps = item
+                _write_subframe(w, s, bps)
         w.pad_to_byte()
         frame = head + w.bytes()
         out += frame + _crc16(frame).to_bytes(2, "big")
     return bytes(out)
 
 
-def _write_subframe(w: _BitWriter, s: np.ndarray) -> None:
+def _plan_subframe(s: np.ndarray, bps: int):
+    """Pick the cheapest subframe form for one channel of one frame:
+    (kind, payload, cost_bits).  kind is 'constant' / 'fixed' /
+    'verbatim'; side channels plan at bps=17."""
     bs = len(s)
     if np.all(s == s[0]):
-        w.write(0, 1)
-        w.write(0, 6)  # CONSTANT
-        w.write(0, 1)
-        w.write(int(s[0]), 16)
-        return
-    best = ("verbatim", None, None, bs * 16)
+        return ("constant", int(s[0]), 8 + bps)
+    best = ("verbatim", None, 8 + bs * bps)
     for order in range(min(5, bs)):
         coefs = _FIXED_COEFS[order]
         r = s[order:].copy()
@@ -314,23 +343,33 @@ def _write_subframe(w: _BitWriter, s: np.ndarray) -> None:
             r = r - cf * s[order - 1 - j : bs - 1 - j]
         rawbits = min(max(_signed_width(r), 1), 31)
         p, cost = _best_rice(_zigzag(r), rawbits)
-        cost += order * 16 + 2 + 4 + 4
-        if cost < best[3]:
-            best = ("fixed", order, (r, p, rawbits), cost)
-    if best[0] == "verbatim":
+        cost += 8 + order * bps + 2 + 4 + 4
+        if cost < best[2]:
+            best = ("fixed", (order, r, p, rawbits), cost)
+    return best
+
+
+def _emit_subframe(w: _BitWriter, s: np.ndarray, bps: int, plan) -> None:
+    kind, payload, _ = plan
+    if kind == "constant":
+        w.write(0, 1)
+        w.write(0, 6)  # CONSTANT
+        w.write(0, 1)
+        w.write(payload, bps)
+        return
+    if kind == "verbatim":
         w.write(0, 1)
         w.write(1, 6)  # VERBATIM
         w.write(0, 1)
         for v in s:
-            w.write(int(v), 16)
+            w.write(int(v), bps)
         return
-    order = best[1]
-    r, p, rawbits = best[2]
+    order, r, p, rawbits = payload
     w.write(0, 1)
     w.write(8 + order, 6)  # FIXED, order
     w.write(0, 1)  # no wasted bits
     for v in s[:order]:
-        w.write(int(v), 16)  # warmup
+        w.write(int(v), bps)  # warmup
     w.write(0, 2)  # residual method: 4-bit Rice
     w.write(0, 4)  # partition order 0
     if p == 15:
@@ -341,6 +380,10 @@ def _write_subframe(w: _BitWriter, s: np.ndarray) -> None:
     else:
         w.write(p, 4)
         w.write_rice_run(_zigzag(r), p)
+
+
+def _write_subframe(w: _BitWriter, s: np.ndarray, bps: int = 16) -> None:
+    _emit_subframe(w, s, bps, _plan_subframe(s, bps))
 
 
 _BLOCK_SIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,

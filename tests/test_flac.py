@@ -269,3 +269,50 @@ def test_md5_mismatch_raises():
     p[30] ^= 0xFF  # corrupt a byte inside the STREAMINFO MD5 field
     with pytest.raises(ValueError, match="MD5"):
         decode_flac(bytes(p))
+
+
+def _frame_channel_assignment(payload: bytes) -> int:
+    """Channel-assignment nibble of the FIRST frame header."""
+    # metadata walk to the first frame
+    pos = 4
+    while True:
+        last = payload[pos] & 0x80
+        pos += 4 + int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        if last:
+            break
+    assert payload[pos] == 0xFF and payload[pos + 1] & 0xFC == 0xF8
+    return payload[pos + 3] >> 4
+
+
+def test_encoder_picks_stereo_decorrelation_and_roundtrips():
+    """Correlated stereo (R tracks L) must select a side-channel
+    assignment, compress better than forced-independent coding of the
+    same content, and round-trip exactly — making the decoder's
+    L/S-R/S-M/S reconstructions load-bearing organically."""
+    rng = np.random.RandomState(3)
+    n = 1000
+    left = np.cumsum(rng.randint(-40, 41, n)).clip(-20000, 20000)
+    cases = {
+        0x8: np.stack([left, left - rng.randint(-2, 3, n)], 1),  # R ~ L
+        0xA: np.stack([left + rng.randint(-2, 3, n),
+                       -left + rng.randint(-2, 3, n)], 1),  # mid ~ 0
+    }
+    for want_side, sig in cases.items():
+        sig = sig.astype(np.int16)
+        p = encode_flac(sig, block_size=256)
+        ca = _frame_channel_assignment(p)
+        assert ca in (0x8, 0x9, 0xA), hex(ca)
+        assert (decode_flac(p) == sig).all()
+        mono_l = len(encode_flac(sig[:, 0], block_size=256))
+        mono_r = len(encode_flac(sig[:, 1], block_size=256))
+        # cheaper than independent coding (minus the fixed per-stream
+        # container overhead the two mono files double-count)
+        assert len(p) < mono_l + mono_r
+
+
+def test_uncorrelated_stereo_stays_independent():
+    rng = np.random.RandomState(4)
+    sig = rng.randint(-2000, 2000, (600, 2)).astype(np.int16)
+    p = encode_flac(sig, block_size=256)
+    assert _frame_channel_assignment(p) == 1  # 2 independent channels
+    assert (decode_flac(p) == sig).all()
