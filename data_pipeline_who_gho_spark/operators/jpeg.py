@@ -1,25 +1,31 @@
-"""Baseline JPEG (ITU-T T.81) encode/decode in pure stdlib + numpy —
-the LAST image-codec stub retired.
+"""JPEG (ITU-T T.81) encode/decode in pure stdlib + numpy — the LAST
+image-codec stub retired.
 
 Scope (enough for an honest in-container seam; everything else raises):
 
-* decode: baseline sequential DCT (SOF0), 8-bit, grayscale (1
-  component) or YCbCr with any divisor sampling factors — 4:4:4,
-  4:2:0, 4:2:2/4:4:0 (interleaved MCU walk per A.2.3, chroma restored
-  by sample replication) — plus restart intervals (DRI/RSTn per
-  E.2.4); canonical Huffman per Annex C, byte-stuffing-aware bit
-  reader, DC predictive + AC run-length entropy decode, dequantize,
-  dezigzag, float IDCT with round-half-away + clamp. Progressive
-  (SOF2), arithmetic coding, and non-divisor sampling grids raise
+* decode: baseline sequential (SOF0) AND progressive (SOF2) DCT,
+  8-bit, grayscale (1 component) or YCbCr with any divisor sampling
+  factors — 4:4:4, 4:2:0, 4:2:2/4:4:0 (interleaved MCU walk per
+  A.2.3, chroma restored by sample replication) — plus restart
+  intervals (DRI/RSTn per E.2.4) in both modes; canonical Huffman per
+  Annex C (tables redefinable between scans), byte-stuffing-aware bit
+  reader, DC predictive + AC run-length entropy decode, and the full
+  Annex-G progressive machinery: spectral selection, successive
+  approximation (DC/AC first + refinement scans), EOB runs, and
+  correction bits; dequantize, dezigzag, float IDCT with
+  round-half-away + clamp.  Arithmetic coding, hierarchical/lossless
+  modes, 12-bit precision, and non-divisor sampling grids raise
   ``NotImplementedError``.
-* encode: same profile, quality expressed by the caller's quant table.
-  The encoder can either (a) forward-DCT real samples (lossy round
-  trip, pinned within a tolerance in tests) or (b) take QUANTIZED
-  COEFFICIENT blocks directly — the path a driver registration uses:
-  DC-only blocks make the decoded image flat per block with EXACTLY
-  predictable integer values (IDCT of a lone DC is dc/8 across the
-  block), so the whole marker/Huffman/dequant/IDCT pipeline becomes
-  oracle-checkable without floating-point drift.
+* encode: sequential (grayscale, 4:4:4, subsampled-chroma) and
+  progressive (grayscale / 4:4:4, scriptable scan schedule), quality
+  expressed by the caller's quant table.  The encoders can either (a)
+  forward-DCT real samples (lossy round trip, pinned within a
+  tolerance in tests) or (b) take QUANTIZED COEFFICIENT blocks
+  directly — the path a driver registration uses: DC-only blocks make
+  the decoded image flat per block with EXACTLY predictable integer
+  values (IDCT of a lone DC is dc/8 across the block), so the whole
+  marker/Huffman/dequant/IDCT pipeline becomes oracle-checkable
+  without floating-point drift.
 
 Reference: ITU-T T.81 (public spec); Huffman tables from Annex K.
 No reference-repo analog (the reference pipeline is tabular-only).
@@ -462,6 +468,315 @@ def encode_jpeg_subsampled(
     return b"\xff\xd8" + dqt + sof + dht + dri + sos + entropy + b"\xff\xd9"
 
 
+# AC Huffman table for progressive scans: Annex K's baseline AC table
+# has no EOBn symbols (r<<4 with s=0, r=1..14 — G.1.2.2's end-of-band
+# run codes), so progressive scans need their own table.  A flat
+# canonical table giving every legal progressive AC symbol an 8-bit
+# code is valid per Annex C (176 codes <= 256, all-ones code unused)
+# and keeps the decoder's one-peek LUT path hot.
+_AC_PROG_VALS = sorted(
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [r << 4 for r in range(16)]  # EOB, EOB1..EOB14, ZRL
+)
+_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_PROG_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+# the canonical 6-scan progressive script (the libjpeg/jpegtran default
+# shape, public knowledge): DC first at Al=1, AC bands 1-5 / 6-63 first
+# at Al=2, AC refine 2->1, DC refine, AC refine 1->0.  Exercises every
+# progressive scan type including cross-band refinement.
+_STD_PROGRESSIVE_SCRIPT = [
+    (0, 0, 0, 1),
+    (1, 5, 0, 2),
+    (6, 63, 0, 2),
+    (1, 63, 2, 1),
+    (0, 0, 1, 0),
+    (1, 63, 1, 0),
+]
+
+
+def encode_jpeg_progressive(
+    coef_blocks: np.ndarray,
+    shape: tuple[int, int],
+    quant: np.ndarray | None = None,
+    script: list[tuple[int, int, int, int]] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive (SOF2) JPEG from QUANTIZED coefficient blocks —
+    (by, bx, 8, 8) grayscale or (by, bx, 3, 8, 8) 4:4:4 color.
+
+    ``script`` is a list of (Ss, Se, Ah, Al) scans applied to every
+    component (DC scans are interleaved across components; AC scans are
+    emitted once per component, per T.81 G.1's one-component-per-AC-scan
+    rule).  Encoding follows Annex G: DC first scans diff-code the
+    point transform (arithmetic >> Al) and DC refinement emits bit Al
+    of each block's DC; AC first scans run-length the magnitude point
+    transform (sign * (|v| >> Al)) with EOBn run codes spanning blocks;
+    AC refinement interleaves newly-nonzero (r<<4|1 + sign) symbols,
+    ZRLs, EOB runs, and buffered correction bits exactly as the decoder
+    consumes them.  With ``restart_interval`` = Ri > 0, every scan
+    emits RSTm markers each Ri MCUs (DC predictors, EOB runs, and
+    buffered bits flush at each boundary).  Like the sequential
+    coefficient-path encoders, decode is exactly predictable."""
+    coef_blocks = np.asarray(coef_blocks, dtype=np.int64)
+    color = coef_blocks.ndim == 5
+    if color and coef_blocks.shape[2] != 3:
+        raise ValueError("color form expects (by, bx, 3, 8, 8)")
+    by, bx = coef_blocks.shape[:2]
+    ncomp = 3 if color else 1
+    h, w = shape
+    if not (by * 8 - 7 <= h <= by * 8 and bx * 8 - 7 <= w <= bx * 8):
+        raise ValueError("shape inconsistent with coef_blocks grid")
+    q = (
+        np.asarray(quant, dtype=np.int64)
+        if quant is not None
+        else np.full((8, 8), 1, dtype=np.int64)
+    )
+    if not (1 <= q.min() and q.max() <= 255):
+        raise ValueError("quant table entries must be in 1..255")
+    script = list(_STD_PROGRESSIVE_SCRIPT if script is None else script)
+    if not script or script[0][:3] != (0, 0, 0):
+        raise ValueError("script must start with the DC first scan (0,0,0,Al)")
+    dc_codes = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _canonical_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+
+    def block(c: int, i: int, j: int) -> np.ndarray:
+        return coef_blocks[i, j, c] if color else coef_blocks[i, j]
+
+    def zz(c: int, i: int, j: int) -> np.ndarray:
+        return block(c, i, j).reshape(64)[_ZIGZAG]
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(payload) + 2).to_bytes(2, "big"))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0]) + bytes(int(v) for v in q.reshape(64)[_ZIGZAG]))
+    sof_comps = b"".join(
+        bytes([c + 1, 0x11, 0]) for c in range(ncomp)
+    )
+    seg(
+        0xC2,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([ncomp]) + sof_comps,
+    )
+    seg(
+        0xC4,
+        bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+        + bytes([0x10]) + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_VALS),
+    )
+    if restart_interval:
+        seg(0xDD, restart_interval.to_bytes(2, "big"))
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, body)
+
+    rst = [0]  # cycling RST index, per scan
+
+    def restart_marker(wbits: _BitWriter) -> None:
+        wbits.pad_to_byte()
+        wbits.raw(bytes([0xFF, 0xD0 + rst[0] % 8]))
+        rst[0] += 1
+
+    def encode_dc_first(al: int) -> None:
+        sos_header(list(range(1, ncomp + 1)), 0, 0, 0, al)
+        wbits = _BitWriter()
+        preds = [0] * ncomp
+        rst[0] = 0
+        mcu = 0
+        for i in range(by):
+            for j in range(bx):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    restart_marker(wbits)
+                    preds = [0] * ncomp
+                for c in range(ncomp):
+                    v = int(block(c, i, j)[0, 0]) >> al  # arithmetic shift
+                    diff = v - preds[c]
+                    preds[c] = v
+                    t, mag = _magnitude(diff)
+                    if t > 11:
+                        raise ValueError("DC diff exceeds category 11")
+                    code, ln = dc_codes[t]
+                    wbits.write(code, ln)
+                    if t:
+                        wbits.write(mag, t)
+                mcu += 1
+        out.extend(wbits.flush())
+
+    def encode_dc_refine(al: int) -> None:
+        sos_header(list(range(1, ncomp + 1)), 0, 0, al + 1, al)
+        wbits = _BitWriter()
+        rst[0] = 0
+        mcu = 0
+        for i in range(by):
+            for j in range(bx):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    restart_marker(wbits)
+                for c in range(ncomp):
+                    wbits.write((int(block(c, i, j)[0, 0]) >> al) & 1, 1)
+                mcu += 1
+        out.extend(wbits.flush())
+
+    def encode_ac_first(c: int, ss: int, se: int, al: int) -> None:
+        sos_header([c + 1], ss, se, 0, al)
+        wbits = _BitWriter()
+        state = {"eobrun": 0}
+        rst[0] = 0
+
+        def flush_eobrun() -> None:
+            n_ = state["eobrun"]
+            if n_:
+                nb = n_.bit_length() - 1
+                code, ln = ac_codes[nb << 4]
+                wbits.write(code, ln)
+                if nb:
+                    wbits.write(n_ & ((1 << nb) - 1), nb)
+                state["eobrun"] = 0
+
+        mcu = 0
+        for i in range(by):
+            for j in range(bx):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    flush_eobrun()
+                    restart_marker(wbits)
+                mcu += 1
+                band = zz(c, i, j)[ss : se + 1]
+                # point transform: sign * (|v| >> Al)  (G.1.2.2)
+                tband = np.sign(band) * (np.abs(band) >> al)
+                nz = np.nonzero(tband)[0]
+                if nz.size == 0:
+                    state["eobrun"] += 1
+                    if state["eobrun"] == 0x7FFF:
+                        flush_eobrun()
+                    continue
+                flush_eobrun()
+                last = int(nz[-1])
+                r = 0
+                for k in range(last + 1):
+                    t = int(tband[k])
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        code, ln = ac_codes[0xF0]  # ZRL
+                        wbits.write(code, ln)
+                        r -= 16
+                    s, mag = _magnitude(t)
+                    if s > 10:
+                        raise ValueError("AC coefficient exceeds category 10")
+                    code, ln = ac_codes[(r << 4) | s]
+                    wbits.write(code, ln)
+                    wbits.write(mag, s)
+                    r = 0
+                if last < se - ss:
+                    state["eobrun"] += 1
+                    if state["eobrun"] == 0x7FFF:
+                        flush_eobrun()
+        flush_eobrun()
+        out.extend(wbits.flush())
+
+    def encode_ac_refine(c: int, ss: int, se: int, al: int) -> None:
+        sos_header([c + 1], ss, se, al + 1, al)
+        wbits = _BitWriter()
+        state = {"eobrun": 0}
+        be: list[int] = []  # correction bits riding with the EOB run
+        rst[0] = 0
+
+        def flush_eobrun() -> None:
+            n_ = state["eobrun"]
+            if n_:
+                nb = n_.bit_length() - 1
+                code, ln = ac_codes[nb << 4]
+                wbits.write(code, ln)
+                if nb:
+                    wbits.write(n_ & ((1 << nb) - 1), nb)
+                state["eobrun"] = 0
+            for b in be:
+                wbits.write(b, 1)
+            be.clear()
+
+        mcu = 0
+        for i in range(by):
+            for j in range(bx):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    flush_eobrun()
+                    restart_marker(wbits)
+                mcu += 1
+                band = zz(c, i, j)[ss : se + 1]
+                absv = np.abs(band) >> al
+                ones = np.nonzero(absv == 1)[0]
+                eob = int(ones[-1]) if ones.size else -1
+                br: list[int] = []  # this block's buffered correction bits
+                r = 0
+                for k in range(se - ss + 1):
+                    t = int(absv[k])
+                    if t == 0:
+                        r += 1
+                        continue
+                    # fold long runs into ZRLs only before the block's
+                    # last newly-nonzero coef; after it they join the EOB
+                    while r > 15 and k <= eob:
+                        flush_eobrun()
+                        code, ln = ac_codes[0xF0]
+                        wbits.write(code, ln)
+                        r -= 16
+                        for b in br:
+                            wbits.write(b, 1)
+                        br.clear()
+                    if t > 1:
+                        # already nonzero: one correction bit, buffered
+                        # until the next emitted symbol (or the EOB run)
+                        br.append(t & 1)
+                        continue
+                    # newly nonzero (magnitude 1 at this precision)
+                    flush_eobrun()
+                    code, ln = ac_codes[(r << 4) | 1]
+                    wbits.write(code, ln)
+                    wbits.write(1 if int(band[k]) >= 0 else 0, 1)
+                    for b in br:
+                        wbits.write(b, 1)
+                    br.clear()
+                    r = 0
+                if r > 0 or br:
+                    state["eobrun"] += 1
+                    be.extend(br)
+                    # keep the run and its bit backlog bounded (G.1.2.2
+                    # caps EOBn at 2^14 runs; libjpeg flushes earlier)
+                    if state["eobrun"] == 0x7FFF or len(be) > 900:
+                        flush_eobrun()
+        flush_eobrun()
+        out.extend(wbits.flush())
+
+    for ss, se, ah, al in script:
+        if ss == 0:
+            if se != 0:
+                raise ValueError("DC scan must have Se=0")
+            if ah == 0:
+                encode_dc_first(al)
+            else:
+                if ah != al + 1:
+                    raise ValueError("refinement scan must have Ah=Al+1")
+                encode_dc_refine(al)
+        else:
+            if se > 63 or ss > se:
+                raise ValueError("bad spectral band")
+            if ah and ah != al + 1:
+                raise ValueError("refinement scan must have Ah=Al+1")
+            for c in range(ncomp):
+                if ah == 0:
+                    encode_ac_first(c, ss, se, al)
+                else:
+                    encode_ac_refine(c, ss, se, al)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     """JFIF YCbCr → RGB in integer fixed point (×2¹⁶ coefficients,
     round-half-up shift) — deterministic across platforms, unlike a
@@ -476,16 +791,226 @@ def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG → (H, W) grayscale or (H, W, 3) YCbCr uint8.
+def _find_scan_end(payload: bytes, start: int) -> int:
+    """Index of the first real marker at/after ``start`` — the end of a
+    scan's entropy-coded data.  Stuffed 0x00 bytes, RSTn markers, and
+    0xFF fill bytes (T.81 B.1.1.2) all belong to the entropy stream."""
+    i, n = start, len(payload)
+    while i < n:
+        if payload[i] == 0xFF and i + 1 < n:
+            m = payload[i + 1]
+            if m == 0x00 or 0xD0 <= m <= 0xD7:
+                i += 2
+                continue
+            if m == 0xFF:  # fill byte: the marker byte may follow
+                i += 1
+                continue
+            return i
+        i += 1
+    return n
 
-    Handles 4:4:4 and subsampled-chroma frames (4:2:0 / 4:2:2 / any
-    divisor factors; subsampled components are restored to full
-    resolution by sample replication) and restart intervals.  Output
-    is YCbCr component samples for 3-component images (the
-    color-transform-to-RGB step is a separate, exactly-specified
-    integer op the caller composes if needed); grayscale returns the
-    luma plane directly."""
+
+def _scan_units(scan_comps, samp, h: int, w: int, hmax: int, vmax: int):
+    """Per-MCU lists of (cs, bi, bj) block coordinates for a scan.
+
+    Non-interleaved scans (ns == 1) walk the component's OWN block grid
+    (T.81 A.2.2) — one block per MCU; interleaved scans carry hi*vi
+    blocks per component in raster order (A.2.3).  Restart intervals
+    count these MCUs in both cases (E.2.4)."""
+    if len(scan_comps) == 1:
+        cs = scan_comps[0][0]
+        hi, vi = samp[cs]
+        ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
+        cby, cbx = -(-ch // 8), -(-cw // 8)
+        return [[(cs, i, j)] for i in range(cby) for j in range(cbx)]
+    my, mx = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+    units = []
+    for i in range(my):
+        for j in range(mx):
+            unit = []
+            for cs, _, _ in scan_comps:
+                hi, vi = samp[cs]
+                for v in range(vi):
+                    for u in range(hi):
+                        unit.append((cs, i * vi + v, j * hi + u))
+            units.append(unit)
+    return units
+
+
+def _scan_baseline(reader, units, tables, grids, huff_dc, huff_ac, dri):
+    """Sequential (SOF0) scan: full-precision DC diff + AC run-length
+    per block, written straight into natural-order coefficient grids."""
+    preds = {cs: 0 for cs in tables}
+    for m, unit in enumerate(units):
+        if dri and m and m % dri == 0:
+            reader.restart((m // dri - 1) % 8)
+            preds = {c: 0 for c in preds}
+        for cs, bi, bj in unit:
+            td, ta = tables[cs]
+            blk = grids[cs][bi, bj].reshape(64)
+            t = reader.huff(huff_dc[td])
+            diff = _extend(reader.bits(t), t) if t else 0
+            preds[cs] += diff
+            blk[0] = preds[cs]
+            k = 1
+            while k < 64:
+                rs = reader.huff(huff_ac[ta])
+                r, t = rs >> 4, rs & 0xF
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += r
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                blk[_ZIGZAG[k]] = _extend(reader.bits(t), t)
+                k += 1
+
+
+def _scan_dc_first(reader, units, tables, grids, huff_dc, dri, al):
+    """Progressive DC first scan (T.81 G.2, Ah=0): DC diff of the
+    point-transformed value (arithmetic >> Al), stored << Al."""
+    preds = {cs: 0 for cs in tables}
+    for m, unit in enumerate(units):
+        if dri and m and m % dri == 0:
+            reader.restart((m // dri - 1) % 8)
+            preds = {c: 0 for c in preds}
+        for cs, bi, bj in unit:
+            t = reader.huff(huff_dc[tables[cs][0]])
+            diff = _extend(reader.bits(t), t) if t else 0
+            preds[cs] += diff
+            grids[cs][bi, bj, 0, 0] = preds[cs] << al
+
+
+def _scan_dc_refine(reader, units, grids, dri, al):
+    """Progressive DC refinement (Ah>0): one appended magnitude bit per
+    block — coef |= bit << Al (two's-complement OR, exactly libjpeg's
+    semantics; Python ints and numpy int64 share them)."""
+    p1 = 1 << al
+    for m, unit in enumerate(units):
+        if dri and m and m % dri == 0:
+            reader.restart((m // dri - 1) % 8)
+        for cs, bi, bj in unit:
+            if reader.bit():
+                grids[cs][bi, bj, 0, 0] |= p1
+
+
+def _scan_ac_first(reader, units, grids, table, dri, ss, se, al):
+    """Progressive AC first scan (T.81 G.2, single component): run-length
+    over the spectral band with EOBn codes — an EOB run of 2^r + ext
+    bits covers that many all-zero band remnants across blocks.  Values
+    are the point-transformed magnitudes (sign * (|v| >> Al)), stored
+    << Al."""
+    eobrun = 0
+    for m, unit in enumerate(units):
+        if dri and m and m % dri == 0:
+            reader.restart((m // dri - 1) % 8)
+            eobrun = 0
+        (cs, bi, bj), = unit
+        if eobrun:
+            eobrun -= 1
+            continue
+        blk = grids[cs][bi, bj].reshape(64)
+        k = ss
+        while k <= se:
+            rs = reader.huff(table)
+            r, s = rs >> 4, rs & 0xF
+            if s:
+                k += r
+                if k > se:
+                    raise ValueError("AC run past spectral band")
+                blk[_ZIGZAG[k]] = _extend(reader.bits(s), s) << al
+                k += 1
+            else:
+                if r != 15:
+                    eobrun = (1 << r) - 1  # this block is the run's first
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                k += 16  # ZRL
+
+
+def _scan_ac_refine(reader, units, grids, table, dri, ss, se, al):
+    """Progressive AC refinement scan (T.81 G.2, single component).
+
+    Walking the band: each Huffman symbol either places a NEWLY nonzero
+    coefficient (s must be 1: value ±2^Al by the sign bit) after a run
+    of r zero-HISTORY positions, emits a ZRL (16 zero-history
+    positions), or starts an EOB run.  While advancing over the run,
+    every already-nonzero coefficient passed contributes one correction
+    bit: 1 means add 2^Al to the magnitude (guarded on bit Al being
+    clear — two's-complement & matches libjpeg/C semantics).  Blocks
+    consumed by an EOB run still carry correction bits for their
+    remaining nonzero band coefficients."""
+    p1 = 1 << al
+    eobrun = 0
+    for m, unit in enumerate(units):
+        if dri and m and m % dri == 0:
+            reader.restart((m // dri - 1) % 8)
+            eobrun = 0
+        (cs, bi, bj), = unit
+        blk = grids[cs][bi, bj].reshape(64)
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.huff(table)
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s:
+                    if s != 1:
+                        raise ValueError(
+                            "AC refinement symbol with magnitude size != 1"
+                        )
+                    newval = p1 if reader.bit() else -p1
+                elif r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                # advance over r zero-history positions (16 for ZRL),
+                # appending correction bits to nonzero coefficients
+                while k <= se:
+                    pos = _ZIGZAG[k]
+                    c = int(blk[pos])
+                    if c != 0:
+                        if reader.bit() and (c & p1) == 0:
+                            blk[pos] = c + (p1 if c >= 0 else -p1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError("AC refinement overran spectral band")
+                    blk[_ZIGZAG[k]] = newval
+                k += 1
+        if eobrun:
+            # end-of-band: correction bits for the remaining nonzero
+            # coefficients of this block, then consume one run slot
+            while k <= se:
+                pos = _ZIGZAG[k]
+                c = int(blk[pos])
+                if c != 0 and reader.bit() and (c & p1) == 0:
+                    blk[pos] = c + (p1 if c >= 0 else -p1)
+                k += 1
+            eobrun -= 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """JPEG → (H, W) grayscale or (H, W, 3) YCbCr uint8.
+
+    Handles baseline sequential (SOF0) AND progressive (SOF2) frames:
+    multi-scan decode with spectral selection, successive approximation
+    (DC/AC first + refinement scans, EOB runs), tables redefinable
+    between scans, 4:4:4 and subsampled chroma (any divisor factors,
+    restored by sample replication), and restart intervals in both
+    modes.  Output is YCbCr component samples for 3-component images
+    (the RGB transform is a separate, exactly-specified integer op the
+    caller composes); grayscale returns the luma plane directly.
+    Arithmetic coding, hierarchical/lossless modes, and 12-bit
+    precision raise ``NotImplementedError``."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos, n = 2, len(payload)
@@ -493,16 +1018,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
-    scan = None
+    progressive = False
+    grids: dict[int, np.ndarray] = {}
+    samp: dict[int, tuple[int, int]] = {}
+    hmax = vmax = 1
     dri = 0
-    while pos + 4 <= n:
+    scans_done = 0
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
         # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker;
         # skip them so seg_len is never read from a fill byte (ADVICE r08)
         while pos + 1 < n and payload[pos + 1] == 0xFF:
             pos += 1
-        if pos + 4 > n:
+        if pos + 2 > n:
             break
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
@@ -510,6 +1039,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: standalone
             pos += 2
             continue
+        if pos + 4 > n:
+            raise ValueError("truncated JPEG segment header")
         seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
         body = payload[pos + 4 : pos + 2 + seg_len]
         if len(body) != seg_len - 2:
@@ -524,7 +1055,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 tbl[_ZIGZAG] = np.frombuffer(b[1:65], np.uint8)
                 quant[tq] = tbl.reshape(8, 8)
                 b = b[65:]
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (legal between scans: tables rebind)
             b = body
             while b:
                 tc, th = b[0] >> 4, b[0] & 0xF
@@ -533,17 +1064,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(b[17 : 17 + cnt])
                 (huff_dc if tc == 0 else huff_ac)[th] = _decode_table(bits, vals)
                 b = b[17 + cnt :]
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if frame is not None:
+                raise ValueError("multiple SOF segments")
+            progressive = marker == 0xC2
             prec = body[0]
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nc = body[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
+            if h <= 0 or w <= 0:
+                raise ValueError("malformed JPEG dimensions")
             comps = []
             for c in range(nc):
-                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                hi, vi = samp >> 4, samp & 0xF
+                cid, sf, tq = body[6 + 3 * c : 9 + 3 * c]
+                hi, vi = sf >> 4, sf & 0xF
                 if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise ValueError(f"illegal sampling factors {hi}x{vi}")
                 comps.append((cid, hi, vi, tq))
@@ -556,107 +1092,87 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         f"{hmax}x{vmax}): replication upsampling undefined"
                     )
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            samp = {cid: (hi, vi) for cid, hi, vi, _ in comps}
+            # grids sized for the interleaved MCU walk (the superset);
+            # non-interleaved scans touch the actual-block-dim prefix
+            my, mx = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+            grids = {
+                cid: np.zeros((my * vi, mx * hi, 8, 8), dtype=np.int64)
+                for cid, hi, vi, _ in comps
+            }
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline sequential (SOF0) JPEG")
+            raise NotImplementedError(
+                "only baseline (SOF0) and progressive (SOF2) JPEG"
+            )
         elif marker == 0xDD:  # DRI
             dri = int.from_bytes(body, "big")
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS: decode the scan eagerly
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            h, w, comps = frame
             ns = body[0]
             scan_comps = []
             for c in range(ns):
-                cs, tables = body[1 + 2 * c], body[2 + 2 * c]
-                scan_comps.append((cs, tables >> 4, tables & 0xF))
-            scan = (scan_comps, pos + 2 + seg_len)
-            break
+                cs, tsel = body[1 + 2 * c], body[2 + 2 * c]
+                if cs not in samp:
+                    raise ValueError(f"scan names unknown component {cs}")
+                scan_comps.append((cs, tsel >> 4, tsel & 0xF))
+            ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            data_start = pos + 2 + seg_len
+            end = _find_scan_end(payload, data_start)
+            reader = _BitReader(payload[data_start:end])
+            units = _scan_units(scan_comps, samp, h, w, hmax, vmax)
+            tables = {cs: (td, ta) for cs, td, ta in scan_comps}
+            if not progressive:
+                _scan_baseline(reader, units, tables, grids, huff_dc,
+                               huff_ac, dri)
+            elif ss == 0:  # DC scan
+                if se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                if ah == 0:
+                    _scan_dc_first(reader, units, tables, grids, huff_dc,
+                                   dri, al)
+                else:
+                    if ah != al + 1:
+                        raise ValueError("refinement scan must have Ah=Al+1")
+                    _scan_dc_refine(reader, units, grids, dri, al)
+            else:  # AC scan
+                if ns != 1:
+                    raise ValueError("progressive AC scan must be one component")
+                if se > 63 or ss > se:
+                    raise ValueError("bad spectral band")
+                table = huff_ac[scan_comps[0][2]]
+                if ah == 0:
+                    _scan_ac_first(reader, units, grids, table, dri, ss, se, al)
+                else:
+                    if ah != al + 1:
+                        raise ValueError("refinement scan must have Ah=Al+1")
+                    _scan_ac_refine(reader, units, grids, table, dri, ss,
+                                    se, al)
+            scans_done += 1
+            pos = end
+            continue
         pos += 2 + seg_len
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF0/SOS")
+    if frame is None or scans_done == 0:
+        raise ValueError("JPEG missing SOF/SOS")
     h, w, comps = frame
-    if h <= 0 or w <= 0:
-        raise ValueError("malformed JPEG dimensions")
-    scan_comps, data_start = scan
-    # entropy data runs until the EOI marker
-    end = payload.rfind(b"\xff\xd9")
-    if end < 0:
-        raise ValueError("JPEG missing EOI")
-    reader = _BitReader(payload[data_start:end])
-    samp = {cid: (hi, vi) for cid, hi, vi, _ in comps}
-    tq_of = {cid: tq for cid, hi, vi, tq in comps}
-    hmax = max(hi for _, hi, _, _ in comps)
-    vmax = max(vi for _, _, vi, _ in comps)
-
-    def decode_block(td: int, ta: int, cs: int, preds: dict) -> np.ndarray:
-        zz = np.zeros(64, dtype=np.int64)
-        t = reader.huff(huff_dc[td])
-        diff = _extend(reader.bits(t), t) if t else 0
-        preds[cs] += diff
-        zz[0] = preds[cs]
-        k = 1
-        while k < 64:
-            rs = reader.huff(huff_ac[ta])
-            r, t = rs >> 4, rs & 0xF
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += r
-            if k > 63:
-                raise ValueError("AC run past end of block")
-            zz[k] = _extend(reader.bits(t), t)
-            k += 1
-        blk = np.zeros(64, dtype=np.int64)
-        blk[_ZIGZAG] = zz  # inverse zig-zag: natural[zz_index[k]] = zz[k]
-        return blk.reshape(8, 8)
-
-    preds = {cs: 0 for cs, _, _ in scan_comps}
-    if len(scan_comps) == 1:
-        # non-interleaved scan: the MCU is one block, walking this
-        # component's own block grid (T.81 A.2.2)
-        cs, td, ta = scan_comps[0]
-        hi, vi = samp[cs]
-        ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)  # sample dims
-        cby, cbx = -(-ch // 8), -(-cw // 8)
-        grids = {cs: np.zeros((cby, cbx, 8, 8), dtype=np.int64)}
-        mcu_iter = [(cs, i, j) for i in range(cby) for j in range(cbx)]
-        per_mcu = 1
-    else:
-        # interleaved: each MCU carries hi*vi blocks per component in
-        # raster order (T.81 A.2.3)
-        my, mx = -(-h // (8 * vmax)), -(-w // (8 * hmax))
-        grids = {
-            cs: np.zeros((my * samp[cs][1], mx * samp[cs][0], 8, 8), np.int64)
-            for cs, _, _ in scan_comps
-        }
-        mcu_iter = []
-        for i in range(my):
-            for j in range(mx):
-                for cs, _, _ in scan_comps:
-                    hi, vi = samp[cs]
-                    for v in range(vi):
-                        for u in range(hi):
-                            mcu_iter.append((cs, i * vi + v, j * hi + u))
-        per_mcu = sum(samp[cs][0] * samp[cs][1] for cs, _, _ in scan_comps)
-    tables = {cs: (td, ta) for cs, td, ta in scan_comps}
-    for b, (cs, bi, bj) in enumerate(mcu_iter):
-        if dri and b and b % (dri * per_mcu) == 0:
-            reader.restart((b // (dri * per_mcu) - 1) % 8)
-            preds = {c: 0 for c in preds}
-        td, ta = tables[cs]
-        grids[cs][bi, bj] = decode_block(td, ta, cs, preds)
 
     planes = []
-    for cs, _, _ in scan_comps:
-        q = quant.get(tq_of[cs])
+    for cid, hi, vi, tq in comps:
+        q = quant.get(tq)
         if q is None:
-            raise ValueError(f"missing quant table {tq_of[cs]}")
-        hi, vi = samp[cs]
-        gby, gbx = grids[cs].shape[:2]
-        plane = np.zeros((gby * 8, gbx * 8), dtype=np.uint8)
-        for i in range(gby):
-            for j in range(gbx):
-                s = _idct_block(grids[cs][i, j] * q)
+            raise ValueError(f"missing quant table {tq}")
+        # IDCT only the component's actual block grid (MCU padding
+        # blocks fall outside the crop and are skipped)
+        ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
+        cby, cbx = -(-ch // 8), -(-cw // 8)
+        g = grids[cid]
+        plane = np.zeros((cby * 8, cbx * 8), dtype=np.uint8)
+        for i in range(cby):
+            for j in range(cbx):
+                s = _idct_block(g[i, j] * q)
                 # round half away from zero, level shift, clamp
                 s = np.trunc(s + 0.5 * np.sign(s))
                 plane[i * 8 : i * 8 + 8, j * 8 : j * 8 + 8] = np.clip(
@@ -665,7 +1181,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         # crop to this component's sample dims, then replicate each
         # sample hmax/hi x vmax/vi back to full resolution (box
         # upsampling — the exactly-specified integer choice)
-        ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
         plane = plane[:ch, :cw]
         if (hmax // hi, vmax // vi) != (1, 1):
             plane = np.repeat(np.repeat(plane, vmax // vi, 0), hmax // hi, 1)

@@ -96,12 +96,18 @@ def test_rejects_malformed_and_unsupported():
         decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
-    # progressive (SOF2) raises NotImplementedError
+    # hand-flipping SOF0→SOF2 makes the baseline scan header (Ss=0,
+    # Se=63) an ILLEGAL progressive DC scan — rejected, not misdecoded
     prog = bytearray(good)
     sof = prog.find(b"\xff\xc0")
     prog[sof + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(prog))
+    # arithmetic coding (SOF9) raises NotImplementedError
+    arith = bytearray(good)
+    arith[sof + 1] = 0xC9
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(arith))
     # oversized coefficients rejected at encode time
     big = np.zeros((1, 1, 8, 8), dtype=np.int64)
     big[0, 0, 3, 3] = 5000  # AC category 13 > 10
