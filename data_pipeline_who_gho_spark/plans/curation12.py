@@ -451,3 +451,100 @@ SELECT doc_id,
 FROM bins
 GROUP BY doc_id, f
 """
+
+
+# ---------------------------------------------------------------------------
+# jpeg_progressive_decode_stats — r10 registration queue.  Drives the
+# NEW progressive (SOF2) decode path end-to-end as a production body:
+# per doc the plan synthesizes quantized coefficient blocks (DC plus
+# the F(4,4) checkerboard AC), writes a REAL 6-scan progressive stream
+# (DC first at Al=1, split-band AC first at Al=2, cross-band AC
+# refinement 2→1, DC refinement, AC refinement 1→0 — every Annex-G
+# scan type), decodes it with the default decoder, and reduces to
+# exact integer sums.  F(4,4) is the one AC basis whose IDCT is
+# EXACTLY ±v/8 per pixel (the cos(π/4)² product is 1/2), so pixels
+# stay closed-form integers: pixel(y, x) = p ± w.  The plain sum
+# cancels the AC term (the sign grid sums to zero); the sign-grid
+# checksum cancels the DC term and isolates 64·w per block — so chk /
+# wchk pin that every AC scan (band split, EOB runs, correction bits)
+# landed the coefficient exactly, while sum_all / wsum pin the
+# DC-scan chain, per block.
+#
+# Oracle-exact — pinned by tests/test_curation12.py against the closed
+# form — so registration is the usual two-line edit:
+#   CURATION12_QUERIES["jpeg_progressive_decode_stats"] = jpeg_progressive_decode_stats
+#   CURATION12_ORACLE_SQL["jpeg_progressive_decode_stats"] = JPEG_PROGRESSIVE_DECODE_STATS_SQL
+# ---------------------------------------------------------------------------
+
+# per-block flat value p and checkerboard amplitude w (2x2 block grid):
+#   p(doc, b) = (doc_id*13 + b*29) % 128 + 64   (pixels p±w stay unclamped)
+#   w(doc, b) = (doc_id*5  + b*3)  % 7   + 1
+_JPROG = {"p": (13, 29), "w": (5, 3)}
+
+
+def jpeg_progressive_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.jpeg import encode_jpeg_progressive
+    from ..operators.multimodal import decode_media, sniff_media_type
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # sign of cos((2x+1)π/4): the F(4,4) basis over one block
+        s = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+        sgn = np.tile(np.outer(s, s), (2, 2))
+        bw = np.repeat(np.repeat(np.arange(4).reshape(2, 2) + 1, 8, 0), 8, 1)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                coefs = np.zeros((2, 2, 8, 8), dtype=np.int64)
+                for b in range(4):
+                    p = (d * _JPROG["p"][0] + b * _JPROG["p"][1]) % 128 + 64
+                    w = (d * _JPROG["w"][0] + b * _JPROG["w"][1]) % 7 + 1
+                    coefs[b // 2, b % 2, 0, 0] = (p - 128) * 8
+                    coefs[b // 2, b % 2, 4, 4] = w * 8
+                payload = encode_jpeg_progressive(coefs, (16, 16))
+                dec = decode_media(payload, sniff_media_type(payload)).astype(
+                    np.int64
+                )
+                rows.append(
+                    (
+                        d,
+                        dec.shape[0],
+                        dec.shape[1],
+                        int(dec.sum()),
+                        int((dec * bw).sum()),
+                        int((dec * sgn).sum()),
+                        int((dec * sgn * bw).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "h", "w", "sum_all", "wsum", "chk", "wchk"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        "doc_id BIGINT, h BIGINT, w BIGINT, sum_all BIGINT, wsum BIGINT, "
+        "chk BIGINT, wchk BIGINT",
+    )
+
+
+JPEG_PROGRESSIVE_DECODE_STATS_SQL = f"""
+WITH vals AS (
+  SELECT doc_id, b.x AS b,
+         (doc_id * {_JPROG["p"][0]} + b.x * {_JPROG["p"][1]}) % 128 + 64 AS p,
+         (doc_id * {_JPROG["w"][0]} + b.x * {_JPROG["w"][1]}) % 7 + 1 AS wac
+  FROM documents, range(4) b(x)
+)
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS h,
+       CAST(16 AS BIGINT) AS w,
+       CAST(SUM(64 * p) AS BIGINT) AS sum_all,
+       CAST(SUM(64 * p * (b + 1)) AS BIGINT) AS wsum,
+       CAST(SUM(64 * wac) AS BIGINT) AS chk,
+       CAST(SUM(64 * wac * (b + 1)) AS BIGINT) AS wchk
+FROM vals
+GROUP BY doc_id
+"""

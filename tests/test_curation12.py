@@ -144,3 +144,29 @@ def test_audio_fingerprint_decodes_payloads_once(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan
     assert plan.count("ExistingRDD") >= 2  # both join sides reuse it
+
+
+def test_jpeg_progressive_decode_stats_matches_oracle(spark):
+    """The 6-scan progressive pipeline — DC first/refine, split-band AC
+    first, cross-band AC refinement, EOB runs — must reproduce the
+    closed-form oracle on every doc.  The sign-grid checksum isolates
+    the F(4,4) AC coefficient (the plain sum cancels it), so chk/wchk
+    fail if ANY progressive AC scan mislands a coefficient."""
+    import duckdb
+
+    from data_pipeline_who_gho_spark.plans.curation12 import (
+        JPEG_PROGRESSIVE_DECODE_STATS_SQL,
+        jpeg_progressive_decode_stats,
+    )
+
+    got = sorted(
+        tuple(r) for r in jpeg_progressive_decode_stats(spark, SF).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in
+                  con.execute(JPEG_PROGRESSIVE_DECODE_STATS_SQL).fetchall())
+    assert got == want
+    assert len(got) > 0
