@@ -570,8 +570,10 @@ def decode_media(payload: bytes, media_type: str):
     JPEG incl. 4:2:0 via operators/jpeg.py), 16-bit PCM WAV and FLAC
     audio (operators/flac.py) and mono Y4M video — all pure stdlib +
     numpy, no external codec libs. NotImplementedError only for
-    MP3/MP4, whose codecs
-    (librosa/ffmpeg) are absent in this container. The
+    MP3/MP4 SAMPLE decode, whose codecs (librosa/ffmpeg) are absent in
+    this container — their CONTAINER layer (box tree / frame headers:
+    duration, dimensions, track inventory, bitrate shape) parses for
+    real via operators/containers.py. The
     Spark-side contract (signature, batching) is identical either way;
     the injected-decoder override remains for cluster deployments with
     real codec libraries."""

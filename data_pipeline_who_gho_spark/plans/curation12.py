@@ -548,3 +548,193 @@ SELECT doc_id,
 FROM vals
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# mp4_container_stats — r10 registration queue.  The MP4 stub retired
+# at its honest boundary: per doc the plan synthesizes a structurally
+# valid ISO BMFF container (ftyp + moov/mvhd + 1-3 trak subtrees with
+# tkhd/mdhd/hdlr/minf/stbl + mdat) from integer formulas, then PROBES
+# it with the real box-tree walker (operators/containers.py: 32/64-bit
+# and to-end box sizes, FullBox versions, 16.16 fixed-point dims,
+# packed 5-bit language) and emits what the probe returned.  Sample
+# decode stays NotImplementedError — this is the ffprobe layer, the
+# metadata pass a curation pipeline runs before spending GPU decode.
+#
+# Oracle-exact (closed form below) — registration is the two-line edit:
+#   CURATION12_QUERIES["mp4_container_stats"] = mp4_container_stats
+#   CURATION12_ORACLE_SQL["mp4_container_stats"] = MP4_CONTAINER_STATS_SQL
+# ---------------------------------------------------------------------------
+
+_MP4_LANGS = ("und", "eng", "fra")
+
+
+def mp4_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.containers import build_mp4, probe_mp4
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 1 + d % 3
+                tracks = [
+                    {
+                        "track_id": i + 1,
+                        "handler": "vide" if i == 0 else "soun",
+                        "duration": (d * 37 + i * 101) % 90000 + 1000,
+                        "timescale": 600 * (i + 1),
+                        "language": _MP4_LANGS[(d + i) % 3],
+                        "width": (d % 64 + 1) * 16 if i == 0 else 0,
+                        "height": (d % 48 + 1) * 16 if i == 0 else 0,
+                    }
+                    for i in range(n)
+                ]
+                payload = build_mp4(
+                    1000, (d * 53) % 100000 + 500, tracks,
+                    mdat_bytes=(d * 13) % 4096,
+                )
+                info = probe_mp4(payload)
+                ts = info["tracks"]
+                rows.append(
+                    (
+                        d,
+                        len(ts),
+                        info["duration"],
+                        info["mdat_bytes"],
+                        ts[0]["width"],
+                        ts[0]["height"],
+                        sum(t["duration"] for t in ts),
+                        sum(t["timescale"] for t in ts),
+                        ",".join(t["language"] for t in ts),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_tracks", "duration", "mdat_bytes",
+                         "vid_w", "vid_h", "trk_dur_sum", "trk_ts_sum",
+                         "langs"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        "doc_id BIGINT, n_tracks BIGINT, duration BIGINT, mdat_bytes BIGINT, "
+        "vid_w BIGINT, vid_h BIGINT, trk_dur_sum BIGINT, trk_ts_sum BIGINT, "
+        "langs STRING",
+    )
+
+
+MP4_CONTAINER_STATS_SQL = """
+WITH trk AS (
+  SELECT doc_id, i.x AS i,
+         (doc_id * 37 + i.x * 101) % 90000 + 1000 AS dur,
+         600 * (i.x + 1) AS ts,
+         CASE (doc_id + i.x) % 3 WHEN 0 THEN 'und' WHEN 1 THEN 'eng'
+              ELSE 'fra' END AS lang
+  FROM documents, range(3) i(x)
+  WHERE i.x < 1 + doc_id % 3
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tracks,
+       CAST((doc_id * 53) % 100000 + 500 AS BIGINT) AS duration,
+       CAST((doc_id * 13) % 4096 AS BIGINT) AS mdat_bytes,
+       CAST((doc_id % 64 + 1) * 16 AS BIGINT) AS vid_w,
+       CAST((doc_id % 48 + 1) * 16 AS BIGINT) AS vid_h,
+       CAST(SUM(dur) AS BIGINT) AS trk_dur_sum,
+       CAST(SUM(ts) AS BIGINT) AS trk_ts_sum,
+       string_agg(lang, ',' ORDER BY i) AS langs
+FROM trk
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# mp3_frame_stats — r10 registration queue.  The MP3 stub retired at
+# the same boundary: per doc the plan synthesizes a VBR MPEG-1 Layer
+# III stream (ID3v2 tag with syncsafe size, per-frame bitrate/padding
+# pattern, optional ID3v1 trailer) and SCANS it with the real frame
+# walker (11-bit sync, bitrate/samplerate tables, exact frame-length
+# arithmetic) — duration-in-samples, byte and bitrate totals, tag
+# accounting, all integer-exact.  The oracle replays the spec's frame
+# length formula (144·kbps·1000 // sr + pad) against an inline bitrate
+# table.
+#
+#   CURATION12_QUERIES["mp3_frame_stats"] = mp3_frame_stats
+#   CURATION12_ORACLE_SQL["mp3_frame_stats"] = MP3_FRAME_STATS_SQL
+# ---------------------------------------------------------------------------
+
+
+def mp3_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.containers import build_mp3, scan_mp3_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                frames = [
+                    ((d * 3 + i) % 14 + 1, (d + i) % 2)
+                    for i in range(8 + d % 6)
+                ]
+                payload = build_mp3(
+                    frames, sr_idx=d % 3,
+                    id3v2_payload=(d % 50) * 3, id3v1=d % 2 == 1,
+                )
+                s = scan_mp3_frames(payload)
+                rows.append(
+                    (
+                        d,
+                        s["n_frames"],
+                        s["samplerate"],
+                        s["samples"],
+                        s["frame_bytes"],
+                        s["sum_kbps"],
+                        s["id3v2_bytes"] + (128 if s["id3v1"] else 0),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "samplerate", "samples",
+                         "frame_bytes", "sum_kbps", "tag_bytes"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        "doc_id BIGINT, n_frames BIGINT, samplerate BIGINT, samples BIGINT, "
+        "frame_bytes BIGINT, sum_kbps BIGINT, tag_bytes BIGINT",
+    )
+
+
+# MPEG-1 Layer III bitrate table, index 1..14 (kbps)
+_MP3_BR_SQL = "VALUES " + ", ".join(
+    f"({i + 1}, {k})"
+    for i, k in enumerate([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                           224, 256, 320])
+)
+
+MP3_FRAME_STATS_SQL = f"""
+WITH br(idx, kbps) AS ({_MP3_BR_SQL}),
+f AS (
+  SELECT d.doc_id, i.x AS i,
+         CASE d.doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              ELSE 32000 END AS sr,
+         (d.doc_id * 3 + i.x) % 14 + 1 AS br_idx,
+         (d.doc_id + i.x) % 2 AS pad
+  FROM documents d, range(14) i(x)
+  WHERE i.x < 8 + d.doc_id % 6
+)
+SELECT f.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(MIN(sr) AS BIGINT) AS samplerate,
+       CAST(COUNT(*) * 1152 AS BIGINT) AS samples,
+       CAST(SUM(144 * kbps * 1000 // sr + pad) AS BIGINT) AS frame_bytes,
+       CAST(SUM(kbps) AS BIGINT) AS sum_kbps,
+       CAST(CASE WHEN f.doc_id % 50 = 0 THEN 0
+                 ELSE 10 + (f.doc_id % 50) * 3 END
+            + CASE WHEN f.doc_id % 2 = 1 THEN 128 ELSE 0 END
+            AS BIGINT) AS tag_bytes
+FROM f JOIN br ON br.idx = f.br_idx
+GROUP BY f.doc_id
+"""

@@ -170,3 +170,48 @@ def test_jpeg_progressive_decode_stats_matches_oracle(spark):
                   con.execute(JPEG_PROGRESSIVE_DECODE_STATS_SQL).fetchall())
     assert got == want
     assert len(got) > 0
+
+
+def test_mp4_container_stats_matches_oracle(spark):
+    """The real box-tree probe (64/32-bit sizes, FullBox fields, 16.16
+    dims, packed language) must reproduce the synthesis formulas on
+    every doc — the engine emits what the PROBE returned, so any walk
+    slip (offset, fixed-point, language unpack) breaks parity."""
+    import duckdb
+
+    from data_pipeline_who_gho_spark.plans.curation12 import (
+        MP4_CONTAINER_STATS_SQL,
+        mp4_container_stats,
+    )
+
+    got = sorted(tuple(r) for r in mp4_container_stats(spark, SF).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in
+                  con.execute(MP4_CONTAINER_STATS_SQL).fetchall())
+    assert got == want
+    assert len(got) > 0
+
+
+def test_mp3_frame_stats_matches_oracle(spark):
+    """The frame-header walk (sync, bitrate/samplerate tables, exact
+    frame-length stepping, ID3 skip) must land every VBR stream's
+    aggregate exactly on the spec formula the oracle replays."""
+    import duckdb
+
+    from data_pipeline_who_gho_spark.plans.curation12 import (
+        MP3_FRAME_STATS_SQL,
+        mp3_frame_stats,
+    )
+
+    got = sorted(tuple(r) for r in mp3_frame_stats(spark, SF).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in
+                  con.execute(MP3_FRAME_STATS_SQL).fetchall())
+    assert got == want
+    assert len(got) > 0
