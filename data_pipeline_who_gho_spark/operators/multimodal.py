@@ -43,6 +43,8 @@ _MAGIC = {
     b"ID3": "audio/mp3",
     b"YUV4MPEG2": "video/y4m",
     b"\x1f\x8b": "application/gzip",
+    b"BZh": "application/x-bzip2",
+    b"\xfd7zXZ\x00": "application/x-xz",
     b"\x00\x00\x00\x18ftyp": "video/mp4",
     b"\x00\x00\x00\x20ftyp": "video/mp4",
 }
@@ -546,10 +548,13 @@ def _decode_y4m(payload: bytes):
 
 def decompress_payload(payload: bytes, media_type: str | None = None) -> bytes:
     """Container decompression for text-bearing payloads (corpora ship
-    as .gz shards): gzip via stdlib. Returns the decompressed BYTES —
-    the caller owns the charset decode. Unlike decode_media this is
-    bytes→bytes, so it composes in front of any text operator."""
+    as .gz / .bz2 / .xz shards): gzip, bzip2, and xz via stdlib.
+    Returns the decompressed BYTES — the caller owns the charset
+    decode. Unlike decode_media this is bytes→bytes, so it composes in
+    front of any text operator."""
+    import bz2
     import gzip
+    import lzma
     import zlib
 
     if media_type == "application/gzip" or (
@@ -559,6 +564,20 @@ def decompress_payload(payload: bytes, media_type: str | None = None) -> bytes:
             return gzip.decompress(payload)
         except (OSError, EOFError, zlib.error) as exc:
             raise ValueError(f"corrupt gzip payload: {exc}") from None
+    if media_type == "application/x-bzip2" or (
+        media_type is None and payload[:3] == b"BZh"
+    ):
+        try:
+            return bz2.decompress(payload)
+        except (OSError, EOFError, ValueError) as exc:
+            raise ValueError(f"corrupt bzip2 payload: {exc}") from None
+    if media_type == "application/x-xz" or (
+        media_type is None and payload[:6] == b"\xfd7zXZ\x00"
+    ):
+        try:
+            return lzma.decompress(payload)
+        except (lzma.LZMAError, EOFError) as exc:
+            raise ValueError(f"corrupt xz payload: {exc}") from None
     raise NotImplementedError(
         f"no decompressor for {media_type or 'unsniffed payload'}"
     )

@@ -1,0 +1,249 @@
+"""Round-9 curation additions, second set: the container-format sweep
+(bz2/xz shards), encoding repair, and the parquet-footer probe.
+
+``multi_codec_roundtrip_stats`` — corpora ship as .gz/.bz2/.xz shards;
+the ingestion seam must sniff and inflate all three.  Per doc the
+codec rotates by doc_id, the payload round-trips through the REAL
+stdlib decompressors behind ``decompress_payload``, and the emitted
+md5/token stats must land on the oracle's view of the original text —
+a wrong sniff, a codec mixup, or a lossy inflate all break parity.
+
+``mojibake_repair_stats`` — the ftfy-style UTF-8-read-as-cp1252 repair
+(operators/encoding.py) driven as a production body: corrupt a
+non-ASCII-bearing text deterministically, repair it, and require the
+repaired md5 to equal the oracle's md5 of the ORIGINAL — the repair
+must be the exact inverse, not a plausible guess.  The corrupt-side
+char count (= the original's UTF-8 byte count) rides along, pinning
+the detector fired on every doc.
+
+``parquet_footer_probe`` — writes a doc_id column with a PRESCRIBED
+row-group size through the real parquet writer, then parses the
+footer back (pyarrow metadata: per-group row counts and column
+min/max statistics) and emits what the FOOTER says.  The oracle
+derives the same numbers from the data by window arithmetic — so the
+query pins that written row-group layout and footer statistics match
+the prescription, the machinery every scan-pruning decision at 100 TB
+trusts.  The single-group applyInPandas is bounded and documented
+(one int64 column of doc ids — 500 rows at the driver's sf0.01, 50k
+at sf1); the production form runs the same pyarrow footer read over
+existing files, one path per task.
+
+No reference-repo analog (the reference pipeline is tabular-only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+CURATION13_QUERIES: dict = {}
+CURATION13_ORACLE_SQL: dict = {}
+
+# the full Python str.isspace() class (see gzip_roundtrip_stats)
+_WS_CLASS = (
+    "[\\t-\\r \\x{001C}-\\x{001F}\\x{0085}\\x{00A0}\\x{1680}"
+    "\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+"
+)
+
+
+# ---------------------------------------------------------------------------
+# multi_codec_roundtrip_stats — r10 registration queue.
+#   CURATION13_QUERIES["multi_codec_roundtrip_stats"] = multi_codec_roundtrip_stats
+#   CURATION13_ORACLE_SQL["multi_codec_roundtrip_stats"] = MULTI_CODEC_ROUNDTRIP_STATS_SQL
+# ---------------------------------------------------------------------------
+
+
+def multi_codec_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decompress_payload, sniff_media_type
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import bz2
+        import gzip
+        import lzma
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = str(t).encode("utf-8")
+                c = int(doc_id) % 3
+                if c == 0:
+                    payloads.append(gzip.compress(raw, mtime=0))
+                elif c == 1:
+                    payloads.append(bz2.compress(raw))
+                else:
+                    payloads.append(lzma.compress(raw))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                mtype = sniff_media_type(payload)  # emitted: pins the sniff
+                raw = decompress_payload(payload, mtype)
+                text = raw.decode("utf-8")
+                toks = [t for t in text.strip().split() if t]
+                rows.append(
+                    (int(doc_id), mtype, len(text), len(toks),
+                     hashlib.md5(raw).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "codec", "n_chars", "n_tok", "text_md5"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    packed = docs.mapInPandas(pack, "doc_id BIGINT, payload BINARY")
+    return packed.mapInPandas(
+        unpack,
+        "doc_id BIGINT, codec STRING, n_chars BIGINT, n_tok BIGINT, "
+        "text_md5 STRING",
+    )
+
+
+MULTI_CODEC_ROUNDTRIP_STATS_SQL = f"""
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'application/gzip'
+            WHEN 1 THEN 'application/x-bzip2'
+            ELSE 'application/x-xz' END AS codec,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(list_filter(regexp_split_to_array(text, '{_WS_CLASS}'),
+            t -> t <> '')) AS BIGINT) AS n_tok,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# mojibake_repair_stats — r10 registration queue.
+#   CURATION13_QUERIES["mojibake_repair_stats"] = mojibake_repair_stats
+#   CURATION13_ORACLE_SQL["mojibake_repair_stats"] = MOJIBAKE_REPAIR_STATS_SQL
+# ---------------------------------------------------------------------------
+
+# appended so every fixture doc carries non-ASCII: 2-byte (é), 3-byte
+# (№), and a cp1252-special (— U+2014 -> byte 0x97) sequence
+_MOJI_SUFFIX = " café №— "
+
+
+def mojibake_repair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.encoding import corrupt_double_encoding, fix_double_encoding
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                orig = str(t) + _MOJI_SUFFIX + str(d % 10)
+                corrupt = corrupt_double_encoding(orig)
+                fixed, repaired = fix_double_encoding(corrupt)
+                rows.append(
+                    (
+                        d,
+                        int(repaired),
+                        len(corrupt),
+                        len(fixed),
+                        hashlib.md5(fixed.encode("utf-8")).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "repaired", "n_chars_corrupt",
+                         "n_chars_fixed", "fixed_md5"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        run,
+        "doc_id BIGINT, repaired BIGINT, n_chars_corrupt BIGINT, "
+        "n_chars_fixed BIGINT, fixed_md5 STRING",
+    )
+
+
+# the corrupt text's CHAR count equals the original's UTF-8 BYTE count
+# (every byte became one cp1252/latin-1 char) — strlen() in DuckDB
+MOJIBAKE_REPAIR_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS repaired,
+       CAST(strlen(text || '{_MOJI_SUFFIX}' || CAST(doc_id % 10 AS VARCHAR))
+            AS BIGINT) AS n_chars_corrupt,
+       CAST(length(text || '{_MOJI_SUFFIX}' || CAST(doc_id % 10 AS VARCHAR))
+            AS BIGINT) AS n_chars_fixed,
+       md5(text || '{_MOJI_SUFFIX}' || CAST(doc_id % 10 AS VARCHAR))
+           AS fixed_md5
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# parquet_footer_probe — r10 registration queue.
+#   CURATION13_QUERIES["parquet_footer_probe"] = parquet_footer_probe
+#   CURATION13_ORACLE_SQL["parquet_footer_probe"] = PARQUET_FOOTER_PROBE_SQL
+# ---------------------------------------------------------------------------
+
+_PFP_ROWGROUP = 64
+
+
+def parquet_footer_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def probe(pdf: pd.DataFrame) -> pd.DataFrame:
+        import os
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ids = pdf["doc_id"].astype("int64").sort_values().reset_index(drop=True)
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "probe.parquet")
+            pq.write_table(
+                pa.table({"doc_id": ids}), path,
+                row_group_size=_PFP_ROWGROUP,
+            )
+            md = pq.ParquetFile(path).metadata
+            rows = []
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                st = rg.column(0).statistics
+                rows.append(
+                    (g, rg.num_rows, int(st.min), int(st.max),
+                     md.num_row_groups)
+                )
+        return pd.DataFrame(
+            rows,
+            columns=["rg_idx", "n_rows", "min_doc", "max_doc", "n_groups"],
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.groupBy(F.lit(0).alias("_g"))
+        .applyInPandas(
+            lambda pdf: probe(pdf),
+            "rg_idx BIGINT, n_rows BIGINT, min_doc BIGINT, max_doc BIGINT, "
+            "n_groups BIGINT",
+        )
+    )
+
+
+PARQUET_FOOTER_PROBE_SQL = f"""
+WITH ordered AS (
+  SELECT doc_id,
+         (row_number() OVER (ORDER BY doc_id) - 1) // {_PFP_ROWGROUP} AS rg_idx
+  FROM documents
+)
+SELECT CAST(rg_idx AS BIGINT) AS rg_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+       (SELECT CAST(CEIL(COUNT(*) / {_PFP_ROWGROUP}.0) AS BIGINT)
+        FROM documents) AS n_groups
+FROM ordered
+GROUP BY rg_idx
+"""

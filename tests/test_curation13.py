@@ -1,0 +1,130 @@
+"""Round-9 queue queries, second set (plans/curation13.py) + the
+encoding-repair and multi-codec operators under them."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from data_pipeline_who_gho_spark.session import get_spark
+
+    return get_spark(app_name="test-curation13")
+
+
+def _oracle(sql):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+def test_multi_codec_roundtrip_matches_oracle(spark):
+    """gzip / bz2 / xz payloads must sniff to the right type and
+    inflate losslessly — codec column comes from the SNIFF, md5 from
+    the inflated bytes, so either slipping breaks parity."""
+    from data_pipeline_who_gho_spark.plans.curation13 import (
+        MULTI_CODEC_ROUNDTRIP_STATS_SQL,
+        multi_codec_roundtrip_stats,
+    )
+
+    got = sorted(
+        tuple(r) for r in multi_codec_roundtrip_stats(spark, SF).collect()
+    )
+    assert got == _oracle(MULTI_CODEC_ROUNDTRIP_STATS_SQL)
+    assert len(got) > 0
+
+
+def test_mojibake_repair_matches_oracle(spark):
+    """Repair must be the EXACT inverse of the cp1252 double-encoding
+    corruption on every doc (md5 parity with the original), and the
+    corrupt char count must equal the original's UTF-8 byte count."""
+    from data_pipeline_who_gho_spark.plans.curation13 import (
+        MOJIBAKE_REPAIR_STATS_SQL,
+        mojibake_repair_stats,
+    )
+
+    got = sorted(tuple(r) for r in mojibake_repair_stats(spark, SF).collect())
+    assert got == _oracle(MOJIBAKE_REPAIR_STATS_SQL)
+    assert all(r[1] == 1 for r in got)  # detector fired on every doc
+
+
+def test_parquet_footer_probe_matches_oracle(spark):
+    """What the written file's FOOTER claims (row counts, min/max
+    statistics per row group) must equal what window arithmetic derives
+    from the data — the trust anchor for scan pruning."""
+    from data_pipeline_who_gho_spark.plans.curation13 import (
+        PARQUET_FOOTER_PROBE_SQL,
+        parquet_footer_probe,
+    )
+
+    got = sorted(tuple(r) for r in parquet_footer_probe(spark, SF).collect())
+    want = _oracle(PARQUET_FOOTER_PROBE_SQL)
+    assert got == want
+    n_groups = got[0][4]
+    assert all(r[4] == n_groups for r in got)
+    assert len(got) == n_groups
+
+
+def test_fix_double_encoding_exact_inverse():
+    from data_pipeline_who_gho_spark.operators.encoding import (
+        corrupt_double_encoding,
+        fix_double_encoding,
+    )
+
+    cases = [
+        "café №42 — “smart” quotes…",
+        "naïve résumé über señor",
+        "euro € and ™ and œ ligature",
+        "mixed 中文 and ασδφ",
+        "emoji 🚀 four-byte",
+    ]
+    for s in cases:
+        fixed, repaired = fix_double_encoding(corrupt_double_encoding(s))
+        assert fixed == s and repaired
+    # clean text (ASCII or real accents) is an exact fixed point
+    for s in ["plain ascii", "", "real café text, already clean"]:
+        fixed, repaired = fix_double_encoding(s)
+        assert fixed == s and not repaired
+
+
+def test_fix_double_encoding_two_pass_for_double_corruption():
+    from data_pipeline_who_gho_spark.operators.encoding import (
+        corrupt_double_encoding,
+        fix_double_encoding,
+    )
+
+    s = "café"
+    twice = corrupt_double_encoding(corrupt_double_encoding(s))
+    once, r1 = fix_double_encoding(twice)
+    back, r2 = fix_double_encoding(once)
+    assert r1 and r2 and back == s
+
+
+def test_decompress_payload_bz2_xz_and_errors():
+    import bz2
+    import lzma
+
+    from data_pipeline_who_gho_spark.operators.multimodal import (
+        decompress_payload,
+        sniff_media_type,
+    )
+
+    raw = b"shard contents \xf0\x9f\x9a\x80 bytes"
+    for packed, mtype in [
+        (bz2.compress(raw), "application/x-bzip2"),
+        (lzma.compress(raw), "application/x-xz"),
+    ]:
+        assert sniff_media_type(packed) == mtype
+        assert decompress_payload(packed, mtype) == raw
+        assert decompress_payload(packed, None) == raw  # magic dispatch
+        with pytest.raises(ValueError):
+            decompress_payload(packed[:10], mtype)
+    with pytest.raises(NotImplementedError):
+        decompress_payload(b"plain", "text/plain")
