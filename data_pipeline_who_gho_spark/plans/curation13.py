@@ -247,3 +247,92 @@ SELECT CAST(rg_idx AS BIGINT) AS rg_idx,
 FROM ordered
 GROUP BY rg_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# blocklist_match_stats — r10 registration queue.  The unsafe-term /
+# licence-string / contamination-marker gate: ONE Aho-Corasick
+# automaton (operators/automaton.py) matches the whole blocklist per
+# doc in a single O(len + matches) pass — the posture that matters
+# when the blocklist has 10^4 entries and the corpus 10^9 docs (P
+# per-pattern scans would cost P passes; LIKE chains plan as P
+# filters).  The automaton is built once from the bounded pattern
+# list and shipped by closure capture, like the BPE merge tables.
+#
+# Patterns are chosen BORDERLESS (no proper prefix that is also a
+# suffix), so the automaton's all-occurrences count coincides with the
+# oracle's non-overlapping replace()-arithmetic count; nested patterns
+# ("scan" inside "filter scan") still count independently on both
+# sides.  Severity-weighted totals and the first match position ride
+# along, pinning pattern identity and offsets, not just totals.
+#
+#   CURATION13_QUERIES["blocklist_match_stats"] = blocklist_match_stats
+#   CURATION13_ORACLE_SQL["blocklist_match_stats"] = BLOCKLIST_MATCH_STATS_SQL
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = [
+    ("merge", 1), ("scan", 1), ("vector", 1), ("slow", 2),
+    ("big table", 2), ("hash join", 2), ("query a", 2),
+    ("filter scan", 3), ("merge group", 3), ("sort data", 3),
+    ("window dup", 4), ("stream spark", 4),
+]
+
+
+def blocklist_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.automaton import Automaton
+
+    ac = Automaton([p for p, _ in _BLOCKLIST])
+    sev = [s for _, s in _BLOCKLIST]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                hits = ac.find_all(str(t))
+                first = min((pos for pos, _ in hits), default=-1)
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(hits),
+                        len({idx for _, idx in hits}),
+                        first + 1,  # 1-based like strpos; 0 = none
+                        sum(sev[idx] for _, idx in hits),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_matches", "n_patterns", "first_pos",
+                         "sev_sum"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        run,
+        "doc_id BIGINT, n_matches BIGINT, n_patterns BIGINT, "
+        "first_pos BIGINT, sev_sum BIGINT",
+    )
+
+
+_BLOCKLIST_SQL_VALUES = ", ".join(
+    f"('{p}', {s})" for p, s in _BLOCKLIST
+)
+
+BLOCKLIST_MATCH_STATS_SQL = f"""
+WITH pats(pat, sev) AS (VALUES {_BLOCKLIST_SQL_VALUES}),
+per AS (
+  SELECT d.doc_id,
+         (length(d.text) - length(replace(d.text, p.pat, '')))
+           // length(p.pat) AS cnt,
+         strpos(d.text, p.pat) AS pos,
+         p.sev
+  FROM documents d CROSS JOIN pats p
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_matches,
+       CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_patterns,
+       CAST(COALESCE(MIN(CASE WHEN pos > 0 THEN pos END), 0) AS BIGINT)
+           AS first_pos,
+       CAST(SUM(cnt * sev) AS BIGINT) AS sev_sum
+FROM per
+GROUP BY doc_id
+"""

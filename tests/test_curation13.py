@@ -128,3 +128,59 @@ def test_decompress_payload_bz2_xz_and_errors():
             decompress_payload(packed[:10], mtype)
     with pytest.raises(NotImplementedError):
         decompress_payload(b"plain", "text/plain")
+
+
+def test_blocklist_match_stats_matches_oracle(spark):
+    """One automaton pass must agree with the oracle's per-pattern
+    replace()-arithmetic on counts, distinct patterns, severity totals,
+    and the FIRST match position (borderless patterns make overlapping
+    and non-overlapping counts coincide; nested patterns count on both
+    sides)."""
+    from data_pipeline_who_gho_spark.plans.curation13 import (
+        BLOCKLIST_MATCH_STATS_SQL,
+        blocklist_match_stats,
+    )
+
+    got = sorted(tuple(r) for r in blocklist_match_stats(spark, SF).collect())
+    assert got == _oracle(BLOCKLIST_MATCH_STATS_SQL)
+    assert sum(1 for r in got if r[1] > 0) > len(got) // 2  # list is live
+
+
+def test_automaton_matches_naive_fuzz():
+    import random
+
+    from data_pipeline_who_gho_spark.operators.automaton import Automaton
+
+    rng = random.Random(5)
+    alpha = "abc "
+    for _ in range(150):
+        pats = list({
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 5))).strip()
+            for _ in range(rng.randint(1, 8))
+        } - {""})
+        if not pats:
+            continue
+        text = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 200)))
+        got = sorted(Automaton(pats).find_all(text))
+        want = sorted(
+            (i, k)
+            for k, p in enumerate(pats)
+            for i in range(len(text) - len(p) + 1)
+            if text[i : i + len(p)] == p
+        )
+        assert got == want
+
+
+def test_automaton_overlap_and_nesting_semantics():
+    from data_pipeline_who_gho_spark.operators.automaton import Automaton
+
+    # all occurrences, including overlapping ones of a bordered pattern
+    assert len(Automaton(["abab"]).find_all("ababab")) == 2
+    # nested patterns both report at the same position
+    assert sorted(Automaton(["scan", "scan join"]).find_all("a scan join b")) \
+        == [(2, 0), (2, 1)]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        Automaton([])
+    with _pytest.raises(ValueError):
+        Automaton(["a", "a"])

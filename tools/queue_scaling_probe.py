@@ -1,11 +1,12 @@
-"""Scaling probe for UNREGISTERED r10-queue queries (plans/curation12).
+"""Scaling probe for UNREGISTERED r10-queue queries (plans/curation12
+and curation13).
 
 Same protocol as tools/scaling_probe.py (warm session, best-of-2,
-noop-sink force) but resolves callables from the curation12 module
-instead of the registry, and prints a markdown row per query without
-touching SCALING.json (queued queries enter the json when registered).
+noop-sink force) but resolves callables from the queue modules instead
+of the registry, and prints a markdown row per query without touching
+SCALING.json (queued queries enter the json when registered).
 
-Usage: python tools/queue_scaling_probe.py
+Usage: python tools/queue_scaling_probe.py [query ...]
 """
 
 from __future__ import annotations
@@ -16,7 +17,7 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from data_pipeline_who_gho_spark.plans import curation12
+from data_pipeline_who_gho_spark.plans import curation12, curation13
 from data_pipeline_who_gho_spark.session import get_spark
 
 SF_DIRS = {
@@ -31,16 +32,30 @@ QUEUE = [
     "audio_fingerprint_neardup",
     "flac_decode_stats",
     "audio_spectral_features",
+    "jpeg_progressive_decode_stats",
+    "mp4_container_stats",
+    "mp3_frame_stats",
+    "multi_codec_roundtrip_stats",
+    "mojibake_repair_stats",
+    "parquet_footer_probe",
 ]
+
+
+def _resolve(name: str):
+    for mod in (curation12, curation13):
+        if hasattr(mod, name):
+            return getattr(mod, name)
+    raise AttributeError(f"{name} not found in curation12/curation13")
 
 
 def main() -> None:
     spark = get_spark(app_name="queue-scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
     sfs = [sf for sf, d in SF_DIRS.items() if os.path.exists(d)]
+    names = sys.argv[1:] or QUEUE
     rows = {}
-    for name in QUEUE:
-        fn = getattr(curation12, name)
+    for name in names:
+        fn = _resolve(name)
         rows[name] = {}
         for sf in sfs:
             best = float("inf")
