@@ -336,3 +336,171 @@ SELECT doc_id,
 FROM per
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# warc_record_stats — r10 registration queue.  The ingest wire format:
+# per doc the plan synthesizes a WARC file (warcinfo + request +
+# response + optional metadata records), walks it with the REAL parser
+# (version lines, header blocks, Content-Length-framed blocks, CRLF
+# separators — operators/warc.py), splits the response record's HTTP
+# message, and emits what the PARSE found: record count, HTTP status,
+# body bytes and md5 (must equal the oracle's view of the original
+# text — any framing slip corrupts the body), metadata block bytes.
+#
+#   CURATION13_QUERIES["warc_record_stats"] = warc_record_stats
+#   CURATION13_ORACLE_SQL["warc_record_stats"] = WARC_RECORD_STATS_SQL
+# ---------------------------------------------------------------------------
+
+
+def warc_record_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.warc import (
+        build_http_response,
+        build_warc,
+        header,
+        parse_warc,
+        split_http_response,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                body = str(t).encode("utf-8")
+                recs = [
+                    ("warcinfo", {}, b"software: engine\r\n"),
+                    ("request", {"WARC-Target-URI": "http://x/"},
+                     b"GET / HTTP/1.1\r\n\r\n"),
+                    ("response", {"WARC-Target-URI": "http://x/"},
+                     build_http_response(body)),
+                ]
+                if d % 2:
+                    recs.append(("metadata", {}, b"m" * (d % 37 + 1)))
+                parsed = parse_warc(build_warc(recs))
+                resp = [r for r in parsed
+                        if header(r["headers"], "WARC-Type") == "response"]
+                status, _, got_body = split_http_response(resp[0]["block"])
+                meta = sum(
+                    len(r["block"]) for r in parsed
+                    if header(r["headers"], "WARC-Type") == "metadata"
+                )
+                rows.append(
+                    (
+                        d,
+                        len(parsed),
+                        status,
+                        len(got_body),
+                        meta,
+                        hashlib.md5(got_body).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_records", "status", "body_bytes",
+                         "meta_bytes", "body_md5"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        run,
+        "doc_id BIGINT, n_records BIGINT, status BIGINT, body_bytes BIGINT, "
+        "meta_bytes BIGINT, body_md5 STRING",
+    )
+
+
+WARC_RECORD_STATS_SQL = """
+SELECT doc_id,
+       CAST(3 + doc_id % 2 AS BIGINT) AS n_records,
+       CAST(200 AS BIGINT) AS status,
+       CAST(strlen(text) AS BIGINT) AS body_bytes,
+       CAST((doc_id % 2) * (doc_id % 37 + 1) AS BIGINT) AS meta_bytes,
+       md5(text) AS body_md5
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# html_extract_stats — r10 registration queue.  The step after WARC:
+# per doc the plan synthesizes an HTML page around the (html-escaped)
+# text — title with a numeric charref, script/style subtrees that MUST
+# contribute nothing, an entity-bearing h1, the escaped body paragraph,
+# an anchor — runs the REAL stdlib-parser extraction
+# (operators/html.py), and emits the extract's md5 plus link-density
+# counters.  The oracle reconstructs the expected extract from the
+# original text (escape→unescape must be an exact inverse; whitespace
+# normalization uses the shared isspace class).
+#
+#   CURATION13_QUERIES["html_extract_stats"] = html_extract_stats
+#   CURATION13_ORACLE_SQL["html_extract_stats"] = HTML_EXTRACT_STATS_SQL
+# ---------------------------------------------------------------------------
+
+
+def html_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.html import extract_text, link_stats
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import html as html_mod
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                page = (
+                    f"<html><head><title>Doc&#233;{d % 100}</title>"
+                    "<style>p{color:red}</style>"
+                    '<script>var x = "<p>not text</p>";</script></head>'
+                    f"<body><h1>alpha &amp; beta</h1>"
+                    f"<p>{html_mod.escape(str(t))}</p>"
+                    f'<a href="#">link{d % 10}</a></body></html>'
+                )
+                extract = extract_text(page)
+                n_links, anchor_chars, text_chars = link_stats(page)
+                rows.append(
+                    (
+                        d,
+                        n_links,
+                        anchor_chars,
+                        text_chars,
+                        hashlib.md5(extract.encode("utf-8")).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_links", "anchor_chars", "text_chars",
+                         "extract_md5"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        run,
+        "doc_id BIGINT, n_links BIGINT, anchor_chars BIGINT, "
+        "text_chars BIGINT, extract_md5 STRING",
+    )
+
+
+# norm(text) = collapse isspace runs to single spaces + trim — exactly
+# python's ' '.join(s.split()); nonws(s) strips the same class
+HTML_EXTRACT_STATS_SQL = f"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '{_WS_CLASS}', ' ', 'g')) AS ntext,
+         length(regexp_replace(text, '{_WS_CLASS}', '', 'g')) AS text_nonws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS n_links,
+       CAST(5 AS BIGINT) AS anchor_chars,
+       CAST(length('Docé' || CAST(doc_id % 100 AS VARCHAR))
+            + length('alpha&beta')
+            + text_nonws
+            + 5 AS BIGINT) AS text_chars,
+       md5('Docé' || CAST(doc_id % 100 AS VARCHAR) || chr(10)
+           || 'alpha & beta' || chr(10)
+           || ntext || chr(10)
+           || 'link' || CAST(doc_id % 10 AS VARCHAR)) AS extract_md5
+FROM norm
+"""

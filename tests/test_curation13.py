@@ -184,3 +184,89 @@ def test_automaton_overlap_and_nesting_semantics():
         Automaton([])
     with _pytest.raises(ValueError):
         Automaton(["a", "a"])
+
+
+def test_warc_record_stats_matches_oracle(spark):
+    """WARC framing (Content-Length blocks, CRLF separators) + the HTTP
+    split must deliver the response body byte-exactly on every doc."""
+    from data_pipeline_who_gho_spark.plans.curation13 import (
+        WARC_RECORD_STATS_SQL,
+        warc_record_stats,
+    )
+
+    got = sorted(tuple(r) for r in warc_record_stats(spark, SF).collect())
+    assert got == _oracle(WARC_RECORD_STATS_SQL)
+    assert all(r[2] == 200 for r in got)
+
+
+def test_html_extract_stats_matches_oracle(spark):
+    """Script/style exclusion, entity+charref decode, block-newline
+    joining, and whitespace normalization must all land on the oracle's
+    reconstruction of the extract."""
+    from data_pipeline_who_gho_spark.plans.curation13 import (
+        HTML_EXTRACT_STATS_SQL,
+        html_extract_stats,
+    )
+
+    got = sorted(tuple(r) for r in html_extract_stats(spark, SF).collect())
+    assert got == _oracle(HTML_EXTRACT_STATS_SQL)
+
+
+def test_warc_parse_roundtrip_and_errors():
+    import gzip
+
+    from data_pipeline_who_gho_spark.operators.warc import (
+        build_http_response,
+        build_warc,
+        header,
+        parse_warc,
+        split_http_response,
+    )
+
+    body = "hello <b>world</b> café".encode("utf-8")
+    recs = [
+        ("warcinfo", {}, b"software: engine\r\n"),
+        ("request", {"WARC-Target-URI": "http://x/"},
+         b"GET / HTTP/1.1\r\n\r\n"),
+        ("response", {"WARC-Target-URI": "http://x/"},
+         build_http_response(body)),
+        ("metadata", {}, b"m" * 17),
+    ]
+    w = build_warc(recs)
+    parsed = parse_warc(w)
+    assert [header(r["headers"], "warc-type") for r in parsed] == [
+        "warcinfo", "request", "response", "metadata"]
+    status, hh, bb = split_http_response(parsed[2]["block"])
+    assert status == 200 and bb == body
+    # gzip: whole-file and concatenated members (the Common Crawl layout)
+    assert parse_warc(gzip.compress(w)) == parsed
+    m1 = gzip.compress(build_warc(recs[:2]))
+    m2 = gzip.compress(build_warc(recs[2:]))
+    assert len(parse_warc(m1 + m2)) == 4
+    for bad in (w[:-3], w[:20], b"HTTP/1.1 200\r\n\r\n"):
+        with pytest.raises(ValueError):
+            parse_warc(bad)
+
+
+def test_html_extract_rules():
+    from data_pipeline_who_gho_spark.operators.html import (
+        extract_text,
+        link_stats,
+    )
+
+    h = (
+        "<html><head><title>My Title</title><style>p{color:red}</style>\n"
+        '<script>var x="<p>not text</p>";</script></head>\n'
+        "<body><h1>Head &amp; line</h1><p>first   para\nwith   spaces</p>"
+        '<a href="/x">anchor text</a><div>tail &#233;</div></body></html>'
+    )
+    assert extract_text(h) == (
+        "My Title\nHead & line\nfirst para with spaces\nanchor text\ntail é"
+    )
+    n_links, anchor_chars, text_chars = link_stats(h)
+    assert n_links == 1 and anchor_chars == len("anchortext")
+    # broken markup tolerated; empty input fine
+    assert extract_text("<p>unclosed <b>bold") == "unclosed bold"
+    assert extract_text("") == ""
+    # inline tags vanish without block breaks
+    assert extract_text("<p>a <b>b</b> <em>c</em> d</p>") == "a b c d"
