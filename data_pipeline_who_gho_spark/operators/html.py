@@ -39,6 +39,7 @@ class _Extractor(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)  # entities decode to text
         self.blocks: list[list[str]] = [[]]
+        self.block_anchor: list[int] = [0]  # non-ws anchor chars per block
         self.skip_depth = 0
         self.anchor_depth = 0
         self.n_links = 0
@@ -47,6 +48,7 @@ class _Extractor(HTMLParser):
     def _break_block(self) -> None:
         if self.blocks[-1]:
             self.blocks.append([])
+            self.block_anchor.append(0)
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in _SKIP_SUBTREES:
@@ -72,7 +74,9 @@ class _Extractor(HTMLParser):
             return
         self.blocks[-1].append(data)
         if self.anchor_depth:
-            self.anchor_chars += len("".join(data.split()))
+            n = len("".join(data.split()))
+            self.anchor_chars += n
+            self.block_anchor[-1] += n
 
 
 def extract_text(html: str) -> str:
@@ -94,3 +98,36 @@ def link_stats(html: str) -> tuple[int, int, int]:
     p.close()
     text_chars = sum(len("".join("".join(b).split())) for b in p.blocks)
     return p.n_links, p.anchor_chars, text_chars
+
+
+def extract_blocks(html: str) -> list[tuple[str, int, int]]:
+    """Per-block extraction: (normalized_text, anchor_chars,
+    text_chars) for every non-empty block, in document order — the
+    input a boilerplate classifier needs (anchor/text counts are
+    non-whitespace characters)."""
+    p = _Extractor()
+    p.feed(html)
+    p.close()
+    out = []
+    for parts, a in zip(p.blocks, p.block_anchor):
+        text = " ".join("".join(parts).split())
+        if text:
+            out.append((text, a, len("".join(text.split()))))
+    return out
+
+
+def boilerplate_extract(
+    html: str, min_chars: int = 4
+) -> tuple[str, int, int]:
+    """Rule-based main-content extraction (the Kohlschütter-style
+    shallow-feature classifier): a block survives iff it has at least
+    ``min_chars`` non-whitespace characters AND its link density is
+    under 1/2 (2 * anchor_chars < text_chars — exact integer test, no
+    float ratio).  Returns (kept_text_joined_by_newlines, n_blocks,
+    n_kept).  Navigation bars, footer link farms, and stub fragments
+    drop; running prose survives."""
+    blocks = extract_blocks(html)
+    kept = [
+        t for t, a, c in blocks if c >= min_chars and 2 * a < c
+    ]
+    return "\n".join(kept), len(blocks), len(kept)

@@ -504,3 +504,88 @@ SELECT doc_id,
            || 'link' || CAST(doc_id % 10 AS VARCHAR)) AS extract_md5
 FROM norm
 """
+
+
+# ---------------------------------------------------------------------------
+# html_boilerplate_extract — r10 registration queue.  The step after
+# extraction: per-BLOCK boilerplate classification (Kohlschütter-style
+# shallow features, exact integer rules: >= 4 non-ws chars AND link
+# density < 1/2).  The synthesized page carries blocks that MUST drop
+# (a nav link bar and a footer link farm at density 1, a 2-char stub)
+# around blocks that MUST survive (title, entity-bearing h1, the
+# escaped article text) — the kept-text md5 pins both directions.
+#
+#   CURATION13_QUERIES["html_boilerplate_extract"] = html_boilerplate_extract
+#   CURATION13_ORACLE_SQL["html_boilerplate_extract"] = HTML_BOILERPLATE_EXTRACT_SQL
+# ---------------------------------------------------------------------------
+
+
+def html_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.html import boilerplate_extract
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import html as html_mod
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                page = (
+                    f"<html><head><title>Doc&#233;{d % 100}</title></head>"
+                    '<body><nav><a href="/">home</a> <a href="/a">about</a>'
+                    ' <a href="/c">contact</a></nav>'
+                    "<h1>alpha &amp; beta</h1>"
+                    f"<p>{html_mod.escape(str(t))}</p>"
+                    "<div>hi</div>"
+                    '<footer><a href="#">all rights reserved</a></footer>'
+                    "</body></html>"
+                )
+                kept, n_blocks, n_kept = boilerplate_extract(page)
+                rows.append(
+                    (
+                        d,
+                        n_blocks,
+                        n_kept,
+                        len(kept),
+                        hashlib.md5(kept.encode("utf-8")).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_blocks", "n_kept", "kept_chars",
+                         "kept_md5"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        run,
+        "doc_id BIGINT, n_blocks BIGINT, n_kept BIGINT, kept_chars BIGINT, "
+        "kept_md5 STRING",
+    )
+
+
+HTML_BOILERPLATE_EXTRACT_SQL = f"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '{_WS_CLASS}', ' ', 'g')) AS ntext,
+         length(regexp_replace(text, '{_WS_CLASS}', '', 'g')) AS nonws
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, nonws,
+         CAST(5 + CASE WHEN nonws > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_blocks,
+         CAST(2 + CASE WHEN nonws >= 4 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_kept,
+         'Docé' || CAST(doc_id % 100 AS VARCHAR) || chr(10)
+             || 'alpha & beta'
+             || CASE WHEN nonws >= 4 THEN chr(10) || ntext ELSE '' END
+             AS kept_text
+  FROM norm
+)
+SELECT doc_id, n_blocks, n_kept,
+       CAST(length(kept_text) AS BIGINT) AS kept_chars,
+       md5(kept_text) AS kept_md5
+FROM kept
+"""

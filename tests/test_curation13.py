@@ -270,3 +270,46 @@ def test_html_extract_rules():
     assert extract_text("") == ""
     # inline tags vanish without block breaks
     assert extract_text("<p>a <b>b</b> <em>c</em> d</p>") == "a b c d"
+
+
+def test_html_boilerplate_extract_matches_oracle(spark):
+    """Per-block classification must drop the nav bar, footer link
+    farm, and 2-char stub while keeping title/h1/article on every doc
+    (kept-text md5 pins both directions)."""
+    from data_pipeline_who_gho_spark.plans.curation13 import (
+        HTML_BOILERPLATE_EXTRACT_SQL,
+        html_boilerplate_extract,
+    )
+
+    got = sorted(
+        tuple(r) for r in html_boilerplate_extract(spark, SF).collect()
+    )
+    assert got == _oracle(HTML_BOILERPLATE_EXTRACT_SQL)
+    assert all(r[1] == 6 and r[2] == 3 for r in got)  # fixture docs: all full
+
+
+def test_boilerplate_extract_rules():
+    from data_pipeline_who_gho_spark.operators.html import (
+        boilerplate_extract,
+        extract_blocks,
+    )
+
+    page = (
+        "<html><body>"
+        '<nav><a href="/">home</a> <a href="/a">about</a></nav>'
+        "<p>Real article text with substance.</p>"
+        "<div>hi</div>"
+        '<p>half <a href="#">linked</a></p>'
+        '<p>mostly plain text with <a href="#">link</a></p>'
+        "</body></html>"
+    )
+    kept, n_blocks, n_kept = boilerplate_extract(page)
+    assert kept == (
+        "Real article text with substance.\nmostly plain text with link"
+    )
+    assert (n_blocks, n_kept) == (5, 2)
+    blocks = extract_blocks(page)
+    # "half linked" drops at density 0.6 (2*6 >= 10); the mostly-plain
+    # block survives at 4/23
+    assert blocks[3] == ("half linked", 6, 10)
+    assert blocks[4] == ("mostly plain text with link", 4, 23)

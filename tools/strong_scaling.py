@@ -77,6 +77,17 @@ def child(n: int) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+    # unregistered queue queries resolve from their plan modules, same
+    # as tools/queue_scaling_probe.py
+    if any(name not in qs for name in names):
+        from data_pipeline_who_gho_spark.plans import curation12, curation13
+
+        for name in names:
+            if name not in qs:
+                for mod in (curation12, curation13):
+                    if hasattr(mod, name):
+                        qs[name] = getattr(mod, name)
+                        break
     out = {}
     for name in names:
         # keep min over the two JVM-warm runs (runs 2 and 3; run 1 is
