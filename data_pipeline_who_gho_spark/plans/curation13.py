@@ -589,3 +589,111 @@ SELECT doc_id, n_blocks, n_kept,
        md5(kept_text) AS kept_md5
 FROM kept
 """
+
+
+# ---------------------------------------------------------------------------
+# video_fingerprint_neardup — r10 registration queue.  Completes the
+# per-modality near-dup matrix (text: minhash/simhash/…, image:
+# blockhash, audio: frame-loudness — video was the gap): REAL Y4M
+# decode → per-frame luma sums → 4-bit quantization → four 16-bit
+# bands of 4 frame-nibbles → banded self-join at ≥3 of 4 bands, the
+# same OR-amplification posture as the image/audio queries, never
+# all-pairs.  Frame f of doc d is filled with 16·h_f + (x % 4)
+# (h_f = squared-congruential nibble, distinct mix constant from the
+# audio fixture), so the 8×8 frame sum is exactly 1024·h_f + 96 and
+# quantization recovers h_f with no rounding; odd docs perturb ONE
+# frame's pixels by ±16 — a true near-dup matches its partner in
+# exactly 3 of 4 bands.  The fingerprint relation (4 rows/doc) is
+# localCheckpoint-ed once so videos decode once, not per join side.
+#
+#   CURATION13_QUERIES["video_fingerprint_neardup"] = video_fingerprint_neardup
+#   CURATION13_ORACLE_SQL["video_fingerprint_neardup"] = VIDEO_FP_NEARDUP_SQL
+# ---------------------------------------------------------------------------
+
+_VFP_FRAMES = 16    # frames per video; 4 bands of 4 frame-nibbles
+_VFP_HW = 8         # frame height = width
+_VFP_MIX = 149      # per-frame offset in the squared-congruential mix
+_VFP_MIN_BANDS = 3
+
+
+def video_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_media, encode_y4m, sniff_media_type
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        nf, hw = _VFP_FRAMES, _VFP_HW
+        f_idx = np.arange(nf).reshape(nf, 1, 1)
+        x_idx = np.arange(hw).reshape(1, 1, hw)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                base = doc_id - (doc_id % 2)
+                h = ((base + f_idx * _VFP_MIX + 7) ** 2 % 65521) // 4096
+                frames = (16 * h + (x_idx % 4)) * np.ones(
+                    (1, hw, 1), dtype=np.int64
+                )
+                if doc_id % 2:
+                    f = doc_id % nf
+                    hf = int(h[f, 0, 0])
+                    frames[f] += 16 if hf < 15 else -16
+                payload = encode_y4m(frames.astype(np.uint8))
+                dec = decode_media(payload, sniff_media_type(payload))
+                sums = dec.reshape(nf, -1).astype(np.int64).sum(axis=1)
+                nibbles = sums // 1024  # 16 values in 0..15
+                for band in range(4):
+                    val = 0
+                    for j in range(4):
+                        val += int(nibbles[band * 4 + j]) * (16 ** j)
+                    rows.append((doc_id, band, val))
+            yield pd.DataFrame(rows, columns=["doc_id", "band", "val"])
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fp = docs.mapInPandas(
+        fingerprint, "doc_id BIGINT, band INT, val BIGINT"
+    ).localCheckpoint(eager=True)
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("matched_bands"))
+        .filter(F.col("matched_bands") >= _VFP_MIN_BANDS)
+    )
+
+
+VIDEO_FP_NEARDUP_SQL = f"""
+WITH frames AS (
+  SELECT doc_id, doc_id - (doc_id % 2) AS base,
+         unnest(range(0, {_VFP_FRAMES})) AS f
+  FROM documents
+),
+nibs AS (
+  SELECT doc_id, f,
+         (((base + f * {_VFP_MIX} + 7) * (base + f * {_VFP_MIX} + 7)) % 65521) // 4096
+         + CASE WHEN doc_id % 2 = 1 AND f = doc_id % {_VFP_FRAMES}
+                THEN CASE WHEN (((base + f * {_VFP_MIX} + 7) * (base + f * {_VFP_MIX} + 7)) % 65521) // 4096 < 15
+                          THEN 1 ELSE -1 END
+                ELSE 0 END AS nib
+  FROM frames
+),
+bands AS (
+  SELECT doc_id, f // 4 AS band,
+         CAST(SUM(nib * power(16, f % 4)) AS BIGINT) AS val
+  FROM nibs GROUP BY doc_id, f // 4
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS matched_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {_VFP_MIN_BANDS}
+"""

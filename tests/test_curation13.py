@@ -313,3 +313,40 @@ def test_boilerplate_extract_rules():
     # block survives at 4/23
     assert blocks[3] == ("half linked", 6, 10)
     assert blocks[4] == ("mostly plain text with link", 4, 23)
+
+
+def test_video_fingerprint_neardup_matches_oracle_and_recall(spark):
+    """The banded self-join over the REAL Y4M decode must agree with
+    the closed-form oracle AND find every planted perturbed pair at
+    exactly 3 of 4 matched bands."""
+    from data_pipeline_who_gho_spark.plans.curation13 import (
+        VIDEO_FP_NEARDUP_SQL,
+        video_fingerprint_neardup,
+    )
+
+    got = sorted(
+        tuple(r) for r in video_fingerprint_neardup(spark, SF).collect()
+    )
+    assert got == _oracle(VIDEO_FP_NEARDUP_SQL)
+    planted = {(a, b) for a, b, m in got if b == a + 1 and a % 2 == 0}
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    assert len(planted) == n_docs // 2  # every even/odd pair found
+    assert all(m == 3 for a, b, m in got if (a, b) in planted)
+
+
+def test_video_fingerprint_decodes_payloads_once(spark):
+    """The fingerprint relation must be materialized before the
+    self-join: no MapInPandas (decode) below the join in the plan."""
+    from data_pipeline_who_gho_spark.plans.curation13 import (
+        video_fingerprint_neardup,
+    )
+
+    plan = video_fingerprint_neardup(spark, SF)._jdf.queryExecution() \
+        .executedPlan().toString()
+    join_at = plan.find("Join")
+    assert join_at >= 0
+    assert "MapInPandas" not in plan
