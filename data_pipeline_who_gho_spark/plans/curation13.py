@@ -697,3 +697,61 @@ FROM bands a JOIN bands b
 GROUP BY a.doc_id, b.doc_id
 HAVING COUNT(*) >= {_VFP_MIN_BANDS}
 """
+
+
+# ---------------------------------------------------------------------------
+# url_canonical_dedup — r10 registration queue.  Crawl-level dedup by
+# CANONICAL URL: per doc the plan synthesizes one of two messy
+# spellings of the same page (even docs: uppercase scheme/host,
+# trailing host dot, explicit :443, ./.. dot segments, duplicate
+# slashes, utm_/fbclid tracking params, fragment; odd docs: a
+# different segment route and gclid), canonicalizes with the REAL
+# operator (operators/urls.py), and groups by the canonical string —
+# each even/odd pair MUST collapse to one key.  A wrong rule in either
+# direction (under-normalizing splits pairs, over-normalizing merges
+# bases) breaks the exact group counts.
+#
+#   CURATION13_QUERIES["url_canonical_dedup"] = url_canonical_dedup
+#   CURATION13_ORACLE_SQL["url_canonical_dedup"] = URL_CANONICAL_DEDUP_SQL
+# ---------------------------------------------------------------------------
+
+
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.urls import canonicalize_url
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                b = d - d % 2
+                if d % 2 == 0:
+                    url = (
+                        f"HTTPS://WWW.Example{b}.COM.:443//articles/./2024"
+                        f"//..//item-{b}?utm_campaign=x&z=9&a=1&fbclid=zz#sec"
+                    )
+                else:
+                    url = (
+                        f"https://www.example{b}.com/articles//item-{b}"
+                        f"/..//item-{b}?a=1&z=9&gclid=q"
+                    )
+                rows.append((d, canonicalize_url(url)))
+            yield pd.DataFrame(rows, columns=["doc_id", "canon"])
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    canon = docs.mapInPandas(run, "doc_id BIGINT, canon STRING")
+    return canon.groupBy("canon").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+URL_CANONICAL_DEDUP_SQL = """
+SELECT 'https://www.example' || CAST(doc_id - doc_id % 2 AS VARCHAR)
+           || '.com/articles/item-' || CAST(doc_id - doc_id % 2 AS VARCHAR)
+           || '?a=1&z=9' AS canon,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM documents
+GROUP BY doc_id - doc_id % 2
+"""

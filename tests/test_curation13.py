@@ -350,3 +350,38 @@ def test_video_fingerprint_decodes_payloads_once(spark):
     join_at = plan.find("Join")
     assert join_at >= 0
     assert "MapInPandas" not in plan
+
+
+def test_url_canonical_dedup_matches_oracle(spark):
+    """Every even/odd pair of messy spellings must collapse to ONE
+    canonical key — both under- and over-normalization break the exact
+    group counts."""
+    from data_pipeline_who_gho_spark.plans.curation13 import (
+        URL_CANONICAL_DEDUP_SQL,
+        url_canonical_dedup,
+    )
+
+    got = sorted(tuple(r) for r in url_canonical_dedup(spark, SF).collect())
+    assert got == _oracle(URL_CANONICAL_DEDUP_SQL)
+    assert all(r[1] == 2 for r in got)  # fixture doc count is even
+
+
+def test_canonicalize_url_rules():
+    from data_pipeline_who_gho_spark.operators.urls import canonicalize_url
+
+    cases = [
+        ("HTTP://Host.ORG.:80//a/./b/../c?utm_x=1&b=2&a=1#f",
+         "http://host.org/a/c?a=1&b=2"),
+        ("http://host.org:8080/x", "http://host.org:8080/x"),  # kept port
+        ("https://h.io", "https://h.io/"),
+        ("https://h.io/a/b/../../../c", "https://h.io/c"),  # .. at root
+        ("https://h.io/p?b=2&a=1&a=0", "https://h.io/p?a=0&a=1&b=2"),
+        ("https://h.io/p?gclid=q&fbclid=z&REF=r&keep=1",
+         "https://h.io/p?keep=1"),
+        ("https://h.io/p?blank=&x=1", "https://h.io/p?blank=&x=1"),
+    ]
+    for url, want in cases:
+        assert canonicalize_url(url) == want, url
+    for bad in ("mailto:x@y.z", "javascript:alert(1)", "ftp://h/x", "https:///p"):
+        with pytest.raises(ValueError):
+            canonicalize_url(bad)
