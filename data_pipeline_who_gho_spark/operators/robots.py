@@ -1,0 +1,133 @@
+"""robots.txt parsing and URL gating (RFC 9309) — the crawl pipeline's
+admission control, evaluated billions of times per harvest, so the
+semantics must be exact:
+
+* groups = consecutive ``User-agent`` lines followed by rules; a
+  crawler obeys the group whose user-agent token is the LONGEST
+  case-insensitive substring-prefix match of its own product token,
+  falling back to the ``*`` group;
+* within the group, the rule whose path pattern achieves the MOST
+  OCTETS wins (longest-match); ``Allow`` wins exact ties;
+* patterns support ``*`` (any octet run) and a trailing ``$`` (end
+  anchor); matching is against the percent-path + query as-is;
+* unknown directives are ignored; ``Sitemap:`` lines are collected
+  file-wide (they live outside groups).
+
+Pure functions, stdlib only; public spec (RFC 9309, the
+Google/IETF robots exclusion protocol).
+No reference-repo analog (the reference pipeline is tabular-only).
+"""
+
+from __future__ import annotations
+
+
+def parse_robots(text: str) -> dict:
+    """→ ``{"groups": [(agents, rules)], "sitemaps": [...]}`` where
+    ``agents`` is a list of lowercase product tokens and ``rules`` is a
+    list of ("allow" | "disallow", pattern) in file order."""
+    groups: list[tuple[list[str], list[tuple[str, str]]]] = []
+    sitemaps: list[str] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, str]] = []
+    agents_open = False  # collecting a UA run?
+
+    def flush() -> None:
+        nonlocal cur_agents, cur_rules
+        if cur_agents:
+            groups.append((cur_agents, cur_rules))
+        cur_agents, cur_rules = [], []
+
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, value = line.split(":", 1)
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not agents_open:
+                flush()
+                agents_open = True
+            cur_agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            agents_open = False
+            cur_rules.append((field, value))
+        elif field == "sitemap":
+            sitemaps.append(value)
+        else:
+            agents_open = False
+    flush()
+    return {"groups": groups, "sitemaps": sitemaps}
+
+
+def _pattern_matches(pattern: str, path: str) -> bool:
+    """RFC 9309 path matching: anchored at the start, '*' matches any
+    octet run, trailing '$' anchors the end.
+
+    Greedy-leftmost placement of the middle literals is complete (the
+    classic wildcard lemma: matching each part at its earliest feasible
+    position never blocks later parts); the end anchor is handled by
+    requiring the LAST literal to sit flush at the end with enough room
+    left."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = pattern.split("*")
+    if not path.startswith(parts[0]):
+        return False
+    pos = len(parts[0])
+    if len(parts) == 1:  # no '*' at all
+        return pos == len(path) if anchored else True
+    for part in parts[1:-1]:
+        if part:
+            idx = path.find(part, pos)
+            if idx < 0:
+                return False
+            pos = idx + len(part)
+    last = parts[-1]
+    if not last:  # pattern ends with '*': absorbs the rest either way
+        return True
+    if anchored:
+        return path.endswith(last) and len(path) - len(last) >= pos
+    return path.find(last, pos) >= 0
+
+
+def select_group(parsed: dict, agent: str):
+    """The group a crawler named ``agent`` must obey: the group whose
+    user-agent token is the longest prefix of ``agent`` (case-
+    insensitive), else the ``*`` group, else None (everything
+    allowed)."""
+    agent = agent.lower()
+    best, best_len = None, -1
+    star = None
+    for agents, rules in parsed["groups"]:
+        for tok in agents:
+            if tok == "*":
+                star = rules
+            elif agent.startswith(tok) and len(tok) > best_len:
+                best, best_len = rules, len(tok)
+    return best if best is not None else star
+
+
+def gate(parsed: dict, agent: str, path: str) -> tuple[bool, int]:
+    """(allowed, winning_pattern_octets) for ``path`` under ``agent``.
+
+    Longest-match wins; Allow wins ties; no matching rule (or no
+    applicable group, or an empty-valued rule) → allowed with match
+    length 0."""
+    rules = select_group(parsed, agent)
+    if rules is None:
+        return True, 0
+    best_len = -1
+    best_allow = True
+    for kind, pattern in rules:
+        if not pattern:
+            continue  # 'Disallow:' (empty) = no restriction
+        if _pattern_matches(pattern, path):
+            plen = len(pattern)
+            if plen > best_len or (plen == best_len and kind == "allow"):
+                best_len = plen
+                best_allow = kind == "allow"
+    if best_len < 0:
+        return True, 0
+    return best_allow, best_len

@@ -755,3 +755,88 @@ SELECT 'https://www.example' || CAST(doc_id - doc_id % 2 AS VARCHAR)
 FROM documents
 GROUP BY doc_id - doc_id % 2
 """
+
+
+# ---------------------------------------------------------------------------
+# robots_gate_stats — r10 registration queue.  Crawl admission control
+# (RFC 9309) as a production body: a fixed policy file exercising
+# every semantic — group selection by longest user-agent prefix with
+# '*' fallback, longest-match rule resolution, Allow-wins-ties,
+# '*' wildcards and '$' end anchors — evaluated by the REAL parser
+# (operators/robots.py, 20k-case fuzz vs a regex reference in pytest)
+# against a per-doc path.  The oracle is the hand-derived RFC truth
+# table over the same six path shapes; matched_len pins WHICH rule
+# won, not just the verdict.
+#
+#   CURATION13_QUERIES["robots_gate_stats"] = robots_gate_stats
+#   CURATION13_ORACLE_SQL["robots_gate_stats"] = ROBOTS_GATE_STATS_SQL
+# ---------------------------------------------------------------------------
+
+_ROBOTS_TXT = """# crawl policy
+User-agent: engine-bot
+Disallow: /private
+Allow: /private/public
+Disallow: /*.zip$
+Allow: /downloads
+Disallow: /tmp*x
+
+User-agent: *
+Disallow: /
+
+Sitemap: https://h.io/s1.xml
+Sitemap: https://h.io/s2.xml
+"""
+
+# path by doc_id % 6 → (allowed, winning-pattern octets) per RFC 9309
+_ROBOTS_PATHS = [
+    "/index.html",          # no rule → allowed, 0
+    "/private/data",        # Disallow /private → denied, 8
+    "/private/public/x",    # Allow beats shorter Disallow → allowed, 15
+    "/downloads/file.zip",  # Allow(10) beats /*.zip$(7) → allowed, 10
+    "/file.zip",            # /*.zip$ end anchor → denied, 7
+    "/tmp123x/y",           # /tmp*x wildcard → denied, 6
+]
+
+
+def robots_gate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.robots import gate, parse_robots
+
+    parsed = parse_robots(_ROBOTS_TXT)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                path = _ROBOTS_PATHS[d % 6]
+                allowed, mlen = gate(parsed, "Engine-Bot/2.1", path)
+                other, olen = gate(parsed, "stranger-bot", path)
+                rows.append(
+                    (d, int(allowed), mlen, int(other), olen,
+                     len(parsed["sitemaps"]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "allowed", "matched_len", "other_allowed",
+                         "other_len", "n_sitemaps"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        "doc_id BIGINT, allowed BIGINT, matched_len BIGINT, "
+        "other_allowed BIGINT, other_len BIGINT, n_sitemaps BIGINT",
+    )
+
+
+ROBOTS_GATE_STATS_SQL = """
+SELECT doc_id,
+       CAST(CASE doc_id % 6 WHEN 0 THEN 1 WHEN 1 THEN 0 WHEN 2 THEN 1
+            WHEN 3 THEN 1 WHEN 4 THEN 0 ELSE 0 END AS BIGINT) AS allowed,
+       CAST(CASE doc_id % 6 WHEN 0 THEN 0 WHEN 1 THEN 8 WHEN 2 THEN 15
+            WHEN 3 THEN 10 WHEN 4 THEN 7 ELSE 6 END AS BIGINT) AS matched_len,
+       CAST(0 AS BIGINT) AS other_allowed,
+       CAST(1 AS BIGINT) AS other_len,
+       CAST(2 AS BIGINT) AS n_sitemaps
+FROM documents
+"""

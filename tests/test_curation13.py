@@ -385,3 +385,59 @@ def test_canonicalize_url_rules():
     for bad in ("mailto:x@y.z", "javascript:alert(1)", "ftp://h/x", "https:///p"):
         with pytest.raises(ValueError):
             canonicalize_url(bad)
+
+
+def test_robots_gate_stats_matches_oracle(spark):
+    """RFC 9309 gating — group selection, longest-match, Allow ties,
+    wildcards, end anchors — must land on the hand-derived truth table
+    for every doc (matched_len pins WHICH rule won)."""
+    from data_pipeline_who_gho_spark.plans.curation13 import (
+        ROBOTS_GATE_STATS_SQL,
+        robots_gate_stats,
+    )
+
+    got = sorted(tuple(r) for r in robots_gate_stats(spark, SF).collect())
+    assert got == _oracle(ROBOTS_GATE_STATS_SQL)
+
+
+def test_robots_pattern_matcher_fuzz_vs_regex():
+    """The wildcard matcher must agree with a regex reference on 20k
+    random (pattern, path) cases — including '*' runs and '$' anchors."""
+    import random
+    import re
+
+    from data_pipeline_who_gho_spark.operators.robots import _pattern_matches
+
+    def ref(pattern, path):
+        anchored = pattern.endswith("$")
+        core = pattern[:-1] if anchored else pattern
+        rx = "".join(".*" if c == "*" else re.escape(c) for c in core)
+        return re.match(rx + ("$" if anchored else ""), path) is not None
+
+    rng = random.Random(3)
+    for _ in range(20000):
+        pat = "".join(rng.choice("ab/.z$*") for _ in range(rng.randint(0, 6)))
+        if "$" in pat[:-1]:
+            continue  # '$' is only an anchor at the end per RFC
+        path = "".join(rng.choice("ab/.z") for _ in range(rng.randint(0, 8)))
+        assert _pattern_matches(pat, path) == ref(pat, path), (pat, path)
+
+
+def test_robots_group_selection():
+    from data_pipeline_who_gho_spark.operators.robots import (
+        gate,
+        parse_robots,
+    )
+
+    p = parse_robots(
+        "User-agent: bot\nDisallow: /a\n\n"
+        "User-agent: bot-special\nDisallow: /b\n\n"
+        "User-agent: *\nDisallow: /\n"
+    )
+    # longest user-agent prefix wins: bot-special/1.0 obeys its group
+    assert gate(p, "bot-special/1.0", "/a") == (True, 0)
+    assert gate(p, "bot-special/1.0", "/b") == (False, 2)
+    assert gate(p, "bot/1.0", "/a") == (False, 2)
+    assert gate(p, "unknown", "/anything") == (False, 1)
+    # no groups at all -> allowed
+    assert gate(parse_robots("Sitemap: x"), "any", "/x") == (True, 0)
