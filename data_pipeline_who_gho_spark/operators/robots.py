@@ -131,3 +131,64 @@ def gate(parsed: dict, agent: str, path: str) -> tuple[bool, int]:
     if best_len < 0:
         return True, 0
     return best_allow, best_len
+
+
+def parse_sitemap(xml_text: str) -> dict:
+    """Parse a sitemap document (sitemaps.org protocol, the other half
+    of the crawl frontier): either a ``<urlset>`` of page entries or a
+    ``<sitemapindex>`` of child sitemaps.
+
+    → ``{"kind": "urlset" | "sitemapindex", "entries": [{"loc",
+    "lastmod", "changefreq", "priority"}]}`` (absent child fields are
+    None; loc is required — entries without one raise).  Real XML
+    parsing via stdlib ElementTree, namespace-aware (the 0.9 namespace
+    is standard but its absence is tolerated, as crawlers must)."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError as exc:
+        raise ValueError(f"malformed sitemap XML: {exc}") from None
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    kind = local(root.tag)
+    if kind not in ("urlset", "sitemapindex"):
+        raise ValueError(f"not a sitemap root element: {root.tag!r}")
+    child_tag = "url" if kind == "urlset" else "sitemap"
+    entries = []
+    for el in root:
+        if local(el.tag) != child_tag:
+            continue
+        fields = {local(c.tag): (c.text or "").strip() for c in el}
+        if not fields.get("loc"):
+            raise ValueError(f"sitemap <{child_tag}> without <loc>")
+        entries.append(
+            {
+                "loc": fields["loc"],
+                "lastmod": fields.get("lastmod"),
+                "changefreq": fields.get("changefreq"),
+                "priority": fields.get("priority"),
+            }
+        )
+    return {"kind": kind, "entries": entries}
+
+
+def build_sitemap(kind: str, entries: list[dict]) -> str:
+    """Synthesize a namespaced sitemap document (the query/test
+    builder)."""
+    child = "url" if kind == "urlset" else "sitemap"
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        f'<{kind} xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+    ]
+    for e in entries:
+        parts.append(f"<{child}>")
+        for k in ("loc", "lastmod", "changefreq", "priority"):
+            v = e.get(k)
+            if v is not None:
+                parts.append(f"<{k}>{v}</{k}>")
+        parts.append(f"</{child}>")
+    parts.append(f"</{kind}>")
+    return "".join(parts)

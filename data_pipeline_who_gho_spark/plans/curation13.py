@@ -840,3 +840,94 @@ SELECT doc_id,
        CAST(2 AS BIGINT) AS n_sitemaps
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# sitemap_frontier_stats — r10 registration queue.  The other half of
+# the crawl frontier (robots admits, sitemaps enumerate): per doc the
+# plan synthesizes a sitemaps.org document — a <sitemapindex> of child
+# sitemaps every 4th doc, a <urlset> of page entries otherwise, with
+# lastmod on alternating entries — parses it with REAL namespace-aware
+# stdlib XML (operators/robots.py parse_sitemap), and emits what the
+# PARSE found: kind, entry count, lastmod coverage, and the md5 of the
+# ordered loc list (a dropped/reordered/mis-namespaced entry breaks
+# it).  First XML-format ingestion in the engine.
+#
+#   CURATION13_QUERIES["sitemap_frontier_stats"] = sitemap_frontier_stats
+#   CURATION13_ORACLE_SQL["sitemap_frontier_stats"] = SITEMAP_FRONTIER_STATS_SQL
+# ---------------------------------------------------------------------------
+
+
+def sitemap_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.robots import build_sitemap, parse_sitemap
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                k = 3 + d % 5
+                if d % 4 == 0:
+                    kind = "sitemapindex"
+                    entries = [
+                        {"loc": f"https://ex{d}.com/sitemap{i}.xml"}
+                        for i in range(k)
+                    ]
+                else:
+                    kind = "urlset"
+                    entries = [
+                        {
+                            "loc": f"https://ex{d}.com/p/{i}",
+                            **({"lastmod": f"2026-0{i % 9 + 1}-01"}
+                               if i % 2 == 0 else {}),
+                        }
+                        for i in range(k)
+                    ]
+                parsed = parse_sitemap(build_sitemap(kind, entries))
+                locs = "\n".join(e["loc"] for e in parsed["entries"])
+                rows.append(
+                    (
+                        d,
+                        parsed["kind"],
+                        len(parsed["entries"]),
+                        sum(1 for e in parsed["entries"] if e["lastmod"]),
+                        hashlib.md5(locs.encode("utf-8")).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "kind", "n_entries", "n_lastmod",
+                         "locs_md5"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        "doc_id BIGINT, kind STRING, n_entries BIGINT, n_lastmod BIGINT, "
+        "locs_md5 STRING",
+    )
+
+
+SITEMAP_FRONTIER_STATS_SQL = """
+WITH e AS (
+  SELECT doc_id, i.x AS i,
+         CASE WHEN doc_id % 4 = 0
+              THEN 'https://ex' || CAST(doc_id AS VARCHAR)
+                   || '.com/sitemap' || CAST(i.x AS VARCHAR) || '.xml'
+              ELSE 'https://ex' || CAST(doc_id AS VARCHAR)
+                   || '.com/p/' || CAST(i.x AS VARCHAR) END AS loc,
+         CASE WHEN doc_id % 4 <> 0 AND i.x % 2 = 0 THEN 1 ELSE 0 END
+             AS has_lastmod
+  FROM documents, range(8) i(x)
+  WHERE i.x < 3 + doc_id % 5
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 0 THEN 'sitemapindex' ELSE 'urlset' END AS kind,
+       CAST(COUNT(*) AS BIGINT) AS n_entries,
+       CAST(SUM(has_lastmod) AS BIGINT) AS n_lastmod,
+       md5(string_agg(loc, chr(10) ORDER BY i)) AS locs_md5
+FROM e
+GROUP BY doc_id
+"""

@@ -441,3 +441,48 @@ def test_robots_group_selection():
     assert gate(p, "unknown", "/anything") == (False, 1)
     # no groups at all -> allowed
     assert gate(parse_robots("Sitemap: x"), "any", "/x") == (True, 0)
+
+
+def test_sitemap_frontier_stats_matches_oracle(spark):
+    """Namespace-aware XML parsing must recover exactly the synthesized
+    frontier on every doc — kinds, counts, lastmod coverage, and the
+    ordered loc list's md5."""
+    from data_pipeline_who_gho_spark.plans.curation13 import (
+        SITEMAP_FRONTIER_STATS_SQL,
+        sitemap_frontier_stats,
+    )
+
+    got = sorted(
+        tuple(r) for r in sitemap_frontier_stats(spark, SF).collect()
+    )
+    assert got == _oracle(SITEMAP_FRONTIER_STATS_SQL)
+    kinds = {r[1] for r in got}
+    assert kinds == {"urlset", "sitemapindex"}
+
+
+def test_parse_sitemap_rules():
+    from data_pipeline_who_gho_spark.operators.robots import (
+        build_sitemap,
+        parse_sitemap,
+    )
+
+    x = build_sitemap("urlset", [
+        {"loc": "https://e.com/a", "lastmod": "2026-01-01",
+         "priority": "0.8"},
+        {"loc": "https://e.com/b"},
+    ])
+    p = parse_sitemap(x)
+    assert p["kind"] == "urlset" and len(p["entries"]) == 2
+    assert p["entries"][0]["priority"] == "0.8"
+    assert p["entries"][1]["lastmod"] is None
+    idx = parse_sitemap(
+        build_sitemap("sitemapindex", [{"loc": "https://e.com/s1.xml"}])
+    )
+    assert idx["kind"] == "sitemapindex"
+    # non-namespaced documents are tolerated (crawlers must)
+    assert parse_sitemap(
+        "<urlset><url><loc>x</loc></url></urlset>"
+    )["entries"][0]["loc"] == "x"
+    for bad in ("<foo/>", "not xml", "<urlset><url></url></urlset>"):
+        with pytest.raises(ValueError):
+            parse_sitemap(bad)
