@@ -65,8 +65,19 @@ _AC_LUM_VALS = [
 ]
 
 
+from functools import lru_cache
+
+
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """Annex C: value -> (code, length)."""
+    """Annex C: value -> (code, length).  Memoized — encoders rebuild
+    the same Annex-K / flat-progressive tables for every payload, and
+    at corpus scale that rebuild was ~10% of per-doc encode cost.
+    Callers treat the dict as read-only."""
+    return _canonical_codes_cached(tuple(bits), tuple(vals))
+
+
+@lru_cache(maxsize=64)
+def _canonical_codes_cached(bits, vals):
     out: dict[int, tuple[int, int]] = {}
     code, k = 0, 0
     for length in range(1, 17):
@@ -83,8 +94,16 @@ def _decode_table(bits: list[int], vals: list[int]):
 
     The LUT resolves every code of length <= 8 from one peek (for the
     Annex-K tables that covers the overwhelming share of symbols); the
-    map remains the fallback for longer codes."""
-    codes = _canonical_codes(bits, vals)
+    map remains the fallback for longer codes.  Memoized like
+    _canonical_codes — every decode call was rebuilding identical
+    DHT tables (~20% of decode on small payloads); foreign tables just
+    take new cache slots."""
+    return _decode_table_cached(tuple(bits), tuple(vals))
+
+
+@lru_cache(maxsize=64)
+def _decode_table_cached(bits, vals):
+    codes = _canonical_codes_cached(bits, vals)
     mapping = {(length, code): v for v, (code, length) in codes.items()}
     lut: list[tuple[int, int] | None] = [None] * 256
     for v, (code, length) in codes.items():
