@@ -931,3 +931,100 @@ SELECT doc_id,
 FROM e
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# srt_cue_stats — r10 registration queue.  Caption ingestion for
+# video-text pairing: per doc the plan synthesizes an SRT file whose
+# cues carry the doc's words (3 words per cue, formula-driven integer
+# timings with gaps), parses it with the REAL parser
+# (operators/subtitles.py: cue blocks, HH:MM:SS,mmm → exact integer
+# milliseconds), and emits what the PARSE recovered — cue count,
+# exact speech/total durations, and the md5 of the reassembled
+# transcript (must equal the oracle's reconstruction from the text
+# column; a timing or text slip breaks it).
+#
+#   CURATION13_QUERIES["srt_cue_stats"] = srt_cue_stats
+#   CURATION13_ORACLE_SQL["srt_cue_stats"] = SRT_CUE_STATS_SQL
+# ---------------------------------------------------------------------------
+
+_SRT_WPC = 3        # words per cue
+_SRT_CUE_MS = 1700  # cue duration
+_SRT_GAP_MS = 300   # inter-cue gap
+
+
+def srt_cue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.subtitles import build_srt, parse_srt
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                words = str(t).split()
+                groups = [
+                    " ".join(words[i : i + _SRT_WPC])
+                    for i in range(0, len(words), _SRT_WPC)
+                ] or ["(silence)"]
+                cues = [
+                    (
+                        i * (_SRT_CUE_MS + _SRT_GAP_MS),
+                        i * (_SRT_CUE_MS + _SRT_GAP_MS) + _SRT_CUE_MS,
+                        g,
+                    )
+                    for i, g in enumerate(groups)
+                ]
+                parsed = parse_srt(build_srt(cues))
+                transcript = " ".join(c["text"] for c in parsed)
+                speech = sum(c["end_ms"] - c["start_ms"] for c in parsed)
+                rows.append(
+                    (
+                        d,
+                        len(parsed),
+                        speech,
+                        parsed[-1]["end_ms"],
+                        hashlib.md5(transcript.encode("utf-8")).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_cues", "speech_ms", "span_ms",
+                         "transcript_md5"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        run,
+        "doc_id BIGINT, n_cues BIGINT, speech_ms BIGINT, span_ms BIGINT, "
+        "transcript_md5 STRING",
+    )
+
+
+# n_cues = ceil(n_words / 3); the reassembled transcript equals the
+# whitespace-normalized text (cues join word triples with single
+# spaces, transcript joins cues with single spaces)
+SRT_CUE_STATS_SQL = f"""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{_WS_CLASS}'),
+                     t -> t <> '') AS words
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CASE WHEN len(words) = 0 THEN 1
+              ELSE (len(words) + {_SRT_WPC} - 1) // {_SRT_WPC} END AS n_cues,
+         CASE WHEN len(words) = 0 THEN '(silence)'
+              ELSE array_to_string(words, ' ') END AS transcript
+  FROM norm
+)
+SELECT doc_id,
+       CAST(n_cues AS BIGINT) AS n_cues,
+       CAST(n_cues * {_SRT_CUE_MS} AS BIGINT) AS speech_ms,
+       CAST((n_cues - 1) * {_SRT_CUE_MS + _SRT_GAP_MS} + {_SRT_CUE_MS}
+            AS BIGINT) AS span_ms,
+       md5(transcript) AS transcript_md5
+FROM c
+"""

@@ -486,3 +486,41 @@ def test_parse_sitemap_rules():
     for bad in ("<foo/>", "not xml", "<urlset><url></url></urlset>"):
         with pytest.raises(ValueError):
             parse_sitemap(bad)
+
+
+def test_srt_cue_stats_matches_oracle(spark):
+    """SRT parsing must recover exact integer timings and the full
+    transcript on every doc (md5 vs the oracle's reconstruction)."""
+    from data_pipeline_who_gho_spark.plans.curation13 import (
+        SRT_CUE_STATS_SQL,
+        srt_cue_stats,
+    )
+
+    got = sorted(tuple(r) for r in srt_cue_stats(spark, SF).collect())
+    assert got == _oracle(SRT_CUE_STATS_SQL)
+
+
+def test_parse_srt_rules():
+    from data_pipeline_who_gho_spark.operators.subtitles import (
+        build_srt,
+        format_ts,
+        parse_srt,
+    )
+
+    srt = build_srt([(0, 1500, "hello world"), (2000, 4250, "two\nlines")])
+    cues = parse_srt(srt)
+    assert [c["index"] for c in cues] == [1, 2]
+    assert cues[0]["end_ms"] == 1500 and cues[1]["start_ms"] == 2000
+    assert cues[1]["text"] == "two\nlines"
+    assert format_ts(3661042) == "01:01:01,042"
+    # dot-decimal timestamps tolerated (WebVTT-style writers)
+    assert parse_srt("1\n00:00:00.000 --> 00:00:01.000\nx\n")[0]["end_ms"] == 1000
+    for bad in (
+        "x\n00:00:00,000 --> 00:00:01,000\nt\n",   # non-numeric index
+        "1\n00:00:01,000 --> 00:00:00,000\nt\n",   # end before start
+        "1\nno timing\nt\n",
+        "1\n00:00:00,000 --> 00:00:01,000\n\n",    # empty text
+        "",
+    ):
+        with pytest.raises(ValueError):
+            parse_srt(bad)
