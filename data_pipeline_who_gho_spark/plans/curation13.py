@@ -1028,3 +1028,106 @@ SELECT doc_id,
        md5(transcript) AS transcript_md5
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# crawl_ingest_e2e — r10 registration queue.  The whole crawl-ingest
+# arc as ONE production body, the way the operators actually compose
+# at harvest time: synthesize a WARC response whose HTTP body is an
+# HTML page around the (escaped) text → parse_warc → split the HTTP
+# message → per-block boilerplate extraction → emit the kept-content
+# md5 and the funnel counters at every stage.  Every seam is load-
+# bearing: a WARC framing slip corrupts the HTTP body, a header-split
+# slip corrupts the HTML, an extraction slip breaks the md5 — one
+# query pins the composition, not just the parts.
+#
+#   CURATION13_QUERIES["crawl_ingest_e2e"] = crawl_ingest_e2e
+#   CURATION13_ORACLE_SQL["crawl_ingest_e2e"] = CRAWL_INGEST_E2E_SQL
+# ---------------------------------------------------------------------------
+
+
+def crawl_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.html import boilerplate_extract
+    from ..operators.warc import (
+        build_http_response,
+        build_warc,
+        header,
+        parse_warc,
+        split_http_response,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import html as html_mod
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                page = (
+                    f"<html><head><title>Doc&#233;{d % 100}</title></head>"
+                    '<body><nav><a href="/">home</a> <a href="/a">about</a>'
+                    ' <a href="/c">contact</a></nav>'
+                    "<h1>alpha &amp; beta</h1>"
+                    f"<p>{html_mod.escape(str(t))}</p>"
+                    '<footer><a href="#">all rights reserved</a></footer>'
+                    "</body></html>"
+                )
+                shard = build_warc([
+                    ("warcinfo", {}, b"software: engine\r\n"),
+                    ("response",
+                     {"WARC-Target-URI": f"https://ex{d}.com/"},
+                     build_http_response(page.encode("utf-8"))),
+                ])
+                recs = parse_warc(shard)
+                resp = [r for r in recs
+                        if header(r["headers"], "WARC-Type") == "response"]
+                status, _, body = split_http_response(resp[0]["block"])
+                kept, n_blocks, n_kept = boilerplate_extract(
+                    body.decode("utf-8")
+                )
+                rows.append(
+                    (
+                        d,
+                        len(recs),
+                        status,
+                        n_blocks,
+                        n_kept,
+                        hashlib.md5(kept.encode("utf-8")).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_records", "status", "n_blocks",
+                         "n_kept", "kept_md5"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        run,
+        "doc_id BIGINT, n_records BIGINT, status BIGINT, n_blocks BIGINT, "
+        "n_kept BIGINT, kept_md5 STRING",
+    )
+
+
+# page blocks: title, nav (drops), h1, article <p> (kept when >= 4
+# non-ws chars), footer (drops) — no 2-char stub here, so n_blocks is
+# 4 + (article non-empty), n_kept is 2 + (article >= 4 non-ws chars)
+CRAWL_INGEST_E2E_SQL = f"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '{_WS_CLASS}', ' ', 'g')) AS ntext,
+         length(regexp_replace(text, '{_WS_CLASS}', '', 'g')) AS nonws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(2 AS BIGINT) AS n_records,
+       CAST(200 AS BIGINT) AS status,
+       CAST(4 + CASE WHEN nonws > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_blocks,
+       CAST(2 + CASE WHEN nonws >= 4 THEN 1 ELSE 0 END AS BIGINT) AS n_kept,
+       md5('Docé' || CAST(doc_id % 100 AS VARCHAR) || chr(10)
+           || 'alpha & beta'
+           || CASE WHEN nonws >= 4 THEN chr(10) || ntext ELSE '' END)
+           AS kept_md5
+FROM norm
+"""

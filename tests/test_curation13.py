@@ -524,3 +524,17 @@ def test_parse_srt_rules():
     ):
         with pytest.raises(ValueError):
             parse_srt(bad)
+
+
+def test_crawl_ingest_e2e_matches_oracle(spark):
+    """The composed pipeline (WARC framing → HTTP split → HTML
+    boilerplate extraction) must land the kept-content md5 on every
+    doc — one query pinning every seam of the ingest arc."""
+    from data_pipeline_who_gho_spark.plans.curation13 import (
+        CRAWL_INGEST_E2E_SQL,
+        crawl_ingest_e2e,
+    )
+
+    got = sorted(tuple(r) for r in crawl_ingest_e2e(spark, SF).collect())
+    assert got == _oracle(CRAWL_INGEST_E2E_SQL)
+    assert all(r[1] == 2 and r[2] == 200 for r in got)
