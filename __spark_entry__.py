@@ -182,10 +182,20 @@ _PRIORITY = [
     # round trip (real corpora ship as .gz shards).  The remaining 40
     # window slots drain EXACTLY the ENTIRE r03-green cohort via the
     # green-round sort.
-    # Queued for r09 (already oracle-exact, cross-checked in pytest —
-    # registration is a two-line edit each, commented at their
-    # definition sites in plans/curation11.py): kcenter_coreset,
-    # jpeg_decode_stats, audio_frame_features, image_blockhash_neardup.
+    # r09 registered its four queued ops (kcenter_coreset,
+    # jpeg_decode_stats, audio_frame_features, image_blockhash_neardup —
+    # they lead the insertion order above this table).
+    # Queued for r10 (already oracle-exact at sf0.001 AND sf0.01,
+    # cross-checked in pytest; registration is a two-line edit each,
+    # commented at their definition sites in plans/curation12.py and
+    # plans/curation13.py): jpeg420_decode_stats,
+    # audio_fingerprint_neardup, flac_decode_stats,
+    # audio_spectral_features, jpeg_progressive_decode_stats,
+    # mp4_container_stats, mp3_frame_stats, multi_codec_roundtrip_stats,
+    # mojibake_repair_stats, parquet_footer_probe, blocklist_match_stats,
+    # warc_record_stats, html_extract_stats, html_boilerplate_extract,
+    # video_fingerprint_neardup, url_canonical_dedup, robots_gate_stats,
+    # sitemap_frontier_stats, srt_cue_stats, crawl_ingest_e2e.
     "media_resize_checksum", "maxmatch_segment_stats", "intradoc_line_dedup",
     "media_decode_png_stats", "boilerplate_strip_newline",
     "unigram_encode_stats", "audio_decode_stats", "video_frame_stats",
