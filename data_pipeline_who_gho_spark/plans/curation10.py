@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.rank import grouped_running_sum
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread_for_python
 from .extensions import _sql_tokens
 
 # ---------------------------------------------------------------------------
@@ -126,7 +126,9 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     return docs.mapInPandas(run, _MEDIA_STATS_SCHEMA)
 
 
@@ -236,7 +238,9 @@ def boilerplate_strip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy computes the audit and the order-preserving reassembly
     together (see strip_frequent_lines). Docs whose every line is
     boilerplate survive with empty cleaned text."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return strip_frequent_lines(_doc_lines(docs))
 
 
@@ -401,7 +405,9 @@ def intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered form of dedup_lines_within_doc over the fixture's
     aligned token-chunk lines — registered r08 (oracle below,
     cross-checked in tests)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return dedup_lines_within_doc(_doc_lines(docs))
 
 
@@ -506,7 +512,9 @@ def media_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "out_h", "out_w", "sum_r", "sum_g", "sum_b", "wsum"],
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     payloads = docs.mapInPandas(synth, "doc_id BIGINT, payload BINARY")
     resized = resize_images(payloads, _RSZ_H, _RSZ_W)
     return resized.mapInPandas(stats, _MEDIA_RESIZE_SCHEMA)

@@ -41,7 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread_for_python
 from .curation10 import (
     _BOILER_MIN_DOCS,
     _IMG_H,
@@ -105,7 +105,9 @@ def media_decode_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "h", "w", "n_px", "sum_r", "sum_g", "sum_b", "wsum"],
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     return docs.mapInPandas(run, _PNG_STATS_SCHEMA)
 
 
@@ -148,7 +150,9 @@ def boilerplate_strip_newline(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-token chunks joined by '\\n'), then split on '\\n'
     with posexplode and reassemble with the '\\n' joiner — the exact
     path production web text takes."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks = docs.select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
     )
@@ -285,7 +289,9 @@ def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "n_samples", "n_ch", "rate", "sum_all", "wsum"],
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     return docs.mapInPandas(run, _AUDIO_STATS_SCHEMA)
 
 
@@ -366,7 +372,9 @@ def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "frame_idx", "f_sum", "f_wsum"]
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     return docs.mapInPandas(run, _VIDEO_STATS_SCHEMA)
 
 
@@ -540,7 +548,9 @@ def gzip_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "n_chars", "n_tok", "text_md5"]
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     packed = docs.mapInPandas(pack, "doc_id BIGINT, payload BINARY")
     return packed.mapInPandas(
         unpack, "doc_id BIGINT, n_chars BIGINT, n_tok BIGINT, text_md5 STRING"
@@ -734,7 +744,9 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "h", "w", "n_px", "sum_all", "wsum"]
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     return docs.mapInPandas(
         run,
         "doc_id BIGINT, h BIGINT, w BIGINT, n_px BIGINT, "
@@ -805,7 +817,9 @@ def audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "frame_idx", "energy", "zcr"]
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     return docs.mapInPandas(
         run, "doc_id BIGINT, frame_idx BIGINT, energy BIGINT, zcr BIGINT"
     )
@@ -914,7 +928,9 @@ def image_blockhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows.append((doc_id, band, val))
             yield pd.DataFrame(rows, columns=["doc_id", "band", "val"])
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     # materialize the (tiny, 4-rows-per-doc) fingerprint relation ONCE:
     # the banded self-join otherwise evaluates the mapInPandas on BOTH
     # sides (plan-checked: 2× MapInPandas, no ReusedExchange) — i.e.

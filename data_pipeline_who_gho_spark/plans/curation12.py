@@ -33,7 +33,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread_for_python
 
 CURATION12_QUERIES: dict = {}
 CURATION12_ORACLE_SQL: dict = {}
@@ -110,7 +110,9 @@ def jpeg420_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "cb_sum", "cb_wsum", "cr_sum", "cr_wsum"],
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     return docs.mapInPandas(
         run,
         "doc_id BIGINT, h BIGINT, w BIGINT, y_sum BIGINT, y_wsum BIGINT, "
@@ -221,7 +223,9 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows.append((doc_id, band, val))
             yield pd.DataFrame(rows, columns=["doc_id", "band", "val"])
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     fp = docs.mapInPandas(
         fingerprint, "doc_id BIGINT, band INT, val BIGINT"
     ).localCheckpoint(eager=True)
@@ -326,7 +330,9 @@ def flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "n_samples", "s_sum", "s_sumsq", "s_wsum"],
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     return docs.mapInPandas(
         run,
         "doc_id BIGINT, n_samples BIGINT, "
@@ -415,7 +421,9 @@ def audio_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "frame_idx", "e_dc", "e_mid", "e_nyq"],
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     return docs.mapInPandas(
         run,
         "doc_id BIGINT, frame_idx BIGINT, e_dc BIGINT, e_mid BIGINT, "
@@ -523,7 +531,9 @@ def jpeg_progressive_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
                 columns=["doc_id", "h", "w", "sum_all", "wsum", "chk", "wchk"],
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     return docs.mapInPandas(
         run,
         "doc_id BIGINT, h BIGINT, w BIGINT, sum_all BIGINT, wsum BIGINT, "
@@ -616,7 +626,9 @@ def mp4_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "langs"],
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     return docs.mapInPandas(
         run,
         "doc_id BIGINT, n_tracks BIGINT, duration BIGINT, mdat_bytes BIGINT, "
@@ -699,7 +711,9 @@ def mp3_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "frame_bytes", "sum_kbps", "tag_bytes"],
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     return docs.mapInPandas(
         run,
         "doc_id BIGINT, n_frames BIGINT, samplerate BIGINT, samples BIGINT, "

@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread_for_python
 
 CURATION13_QUERIES: dict = {}
 CURATION13_ORACLE_SQL: dict = {}
@@ -99,7 +99,9 @@ def multi_codec_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "codec", "n_chars", "n_tok", "text_md5"],
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     packed = docs.mapInPandas(pack, "doc_id BIGINT, payload BINARY")
     return packed.mapInPandas(
         unpack,
@@ -160,7 +162,9 @@ def mojibake_repair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "n_chars_fixed", "fixed_md5"],
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return docs.mapInPandas(
         run,
         "doc_id BIGINT, repaired BIGINT, n_chars_corrupt BIGINT, "
@@ -221,6 +225,9 @@ def parquet_footer_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             columns=["rg_idx", "n_rows", "min_doc", "max_doc", "n_groups"],
         )
 
+    # NOT spread_for_python: the single-group applyInPandas funnels to
+    # one task by design (bounded, documented) — a repartition before
+    # it would only add a useless exchange
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return (
         docs.groupBy(F.lit(0).alias("_g"))
@@ -305,7 +312,9 @@ def blocklist_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "sev_sum"],
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return docs.mapInPandas(
         run,
         "doc_id BIGINT, n_matches BIGINT, n_patterns BIGINT, "
@@ -403,7 +412,9 @@ def warc_record_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "meta_bytes", "body_md5"],
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return docs.mapInPandas(
         run,
         "doc_id BIGINT, n_records BIGINT, status BIGINT, body_bytes BIGINT, "
@@ -474,7 +485,9 @@ def html_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "extract_md5"],
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return docs.mapInPandas(
         run,
         "doc_id BIGINT, n_links BIGINT, anchor_chars BIGINT, "
@@ -557,7 +570,9 @@ def html_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "kept_md5"],
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return docs.mapInPandas(
         run,
         "doc_id BIGINT, n_blocks BIGINT, n_kept BIGINT, kept_chars BIGINT, "
@@ -649,7 +664,9 @@ def video_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows.append((doc_id, band, val))
             yield pd.DataFrame(rows, columns=["doc_id", "band", "val"])
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     fp = docs.mapInPandas(
         fingerprint, "doc_id BIGINT, band INT, val BIGINT"
     ).localCheckpoint(eager=True)
@@ -738,7 +755,9 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((d, canonicalize_url(url)))
             yield pd.DataFrame(rows, columns=["doc_id", "canon"])
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     canon = docs.mapInPandas(run, "doc_id BIGINT, canon STRING")
     return canon.groupBy("canon").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -821,7 +840,9 @@ def robots_gate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "other_len", "n_sitemaps"],
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     return docs.mapInPandas(
         run,
         "doc_id BIGINT, allowed BIGINT, matched_len BIGINT, "
@@ -902,7 +923,9 @@ def sitemap_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "locs_md5"],
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     return docs.mapInPandas(
         run,
         "doc_id BIGINT, kind STRING, n_entries BIGINT, n_lastmod BIGINT, "
@@ -994,7 +1017,9 @@ def srt_cue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "transcript_md5"],
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return docs.mapInPandas(
         run,
         "doc_id BIGINT, n_cues BIGINT, speech_ms BIGINT, span_ms BIGINT, "
@@ -1102,7 +1127,9 @@ def crawl_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "n_kept", "kept_md5"],
             )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return docs.mapInPandas(
         run,
         "doc_id BIGINT, n_records BIGINT, status BIGINT, n_blocks BIGINT, "

@@ -117,3 +117,26 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def spread_for_python(df: DataFrame) -> DataFrame:
+    """Give a Python-heavy (mapInPandas / applyInPandas) stage enough
+    partitions to use every core.
+
+    Spark sizes parquet splits as max(openCostInBytes,
+    totalSize/defaultParallelism): a small id/text table scans as 1-2
+    splits, which is CORRECT for the scan but then caps the expensive
+    Arrow stage built on top of it at 1-2 concurrent tasks — measured
+    live: the whole synthesized-payload codec family was running on 1
+    of 32 cores (flac_decode_stats 38 s at sf1 for ~2 s of actual
+    codec work).  Repartitioning the narrow input (8-byte ids, or
+    ids+text) is trivially cheap next to per-row Python work.
+
+    Only acts when the scan is UNDER-partitioned: at production scale,
+    where payload-bearing tables have real row-group parallelism, this
+    is a no-op and the plan is unchanged."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
