@@ -38,6 +38,16 @@ QUEUE = [
     "multi_codec_roundtrip_stats",
     "mojibake_repair_stats",
     "parquet_footer_probe",
+    "blocklist_match_stats",
+    "warc_record_stats",
+    "html_extract_stats",
+    "html_boilerplate_extract",
+    "video_fingerprint_neardup",
+    "url_canonical_dedup",
+    "robots_gate_stats",
+    "sitemap_frontier_stats",
+    "srt_cue_stats",
+    "crawl_ingest_e2e",
 ]
 
 
