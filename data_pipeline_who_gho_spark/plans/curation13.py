@@ -1158,3 +1158,92 @@ SELECT doc_id,
            AS kept_md5
 FROM norm
 """
+
+
+# ---------------------------------------------------------------------------
+# exif_gps_strip_stats — r10 registration queue.  Image-side PII
+# redaction: per doc the plan builds a real JPEG carrying an Exif APP1
+# (byte order alternating II/MM, orientation, GPS latitude/longitude
+# as exact rationals), PARSES it (TIFF IFD walk), STRIPS the GPS IFD
+# (operators/exif.py — re-serialized APP1, image bytes untouched),
+# re-parses to prove the GPS is gone and the orientation survived, and
+# decodes the STRIPPED image to prove redaction never re-encodes
+# pixels.  Emits the pre-strip coordinates (the evidence a redaction
+# audit logs) and the post-strip GPS flag (always 0).
+#
+#   CURATION13_QUERIES["exif_gps_strip_stats"] = exif_gps_strip_stats
+#   CURATION13_ORACLE_SQL["exif_gps_strip_stats"] = EXIF_GPS_STRIP_STATS_SQL
+# ---------------------------------------------------------------------------
+
+
+def exif_gps_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.exif import (
+        TAG_GPS_LAT,
+        TAG_GPS_LON,
+        TAG_ORIENTATION,
+        build_exif_jpeg,
+        parse_exif_jpeg,
+        strip_gps,
+    )
+    from ..operators.jpeg import decode_jpeg, encode_jpeg_gray
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                coefs = np.zeros((1, 1, 8, 8), dtype=np.int64)
+                coefs[0, 0, 0, 0] = (d % 128 - 64) * 8
+                base = encode_jpeg_gray(coef_blocks=coefs, shape=(8, 8))
+                tagged = build_exif_jpeg(
+                    base,
+                    byte_order="II" if d % 2 == 0 else "MM",
+                    orientation=d % 8 + 1,
+                    gps=(
+                        (d % 90, d % 60, d % 60), "N" if d % 4 < 2 else "S",
+                        (d % 180, d % 60, d % 60), "E" if d % 3 < 2 else "W",
+                    ),
+                )
+                before = parse_exif_jpeg(tagged)
+                stripped = strip_gps(tagged)
+                after = parse_exif_jpeg(stripped)
+                img = decode_jpeg(stripped).astype(np.int64)
+                rows.append(
+                    (
+                        d,
+                        before["byte_order"],
+                        after["ifd0"][TAG_ORIENTATION][2],
+                        before["gps"][TAG_GPS_LAT][2][0][0],
+                        before["gps"][TAG_GPS_LON][2][0][0],
+                        int(bool(after["gps"])),
+                        int(img.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "byte_order", "orientation", "lat_deg",
+                         "lon_deg", "gps_after", "img_sum"],
+            )
+
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id BIGINT, byte_order STRING, orientation BIGINT, "
+        "lat_deg BIGINT, lon_deg BIGINT, gps_after BIGINT, img_sum BIGINT",
+    )
+
+
+EXIF_GPS_STRIP_STATS_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+       CAST(doc_id % 8 + 1 AS BIGINT) AS orientation,
+       CAST(doc_id % 90 AS BIGINT) AS lat_deg,
+       CAST(doc_id % 180 AS BIGINT) AS lon_deg,
+       CAST(0 AS BIGINT) AS gps_after,
+       CAST(64 * (doc_id % 128 + 64) AS BIGINT) AS img_sum
+FROM documents
+"""

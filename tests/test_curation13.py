@@ -538,3 +538,58 @@ def test_crawl_ingest_e2e_matches_oracle(spark):
     got = sorted(tuple(r) for r in crawl_ingest_e2e(spark, SF).collect())
     assert got == _oracle(CRAWL_INGEST_E2E_SQL)
     assert all(r[1] == 2 and r[2] == 200 for r in got)
+
+
+def test_exif_gps_strip_stats_matches_oracle(spark):
+    """TIFF IFD walk (both byte orders), GPS removal, orientation
+    survival, and image-byte preservation must all land on the closed
+    form for every doc."""
+    from data_pipeline_who_gho_spark.plans.curation13 import (
+        EXIF_GPS_STRIP_STATS_SQL,
+        exif_gps_strip_stats,
+    )
+
+    got = sorted(tuple(r) for r in exif_gps_strip_stats(spark, SF).collect())
+    assert got == _oracle(EXIF_GPS_STRIP_STATS_SQL)
+    assert all(r[5] == 0 for r in got)  # GPS gone on every doc
+
+
+def test_exif_parse_strip_roundtrip():
+    import numpy as np
+
+    from data_pipeline_who_gho_spark.operators.exif import (
+        TAG_GPS_LAT,
+        TAG_GPS_LAT_REF,
+        TAG_ORIENTATION,
+        build_exif_jpeg,
+        parse_exif_jpeg,
+        strip_gps,
+    )
+    from data_pipeline_who_gho_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    coefs = np.zeros((1, 2, 8, 8), np.int64)
+    coefs[0, 0, 0, 0] = 40
+    coefs[0, 1, 4, 4] = 16
+    base = encode_jpeg_gray(coef_blocks=coefs, shape=(8, 16))
+    for bo in ("II", "MM"):
+        j = build_exif_jpeg(base, byte_order=bo, orientation=6,
+                            gps=((51, 30, 26), "N", (0, 7, 39), "W"))
+        meta = parse_exif_jpeg(j)
+        assert meta["byte_order"] == bo
+        assert meta["ifd0"][TAG_ORIENTATION][2] == 6
+        assert meta["gps"][TAG_GPS_LAT][2] == ((51, 1), (30, 1), (26, 1))
+        assert meta["gps"][TAG_GPS_LAT_REF][2] == "N"
+        # decoder passes APP1 unharmed
+        assert np.array_equal(decode_jpeg(j), decode_jpeg(base))
+        s = strip_gps(j)
+        m2 = parse_exif_jpeg(s)
+        assert not m2["gps"] and m2["ifd0"][TAG_ORIENTATION][2] == 6
+        assert np.array_equal(decode_jpeg(s), decode_jpeg(base))
+        assert s.endswith(base[2:])  # image bytes verbatim
+        assert strip_gps(s) == s     # idempotent
+    assert strip_gps(base) == base   # no APP1 -> unchanged
+    with pytest.raises(ValueError):
+        parse_exif_jpeg(base)        # no APP1 -> explicit error
