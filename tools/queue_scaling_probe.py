@@ -48,6 +48,7 @@ QUEUE = [
     "sitemap_frontier_stats",
     "srt_cue_stats",
     "crawl_ingest_e2e",
+    "exif_gps_strip_stats",
 ]
 
 
