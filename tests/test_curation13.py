@@ -593,3 +593,20 @@ def test_exif_parse_strip_roundtrip():
     assert strip_gps(base) == base   # no APP1 -> unchanged
     with pytest.raises(ValueError):
         parse_exif_jpeg(base)        # no APP1 -> explicit error
+
+
+def test_spread_for_python_only_acts_when_under_partitioned(spark):
+    from data_pipeline_who_gho_spark.sources.catalog import (
+        load_table,
+        spread_for_python,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = load_table(spark, SF, "documents").select("doc_id")
+    assert narrow.rdd.getNumPartitions() < target  # the trap exists
+    spread = spread_for_python(narrow)
+    assert spread.rdd.getNumPartitions() == target
+    # already-wide inputs pass through UNCHANGED (the production no-op:
+    # payload-bearing scans with real row-group parallelism)
+    wide = narrow.repartition(target + 8)
+    assert spread_for_python(wide) is wide
