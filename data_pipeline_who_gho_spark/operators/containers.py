@@ -427,3 +427,86 @@ def build_mp3(
     if id3v1:
         out += b"TAG" + bytes(125)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 frames (id3.org informal standard) — the audio metadata layer
+# ---------------------------------------------------------------------------
+
+
+def _syncsafe(n: int) -> bytes:
+    if n >= 1 << 28:
+        raise ValueError("value too large for syncsafe encoding")
+    return bytes((n >> s) & 0x7F for s in (21, 14, 7, 0))
+
+
+def build_id3v2(frames: dict[str, str], padding: int = 0) -> bytes:
+    """An ID3v2.4 tag carrying text frames (TIT2/TPE1/TALB/...).
+    Pure-ASCII values use encoding 0 (latin-1), anything else UTF-8
+    (encoding 3) — so the parser's encoding-byte dispatch is load-
+    bearing whenever a title carries an accent."""
+    body = bytearray()
+    for fid, text in frames.items():
+        if len(fid) != 4 or not fid.isalnum():
+            raise ValueError(f"bad ID3 frame id {fid!r}")
+        if text.isascii():
+            payload = b"\x00" + text.encode("latin-1")
+        else:
+            payload = b"\x03" + text.encode("utf-8")
+        body += fid.encode("ascii") + _syncsafe(len(payload)) + b"\x00\x00"
+        body += payload
+    body += bytes(padding)
+    return b"ID3" + bytes([4, 0, 0]) + _syncsafe(len(body)) + bytes(body)
+
+
+def parse_id3_frames(payload: bytes) -> dict[str, str]:
+    """Text frames of a leading ID3v2.3/2.4 tag → {frame_id: text}.
+
+    Handles the encoding byte (0 latin-1, 1/2 UTF-16 with/without BOM,
+    3 UTF-8), syncsafe (v2.4) vs plain (v2.3) frame sizes, stops at
+    padding.  Raises ValueError when no tag is present or a frame
+    overruns the tag."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        raise ValueError("no ID3v2 tag")
+    ver = payload[3]
+    size = 0
+    for b in payload[6:10]:
+        if b & 0x80:
+            raise ValueError("ID3v2 size bytes must be syncsafe")
+        size = (size << 7) | b
+    end = 10 + size
+    if end > len(payload):
+        raise ValueError("ID3v2 tag overruns the payload")
+    frames: dict[str, str] = {}
+    pos = 10
+    while pos + 10 <= end:
+        if payload[pos] == 0:  # padding
+            break
+        fid = payload[pos : pos + 4].decode("latin-1")
+        raw = payload[pos + 4 : pos + 8]
+        if ver >= 4:
+            fsize = 0
+            for b in raw:
+                if b & 0x80:
+                    raise ValueError("non-syncsafe v2.4 frame size")
+                fsize = (fsize << 7) | b
+        else:
+            fsize = int.from_bytes(raw, "big")
+        body_start = pos + 10
+        if body_start + fsize > end:
+            raise ValueError(f"ID3 frame {fid} overruns the tag")
+        body = payload[body_start : body_start + fsize]
+        if fid.startswith("T") and body:
+            enc, text = body[0], body[1:]
+            if enc == 0:
+                frames[fid] = text.rstrip(b"\x00").decode("latin-1")
+            elif enc == 3:
+                frames[fid] = text.rstrip(b"\x00").decode("utf-8")
+            elif enc in (1, 2):
+                frames[fid] = text.decode(
+                    "utf-16" if enc == 1 else "utf-16-be"
+                ).rstrip("\x00")
+            else:
+                raise ValueError(f"unknown ID3 text encoding {enc}")
+        pos = body_start + fsize
+    return frames

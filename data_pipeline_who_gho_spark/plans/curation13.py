@@ -1247,3 +1247,87 @@ SELECT doc_id,
        CAST(64 * (doc_id % 128 + 64) AS BIGINT) AS img_sum
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# id3_metadata_stats — r10 registration queue.  The audio metadata
+# layer (titles/artists are the text half of audio-text pairs): per
+# doc the plan builds an ID3v2.4 tag — odd docs carry an accented
+# title so the encoding-byte dispatch (latin-1 vs UTF-8) is load-
+# bearing — prepends it to a real MPEG stream, parses the FRAMES back
+# (syncsafe sizes, padding stop), and re-walks the audio frames to
+# prove the tag skip and the frame scan agree on the same bytes.
+#
+#   CURATION13_QUERIES["id3_metadata_stats"] = id3_metadata_stats
+#   CURATION13_ORACLE_SQL["id3_metadata_stats"] = ID3_METADATA_STATS_SQL
+# ---------------------------------------------------------------------------
+
+
+def id3_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.containers import (
+        build_id3v2,
+        build_mp3,
+        parse_id3_frames,
+        scan_mp3_frames,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                title = f"Track {d % 1000}" + (" é" if d % 2 else "")
+                tag = build_id3v2(
+                    {"TIT2": title, "TPE1": f"Artist {d % 50}",
+                     "TALB": f"Album {d % 20}"},
+                    padding=d % 9,
+                )
+                payload = tag + build_mp3([(5, 0)] * (2 + d % 3))
+                frames = parse_id3_frames(payload)
+                scan = scan_mp3_frames(payload)
+                rows.append(
+                    (
+                        d,
+                        frames["TIT2"],
+                        frames["TPE1"],
+                        frames["TALB"],
+                        scan["n_frames"],
+                        scan["id3v2_bytes"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "title", "artist", "album", "n_frames",
+                         "tag_bytes"],
+            )
+
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id BIGINT, title STRING, artist STRING, album STRING, "
+        "n_frames BIGINT, tag_bytes BIGINT",
+    )
+
+
+# tag_bytes = 10 (header) + Σ frames (10 + 1 + byte-len(text)) + padding:
+# frame text is latin-1 for even docs and UTF-8 for odd ('é' = 2 bytes)
+ID3_METADATA_STATS_SQL = """
+WITH v AS (
+  SELECT doc_id,
+         'Track ' || CAST(doc_id % 1000 AS VARCHAR)
+             || CASE WHEN doc_id % 2 = 1 THEN ' é' ELSE '' END AS title,
+         'Artist ' || CAST(doc_id % 50 AS VARCHAR) AS artist,
+         'Album ' || CAST(doc_id % 20 AS VARCHAR) AS album
+  FROM documents
+)
+SELECT doc_id, title, artist, album,
+       CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+       CAST(10
+            + 11 + strlen(title)
+            + 11 + strlen(artist)
+            + 11 + strlen(album)
+            + doc_id % 9 AS BIGINT) AS tag_bytes
+FROM v
+"""

@@ -610,3 +610,45 @@ def test_spread_for_python_only_acts_when_under_partitioned(spark):
     # payload-bearing scans with real row-group parallelism)
     wide = narrow.repartition(target + 8)
     assert spread_for_python(wide) is wide
+
+
+def test_id3_metadata_stats_matches_oracle(spark):
+    """Frame parse (syncsafe sizes, encoding dispatch, padding stop)
+    and tag-size accounting must land on the closed form — odd docs'
+    accented titles force the UTF-8 path."""
+    from data_pipeline_who_gho_spark.plans.curation13 import (
+        ID3_METADATA_STATS_SQL,
+        id3_metadata_stats,
+    )
+
+    got = sorted(tuple(r) for r in id3_metadata_stats(spark, SF).collect())
+    assert got == _oracle(ID3_METADATA_STATS_SQL)
+
+
+def test_id3_frame_roundtrip_and_encodings():
+    from data_pipeline_who_gho_spark.operators.containers import (
+        build_id3v2,
+        build_mp3,
+        parse_id3_frames,
+        scan_mp3_frames,
+    )
+
+    tag = build_id3v2(
+        {"TIT2": "Track 7 é", "TPE1": "Artist 3", "TALB": "Album"},
+        padding=16,
+    )
+    f = parse_id3_frames(tag)
+    assert f == {"TIT2": "Track 7 é", "TPE1": "Artist 3", "TALB": "Album"}
+    # prepended to a real MPEG stream: frame scan skips exactly the tag
+    mp3 = tag + build_mp3([(5, 0)] * 3)
+    s = scan_mp3_frames(mp3)
+    assert s["n_frames"] == 3 and s["id3v2_bytes"] == len(tag)
+    assert parse_id3_frames(mp3) == f
+    # v2.3 plain sizes + UTF-16 BOM text
+    t16 = (b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 0, 23])
+           + b"TIT2" + (13).to_bytes(4, "big") + b"\x00\x00"
+           + b"\x01\xff\xfe" + "héllo".encode("utf-16-le"))
+    assert parse_id3_frames(t16)["TIT2"] == "héllo"
+    for bad in (b"XX", tag[:14]):
+        with pytest.raises(ValueError):
+            parse_id3_frames(bad)
