@@ -49,6 +49,7 @@ QUEUE = [
     "srt_cue_stats",
     "crawl_ingest_e2e",
     "exif_gps_strip_stats",
+    "id3_metadata_stats",
 ]
 
 
