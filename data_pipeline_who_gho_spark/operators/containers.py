@@ -510,3 +510,69 @@ def parse_id3_frames(payload: bytes) -> dict[str, str]:
                 raise ValueError(f"unknown ID3 text encoding {enc}")
         pos = body_start + fsize
     return frames
+
+
+# ---------------------------------------------------------------------------
+# TAR / ZIP shard fan-out (stdlib tarfile/zipfile) — dataset archives
+# ---------------------------------------------------------------------------
+
+
+def build_tar(members: list[tuple[str, bytes]]) -> bytes:
+    """An uncompressed POSIX tar of (name, content) members, with
+    zeroed timestamps so the bytes are deterministic."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, content in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(content)
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(content))
+    return buf.getvalue()
+
+
+def build_zip(members: list[tuple[str, bytes]]) -> bytes:
+    """A stored (uncompressed) zip of (name, content) members with a
+    fixed timestamp — deterministic bytes, central directory intact."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_STORED) as zf:
+        for name, content in members:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zf.writestr(zi, content)
+    return buf.getvalue()
+
+
+def list_archive(payload: bytes) -> list[tuple[str, bytes]]:
+    """Member (name, content) pairs of a tar or zip shard, in archive
+    order — the 1→N fan-out an archive-shipped dataset needs before
+    any per-document operator can run.  Format is sniffed (zip: PK
+    local-file magic; tar: the ustar magic at offset 257); anything
+    else raises ValueError."""
+    import io
+
+    if payload[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
+        import zipfile
+
+        try:
+            with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+                return [(i.filename, zf.read(i)) for i in zf.infolist()]
+        except zipfile.BadZipFile as exc:
+            raise ValueError(f"corrupt zip shard: {exc}") from None
+    if len(payload) > 262 and payload[257:262] == b"ustar":
+        import tarfile
+
+        try:
+            with tarfile.open(fileobj=io.BytesIO(payload)) as tf:
+                return [
+                    (m.name, tf.extractfile(m).read())
+                    for m in tf.getmembers()
+                    if m.isfile()
+                ]
+        except tarfile.TarError as exc:
+            raise ValueError(f"corrupt tar shard: {exc}") from None
+    raise ValueError("not a tar or zip archive")

@@ -1331,3 +1331,75 @@ SELECT doc_id, title, artist, album,
             + doc_id % 9 AS BIGINT) AS tag_bytes
 FROM v
 """
+
+
+# ---------------------------------------------------------------------------
+# archive_member_stats — r10 registration queue.  Dataset shards ship
+# as tar/zip archives of member files; the ingest seam must explode
+# them 1→N before any per-document operator can run.  Per doc the plan
+# builds a deterministic archive (tar for even docs, zip for odd —
+# BOTH stdlib parsers behind one sniffing list_archive), explodes it
+# to one row per member, and emits each member's name, size, and
+# content md5 — a dropped, reordered, or corrupted member breaks the
+# row set exactly.
+#
+#   CURATION13_QUERIES["archive_member_stats"] = archive_member_stats
+#   CURATION13_ORACLE_SQL["archive_member_stats"] = ARCHIVE_MEMBER_STATS_SQL
+# ---------------------------------------------------------------------------
+
+
+def archive_member_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.containers import build_tar, build_zip, list_archive
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                members = [
+                    (
+                        f"docs/part{i}.txt",
+                        (f"m{i}:" + "x" * (d % 50 + i)).encode("ascii"),
+                    )
+                    for i in range(2 + d % 4)
+                ]
+                payload = (build_tar if d % 2 == 0 else build_zip)(members)
+                kind = "tar" if d % 2 == 0 else "zip"
+                for name, content in list_archive(payload):
+                    rows.append(
+                        (
+                            d,
+                            kind,
+                            name,
+                            len(content),
+                            hashlib.md5(content).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "kind", "name", "n_bytes", "member_md5"],
+            )
+
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id BIGINT, kind STRING, name STRING, n_bytes BIGINT, "
+        "member_md5 STRING",
+    )
+
+
+ARCHIVE_MEMBER_STATS_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'tar' ELSE 'zip' END AS kind,
+       'docs/part' || CAST(i.x AS VARCHAR) || '.txt' AS name,
+       CAST(2 + strlen(CAST(i.x AS VARCHAR)) + doc_id % 50 + i.x
+            AS BIGINT) AS n_bytes,
+       md5('m' || CAST(i.x AS VARCHAR) || ':'
+           || repeat('x', CAST(doc_id % 50 + i.x AS INT))) AS member_md5
+FROM documents, range(6) i(x)
+WHERE i.x < 2 + doc_id % 4
+"""

@@ -652,3 +652,36 @@ def test_id3_frame_roundtrip_and_encodings():
     for bad in (b"XX", tag[:14]):
         with pytest.raises(ValueError):
             parse_id3_frames(bad)
+
+
+def test_archive_member_stats_matches_oracle(spark):
+    """The 1→N archive fan-out (tar even docs, zip odd) must recover
+    every member's name, size, and content md5 exactly."""
+    from data_pipeline_who_gho_spark.plans.curation13 import (
+        ARCHIVE_MEMBER_STATS_SQL,
+        archive_member_stats,
+    )
+
+    got = sorted(tuple(r) for r in archive_member_stats(spark, SF).collect())
+    assert got == _oracle(ARCHIVE_MEMBER_STATS_SQL)
+    assert {r[1] for r in got} == {"tar", "zip"}
+
+
+def test_archive_roundtrip_and_errors():
+    from data_pipeline_who_gho_spark.operators.containers import (
+        build_tar,
+        build_zip,
+        list_archive,
+    )
+
+    members = [("docs/a.txt", b"hello"),
+               ("docs/b.txt", "caf\xe9".encode("utf-8")),
+               ("c.bin", bytes(range(70)))]
+    for builder in (build_tar, build_zip):
+        arc = builder(members)
+        assert list_archive(arc) == members
+        assert builder(members) == arc  # deterministic bytes
+    with pytest.raises(ValueError):
+        list_archive(b"junk")
+    with pytest.raises(ValueError):
+        list_archive(build_zip(members)[:20])
