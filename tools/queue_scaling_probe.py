@@ -50,6 +50,7 @@ QUEUE = [
     "crawl_ingest_e2e",
     "exif_gps_strip_stats",
     "id3_metadata_stats",
+    "archive_member_stats",
 ]
 
 
