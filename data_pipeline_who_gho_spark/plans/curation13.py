@@ -1403,3 +1403,79 @@ SELECT doc_id,
 FROM documents, range(6) i(x)
 WHERE i.x < 2 + doc_id % 4
 """
+
+
+# ---------------------------------------------------------------------------
+# jsonl_shard_explode — r10 registration queue.  THE LLM-dataset wire
+# format: corpora ship as JSONL shards, one JSON object per line, and
+# the ingest seam explodes a shard 1→N with a real JSON parse before
+# any per-document operator runs (json_extraction covers Spark-side
+# JSON path functions over a column; this is the shard-level fan-out
+# with Python's json, escapes and all).  Per doc the plan builds a
+# k-line shard whose records carry the doc's text (JSON-escaped — the
+# round trip pins escape handling), a nested meta object, and an
+# integer id; parses each line back; and emits one row per record
+# with the recovered fields.
+#
+#   CURATION13_QUERIES["jsonl_shard_explode"] = jsonl_shard_explode
+#   CURATION13_ORACLE_SQL["jsonl_shard_explode"] = JSONL_SHARD_EXPLODE_SQL
+# ---------------------------------------------------------------------------
+
+
+def jsonl_shard_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import json
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                records = [
+                    {
+                        "id": d * 10 + i,
+                        "text": f'{t} "rec {i}"\n\ttail',
+                        "meta": {"source": f"s{d % 5}", "rank": i * i},
+                    }
+                    for i in range(1 + d % 4)
+                ]
+                shard = "\n".join(json.dumps(r, ensure_ascii=False)
+                                  for r in records)
+                for line in shard.splitlines():
+                    rec = json.loads(line)
+                    rows.append(
+                        (
+                            d,
+                            rec["id"],
+                            hashlib.md5(rec["text"].encode("utf-8")).hexdigest(),
+                            rec["meta"]["source"],
+                            rec["meta"]["rank"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "rec_id", "text_md5", "source", "rank"],
+            )
+
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id BIGINT, rec_id BIGINT, text_md5 STRING, source STRING, "
+        "rank BIGINT",
+    )
+
+
+# the record text embeds quotes, a newline, and a tab — json escape
+# round-trip is load-bearing; the oracle reconstructs the unescaped form
+JSONL_SHARD_EXPLODE_SQL = """
+SELECT doc_id,
+       CAST(doc_id * 10 + i.x AS BIGINT) AS rec_id,
+       md5(text || ' "rec ' || CAST(i.x AS VARCHAR) || '"' || chr(10)
+           || chr(9) || 'tail') AS text_md5,
+       's' || CAST(doc_id % 5 AS VARCHAR) AS source,
+       CAST(i.x * i.x AS BIGINT) AS rank
+FROM documents, range(4) i(x)
+WHERE i.x < 1 + doc_id % 4
+"""

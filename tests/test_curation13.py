@@ -685,3 +685,18 @@ def test_archive_roundtrip_and_errors():
         list_archive(b"junk")
     with pytest.raises(ValueError):
         list_archive(build_zip(members)[:20])
+
+
+def test_jsonl_shard_explode_matches_oracle(spark):
+    """The shard-level 1→N JSON parse must recover every record's
+    fields exactly — the embedded quotes/newline/tab make the escape
+    round trip load-bearing (an unescaped newline would split the
+    line and break the row set)."""
+    from data_pipeline_who_gho_spark.plans.curation13 import (
+        JSONL_SHARD_EXPLODE_SQL,
+        jsonl_shard_explode,
+    )
+
+    got = sorted(tuple(r) for r in jsonl_shard_explode(spark, SF).collect())
+    assert got == _oracle(JSONL_SHARD_EXPLODE_SQL)
+    assert len(got) > len({r[0] for r in got})  # genuinely 1->N
