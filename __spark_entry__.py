@@ -196,7 +196,8 @@ _PRIORITY = [
     # warc_record_stats, html_extract_stats, html_boilerplate_extract,
     # video_fingerprint_neardup, url_canonical_dedup, robots_gate_stats,
     # sitemap_frontier_stats, srt_cue_stats, crawl_ingest_e2e,
-    # exif_gps_strip_stats, id3_metadata_stats, archive_member_stats.
+    # exif_gps_strip_stats, id3_metadata_stats, archive_member_stats,
+    # jsonl_shard_explode.
     "media_resize_checksum", "maxmatch_segment_stats", "intradoc_line_dedup",
     "media_decode_png_stats", "boilerplate_strip_newline",
     "unigram_encode_stats", "audio_decode_stats", "video_frame_stats",

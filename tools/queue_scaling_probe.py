@@ -51,6 +51,7 @@ QUEUE = [
     "exif_gps_strip_stats",
     "id3_metadata_stats",
     "archive_member_stats",
+    "jsonl_shard_explode",
 ]
 
 
