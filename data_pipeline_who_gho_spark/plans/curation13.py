@@ -1,5 +1,13 @@
-"""Round-9 curation additions, second set: the container-format sweep
-(bz2/xz shards), encoding repair, and the parquet-footer probe.
+"""Round-9 curation additions, second set: the CRAWL-INGEST ARC.
+
+The full path a web corpus takes from wire to clean text, each stage a
+real parser with an exact oracle twin: archive/shard fan-out (tar/zip/
+jsonl), multi-codec inflation (gz/bz2/xz), WARC record framing, HTML
+extraction + per-block boilerplate classification, encoding repair,
+URL canonicalization dedup, robots/sitemap frontier control, blocklist
+gating, SRT captions, EXIF GPS stripping, a parquet-footer probe, the
+video near-dup fingerprint, and the crawl_ingest_e2e composition
+pinning the seams together.  Details live at each query's banner.
 
 ``multi_codec_roundtrip_stats`` — corpora ship as .gz/.bz2/.xz shards;
 the ingestion seam must sniff and inflate all three.  Per doc the
