@@ -19,18 +19,33 @@ inline value or offset).  IFD0's tag 0x8769 points to the Exif IFD and
 * ``build_exif_jpeg`` synthesizes APP1 segments (both byte orders,
   SHORT/LONG/ASCII/RATIONAL types) for oracle-checked driver queries.
 
-Supported types: 2 (ASCII), 3 (SHORT), 4 (LONG), 5 (RATIONAL) — the
-ones EXIF metadata actually uses for the fields curation reads.
+All twelve TIFF 6.0 field types are accepted: ASCII/SHORT/LONG/
+RATIONAL decode to python values (the fields curation interprets);
+the rest — BYTE, SBYTE, UNDEFINED (ExifVersion, MakerNote), SSHORT,
+SLONG, SRATIONAL, FLOAT, DOUBLE — are preserved as raw bytes so a
+re-serialize round-trips them exactly without pretending to
+interpret them.  ``strip_gps`` also carries the IFD1 (thumbnail)
+chain and the Exif-IFD's Interop sub-IFD through the rebuild, with
+the thumbnail payload bytes (JPEGInterchangeFormat or strip-based)
+re-pointed into the new value heap.
 No reference-repo analog (the reference pipeline is tabular-only).
 """
 
 from __future__ import annotations
 
-_TYPE_SIZE = {2: 1, 3: 2, 4: 4, 5: 8}
+# TIFF 6.0 field types 1-12: BYTE ASCII SHORT LONG RATIONAL SBYTE
+# UNDEFINED SSHORT SLONG SRATIONAL FLOAT DOUBLE (element byte widths)
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2,
+              9: 4, 10: 8, 11: 4, 12: 8}
 
 TAG_ORIENTATION = 0x0112
 TAG_EXIF_IFD = 0x8769
 TAG_GPS_IFD = 0x8825
+TAG_INTEROP_IFD = 0xA005
+TAG_STRIP_OFFSETS = 0x0111
+TAG_STRIP_BYTE_COUNTS = 0x0117
+TAG_JPEG_IF = 0x0201          # JPEGInterchangeFormat (thumbnail offset)
+TAG_JPEG_IF_LENGTH = 0x0202
 TAG_GPS_LAT_REF = 0x0001
 TAG_GPS_LAT = 0x0002
 TAG_GPS_LON_REF = 0x0003
@@ -87,25 +102,61 @@ def _parse_ifd(tiff: bytes, off: int, bo: str) -> tuple[dict, int]:
                 raise ValueError("TIFF value overruns the block")
             data = tiff[voff : voff + size]
         if typ == 2:
-            value: object = data.rstrip(b"\x00").decode("ascii")
+            try:
+                value: object = data.rstrip(b"\x00").decode("ascii")
+            except UnicodeDecodeError:  # spec-violating text: keep bytes
+                value = bytes(data)
         elif typ in (3, 4):
             w = _TYPE_SIZE[typ]
             vals = tuple(u(data[i : i + w]) for i in range(0, size, w))
             value = vals[0] if cnt == 1 else vals
-        else:  # RATIONAL
+        elif typ == 5:  # RATIONAL
             value = tuple(
                 (u(data[i : i + 4]), u(data[i + 4 : i + 8]))
                 for i in range(0, size, 8)
             )
+        else:  # BYTE/SBYTE/UNDEFINED/S*/FLOAT/DOUBLE: preserve, don't interpret
+            value = bytes(data)
         entries[tag] = (typ, cnt, value)
         p += 12
     nxt = u(tiff[p : p + 4]) if p + 4 <= len(tiff) else 0
     return entries, nxt
 
 
+def _thumbnail_blobs(tiff: bytes, ifd1: dict) -> dict:
+    """Thumbnail payload bytes referenced by IFD1's pointer tags:
+    ``{TAG_JPEG_IF: bytes}`` and/or ``{TAG_STRIP_OFFSETS: [bytes, ...]}``
+    (one blob per strip).  Out-of-range pointers raise."""
+    blobs: dict = {}
+    if TAG_JPEG_IF in ifd1 and TAG_JPEG_IF_LENGTH in ifd1:
+        off = ifd1[TAG_JPEG_IF][2]
+        ln = ifd1[TAG_JPEG_IF_LENGTH][2]
+        if not isinstance(off, int) or not isinstance(ln, int):
+            raise ValueError("non-scalar JPEGInterchangeFormat pointer")
+        if off + ln > len(tiff):
+            raise ValueError("thumbnail JPEG overruns the TIFF block")
+        blobs[TAG_JPEG_IF] = tiff[off : off + ln]
+    if TAG_STRIP_OFFSETS in ifd1 and TAG_STRIP_BYTE_COUNTS in ifd1:
+        offs = ifd1[TAG_STRIP_OFFSETS][2]
+        lens = ifd1[TAG_STRIP_BYTE_COUNTS][2]
+        offs = offs if isinstance(offs, tuple) else (offs,)
+        lens = lens if isinstance(lens, tuple) else (lens,)
+        if len(offs) != len(lens):
+            raise ValueError("strip offset/count arity mismatch")
+        strips = []
+        for off, ln in zip(offs, lens):
+            if off + ln > len(tiff):
+                raise ValueError("thumbnail strip overruns the TIFF block")
+            strips.append(tiff[off : off + ln])
+        blobs[TAG_STRIP_OFFSETS] = strips
+    return blobs
+
+
 def parse_exif_jpeg(payload: bytes) -> dict:
-    """→ ``{"byte_order", "ifd0", "exif", "gps"}`` (tag→value dicts;
-    absent IFDs are {}).  Raises ValueError when no Exif APP1 exists."""
+    """→ ``{"byte_order", "ifd0", "exif", "gps", "interop", "ifd1",
+    "thumbnail"}`` (tag→value dicts; absent IFDs are {}; ``thumbnail``
+    maps IFD1 pointer tags to their payload bytes so a rebuild can
+    re-point them).  Raises ValueError when no Exif APP1 exists."""
     span = _find_app1(payload)
     if span is None:
         raise ValueError("JPEG without an Exif APP1 segment")
@@ -119,18 +170,35 @@ def parse_exif_jpeg(payload: bytes) -> dict:
 
     if u(tiff[2:4]) != 42:
         raise ValueError("bad TIFF magic")
-    ifd0, _ = _parse_ifd(tiff, u(tiff[4:8]), bo)
-    out = {"byte_order": bo, "ifd0": ifd0, "exif": {}, "gps": {}}
+    ifd0, nxt = _parse_ifd(tiff, u(tiff[4:8]), bo)
+    out = {"byte_order": bo, "ifd0": ifd0, "exif": {}, "gps": {},
+           "interop": {}, "ifd1": {}, "thumbnail": {}}
     for tag, key in ((TAG_EXIF_IFD, "exif"), (TAG_GPS_IFD, "gps")):
         if tag in ifd0:
             out[key], _ = _parse_ifd(tiff, ifd0[tag][2], bo)
+    if TAG_INTEROP_IFD in out["exif"]:
+        out["interop"], _ = _parse_ifd(
+            tiff, out["exif"][TAG_INTEROP_IFD][2], bo
+        )
+    if nxt:
+        out["ifd1"], _ = _parse_ifd(tiff, nxt, bo)
+        out["thumbnail"] = _thumbnail_blobs(tiff, out["ifd1"])
     return out
 
 
-def _serialize_tiff(bo: str, ifds: list[dict]) -> bytes:
-    """TIFF block from chained IFD dicts (ifds[0] = IFD0; pointer tags
-    inside it must already reference ifds positions 1.. via the
-    sentinel value ("ifd", i))."""
+def _serialize_tiff(
+    bo: str, ifds: list[dict], links: list[int | None] | None = None
+) -> bytes:
+    """TIFF block from IFD dicts (ifds[0] = IFD0; pointer tags inside
+    any IFD must already reference ifds positions via the sentinel
+    value ("ifd", i)).  ``links[i]`` names the ifds index table ``i``'s
+    next-IFD pointer references (None → end of chain) — how IFD1
+    (thumbnail) survives a rebuild.  Values may also be raw ``bytes``
+    (uninterpreted types, emitted verbatim), ``("blob", data)`` (data
+    goes to the heap, the entry's value is its offset — the
+    JPEGInterchangeFormat thumbnail), or ``("blobs", [data, ...])``
+    (one heap placement per element, the entry's values are the
+    offsets — strip-based thumbnails)."""
     le = bo == "II"
 
     def pack(v: int, n: int) -> bytes:
@@ -148,6 +216,8 @@ def _serialize_tiff(bo: str, ifds: list[dict]) -> bytes:
     heap_base = off
 
     def encode_value(typ: int, value) -> bytes:
+        if isinstance(value, bytes):
+            return value
         if typ == 2:
             return value.encode("ascii") + b"\x00"
         if typ in (3, 4):
@@ -155,22 +225,34 @@ def _serialize_tiff(bo: str, ifds: list[dict]) -> bytes:
             return b"".join(pack(v, _TYPE_SIZE[typ]) for v in vals)
         return b"".join(pack(n, 4) + pack(d, 4) for n, d in value)
 
+    def place(data: bytes) -> int:
+        heap.extend(data)
+        return heap_base + len(heap) - len(data)
+
     tables = []
-    for ifd in ifds:
+    for i, ifd in enumerate(ifds):
         table = bytearray(pack(len(ifd), 2))
         for tag in sorted(ifd):
             typ, cnt, value = ifd[tag]
             if isinstance(value, tuple) and len(value) == 2 and value[0] == "ifd":
                 data = pack(ifd_offs[value[1]], 4)
+            elif isinstance(value, tuple) and len(value) == 2 \
+                    and value[0] == "blob":
+                data = pack(place(value[1]), 4)
+            elif isinstance(value, tuple) and len(value) == 2 \
+                    and value[0] == "blobs":
+                data = b"".join(
+                    pack(place(b), _TYPE_SIZE[typ]) for b in value[1]
+                )
             else:
                 data = encode_value(typ, value)
             table += pack(tag, 2) + pack(typ, 2) + pack(cnt, 4)
             if len(data) <= 4:
                 table += data.ljust(4, b"\x00")
             else:
-                table += pack(heap_base + len(heap), 4)
-                heap += data
-        table += pack(0, 4)  # no next IFD
+                table += pack(place(data), 4)
+        nxt = links[i] if links is not None else None
+        table += pack(ifd_offs[nxt] if nxt is not None else 0, 4)
         tables.append(bytes(table))
     return header + b"".join(tables) + bytes(heap)
 
@@ -181,26 +263,47 @@ def build_exif_jpeg(
     orientation: int = 1,
     gps: tuple | None = None,
     datetime_original: str = "2026:01:01 00:00:00",
+    exif_version: bytes | None = None,
+    thumbnail: bytes | None = None,
 ) -> bytes:
     """Insert an Exif APP1 right after SOI.  ``gps`` is
     ((lat_d, lat_m, lat_s), "N"|"S", (lon_d, lon_m, lon_s), "E"|"W")
-    with integer degree/minute/second numerators over denominator 1."""
+    with integer degree/minute/second numerators over denominator 1.
+    ``exif_version`` (e.g. b"0232") adds the type-7 UNDEFINED
+    ExifVersion tag plus a type-1 BYTE GPSVersionID — what real camera
+    APP1s always carry; ``thumbnail`` adds an IFD1 with the bytes as a
+    JPEGInterchangeFormat payload."""
     ifd0 = {
         TAG_ORIENTATION: (3, 1, orientation),
         TAG_EXIF_IFD: (4, 1, ("ifd", 1)),
     }
     exif_ifd = {0x9003: (2, len(datetime_original) + 1, datetime_original)}
+    if exif_version is not None:
+        exif_ifd[0x9000] = (7, len(exif_version), exif_version)
     ifds = [ifd0, exif_ifd]
+    links: list[int | None] = [None, None]
     if gps is not None:
         (lat, lat_ref, lon, lon_ref) = gps
         ifd0[TAG_GPS_IFD] = (4, 1, ("ifd", 2))
-        ifds.append({
+        gps_ifd = {
             TAG_GPS_LAT_REF: (2, 2, lat_ref),
             TAG_GPS_LAT: (5, 3, tuple((v, 1) for v in lat)),
             TAG_GPS_LON_REF: (2, 2, lon_ref),
             TAG_GPS_LON: (5, 3, tuple((v, 1) for v in lon)),
-        })
-    tiff = _serialize_tiff(byte_order, ifds)
+        }
+        if exif_version is not None:
+            gps_ifd[0x0000] = (1, 4, b"\x02\x03\x00\x00")
+        ifds.append(gps_ifd)
+        links.append(None)
+    if thumbnail is not None:
+        ifd1 = {
+            TAG_JPEG_IF: (4, 1, ("blob", thumbnail)),
+            TAG_JPEG_IF_LENGTH: (4, 1, len(thumbnail)),
+        }
+        links[0] = len(ifds)
+        ifds.append(ifd1)
+        links.append(None)
+    tiff = _serialize_tiff(byte_order, ifds, links)
     body = b"Exif\x00\x00" + tiff
     app1 = b"\xff\xe1" + (len(body) + 2).to_bytes(2, "big") + body
     if jpeg[:2] != b"\xff\xd8":
@@ -209,10 +312,14 @@ def build_exif_jpeg(
 
 
 def strip_gps(payload: bytes) -> bytes:
-    """Remove the GPS IFD (and its IFD0 pointer) from a JPEG's Exif,
-    leaving EVERY other byte of the file intact — the image data is
-    never re-encoded.  JPEGs without GPS return unchanged; JPEGs
-    without an APP1 return unchanged too (nothing to strip)."""
+    """Remove the GPS IFD (and its IFD0 pointer) from a JPEG's Exif.
+    Every byte OUTSIDE the APP1 segment is preserved verbatim — the
+    image data is never re-encoded; within the APP1 the TIFF block is
+    re-serialized (normalized layout) carrying the Exif IFD, its
+    Interop sub-IFD, and the IFD1 thumbnail (including its JPEG /
+    strip payload bytes, re-pointed into the new heap).  JPEGs without
+    GPS return unchanged; JPEGs without an APP1 return unchanged too
+    (nothing to strip)."""
     span = _find_app1(payload)
     if span is None:
         return payload
@@ -221,11 +328,30 @@ def strip_gps(payload: bytes) -> bytes:
         return payload
     ifd0 = dict(meta["ifd0"])
     del ifd0[TAG_GPS_IFD]
-    ifds = [ifd0]
+    ifds: list[dict] = [ifd0]
+    links: list[int | None] = [None]
     if TAG_EXIF_IFD in ifd0:
-        ifd0[TAG_EXIF_IFD] = (4, 1, ("ifd", 1))
-        ifds.append(meta["exif"])
-    tiff = _serialize_tiff(meta["byte_order"], ifds)
+        exif_ifd = dict(meta["exif"])
+        typ, cnt, _ = ifd0[TAG_EXIF_IFD]
+        ifd0[TAG_EXIF_IFD] = (typ, cnt, ("ifd", len(ifds)))
+        ifds.append(exif_ifd)
+        links.append(None)
+        if TAG_INTEROP_IFD in exif_ifd:
+            ityp, icnt, _ = exif_ifd[TAG_INTEROP_IFD]
+            exif_ifd[TAG_INTEROP_IFD] = (ityp, icnt, ("ifd", len(ifds)))
+            ifds.append(dict(meta["interop"]))
+            links.append(None)
+    if meta["ifd1"]:
+        ifd1 = dict(meta["ifd1"])
+        for tag, blob in meta["thumbnail"].items():
+            btyp, bcnt, _ = ifd1[tag]
+            sentinel = ("blobs", blob) if isinstance(blob, list) \
+                else ("blob", blob)
+            ifd1[tag] = (btyp, bcnt, sentinel)
+        links[0] = len(ifds)
+        ifds.append(ifd1)
+        links.append(None)
+    tiff = _serialize_tiff(meta["byte_order"], ifds, links)
     body = b"Exif\x00\x00" + tiff
     app1 = b"\xff\xe1" + (len(body) + 2).to_bytes(2, "big") + body
     return payload[: span[0]] + app1 + payload[span[1] :]

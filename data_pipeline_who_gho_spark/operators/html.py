@@ -54,6 +54,8 @@ class _Extractor(HTMLParser):
         if tag in _SKIP_SUBTREES:
             self.skip_depth += 1
             return
+        if self.skip_depth:  # tags inside noscript/template: no counting
+            return
         if tag == "a":
             self.anchor_depth += 1
             self.n_links += 1
@@ -63,6 +65,8 @@ class _Extractor(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in _SKIP_SUBTREES:
             self.skip_depth = max(0, self.skip_depth - 1)
+            return
+        if self.skip_depth:
             return
         if tag == "a":
             self.anchor_depth = max(0, self.anchor_depth - 1)

@@ -93,20 +93,30 @@ def _pattern_matches(pattern: str, path: str) -> bool:
 
 
 def select_group(parsed: dict, agent: str):
-    """The group a crawler named ``agent`` must obey: the group whose
-    user-agent token is the longest prefix of ``agent`` (case-
-    insensitive), else the ``*`` group, else None (everything
-    allowed)."""
+    """The rules a crawler named ``agent`` must obey: those of the
+    groups whose user-agent token is the longest prefix of ``agent``
+    (case-insensitive), else the ``*`` groups, else None (everything
+    allowed).  Per RFC 9309 §2.2.1, MULTIPLE groups naming the winning
+    token (and multiple ``*`` groups) merge — their rules accumulate
+    in file order rather than the last group silently replacing the
+    others."""
     agent = agent.lower()
-    best, best_len = None, -1
-    star = None
-    for agents, rules in parsed["groups"]:
+    best_tok, best_len = None, -1
+    has_star = False
+    for agents, _ in parsed["groups"]:
         for tok in agents:
             if tok == "*":
-                star = rules
+                has_star = True
             elif agent.startswith(tok) and len(tok) > best_len:
-                best, best_len = rules, len(tok)
-    return best if best is not None else star
+                best_tok, best_len = tok, len(tok)
+    want = best_tok if best_tok is not None else ("*" if has_star else None)
+    if want is None:
+        return None
+    merged: list[tuple[str, str]] = []
+    for agents, rules in parsed["groups"]:
+        if want in agents:
+            merged.extend(rules)
+    return merged
 
 
 def gate(parsed: dict, agent: str, path: str) -> tuple[bool, int]:

@@ -700,3 +700,152 @@ def test_jsonl_shard_explode_matches_oracle(spark):
     got = sorted(tuple(r) for r in jsonl_shard_explode(spark, SF).collect())
     assert got == _oracle(JSONL_SHARD_EXPLODE_SQL)
     assert len(got) > len({r[0] for r in got})  # genuinely 1->N
+
+
+def test_exif_real_world_types_and_ifd1_carry():
+    """Real camera APP1s carry type-7 UNDEFINED (ExifVersion), type-1
+    BYTE (GPSVersionID), and an IFD1 thumbnail; parsing must accept
+    them and strip_gps must carry the IFD1 chain (thumbnail payload
+    re-pointed) while removing ONLY the GPS IFD."""
+    import numpy as np
+
+    from data_pipeline_who_gho_spark.operators.exif import (
+        TAG_JPEG_IF,
+        TAG_ORIENTATION,
+        build_exif_jpeg,
+        parse_exif_jpeg,
+        strip_gps,
+    )
+    from data_pipeline_who_gho_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    coefs = np.zeros((1, 1, 8, 8), np.int64)
+    coefs[0, 0, 0, 0] = 24
+    base = encode_jpeg_gray(coef_blocks=coefs, shape=(8, 8))
+    thumb = b"\xff\xd8THUMBNAIL-PAYLOAD\xff\xd9"
+    for bo in ("II", "MM"):
+        j = build_exif_jpeg(
+            base, byte_order=bo, orientation=3,
+            gps=((12, 34, 56), "N", (7, 8, 9), "E"),
+            exif_version=b"0232", thumbnail=thumb,
+        )
+        meta = parse_exif_jpeg(j)
+        assert meta["exif"][0x9000] == (7, 4, b"0232")  # UNDEFINED kept raw
+        assert meta["gps"][0x0000] == (1, 4, b"\x02\x03\x00\x00")  # BYTE
+        assert meta["thumbnail"][TAG_JPEG_IF] == thumb
+        s = strip_gps(j)
+        m2 = parse_exif_jpeg(s)
+        assert not m2["gps"]
+        assert m2["ifd0"][TAG_ORIENTATION][2] == 3
+        assert m2["exif"][0x9000] == (7, 4, b"0232")
+        assert m2["thumbnail"][TAG_JPEG_IF] == thumb  # IFD1 survives
+        assert np.array_equal(decode_jpeg(s), decode_jpeg(base))
+        assert s.endswith(base[2:])   # image bytes verbatim
+        assert strip_gps(s) == s      # idempotent
+
+
+def test_html_skip_subtree_anchors_not_counted():
+    """Anchors and block tags inside noscript/template subtrees (which
+    html.parser DOES tokenize, unlike script/style CDATA) must not
+    inflate n_links or break blocks."""
+    from data_pipeline_who_gho_spark.operators.html import (
+        extract_text,
+        link_stats,
+    )
+
+    h = (
+        "<html><body><p>real text</p>"
+        '<noscript><a href="/x">hidden</a><p>also hidden</p></noscript>'
+        '<template><a href="/y">ghost</a></template>'
+        '<a href="/z">seen</a></body></html>'
+    )
+    assert extract_text(h) == "real text\nseen"
+    n_links, anchor_chars, text_chars = link_stats(h)
+    assert n_links == 1                       # only the visible anchor
+    assert anchor_chars == len("seen")
+    assert text_chars == len("realtextseen")
+
+
+def test_robots_duplicate_groups_merge():
+    """RFC 9309 2.2.1: rules from multiple groups naming the same
+    user-agent token (and from multiple '*' groups) combine — the
+    second group must not silently replace the first."""
+    from data_pipeline_who_gho_spark.operators.robots import (
+        gate,
+        parse_robots,
+    )
+
+    p = parse_robots(
+        "User-agent: bot\nDisallow: /a\n\n"
+        "User-agent: other\nDisallow: /c\n\n"
+        "User-agent: bot\nDisallow: /b\n"
+    )
+    assert gate(p, "bot/1.0", "/a") == (False, 2)  # first group's rule
+    assert gate(p, "bot/1.0", "/b") == (False, 2)  # second group's too
+    assert gate(p, "bot/1.0", "/c") == (True, 0)   # other group ignored
+    p2 = parse_robots(
+        "User-agent: *\nDisallow: /x\n\n"
+        "User-agent: *\nDisallow: /y\n"
+    )
+    assert gate(p2, "anyone", "/x") == (False, 2)
+    assert gate(p2, "anyone", "/y") == (False, 2)
+
+
+def test_html_extract_oracle_guards_whitespace_only_doc():
+    """A whitespace-only doc text yields an EMPTY article block the
+    engine drops entirely; the oracle's CASE guard must drop the same
+    newline so extract_md5 parity holds."""
+    import hashlib
+    import html as html_mod
+
+    import duckdb
+
+    from data_pipeline_who_gho_spark.operators.html import (
+        extract_text,
+        link_stats,
+    )
+    from data_pipeline_who_gho_spark.plans.curation13 import (
+        HTML_EXTRACT_STATS_SQL,
+    )
+
+    for doc_id, text in ((7, " \t  \n "), (8, "plain body"), (9, "")):
+        page = (
+            f"<html><head><title>Doc&#233;{doc_id % 100}</title>"
+            "<style>p{color:red}</style>"
+            '<script>var x = "<p>not text</p>";</script></head>'
+            f"<body><h1>alpha &amp; beta</h1>"
+            f"<p>{html_mod.escape(text)}</p>"
+            f'<a href="#">link{doc_id % 10}</a></body></html>'
+        )
+        extract = extract_text(page)
+        n_links, anchor_chars, text_chars = link_stats(page)
+        engine_row = (
+            doc_id, n_links, anchor_chars, text_chars,
+            hashlib.md5(extract.encode("utf-8")).hexdigest(),
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.execute("INSERT INTO documents VALUES (?, ?)", [doc_id, text])
+        oracle_row = tuple(con.execute(HTML_EXTRACT_STATS_SQL).fetchone())
+        assert engine_row == oracle_row
+
+
+def test_jsonl_framing_survives_unicode_line_separators():
+    """json.dumps(ensure_ascii=False) leaves U+2028/U+2029/U+0085
+    unescaped inside strings; shard framing must therefore split on
+    '\\n' only — str.splitlines() would shear a record mid-line."""
+    import json
+
+    records = [
+        {"id": i, "text": f"a\u2028b\u2029c\u0085d rec{i}"}
+        for i in range(3)
+    ]
+    shard = "\n".join(json.dumps(r, ensure_ascii=False) for r in records)
+    lines = shard.split("\n")
+    assert len(lines) == len(records)
+    assert [json.loads(ln)["text"] for ln in lines] == [
+        r["text"] for r in records
+    ]
+    assert len(shard.splitlines()) > len(records)  # why splitlines loses
