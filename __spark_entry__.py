@@ -158,6 +158,10 @@ from data_pipeline_who_gho_spark.plans.curation12 import (  # noqa: E402
     CURATION12_ORACLE_SQL,
     CURATION12_QUERIES,
 )
+from data_pipeline_who_gho_spark.plans.curation13 import (  # noqa: E402
+    CURATION13_ORACLE_SQL,
+    CURATION13_QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -171,33 +175,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # _PRIORITY below), then green ones stalest-round first.  Ground truth is
 # the CORRECTNESS_r*.json files the driver leaves in the repo root.
 _PRIORITY = [
-    # round-8 head: eight new registrations — the three r07-queued ops
-    # (media resize, maxmatch segmentation, intra-doc line dedup), the
-    # three round-8 builds (stdlib-zlib PNG decode, the newline-unit
-    # boilerplate path, quantized-inventory unigram Viterbi encode),
-    # the round-8 second pair that makes decode REAL across all three
-    # modalities (16-bit-PCM WAV audio, mono-Y4M video), and the
-    # row-group layout planner that operationalizes this round's
-    # row-groups-vs-files scaling finding, and the gzip text-container
-    # round trip (real corpora ship as .gz shards).  The remaining 40
-    # window slots drain EXACTLY the ENTIRE r03-green cohort via the
-    # green-round sort.
-    # r09 registered its four queued ops (kcenter_coreset,
-    # jpeg_decode_stats, audio_frame_features, image_blockhash_neardup —
-    # they lead the insertion order above this table).
-    # Queued for r10 (already oracle-exact at sf0.001 AND sf0.01,
-    # cross-checked in pytest; registration is a two-line edit each,
-    # commented at their definition sites in plans/curation12.py and
-    # plans/curation13.py): jpeg420_decode_stats,
-    # audio_fingerprint_neardup, flac_decode_stats,
-    # audio_spectral_features, jpeg_progressive_decode_stats,
-    # mp4_container_stats, mp3_frame_stats, multi_codec_roundtrip_stats,
-    # mojibake_repair_stats, parquet_footer_probe, blocklist_match_stats,
-    # warc_record_stats, html_extract_stats, html_boilerplate_extract,
-    # video_fingerprint_neardup, url_canonical_dedup, robots_gate_stats,
-    # sitemap_frontier_stats, srt_cue_stats, crawl_ingest_e2e,
-    # exif_gps_strip_stats, id3_metadata_stats, archive_member_stats,
-    # jsonl_shard_explode.
+    # r10 head: the 24 round-9-queued registrations (plans/curation12.py
+    # + plans/curation13.py, each oracle-exact at sf0.001 AND sf0.01 in
+    # pytest before registration).  They are never-green, so the green
+    # sort puts them first; the remaining 26 window slots drain the 3
+    # r04-signal queries then the oldest r05 cohort.  Per-round rotation
+    # history lives in COVERAGE.md's registry-status blocks.
+    "jpeg420_decode_stats", "audio_fingerprint_neardup",
+    "flac_decode_stats", "audio_spectral_features",
+    "jpeg_progressive_decode_stats", "mp4_container_stats",
+    "mp3_frame_stats", "multi_codec_roundtrip_stats",
+    "mojibake_repair_stats", "parquet_footer_probe",
+    "blocklist_match_stats", "warc_record_stats", "html_extract_stats",
+    "html_boilerplate_extract", "video_fingerprint_neardup",
+    "url_canonical_dedup", "robots_gate_stats", "sitemap_frontier_stats",
+    "srt_cue_stats", "crawl_ingest_e2e", "exif_gps_strip_stats",
+    "id3_metadata_stats", "archive_member_stats", "jsonl_shard_explode",
+    # round-8 head
     "media_resize_checksum", "maxmatch_segment_stats", "intradoc_line_dedup",
     "media_decode_png_stats", "boilerplate_strip_newline",
     "unigram_encode_stats", "audio_decode_stats", "video_frame_stats",
@@ -403,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(CURATION11_QUERIES)
     out.update(UNIGRAM_QUERIES)
     out.update(CURATION12_QUERIES)
+    out.update(CURATION13_QUERIES)
     order = _rotated(list(out))
     return {name: out[name] for name in order}
 
@@ -410,6 +405,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted ⇒ rows-only)."""
     out: dict[str, str] = {}
-    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL, EXTRAS_ORACLE_SQL, STREAMING_ORACLE_SQL, TPCH_ORACLE_SQL, BEHAVIOR_ORACLE_SQL, TPCH2_ORACLE_SQL, TRAINING_ORACLE_SQL, ANALYTICS3_ORACLE_SQL, VECTOR_ANALYTICS_ORACLE_SQL, ANALYTICS4_ORACLE_SQL, TPCH3_ORACLE_SQL, ANALYTICS5_ORACLE_SQL, TPCH4_ORACLE_SQL, ANALYTICS6_ORACLE_SQL, TRAINING2_ORACLE_SQL, EXTENSION2_ORACLE_SQL, CURATION_ORACLE_SQL, CURATION2_ORACLE_SQL, TOKENIZER_ORACLE_SQL, CURATION3_ORACLE_SQL, ETL_SEAMS_ORACLE_SQL, CURATION4_ORACLE_SQL, CURATION5_ORACLE_SQL, CURATION6_ORACLE_SQL, SKETCH_ORACLE_SQL, SCALE_OPS_ORACLE_SQL, CURATION7_ORACLE_SQL, CURATION8_ORACLE_SQL, CURATION9_ORACLE_SQL, CURATION10_ORACLE_SQL, CURATION11_ORACLE_SQL, UNIGRAM_ORACLE_SQL, CURATION12_ORACLE_SQL):
+    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL, EXTRAS_ORACLE_SQL, STREAMING_ORACLE_SQL, TPCH_ORACLE_SQL, BEHAVIOR_ORACLE_SQL, TPCH2_ORACLE_SQL, TRAINING_ORACLE_SQL, ANALYTICS3_ORACLE_SQL, VECTOR_ANALYTICS_ORACLE_SQL, ANALYTICS4_ORACLE_SQL, TPCH3_ORACLE_SQL, ANALYTICS5_ORACLE_SQL, TPCH4_ORACLE_SQL, ANALYTICS6_ORACLE_SQL, TRAINING2_ORACLE_SQL, EXTENSION2_ORACLE_SQL, CURATION_ORACLE_SQL, CURATION2_ORACLE_SQL, TOKENIZER_ORACLE_SQL, CURATION3_ORACLE_SQL, ETL_SEAMS_ORACLE_SQL, CURATION4_ORACLE_SQL, CURATION5_ORACLE_SQL, CURATION6_ORACLE_SQL, SKETCH_ORACLE_SQL, SCALE_OPS_ORACLE_SQL, CURATION7_ORACLE_SQL, CURATION8_ORACLE_SQL, CURATION9_ORACLE_SQL, CURATION10_ORACLE_SQL, CURATION11_ORACLE_SQL, UNIGRAM_ORACLE_SQL, CURATION12_ORACLE_SQL, CURATION13_ORACLE_SQL):
         out.update({k: v for k, v in d.items() if v})
     return out

@@ -39,13 +39,11 @@ CURATION12_QUERIES: dict = {}
 CURATION12_ORACLE_SQL: dict = {}
 
 # ---------------------------------------------------------------------------
-# jpeg420_decode_stats — r10 registration queue (window discipline: the
+# jpeg420_decode_stats — REGISTERED r10 (window discipline: the
 # r09 window is exactly 4 new + the 46-query r04 drain; a 5th new
 # registration would push an r04 row out).  Oracle-exact — pinned by
 # tests/test_curation12.py against the closed form — so registration is
 # the usual two-line edit:
-#   CURATION12_QUERIES["jpeg420_decode_stats"] = jpeg420_decode_stats
-#   CURATION12_ORACLE_SQL["jpeg420_decode_stats"] = JPEG420_DECODE_STATS_SQL
 # ---------------------------------------------------------------------------
 
 # flat per-block values (all kept in [64, 191]: no clamp, exact IDCT):
@@ -146,7 +144,7 @@ FROM y JOIN c USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
-# audio_fingerprint_neardup — r10 registration queue (VERDICT r08 task
+# audio_fingerprint_neardup — REGISTERED r10 (VERDICT r08 task
 # 4). Chromaprint-shaped audio near-dup over the REAL decode path,
 # integer-exact end-to-end so DuckDB can replay it:
 #
@@ -178,8 +176,6 @@ FROM y JOIN c USING (doc_id)
 # (quadratic mix over key-shifted copies — the scale invariant is the
 # bucket bound, and it holds).
 # Registration (two-line edit, r10 window):
-#   CURATION12_QUERIES["audio_fingerprint_neardup"] = audio_fingerprint_neardup
-#   CURATION12_ORACLE_SQL["audio_fingerprint_neardup"] = AUDIO_FP_NEARDUP_SQL
 # ---------------------------------------------------------------------------
 
 _AFP_FRAMES = 16     # frames per doc; 4 bands of 4 frame-nibbles
@@ -278,7 +274,7 @@ HAVING COUNT(*) >= {_AFP_MIN_BANDS}
 
 
 # ---------------------------------------------------------------------------
-# flac_decode_stats — r10 registration queue (VERDICT r08 task 5: one
+# flac_decode_stats — REGISTERED r10 (VERDICT r08 task 5: one
 # compressed codec per modality — PNG/zlib for images, now FLAC/Rice
 # for audio).  Per doc the plan synthesizes a deterministic int16
 # signal, compresses it to a REAL FLAC stream (fixed predictors +
@@ -290,8 +286,6 @@ HAVING COUNT(*) >= {_AFP_MIN_BANDS}
 # drops the tail breaks every sum).  The position-weighted sum pins
 # sample ORDER across frame boundaries, not just totals.
 # Registration (two-line edit, r10 window):
-#   CURATION12_QUERIES["flac_decode_stats"] = flac_decode_stats
-#   CURATION12_ORACLE_SQL["flac_decode_stats"] = FLAC_DECODE_STATS_SQL
 # ---------------------------------------------------------------------------
 
 _FLAC_N = 480          # samples per doc: 2 full frames + a short tail
@@ -357,7 +351,7 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
-# audio_spectral_features — r10 registration queue (closes the VERDICT
+# audio_spectral_features — REGISTERED r10 (closes the VERDICT
 # r08 "what's missing" item 4: frequency-domain audio features; the
 # queued audio_frame_features covers time-domain energy/ZCR only).
 #
@@ -379,8 +373,6 @@ GROUP BY doc_id
 # media_decode_png_stats did for compressed images.  Map-only Arrow
 # pass; one row per (doc, frame).
 # Registration (two-line edit, r10 window):
-#   CURATION12_QUERIES["audio_spectral_features"] = audio_spectral_features
-#   CURATION12_ORACLE_SQL["audio_spectral_features"] = AUDIO_SPECTRAL_SQL
 # ---------------------------------------------------------------------------
 
 _ASF_FRAME = 16        # samples per frame; 4 DFT blocks of 4
@@ -462,7 +454,7 @@ GROUP BY doc_id, f
 
 
 # ---------------------------------------------------------------------------
-# jpeg_progressive_decode_stats — r10 registration queue.  Drives the
+# jpeg_progressive_decode_stats — REGISTERED r10.  Drives the
 # NEW progressive (SOF2) decode path end-to-end as a production body:
 # per doc the plan synthesizes quantized coefficient blocks (DC plus
 # the F(4,4) checkerboard AC), writes a REAL 6-scan progressive stream
@@ -480,8 +472,6 @@ GROUP BY doc_id, f
 #
 # Oracle-exact — pinned by tests/test_curation12.py against the closed
 # form — so registration is the usual two-line edit:
-#   CURATION12_QUERIES["jpeg_progressive_decode_stats"] = jpeg_progressive_decode_stats
-#   CURATION12_ORACLE_SQL["jpeg_progressive_decode_stats"] = JPEG_PROGRESSIVE_DECODE_STATS_SQL
 # ---------------------------------------------------------------------------
 
 # per-block flat value p and checkerboard amplitude w (2x2 block grid):
@@ -561,7 +551,7 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
-# mp4_container_stats — r10 registration queue.  The MP4 stub retired
+# mp4_container_stats — REGISTERED r10.  The MP4 stub retired
 # at its honest boundary: per doc the plan synthesizes a structurally
 # valid ISO BMFF container (ftyp + moov/mvhd + 1-3 trak subtrees with
 # tkhd/mdhd/hdlr/minf/stbl + mdat) from integer formulas, then PROBES
@@ -572,8 +562,6 @@ GROUP BY doc_id
 # metadata pass a curation pipeline runs before spending GPU decode.
 #
 # Oracle-exact (closed form below) — registration is the two-line edit:
-#   CURATION12_QUERIES["mp4_container_stats"] = mp4_container_stats
-#   CURATION12_ORACLE_SQL["mp4_container_stats"] = MP4_CONTAINER_STATS_SQL
 # ---------------------------------------------------------------------------
 
 _MP4_LANGS = ("und", "eng", "fra")
@@ -662,7 +650,7 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
-# mp3_frame_stats — r10 registration queue.  The MP3 stub retired at
+# mp3_frame_stats — REGISTERED r10.  The MP3 stub retired at
 # the same boundary: per doc the plan synthesizes a VBR MPEG-1 Layer
 # III stream (ID3v2 tag with syncsafe size, per-frame bitrate/padding
 # pattern, optional ID3v1 trailer) and SCANS it with the real frame
@@ -672,8 +660,6 @@ GROUP BY doc_id
 # length formula (144·kbps·1000 // sr + pad) against an inline bitrate
 # table.
 #
-#   CURATION12_QUERIES["mp3_frame_stats"] = mp3_frame_stats
-#   CURATION12_ORACLE_SQL["mp3_frame_stats"] = MP3_FRAME_STATS_SQL
 # ---------------------------------------------------------------------------
 
 
@@ -752,3 +738,24 @@ SELECT f.doc_id,
 FROM f JOIN br ON br.idx = f.br_idx
 GROUP BY f.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# r10 registrations (VERDICT r09 task 1: drain the whole queue in one
+# window).  Every query below was oracle-exact at sf0.001 AND sf0.01 in
+# pytest (tests/test_curation12.py) before registration.
+# ---------------------------------------------------------------------------
+CURATION12_QUERIES["jpeg420_decode_stats"] = jpeg420_decode_stats
+CURATION12_ORACLE_SQL["jpeg420_decode_stats"] = JPEG420_DECODE_STATS_SQL
+CURATION12_QUERIES["audio_fingerprint_neardup"] = audio_fingerprint_neardup
+CURATION12_ORACLE_SQL["audio_fingerprint_neardup"] = AUDIO_FP_NEARDUP_SQL
+CURATION12_QUERIES["flac_decode_stats"] = flac_decode_stats
+CURATION12_ORACLE_SQL["flac_decode_stats"] = FLAC_DECODE_STATS_SQL
+CURATION12_QUERIES["audio_spectral_features"] = audio_spectral_features
+CURATION12_ORACLE_SQL["audio_spectral_features"] = AUDIO_SPECTRAL_SQL
+CURATION12_QUERIES["jpeg_progressive_decode_stats"] = jpeg_progressive_decode_stats
+CURATION12_ORACLE_SQL["jpeg_progressive_decode_stats"] = JPEG_PROGRESSIVE_DECODE_STATS_SQL
+CURATION12_QUERIES["mp4_container_stats"] = mp4_container_stats
+CURATION12_ORACLE_SQL["mp4_container_stats"] = MP4_CONTAINER_STATS_SQL
+CURATION12_QUERIES["mp3_frame_stats"] = mp3_frame_stats
+CURATION12_ORACLE_SQL["mp3_frame_stats"] = MP3_FRAME_STATS_SQL

@@ -60,9 +60,7 @@ _WS_CLASS = (
 
 
 # ---------------------------------------------------------------------------
-# multi_codec_roundtrip_stats — r10 registration queue.
-#   CURATION13_QUERIES["multi_codec_roundtrip_stats"] = multi_codec_roundtrip_stats
-#   CURATION13_ORACLE_SQL["multi_codec_roundtrip_stats"] = MULTI_CODEC_ROUNDTRIP_STATS_SQL
+# multi_codec_roundtrip_stats — REGISTERED r10.
 # ---------------------------------------------------------------------------
 
 
@@ -132,9 +130,7 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# mojibake_repair_stats — r10 registration queue.
-#   CURATION13_QUERIES["mojibake_repair_stats"] = mojibake_repair_stats
-#   CURATION13_ORACLE_SQL["mojibake_repair_stats"] = MOJIBAKE_REPAIR_STATS_SQL
+# mojibake_repair_stats — REGISTERED r10.
 # ---------------------------------------------------------------------------
 
 # appended so every fixture doc carries non-ASCII: 2-byte (é), 3-byte
@@ -196,9 +192,7 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# parquet_footer_probe — r10 registration queue.
-#   CURATION13_QUERIES["parquet_footer_probe"] = parquet_footer_probe
-#   CURATION13_ORACLE_SQL["parquet_footer_probe"] = PARQUET_FOOTER_PROBE_SQL
+# parquet_footer_probe — REGISTERED r10.
 # ---------------------------------------------------------------------------
 
 _PFP_ROWGROUP = 64
@@ -265,7 +259,7 @@ GROUP BY rg_idx
 
 
 # ---------------------------------------------------------------------------
-# blocklist_match_stats — r10 registration queue.  The unsafe-term /
+# blocklist_match_stats — REGISTERED r10.  The unsafe-term /
 # licence-string / contamination-marker gate: ONE Aho-Corasick
 # automaton (operators/automaton.py) matches the whole blocklist per
 # doc in a single O(len + matches) pass — the posture that matters
@@ -281,8 +275,6 @@ GROUP BY rg_idx
 # sides.  Severity-weighted totals and the first match position ride
 # along, pinning pattern identity and offsets, not just totals.
 #
-#   CURATION13_QUERIES["blocklist_match_stats"] = blocklist_match_stats
-#   CURATION13_ORACLE_SQL["blocklist_match_stats"] = BLOCKLIST_MATCH_STATS_SQL
 # ---------------------------------------------------------------------------
 
 _BLOCKLIST = [
@@ -356,7 +348,7 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
-# warc_record_stats — r10 registration queue.  The ingest wire format:
+# warc_record_stats — REGISTERED r10.  The ingest wire format:
 # per doc the plan synthesizes a WARC file (warcinfo + request +
 # response + optional metadata records), walks it with the REAL parser
 # (version lines, header blocks, Content-Length-framed blocks, CRLF
@@ -365,8 +357,6 @@ GROUP BY doc_id
 # body bytes and md5 (must equal the oracle's view of the original
 # text — any framing slip corrupts the body), metadata block bytes.
 #
-#   CURATION13_QUERIES["warc_record_stats"] = warc_record_stats
-#   CURATION13_ORACLE_SQL["warc_record_stats"] = WARC_RECORD_STATS_SQL
 # ---------------------------------------------------------------------------
 
 
@@ -442,7 +432,7 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# html_extract_stats — r10 registration queue.  The step after WARC:
+# html_extract_stats — REGISTERED r10.  The step after WARC:
 # per doc the plan synthesizes an HTML page around the (html-escaped)
 # text — title with a numeric charref, script/style subtrees that MUST
 # contribute nothing, an entity-bearing h1, the escaped body paragraph,
@@ -452,8 +442,6 @@ FROM documents
 # original text (escape→unescape must be an exact inverse; whitespace
 # normalization uses the shared isspace class).
 #
-#   CURATION13_QUERIES["html_extract_stats"] = html_extract_stats
-#   CURATION13_ORACLE_SQL["html_extract_stats"] = HTML_EXTRACT_STATS_SQL
 # ---------------------------------------------------------------------------
 
 
@@ -520,15 +508,16 @@ SELECT doc_id,
             + text_nonws
             + 5 AS BIGINT) AS text_chars,
        md5('Docé' || CAST(doc_id % 100 AS VARCHAR) || chr(10)
-           || 'alpha & beta' || chr(10)
-           || ntext || chr(10)
+           || 'alpha & beta'
+           || CASE WHEN text_nonws > 0 THEN chr(10) || ntext ELSE '' END
+           || chr(10)
            || 'link' || CAST(doc_id % 10 AS VARCHAR)) AS extract_md5
 FROM norm
 """
 
 
 # ---------------------------------------------------------------------------
-# html_boilerplate_extract — r10 registration queue.  The step after
+# html_boilerplate_extract — REGISTERED r10.  The step after
 # extraction: per-BLOCK boilerplate classification (Kohlschütter-style
 # shallow features, exact integer rules: >= 4 non-ws chars AND link
 # density < 1/2).  The synthesized page carries blocks that MUST drop
@@ -536,8 +525,6 @@ FROM norm
 # around blocks that MUST survive (title, entity-bearing h1, the
 # escaped article text) — the kept-text md5 pins both directions.
 #
-#   CURATION13_QUERIES["html_boilerplate_extract"] = html_boilerplate_extract
-#   CURATION13_ORACLE_SQL["html_boilerplate_extract"] = HTML_BOILERPLATE_EXTRACT_SQL
 # ---------------------------------------------------------------------------
 
 
@@ -615,7 +602,7 @@ FROM kept
 
 
 # ---------------------------------------------------------------------------
-# video_fingerprint_neardup — r10 registration queue.  Completes the
+# video_fingerprint_neardup — REGISTERED r10.  Completes the
 # per-modality near-dup matrix (text: minhash/simhash/…, image:
 # blockhash, audio: frame-loudness — video was the gap): REAL Y4M
 # decode → per-frame luma sums → 4-bit quantization → four 16-bit
@@ -629,8 +616,6 @@ FROM kept
 # exactly 3 of 4 bands.  The fingerprint relation (4 rows/doc) is
 # localCheckpoint-ed once so videos decode once, not per join side.
 #
-#   CURATION13_QUERIES["video_fingerprint_neardup"] = video_fingerprint_neardup
-#   CURATION13_ORACLE_SQL["video_fingerprint_neardup"] = VIDEO_FP_NEARDUP_SQL
 # ---------------------------------------------------------------------------
 
 _VFP_FRAMES = 16    # frames per video; 4 bands of 4 frame-nibbles
@@ -725,7 +710,7 @@ HAVING COUNT(*) >= {_VFP_MIN_BANDS}
 
 
 # ---------------------------------------------------------------------------
-# url_canonical_dedup — r10 registration queue.  Crawl-level dedup by
+# url_canonical_dedup — REGISTERED r10.  Crawl-level dedup by
 # CANONICAL URL: per doc the plan synthesizes one of two messy
 # spellings of the same page (even docs: uppercase scheme/host,
 # trailing host dot, explicit :443, ./.. dot segments, duplicate
@@ -736,8 +721,6 @@ HAVING COUNT(*) >= {_VFP_MIN_BANDS}
 # direction (under-normalizing splits pairs, over-normalizing merges
 # bases) breaks the exact group counts.
 #
-#   CURATION13_QUERIES["url_canonical_dedup"] = url_canonical_dedup
-#   CURATION13_ORACLE_SQL["url_canonical_dedup"] = URL_CANONICAL_DEDUP_SQL
 # ---------------------------------------------------------------------------
 
 
@@ -785,7 +768,7 @@ GROUP BY doc_id - doc_id % 2
 
 
 # ---------------------------------------------------------------------------
-# robots_gate_stats — r10 registration queue.  Crawl admission control
+# robots_gate_stats — REGISTERED r10.  Crawl admission control
 # (RFC 9309) as a production body: a fixed policy file exercising
 # every semantic — group selection by longest user-agent prefix with
 # '*' fallback, longest-match rule resolution, Allow-wins-ties,
@@ -795,8 +778,6 @@ GROUP BY doc_id - doc_id % 2
 # table over the same six path shapes; matched_len pins WHICH rule
 # won, not just the verdict.
 #
-#   CURATION13_QUERIES["robots_gate_stats"] = robots_gate_stats
-#   CURATION13_ORACLE_SQL["robots_gate_stats"] = ROBOTS_GATE_STATS_SQL
 # ---------------------------------------------------------------------------
 
 _ROBOTS_TXT = """# crawl policy
@@ -872,7 +853,7 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# sitemap_frontier_stats — r10 registration queue.  The other half of
+# sitemap_frontier_stats — REGISTERED r10.  The other half of
 # the crawl frontier (robots admits, sitemaps enumerate): per doc the
 # plan synthesizes a sitemaps.org document — a <sitemapindex> of child
 # sitemaps every 4th doc, a <urlset> of page entries otherwise, with
@@ -882,8 +863,6 @@ FROM documents
 # ordered loc list (a dropped/reordered/mis-namespaced entry breaks
 # it).  First XML-format ingestion in the engine.
 #
-#   CURATION13_QUERIES["sitemap_frontier_stats"] = sitemap_frontier_stats
-#   CURATION13_ORACLE_SQL["sitemap_frontier_stats"] = SITEMAP_FRONTIER_STATS_SQL
 # ---------------------------------------------------------------------------
 
 
@@ -965,7 +944,7 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
-# srt_cue_stats — r10 registration queue.  Caption ingestion for
+# srt_cue_stats — REGISTERED r10.  Caption ingestion for
 # video-text pairing: per doc the plan synthesizes an SRT file whose
 # cues carry the doc's words (3 words per cue, formula-driven integer
 # timings with gaps), parses it with the REAL parser
@@ -975,8 +954,6 @@ GROUP BY doc_id
 # transcript (must equal the oracle's reconstruction from the text
 # column; a timing or text slip breaks it).
 #
-#   CURATION13_QUERIES["srt_cue_stats"] = srt_cue_stats
-#   CURATION13_ORACLE_SQL["srt_cue_stats"] = SRT_CUE_STATS_SQL
 # ---------------------------------------------------------------------------
 
 _SRT_WPC = 3        # words per cue
@@ -1064,7 +1041,7 @@ FROM c
 
 
 # ---------------------------------------------------------------------------
-# crawl_ingest_e2e — r10 registration queue.  The whole crawl-ingest
+# crawl_ingest_e2e — REGISTERED r10.  The whole crawl-ingest
 # arc as ONE production body, the way the operators actually compose
 # at harvest time: synthesize a WARC response whose HTTP body is an
 # HTML page around the (escaped) text → parse_warc → split the HTTP
@@ -1074,8 +1051,6 @@ FROM c
 # slip corrupts the HTML, an extraction slip breaks the md5 — one
 # query pins the composition, not just the parts.
 #
-#   CURATION13_QUERIES["crawl_ingest_e2e"] = crawl_ingest_e2e
-#   CURATION13_ORACLE_SQL["crawl_ingest_e2e"] = CRAWL_INGEST_E2E_SQL
 # ---------------------------------------------------------------------------
 
 
@@ -1169,7 +1144,7 @@ FROM norm
 
 
 # ---------------------------------------------------------------------------
-# exif_gps_strip_stats — r10 registration queue.  Image-side PII
+# exif_gps_strip_stats — REGISTERED r10.  Image-side PII
 # redaction: per doc the plan builds a real JPEG carrying an Exif APP1
 # (byte order alternating II/MM, orientation, GPS latitude/longitude
 # as exact rationals), PARSES it (TIFF IFD walk), STRIPS the GPS IFD
@@ -1179,8 +1154,6 @@ FROM norm
 # pixels.  Emits the pre-strip coordinates (the evidence a redaction
 # audit logs) and the post-strip GPS flag (always 0).
 #
-#   CURATION13_QUERIES["exif_gps_strip_stats"] = exif_gps_strip_stats
-#   CURATION13_ORACLE_SQL["exif_gps_strip_stats"] = EXIF_GPS_STRIP_STATS_SQL
 # ---------------------------------------------------------------------------
 
 
@@ -1258,7 +1231,7 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# id3_metadata_stats — r10 registration queue.  The audio metadata
+# id3_metadata_stats — REGISTERED r10.  The audio metadata
 # layer (titles/artists are the text half of audio-text pairs): per
 # doc the plan builds an ID3v2.4 tag — odd docs carry an accented
 # title so the encoding-byte dispatch (latin-1 vs UTF-8) is load-
@@ -1266,8 +1239,6 @@ FROM documents
 # (syncsafe sizes, padding stop), and re-walks the audio frames to
 # prove the tag skip and the frame scan agree on the same bytes.
 #
-#   CURATION13_QUERIES["id3_metadata_stats"] = id3_metadata_stats
-#   CURATION13_ORACLE_SQL["id3_metadata_stats"] = ID3_METADATA_STATS_SQL
 # ---------------------------------------------------------------------------
 
 
@@ -1342,7 +1313,7 @@ FROM v
 
 
 # ---------------------------------------------------------------------------
-# archive_member_stats — r10 registration queue.  Dataset shards ship
+# archive_member_stats — REGISTERED r10.  Dataset shards ship
 # as tar/zip archives of member files; the ingest seam must explode
 # them 1→N before any per-document operator can run.  Per doc the plan
 # builds a deterministic archive (tar for even docs, zip for odd —
@@ -1351,8 +1322,6 @@ FROM v
 # content md5 — a dropped, reordered, or corrupted member breaks the
 # row set exactly.
 #
-#   CURATION13_QUERIES["archive_member_stats"] = archive_member_stats
-#   CURATION13_ORACLE_SQL["archive_member_stats"] = ARCHIVE_MEMBER_STATS_SQL
 # ---------------------------------------------------------------------------
 
 
@@ -1414,7 +1383,7 @@ WHERE i.x < 2 + doc_id % 4
 
 
 # ---------------------------------------------------------------------------
-# jsonl_shard_explode — r10 registration queue.  THE LLM-dataset wire
+# jsonl_shard_explode — REGISTERED r10.  THE LLM-dataset wire
 # format: corpora ship as JSONL shards, one JSON object per line, and
 # the ingest seam explodes a shard 1→N with a real JSON parse before
 # any per-document operator runs (json_extraction covers Spark-side
@@ -1425,8 +1394,6 @@ WHERE i.x < 2 + doc_id % 4
 # integer id; parses each line back; and emits one row per record
 # with the recovered fields.
 #
-#   CURATION13_QUERIES["jsonl_shard_explode"] = jsonl_shard_explode
-#   CURATION13_ORACLE_SQL["jsonl_shard_explode"] = JSONL_SHARD_EXPLODE_SQL
 # ---------------------------------------------------------------------------
 
 
@@ -1449,7 +1416,12 @@ def jsonl_shard_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
                 shard = "\n".join(json.dumps(r, ensure_ascii=False)
                                   for r in records)
-                for line in shard.splitlines():
+                # split on '\n' ONLY (the separator build uses):
+                # splitlines() would also split on U+2028/U+2029/U+0085,
+                # which json.dumps(ensure_ascii=False) leaves unescaped
+                # inside strings — a doc containing them would shear a
+                # record mid-line
+                for line in shard.split("\n"):
                     rec = json.loads(line)
                     rows.append(
                         (
@@ -1487,3 +1459,44 @@ SELECT doc_id,
 FROM documents, range(4) i(x)
 WHERE i.x < 1 + doc_id % 4
 """
+
+
+# ---------------------------------------------------------------------------
+# r10 registrations (VERDICT r09 task 1: drain the whole queue in one
+# window).  Every query below was oracle-exact at sf0.001 AND sf0.01 in
+# pytest (tests/test_curation13.py) before registration.
+# ---------------------------------------------------------------------------
+CURATION13_QUERIES["multi_codec_roundtrip_stats"] = multi_codec_roundtrip_stats
+CURATION13_ORACLE_SQL["multi_codec_roundtrip_stats"] = MULTI_CODEC_ROUNDTRIP_STATS_SQL
+CURATION13_QUERIES["mojibake_repair_stats"] = mojibake_repair_stats
+CURATION13_ORACLE_SQL["mojibake_repair_stats"] = MOJIBAKE_REPAIR_STATS_SQL
+CURATION13_QUERIES["parquet_footer_probe"] = parquet_footer_probe
+CURATION13_ORACLE_SQL["parquet_footer_probe"] = PARQUET_FOOTER_PROBE_SQL
+CURATION13_QUERIES["blocklist_match_stats"] = blocklist_match_stats
+CURATION13_ORACLE_SQL["blocklist_match_stats"] = BLOCKLIST_MATCH_STATS_SQL
+CURATION13_QUERIES["warc_record_stats"] = warc_record_stats
+CURATION13_ORACLE_SQL["warc_record_stats"] = WARC_RECORD_STATS_SQL
+CURATION13_QUERIES["html_extract_stats"] = html_extract_stats
+CURATION13_ORACLE_SQL["html_extract_stats"] = HTML_EXTRACT_STATS_SQL
+CURATION13_QUERIES["html_boilerplate_extract"] = html_boilerplate_extract
+CURATION13_ORACLE_SQL["html_boilerplate_extract"] = HTML_BOILERPLATE_EXTRACT_SQL
+CURATION13_QUERIES["video_fingerprint_neardup"] = video_fingerprint_neardup
+CURATION13_ORACLE_SQL["video_fingerprint_neardup"] = VIDEO_FP_NEARDUP_SQL
+CURATION13_QUERIES["url_canonical_dedup"] = url_canonical_dedup
+CURATION13_ORACLE_SQL["url_canonical_dedup"] = URL_CANONICAL_DEDUP_SQL
+CURATION13_QUERIES["robots_gate_stats"] = robots_gate_stats
+CURATION13_ORACLE_SQL["robots_gate_stats"] = ROBOTS_GATE_STATS_SQL
+CURATION13_QUERIES["sitemap_frontier_stats"] = sitemap_frontier_stats
+CURATION13_ORACLE_SQL["sitemap_frontier_stats"] = SITEMAP_FRONTIER_STATS_SQL
+CURATION13_QUERIES["srt_cue_stats"] = srt_cue_stats
+CURATION13_ORACLE_SQL["srt_cue_stats"] = SRT_CUE_STATS_SQL
+CURATION13_QUERIES["crawl_ingest_e2e"] = crawl_ingest_e2e
+CURATION13_ORACLE_SQL["crawl_ingest_e2e"] = CRAWL_INGEST_E2E_SQL
+CURATION13_QUERIES["exif_gps_strip_stats"] = exif_gps_strip_stats
+CURATION13_ORACLE_SQL["exif_gps_strip_stats"] = EXIF_GPS_STRIP_STATS_SQL
+CURATION13_QUERIES["id3_metadata_stats"] = id3_metadata_stats
+CURATION13_ORACLE_SQL["id3_metadata_stats"] = ID3_METADATA_STATS_SQL
+CURATION13_QUERIES["archive_member_stats"] = archive_member_stats
+CURATION13_ORACLE_SQL["archive_member_stats"] = ARCHIVE_MEMBER_STATS_SQL
+CURATION13_QUERIES["jsonl_shard_explode"] = jsonl_shard_explode
+CURATION13_ORACLE_SQL["jsonl_shard_explode"] = JSONL_SHARD_EXPLODE_SQL
