@@ -44,8 +44,14 @@ HEADLINE = [
     # directly).  The comparable legacy total is preserved alongside as
     # legacy17_total — compare r01-r08 BENCH values against THAT.
     "media_decode_png_stats",
+    # r10 RE-BASE: first crawl-ingest representative (WARC -> HTTP split
+    # -> boilerplate-stripped extraction composition) — the 18-query r09
+    # set predates the ingest arc.  legacy17_total and r09_18_total
+    # preserve the comparables.
+    "crawl_ingest_e2e",
 ]
 _REBASED_R09 = {"media_decode_png_stats"}
+_REBASED_R10 = {"crawl_ingest_e2e"}
 
 
 def force(df) -> None:
@@ -109,7 +115,11 @@ def main() -> None:
     # machine-load context: BENCH_r07 read +18% vs r06 with ZERO plan
     # drift (judged environmental); recording the 1/5/15-min loadavg
     # alongside lets any future drift be attributed without a rerun
-    legacy17 = sum(v for n, v in timings.items() if n not in _REBASED_R09)
+    legacy17 = sum(
+        v for n, v in timings.items()
+        if n not in _REBASED_R09 and n not in _REBASED_R10
+    )
+    r09_18 = sum(v for n, v in timings.items() if n not in _REBASED_R10)
     print(
         json.dumps(
             {
@@ -118,9 +128,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "legacy17_total": round(legacy17, 3),
+                "r09_18_total": round(r09_18, 3),
                 "rebase_note": (
-                    "r09 added media_decode_png_stats to the headline set; "
-                    "legacy17_total is the r01-r08-comparable figure"
+                    "r09 added media_decode_png_stats, r10 added "
+                    "crawl_ingest_e2e to the headline set; legacy17_total "
+                    "is the r01-r08-comparable figure and r09_18_total the "
+                    "r09-comparable one"
                 ),
                 "sf": sf,
                 "calib": calib,
