@@ -311,6 +311,48 @@ def build_exif_jpeg(
     return jpeg[:2] + app1 + jpeg[2:]
 
 
+def apply_orientation(img, orientation: int):
+    """Stored pixel array → upright display array per the EXIF/TIFF
+    orientation tag (the transform PIL's ``exif_transpose`` applies):
+
+    1 normal · 2 mirror-horizontal · 3 rotate-180 · 4 mirror-vertical ·
+    5 transpose · 6 rotate-90-CW · 7 transverse · 8 rotate-90-CCW.
+
+    Works on (H, W) and (H, W, C) arrays (transforms act on the first
+    two axes only).  A pipeline that fingerprints images WITHOUT this
+    normalization silently splits near-dup pairs whose copies were
+    stored at different rotations.  Unknown tags raise."""
+    import numpy as np
+
+    if orientation == 1:
+        return img
+    if orientation == 2:
+        return img[:, ::-1]
+    if orientation == 3:
+        return img[::-1, ::-1]
+    if orientation == 4:
+        return img[::-1, :]
+    if orientation == 5:
+        return img.swapaxes(0, 1)
+    if orientation == 6:
+        return np.rot90(img, -1, axes=(0, 1))
+    if orientation == 7:
+        return img.swapaxes(0, 1)[::-1, ::-1]
+    if orientation == 8:
+        return np.rot90(img, 1, axes=(0, 1))
+    raise ValueError(f"unknown EXIF orientation {orientation}")
+
+
+def store_with_orientation(img, orientation: int):
+    """Inverse of ``apply_orientation``: the stored array for which
+    ``apply_orientation(stored, orientation)`` returns ``img`` exactly —
+    the synthesis side of orientation round-trip tests and fixtures.
+    Flips, rotate-180, transpose, and transverse are self-inverse; the
+    two quarter-rotations invert each other."""
+    _INVERSE = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+    return apply_orientation(img, _INVERSE[orientation])
+
+
 def strip_gps(payload: bytes) -> bytes:
     """Remove the GPS IFD (and its IFD0 pointer) from a JPEG's Exif.
     Every byte OUTSIDE the APP1 segment is preserved verbatim — the
