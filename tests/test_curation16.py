@@ -1,0 +1,88 @@
+"""Round-10 third-set queries (plans/curation16.py): content-defined
+chunking and chunk-level cross-document dedup."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from data_pipeline_who_gho_spark.session import get_spark
+
+    return get_spark(app_name="test-curation16")
+
+
+def _oracle(sql):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+def test_chunk_spans_properties():
+    """Spans partition the text exactly; boundaries are content-defined
+    (an inserted prefix shifts offsets but downstream chunks
+    re-synchronize — the property fixed-size blocking lacks)."""
+    from data_pipeline_who_gho_spark.plans.curation16 import _chunk_spans
+
+    text = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill and the rain keeps falling "
+        "on the quiet grey roof of the old house by the river bend"
+    )
+    spans = _chunk_spans(text)
+    assert spans[0][0] == 0 and spans[-1][1] == len(text) - 1
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert s2 == e1 + 1 and s1 <= e1
+    # content-defined re-synchronization: chunk CONTENTS after the
+    # perturbation point are shared with the original
+    shifted = "XY " + text
+    orig = {text[s : e + 1] for s, e in spans}
+    shift = {shifted[s : e + 1] for s, e in _chunk_spans(shifted)}
+    assert len(orig & shift) >= len(spans) - 2
+    # degenerate inputs
+    assert _chunk_spans("") == []
+    assert _chunk_spans("short") == [(0, 4)]  # < window: one chunk
+
+
+def test_cdc_chunk_stats_matches_oracle(spark):
+    """The 16-way windowed-join SQL replay of the rolling hash must
+    place every boundary exactly where the engine's convolution does —
+    chunks_md5 breaks on any one-character disagreement."""
+    from data_pipeline_who_gho_spark.plans.curation16 import (
+        CDC_CHUNK_STATS_SQL,
+        cdc_chunk_stats,
+    )
+
+    got = sorted(tuple(r) for r in cdc_chunk_stats(spark, SF).collect())
+    assert got == _oracle(CDC_CHUNK_STATS_SQL)
+    assert all(r[1] >= 1 and r[2] >= 1 for r in got)
+    assert sum(r[1] for r in got) > 2 * len(got)  # genuinely multi-chunk
+
+
+def test_cdc_shared_chunks_matches_oracle(spark):
+    """Chunk-level dedup over the corpus with injected doc twins: every
+    twin pair shares all its chunks, so the shared-chunk relation is
+    non-trivial and exactly replayable."""
+    import duckdb
+
+    from data_pipeline_who_gho_spark.plans.curation16 import (
+        CDC_SHARED_CHUNKS_SQL,
+        cdc_shared_chunks,
+    )
+
+    got = sorted(tuple(r) for r in cdc_shared_chunks(spark, SF).collect())
+    assert got == _oracle(CDC_SHARED_CHUNKS_SQL)
+    con = duckdb.connect()
+    n_twins = con.execute(
+        f"SELECT COUNT(*) FROM '{SF}/documents.parquet' WHERE doc_id % 7 = 0"
+    ).fetchone()[0]
+    # at least one shared chunk per planted twin pair
+    assert len(got) >= n_twins
+    assert all(r[1] >= 2 for r in got)
