@@ -185,29 +185,34 @@ def cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
                 text = str(t)
+                # combine per doc HERE (all of a doc's chunks are in
+                # hand): one output row per DISTINCT (doc, chunk) with
+                # its occurrence count, so the cross-doc rollup needs a
+                # plain count/sum — no countDistinct, whose two-phase
+                # expansion would add a second (chunk_md5, doc_id)
+                # shuffle to the plan
+                per_doc: dict[str, list[int]] = {}
                 for s, e in _chunk_spans(text):
-                    rows.append(
-                        (
-                            int(doc_id),
-                            hashlib.md5(
-                                text[s : e + 1].encode("utf-8")
-                            ).hexdigest(),
-                            e - s + 1,
-                        )
-                    )
+                    h = hashlib.md5(text[s : e + 1].encode("utf-8")).hexdigest()
+                    if h in per_doc:
+                        per_doc[h][1] += 1
+                    else:
+                        per_doc[h] = [e - s + 1, 1]
+                for h, (ln, occ) in per_doc.items():
+                    rows.append((int(doc_id), h, ln, occ))
             yield pd.DataFrame(
-                rows, columns=["doc_id", "chunk_md5", "chunk_len"]
+                rows, columns=["doc_id", "chunk_md5", "chunk_len", "occ"]
             )
 
     docs = spread_for_python(_corpus(spark, sf_dir))
     chunks = docs.mapInPandas(
-        run, "doc_id BIGINT, chunk_md5 STRING, chunk_len BIGINT"
+        run, "doc_id BIGINT, chunk_md5 STRING, chunk_len BIGINT, occ BIGINT"
     )
     return (
         chunks.groupBy("chunk_md5")
         .agg(
-            F.countDistinct("doc_id").cast("long").alias("n_docs"),
-            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("occ").cast("long").alias("n_occ"),
             F.min("chunk_len").alias("chunk_len"),
         )
         .filter(F.col("n_docs") >= 2)

@@ -433,3 +433,56 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_quality_gates_and_cdc_chunking_map_only(spark):
+    """The r10 modality quality gates and the CDC chunk pass follow the
+    decode-family invariant: one round-robin spread exchange BELOW the
+    Arrow pass, nothing downstream shuffles."""
+    from data_pipeline_who_gho_spark.plans.curation15 import (
+        audio_quality_gates,
+        image_quality_gates,
+        video_scene_cut_stats,
+    )
+    from data_pipeline_who_gho_spark.plans.curation16 import cdc_chunk_stats
+
+    for q in (audio_quality_gates, image_quality_gates,
+              video_scene_cut_stats, cdc_chunk_stats):
+        plan = _plan(q(spark, SF))
+        assert "MapInPandas" in plan, q.__name__
+        assert plan.count("Exchange") == 1, q.__name__
+        assert "roundrobin" in plan.lower(), q.__name__
+        assert plan.find("MapInPandas") < plan.find("Exchange"), q.__name__
+    # the id-only gates must prune text from the scan
+    for q in (audio_quality_gates, image_quality_gates,
+              video_scene_cut_stats):
+        plan = _plan(q(spark, SF))
+        assert "text" not in plan.split("FileScan")[1][:400], q.__name__
+
+
+def test_exif_orientation_neardup_checkpoints_fingerprints_once(spark):
+    """The orientation-aware banded self-join must read the
+    localCheckpoint-ed fingerprint relation on BOTH sides (decode runs
+    once), with a hash-agg'd equi-join and no cartesian product."""
+    from data_pipeline_who_gho_spark.plans.curation14 import (
+        exif_orientation_neardup,
+    )
+
+    plan = _plan(exif_orientation_neardup(spark, SF))
+    assert "MapInPandas" not in plan  # both sides read the checkpoint
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+
+
+def test_cdc_shared_chunks_single_hash_shuffle(spark):
+    """Chunk-level dedup: the only hash shuffle is the chunk_md5
+    aggregation, with map-side partial aggregation below it."""
+    from data_pipeline_who_gho_spark.plans.curation16 import (
+        cdc_shared_chunks,
+    )
+
+    plan = _plan(cdc_shared_chunks(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan
+    assert "Join" not in plan  # aggregation, not a self-join
