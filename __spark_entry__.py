@@ -208,8 +208,9 @@ _PRIORITY = [
     # contrast, video scene cuts)
     "exif_orientation_neardup", "audio_quality_gates",
     "image_quality_gates", "video_scene_cut_stats",
-    # r10 session builds, third set: content-defined chunking dedup
-    "cdc_chunk_stats", "cdc_shared_chunks",
+    # r10 session builds, third set: content-defined chunking dedup +
+    # the either-modality (LAION-style) cross-modal dedup union
+    "cdc_chunk_stats", "cdc_shared_chunks", "crossmodal_dedup_union",
     # round-8 head
     "media_resize_checksum", "maxmatch_segment_stats", "intradoc_line_dedup",
     "media_decode_png_stats", "boilerplate_strip_newline",

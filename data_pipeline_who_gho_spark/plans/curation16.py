@@ -231,6 +231,208 @@ HAVING COUNT(DISTINCT doc_id) >= 2
 
 
 # ---------------------------------------------------------------------------
+# crossmodal_dedup_union — the LAION-style rule: a candidate pair is a
+# duplicate if EITHER modality matches.  Two independent planted-dup
+# populations over the twin-injected corpus:
+#
+# * IMAGE near-dups: every consecutive (even, odd) original-doc pair
+#   shares a synthesized 16x16 BMP (squared-congruential block mix,
+#   base-seeded, odd partner perturbs ONE block +-16) — found by the
+#   REAL decode -> blockhash -> 4x16-bit-band join at >=3-of-4 bands
+#   (the image_blockhash_neardup posture, distinct mix constant).
+#   Their TEXTS are unrelated (different fixture rows).
+# * TEXT dups: the corpus twin pairs (doc_id % 7 == 0 re-appearing at
+#   +1000000) share full text — found by CDC chunk containment
+#   (shared distinct chunks >= 80% of the smaller doc's chunks).
+#   Their IMAGES are unrelated (the +1e6 id shifts the block mix) and
+#   twin ids never form consecutive pairs (d and d+1 cannot both be
+#   multiples of 7), so neither population leaks into the other's
+#   detector.
+#
+# The union labels each pair with HOW it was caught ('image' / 'text' /
+# 'both'), exactly as a production filter logs provenance.
+#
+# Scale: the image side is the banded-join posture (bucket-bounded);
+# the text side is an inverted-index join on chunk_md5 with map-side
+# per-doc combine — both shuffles carry hashes, never payloads.
+# ---------------------------------------------------------------------------
+
+_XM_MIX = 139        # image block mix (distinct from curation11's 131)
+_XM_MIN_BANDS = 3
+_XM_FRAC_NUM, _XM_FRAC_DEN = 4, 5  # shared/min(n_chunks) >= 4/5
+
+
+def crossmodal_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_media, encode_bmp, sniff_media_type
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        y = np.arange(16).reshape(16, 1, 1)
+        x = np.arange(16).reshape(1, 16, 1)
+        c = np.arange(3).reshape(1, 1, 3)
+        blk = (y // 4) * 4 + (x // 4)
+        for pdf in batches:
+            img_rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = d - (d % 2)
+                h = ((base + blk * _XM_MIX + 7) ** 2 % 65521) // 4096
+                img = (16 * h + (y % 4) * 2 + (x % 4) + c).astype(np.int64)
+                if d % 2:
+                    b = d % 16
+                    by, bx = (b // 4) * 4, (b % 4) * 4
+                    hb = int(h[by, bx, 0])
+                    img[by : by + 4, bx : bx + 4, :] += 16 if hb < 15 else -16
+                payload = encode_bmp(img.astype(np.uint8))
+                dec = decode_media(payload, sniff_media_type(payload)).astype(np.int64)
+                gray = dec.sum(axis=2) // 3
+                means = gray.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16).sum(axis=1) // 16
+                nibbles = means // 16
+                for band in range(4):
+                    val = 0
+                    for j in range(4):
+                        val += int(nibbles[band * 4 + j]) * (16 ** j)
+                    img_rows.append((d, band, val))
+            yield pd.DataFrame(img_rows, columns=["doc_id", "band", "val"])
+
+    def chunk_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                text = str(t)
+                hs = {
+                    hashlib.md5(text[s : e + 1].encode("utf-8")).hexdigest()
+                    for s, e in _chunk_spans(text)
+                }
+                for hv in hs:
+                    rows.append((int(doc_id), hv, len(hs)))
+            yield pd.DataFrame(rows, columns=["doc_id", "chunk_md5", "n_chunks"])
+
+    corpus = spread_for_python(_corpus(spark, sf_dir))
+    # the image pass needs ids only — text stays out of its Arrow batches
+    ids = spread_for_python(_corpus(spark, sf_dir).select("doc_id"))
+
+    fp = ids.mapInPandas(
+        fingerprint, "doc_id BIGINT, band INT, val BIGINT"
+    ).localCheckpoint(eager=True)
+    a, b = fp.alias("a"), fp.alias("b")
+    img_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("mb"))
+        .filter(F.col("mb") >= _XM_MIN_BANDS)
+        .select("doc_a", "doc_b")
+    )
+
+    ch = corpus.mapInPandas(
+        chunk_rows, "doc_id BIGINT, chunk_md5 STRING, n_chunks BIGINT"
+    ).localCheckpoint(eager=True)
+    ca, cb = ch.alias("ca"), ch.alias("cb")
+    text_pairs = (
+        ca.join(
+            cb,
+            (F.col("ca.chunk_md5") == F.col("cb.chunk_md5"))
+            & (F.col("ca.doc_id") < F.col("cb.doc_id")),
+        )
+        .groupBy(F.col("ca.doc_id").alias("doc_a"), F.col("cb.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.min(F.least("ca.n_chunks", "cb.n_chunks")).alias("min_chunks"),
+        )
+        .filter(_XM_FRAC_DEN * F.col("shared") >= _XM_FRAC_NUM * F.col("min_chunks"))
+        .select("doc_a", "doc_b")
+    )
+
+    # union + one hash agg instead of a FULL OUTER join: Spark cannot
+    # broadcast a full-outer (it plans a SortMergeJoin); summing source
+    # bits under one groupBy keeps the union a single hash shuffle
+    tagged = img_pairs.withColumn("src", F.lit(1)).unionByName(
+        text_pairs.withColumn("src", F.lit(2))
+    )
+    return (
+        tagged.groupBy("doc_a", "doc_b")
+        .agg(F.sum("src").alias("srcs"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.col("srcs") == 3, "both")
+            .when(F.col("srcs") == 1, "image")
+            .otherwise("text")
+            .alias("via"),
+        )
+    )
+
+
+CROSSMODAL_DEDUP_UNION_SQL = _cdc_spans_sql() + f""",
+dchunks AS (
+  SELECT DISTINCT doc_id, md5(ctext) AS chunk_md5
+  FROM chunks
+),
+nch AS (
+  SELECT doc_id, COUNT(*) AS n_chunks FROM dchunks GROUP BY doc_id
+),
+text_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM dchunks a JOIN dchunks b
+    ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING {_XM_FRAC_DEN} * COUNT(*) >=
+         {_XM_FRAC_NUM} * (SELECT LEAST(na.n_chunks, nb.n_chunks)
+                           FROM nch na, nch nb
+                           WHERE na.doc_id = a.doc_id AND nb.doc_id = b.doc_id)
+),
+cells AS (
+  SELECT doc_id, doc_id - (doc_id % 2) AS base,
+         g.x // 16 AS y, g.x % 16 AS x,
+         ((g.x // 16) // 4) * 4 + ((g.x % 16) // 4) AS blk
+  FROM corpus, range(256) g(x)
+),
+gray AS (
+  SELECT doc_id, blk,
+         16 * ((((base + blk * {_XM_MIX} + 7) * (base + blk * {_XM_MIX} + 7)) % 65521) // 4096)
+         + (y % 4) * 2 + (x % 4) + 1
+         + CASE WHEN doc_id % 2 = 1 AND blk = doc_id % 16
+                THEN CASE WHEN (((base + blk * {_XM_MIX} + 7) * (base + blk * {_XM_MIX} + 7)) % 65521) // 4096 < 15
+                          THEN 16 ELSE -16 END
+                ELSE 0 END AS gv
+  FROM cells
+),
+nibs AS (
+  SELECT doc_id, blk, (SUM(gv) // 16) // 16 AS nib
+  FROM gray GROUP BY doc_id, blk
+),
+bands AS (
+  SELECT doc_id, blk // 4 AS band,
+         CAST(SUM(nib * power(16, blk % 4)) AS BIGINT) AS val
+  FROM nibs GROUP BY doc_id, blk // 4
+),
+img_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {_XM_MIN_BANDS}
+)
+SELECT COALESCE(i.doc_a, t.doc_a) AS doc_a,
+       COALESCE(i.doc_b, t.doc_b) AS doc_b,
+       CASE WHEN i.doc_a IS NOT NULL AND t.doc_a IS NOT NULL THEN 'both'
+            WHEN i.doc_a IS NOT NULL THEN 'image'
+            ELSE 'text' END AS via
+FROM img_pairs i
+FULL OUTER JOIN text_pairs t
+  ON i.doc_a = t.doc_a AND i.doc_b = t.doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # r10 registrations (third set) — oracle-exact at sf0.001 AND sf0.01 in
 # pytest (tests/test_curation16.py) before registration.
 # ---------------------------------------------------------------------------
@@ -238,3 +440,5 @@ CURATION16_QUERIES["cdc_chunk_stats"] = cdc_chunk_stats
 CURATION16_ORACLE_SQL["cdc_chunk_stats"] = CDC_CHUNK_STATS_SQL
 CURATION16_QUERIES["cdc_shared_chunks"] = cdc_shared_chunks
 CURATION16_ORACLE_SQL["cdc_shared_chunks"] = CDC_SHARED_CHUNKS_SQL
+CURATION16_QUERIES["crossmodal_dedup_union"] = crossmodal_dedup_union
+CURATION16_ORACLE_SQL["crossmodal_dedup_union"] = CROSSMODAL_DEDUP_UNION_SQL

@@ -86,3 +86,41 @@ def test_cdc_shared_chunks_matches_oracle(spark):
     # at least one shared chunk per planted twin pair
     assert len(got) >= n_twins
     assert all(r[1] >= 2 for r in got)
+
+
+def test_crossmodal_dedup_union_matches_oracle(spark):
+    """The either-modality rule: image-banded pairs (every consecutive
+    even/odd original pair, texts unrelated) and text chunk-containment
+    pairs (the corpus twins, images unrelated) must union exactly, with
+    correct provenance labels."""
+    import duckdb
+
+    from data_pipeline_who_gho_spark.plans.curation16 import (
+        CROSSMODAL_DEDUP_UNION_SQL,
+        crossmodal_dedup_union,
+    )
+
+    got = sorted(
+        tuple(r) for r in crossmodal_dedup_union(spark, SF).collect()
+    )
+    assert got == _oracle(CROSSMODAL_DEDUP_UNION_SQL)
+    via = {(a, b): v for a, b, v in got}
+    con = duckdb.connect()
+    n, lo = con.execute(
+        f"SELECT COUNT(*), MIN(doc_id) FROM '{SF}/documents.parquet'"
+    ).fetchone()
+    # planted image pairs: consecutive even/odd originals, found via image
+    img_planted = {(d, d + 1) for d in range(lo, lo + n - 1) if d % 2 == 0}
+    assert img_planted <= set(via)
+    assert all(via[p] in ("image", "both") for p in img_planted)
+    # planted text pairs: the corpus twins, found via text
+    twins = {
+        (d, d + 1000000)
+        for (d,) in con.execute(
+            f"SELECT doc_id FROM '{SF}/documents.parquet' WHERE doc_id % 7 = 0"
+        ).fetchall()
+    }
+    assert twins <= set(via)
+    assert all(via[p] in ("text", "both") for p in twins)
+    # the two populations are genuinely disjoint detectors
+    assert not (img_planted & twins)

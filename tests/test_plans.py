@@ -486,3 +486,20 @@ def test_cdc_shared_chunks_single_hash_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_count" in plan
     assert "Join" not in plan  # aggregation, not a self-join
+
+
+def test_crossmodal_union_checkpoints_and_no_smj(spark):
+    """Both fingerprint relations are checkpointed (no MapInPandas in
+    the join plan = no re-decode), and the either-modality union is a
+    union + single hash agg — no full-outer SortMergeJoin, never a
+    cartesian product."""
+    from data_pipeline_who_gho_spark.plans.curation16 import (
+        crossmodal_dedup_union,
+    )
+
+    plan = _plan(crossmodal_dedup_union(spark, SF))
+    assert "MapInPandas" not in plan
+    assert plan.count("Scan ExistingRDD") == 4  # 2 relations x 2 sides
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan  # the union agg combines map-side
