@@ -25,6 +25,10 @@ distinct docs.  Planted twin docs share EVERY chunk; incidentally
 repeated 16+-char substrings across unrelated docs surface too — both
 replayed exactly by the oracle.
 
+``crossmodal_dedup_union`` — the module's capstone: the either-modality
+duplicate rule (image blockhash bands OR 80% CDC chunk containment)
+with per-pair provenance labels; see its own design block below.
+
 No reference-repo analog (the reference pipeline is tabular-only:
 ``etl/transform.py`` handles scalar observation rows); this extends
 the engine's dedup family per the build brief.

@@ -1,10 +1,14 @@
-"""Scaling probe for UNREGISTERED r10-queue queries (plans/curation12
-and curation13).
+"""Scaling probe for UNREGISTERED (queued) queries.
 
 Same protocol as tools/scaling_probe.py (warm session, best-of-2,
-noop-sink force) but resolves callables from the queue modules instead
-of the registry, and prints a markdown row per query without touching
+noop-sink force) but resolves callables from plan modules instead of
+the registry, and prints a markdown row per query without touching
 SCALING.json (queued queries enter the json when registered).
+
+The round-9 queue this was written for drained fully in round 10 (all
+24 registered; their post-registration rows live in SCALING.json via
+tools/scaling_probe.py).  The tool remains for any future queue — pass
+query names explicitly.
 
 Usage: python tools/queue_scaling_probe.py [query ...]
 """
