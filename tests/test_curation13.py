@@ -849,3 +849,69 @@ def test_jsonl_framing_survives_unicode_line_separators():
         r["text"] for r in records
     ]
     assert len(shard.splitlines()) > len(records)  # why splitlines loses
+
+
+def test_exif_all_twelve_tiff_types_roundtrip():
+    """A hand-built APP1 carrying every TIFF 6.0 field type (BYTE
+    through DOUBLE, interpreted or raw) plus a strip-based thumbnail
+    IFD1 must parse, strip, and re-parse with every value preserved —
+    the shapes real camera firmware emits."""
+    from data_pipeline_who_gho_spark.operators.exif import (
+        TAG_EXIF_IFD,
+        TAG_GPS_IFD,
+        TAG_ORIENTATION,
+        TAG_STRIP_OFFSETS,
+        _serialize_tiff,
+        parse_exif_jpeg,
+        strip_gps,
+    )
+
+    strip_a, strip_b = b"STRIP-A-BYTES", b"STRIP-B!"
+    ifd0 = {
+        TAG_ORIENTATION: (3, 1, 6),
+        0x0100: (4, 1, 640),               # LONG ImageWidth
+        0x010E: (2, 12, "descr hello"),    # ASCII
+        TAG_EXIF_IFD: (4, 1, ("ifd", 1)),
+        TAG_GPS_IFD: (4, 1, ("ifd", 2)),
+    }
+    exif_ifd = {
+        0x9000: (7, 4, b"0232"),           # UNDEFINED
+        0x9201: (10, 1, b"\x01\x02\x03\x04\x05\x06\x07\x08"),  # SRATIONAL raw
+        0x9203: (8, 2, b"\xff\x7f\x01\x00"),  # SSHORT raw pair
+        0x9204: (9, 1, b"\xfe\xff\xff\xff"),  # SLONG raw
+        0x9205: (11, 1, b"\x00\x00\x80\x3f"),  # FLOAT raw
+        0x9206: (12, 1, b"\x00" * 8),      # DOUBLE raw
+        0x9290: (6, 3, b"\x01\xfe\x7f"),   # SBYTE raw
+    }
+    gps_ifd = {
+        0x0000: (1, 4, b"\x02\x03\x00\x00"),  # BYTE (GPSVersionID)
+        0x0001: (2, 2, "N"),
+        0x0002: (5, 3, ((51, 1), (30, 1), (26, 1))),
+    }
+    ifd1 = {
+        0x0103: (3, 1, 1),
+        TAG_STRIP_OFFSETS: (4, 2, ("blobs", [strip_a, strip_b])),
+        0x0117: (4, 2, (len(strip_a), len(strip_b))),
+    }
+    tiff = _serialize_tiff("II", [ifd0, exif_ifd, gps_ifd, ifd1],
+                           links=[3, None, None, None])
+    body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + (len(body) + 2).to_bytes(2, "big") + body
+    jpeg = b"\xff\xd8" + app1 + b"\xff\xd9"
+
+    meta = parse_exif_jpeg(jpeg)
+    assert meta["ifd0"][0x010E] == (2, 12, "descr hello")
+    assert meta["exif"][0x9201][2] == b"\x01\x02\x03\x04\x05\x06\x07\x08"
+    assert meta["exif"][0x9203][2] == b"\xff\x7f\x01\x00"
+    assert meta["exif"][0x9290][2] == b"\x01\xfe\x7f"
+    assert meta["gps"][0x0000][2] == b"\x02\x03\x00\x00"
+    assert meta["thumbnail"][TAG_STRIP_OFFSETS] == [strip_a, strip_b]
+
+    stripped = strip_gps(jpeg)
+    m2 = parse_exif_jpeg(stripped)
+    assert not m2["gps"]
+    assert m2["ifd0"][TAG_ORIENTATION][2] == 6
+    assert m2["exif"] == meta["exif"]                  # every exif value kept
+    assert m2["thumbnail"][TAG_STRIP_OFFSETS] == [strip_a, strip_b]
+    assert stripped.endswith(b"\xff\xd9")
+    assert strip_gps(stripped) == stripped             # idempotent

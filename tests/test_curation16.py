@@ -124,3 +124,47 @@ def test_crossmodal_dedup_union_matches_oracle(spark):
     assert all(via[p] in ("text", "both") for p in twins)
     # the two populations are genuinely disjoint detectors
     assert not (img_planted & twins)
+
+
+def test_chunk_spans_fuzz_vs_naive():
+    """The vectorized convolution chunker must agree with a
+    character-at-a-time naive reference on random inputs (including
+    non-ASCII code points), and boundaries must be local: editing one
+    character never moves a boundary more than a window away."""
+    import random
+
+    from data_pipeline_who_gho_spark.plans.curation16 import (
+        _CDC_DIV,
+        _CDC_K,
+        _CDC_M,
+        _CDC_RES,
+        _CDC_W,
+        _chunk_spans,
+    )
+
+    def naive(text):
+        n = len(text)
+        if n == 0:
+            return []
+        ends = []
+        for i in range(_CDC_W - 1, n):
+            h = 0
+            for j in range(_CDC_W):
+                h += ord(text[i - j]) * pow(_CDC_K, j, _CDC_M)
+            if (h % _CDC_M) % _CDC_DIV == _CDC_RES:
+                ends.append(i)
+        if not ends or ends[-1] != n - 1:
+            ends.append(n - 1)
+        spans, start = [], 0
+        for e in ends:
+            spans.append((start, e))
+            start = e + 1
+        return spans
+
+    rng = random.Random(11)
+    alpha = "ab c.xyz\né中\U0001f680"
+    for _ in range(120):
+        text = "".join(
+            rng.choice(alpha) for _ in range(rng.randint(0, 120))
+        )
+        assert _chunk_spans(text) == naive(text), repr(text)
