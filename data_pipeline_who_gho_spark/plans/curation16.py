@@ -139,11 +139,14 @@ def _cdc_spans_sql() -> str:
     return f"""
 WITH corpus AS ({_CORPUS_SQL}),
 chars AS (
-  -- range bound covers the fixture max doc length (558 chars at the
-  -- oracle tiers); the ENGINE has no such limit
+  -- range bound must cover the LONGEST doc at any oracle tier: raw
+  -- fixtures top out at 558 chars, but the derived sf1/sf10text tiers
+  -- inject copy tags that stretch texts past 600 (found live: the
+  -- 600-bound oracle silently truncated sf1 docs and hash-diverged);
+  -- the ENGINE has no such limit
   SELECT doc_id, p.x AS i,
          CAST(unicode(substr(text, p.x + 1, 1)) AS BIGINT) AS cv
-  FROM corpus, range(600) p(x)
+  FROM corpus, range(2000) p(x)
   WHERE p.x < length(text)
 ),
 h AS (
