@@ -174,6 +174,10 @@ from data_pipeline_who_gho_spark.plans.curation16 import (  # noqa: E402
     CURATION16_ORACLE_SQL,
     CURATION16_QUERIES,
 )
+from data_pipeline_who_gho_spark.plans.curation17 import (  # noqa: E402
+    CURATION17_ORACLE_SQL,
+    CURATION17_QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -211,6 +215,8 @@ _PRIORITY = [
     # r10 session builds, third set: content-defined chunking dedup +
     # the either-modality (LAION-style) cross-modal dedup union
     "cdc_chunk_stats", "cdc_shared_chunks", "crossmodal_dedup_union",
+    # r10 session builds, fourth set: MPEG-1 Layer I bitstream decode
+    "mpeg1_layer1_subband_stats",
     # round-8 head
     "media_resize_checksum", "maxmatch_segment_stats", "intradoc_line_dedup",
     "media_decode_png_stats", "boilerplate_strip_newline",
@@ -421,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(CURATION14_QUERIES)
     out.update(CURATION15_QUERIES)
     out.update(CURATION16_QUERIES)
+    out.update(CURATION17_QUERIES)
     order = _rotated(list(out))
     return {name: out[name] for name in order}
 
@@ -428,6 +435,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted ⇒ rows-only)."""
     out: dict[str, str] = {}
-    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL, EXTRAS_ORACLE_SQL, STREAMING_ORACLE_SQL, TPCH_ORACLE_SQL, BEHAVIOR_ORACLE_SQL, TPCH2_ORACLE_SQL, TRAINING_ORACLE_SQL, ANALYTICS3_ORACLE_SQL, VECTOR_ANALYTICS_ORACLE_SQL, ANALYTICS4_ORACLE_SQL, TPCH3_ORACLE_SQL, ANALYTICS5_ORACLE_SQL, TPCH4_ORACLE_SQL, ANALYTICS6_ORACLE_SQL, TRAINING2_ORACLE_SQL, EXTENSION2_ORACLE_SQL, CURATION_ORACLE_SQL, CURATION2_ORACLE_SQL, TOKENIZER_ORACLE_SQL, CURATION3_ORACLE_SQL, ETL_SEAMS_ORACLE_SQL, CURATION4_ORACLE_SQL, CURATION5_ORACLE_SQL, CURATION6_ORACLE_SQL, SKETCH_ORACLE_SQL, SCALE_OPS_ORACLE_SQL, CURATION7_ORACLE_SQL, CURATION8_ORACLE_SQL, CURATION9_ORACLE_SQL, CURATION10_ORACLE_SQL, CURATION11_ORACLE_SQL, UNIGRAM_ORACLE_SQL, CURATION12_ORACLE_SQL, CURATION13_ORACLE_SQL, CURATION14_ORACLE_SQL, CURATION15_ORACLE_SQL, CURATION16_ORACLE_SQL):
+    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL, EXTRAS_ORACLE_SQL, STREAMING_ORACLE_SQL, TPCH_ORACLE_SQL, BEHAVIOR_ORACLE_SQL, TPCH2_ORACLE_SQL, TRAINING_ORACLE_SQL, ANALYTICS3_ORACLE_SQL, VECTOR_ANALYTICS_ORACLE_SQL, ANALYTICS4_ORACLE_SQL, TPCH3_ORACLE_SQL, ANALYTICS5_ORACLE_SQL, TPCH4_ORACLE_SQL, ANALYTICS6_ORACLE_SQL, TRAINING2_ORACLE_SQL, EXTENSION2_ORACLE_SQL, CURATION_ORACLE_SQL, CURATION2_ORACLE_SQL, TOKENIZER_ORACLE_SQL, CURATION3_ORACLE_SQL, ETL_SEAMS_ORACLE_SQL, CURATION4_ORACLE_SQL, CURATION5_ORACLE_SQL, CURATION6_ORACLE_SQL, SKETCH_ORACLE_SQL, SCALE_OPS_ORACLE_SQL, CURATION7_ORACLE_SQL, CURATION8_ORACLE_SQL, CURATION9_ORACLE_SQL, CURATION10_ORACLE_SQL, CURATION11_ORACLE_SQL, UNIGRAM_ORACLE_SQL, CURATION12_ORACLE_SQL, CURATION13_ORACLE_SQL, CURATION14_ORACLE_SQL, CURATION15_ORACLE_SQL, CURATION16_ORACLE_SQL, CURATION17_ORACLE_SQL):
         out.update({k: v for k, v in d.items() if v})
     return out
