@@ -191,127 +191,85 @@ def entry(spark: SparkSession) -> DataFrame:
 # _PRIORITY below), then green ones stalest-round first.  Ground truth is
 # the CORRECTNESS_r*.json files the driver leaves in the repo root.
 _PRIORITY = [
-    # r10 head: the 24 round-9-queued registrations (plans/curation12.py
-    # + plans/curation13.py, each oracle-exact at sf0.001 AND sf0.01 in
-    # pytest before registration).  They are never-green, so the green
-    # sort puts them first; the remaining 26 window slots drain the 3
-    # r04-signal queries then the oldest r05 cohort.  Per-round rotation
-    # history lives in COVERAGE.md's registry-status blocks.
-    "jpeg420_decode_stats", "audio_fingerprint_neardup",
-    "flac_decode_stats", "audio_spectral_features",
-    "jpeg_progressive_decode_stats", "mp4_container_stats",
-    "mp3_frame_stats", "multi_codec_roundtrip_stats",
-    "mojibake_repair_stats", "parquet_footer_probe",
-    "blocklist_match_stats", "warc_record_stats", "html_extract_stats",
-    "html_boilerplate_extract", "video_fingerprint_neardup",
-    "url_canonical_dedup", "robots_gate_stats", "sitemap_frontier_stats",
-    "srt_cue_stats", "crawl_ingest_e2e", "exif_gps_strip_stats",
-    "id3_metadata_stats", "archive_member_stats", "jsonl_shard_explode",
-    # r10 session builds: orientation-aware fingerprints (VERDICT task
-    # 6) and the modality quality gates (audio clip/silence, image
-    # contrast, video scene cuts)
-    "exif_orientation_neardup", "audio_quality_gates",
-    "image_quality_gates", "video_scene_cut_stats",
-    # r10 session builds, third set: content-defined chunking dedup +
-    # the either-modality (LAION-style) cross-modal dedup union
-    "cdc_chunk_stats", "cdc_shared_chunks", "crossmodal_dedup_union",
-    # r10 session builds, fourth set: MPEG-1 Layer I bitstream decode
-    "mpeg1_layer1_subband_stats",
-    # round-8 head
-    "media_resize_checksum", "maxmatch_segment_stats", "intradoc_line_dedup",
+    # Live never-green ranking only (ties in the green sort break on
+    # this order; first occurrence wins).  Per-round narrative of WHY
+    # each block was head-of-window lives in COVERAGE.md's
+    # registry-status blocks (r05-r11), not here.
+    "jpeg420_decode_stats", "audio_fingerprint_neardup", "flac_decode_stats",
+    "audio_spectral_features", "jpeg_progressive_decode_stats",
+    "mp4_container_stats", "mp3_frame_stats", "multi_codec_roundtrip_stats",
+    "mojibake_repair_stats", "parquet_footer_probe", "blocklist_match_stats",
+    "warc_record_stats", "html_extract_stats", "html_boilerplate_extract",
+    "video_fingerprint_neardup", "url_canonical_dedup", "robots_gate_stats",
+    "sitemap_frontier_stats", "srt_cue_stats", "crawl_ingest_e2e",
+    "exif_gps_strip_stats", "id3_metadata_stats", "archive_member_stats",
+    "jsonl_shard_explode", "exif_orientation_neardup", "audio_quality_gates",
+    "image_quality_gates", "video_scene_cut_stats", "cdc_chunk_stats",
+    "cdc_shared_chunks", "crossmodal_dedup_union",
+    "mpeg1_layer1_subband_stats", "media_resize_checksum",
+    "maxmatch_segment_stats", "intradoc_line_dedup",
     "media_decode_png_stats", "boilerplate_strip_newline",
     "unigram_encode_stats", "audio_decode_stats", "video_frame_stats",
-    "row_group_layout_plan", "gzip_roundtrip_stats",
-    # round-7 head
-    "media_decode_stats", "boilerplate_strip_audit", "token_budget_sample",
-    # round-6 head (all re-greened in r06)
-    "corpus_build_e2e", "ann_lsh_multitable",
-    "compact_shards", "rrf_hybrid_search",
-    "quantile_normalize_scores",
-    "triangle_cosupply", "ann_recall_report",
+    "row_group_layout_plan", "gzip_roundtrip_stats", "media_decode_stats",
+    "boilerplate_strip_audit", "token_budget_sample", "corpus_build_e2e",
+    "ann_lsh_multitable", "compact_shards", "rrf_hybrid_search",
+    "quantile_normalize_scores", "triangle_cosupply", "ann_recall_report",
     "hll_distinct_per_source", "hll_union_total", "media_byte_features",
-    # round-1 non-green rows (fixed in r02) — re-verified r02
     "json_extraction", "sessionize_events", "array_agg_sorted",
-    # dedup family
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_prefix_filter", "dedup_simhash", "dedup_clusters",
-    # ANN / embeddings / multimodal
-    "ann_cosine_topk", "ann_lsh_buckets", "ann_ivf_search",
-    "ann_ivf_nprobe", "embed_neardup_pairs", "multimodal_meta",
-    # remaining ETL ops
-    "etl_safe_cast", "etl_upsert_merge", "etl_upsert_cdc",
-    "etl_scd2_merge", "etl_dq_summary",
-    # TPC-H (Q1 == agg_pricing_summary, green in r01)
+    "ann_cosine_topk", "ann_lsh_buckets", "ann_ivf_search", "ann_ivf_nprobe",
+    "embed_neardup_pairs", "multimodal_meta", "etl_safe_cast",
+    "etl_upsert_merge", "etl_upsert_cdc", "etl_scd2_merge", "etl_dq_summary",
     "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
     "q5_local_supplier", "q6_forecast_revenue", "q7_volume_shipping",
     "q8_market_share", "q9_part_revenue", "q10_returned_items",
     "q11_important_parts", "q12_shipmode_priority", "q13_order_distribution",
     "q14_promo_effect", "q15_top_supplier", "q16_supplier_part_counts",
     "q17_small_quantity", "q18_large_orders", "q19_disjunctive",
-    "q20_dominant_suppliers", "q21_waiting_suppliers", "q22_dormant_customers",
-    # training-corpus ops
-    "train_split_assign", "contamination_check", "doc_chunking",
-    "doc_chunking_strided", "pii_redaction", "vocab_top_tokens",
-    "tfidf_top_term",
-    # streaming + text (window filler for round 2)
-    "stream_tumbling_counts", "text_stats",
-    # round-2 additions (beyond the r2 window): rank them ahead of the
-    # remaining never-green backlog so round 3's window picks them up
-    "simhash_neardup_pairs", "dedup_containment", "dedup_sorted_neighborhood",
-    "bm25_search", "bigram_lm_score", "byte_entropy_stats", "pmi_collocations",
-    "dedup_incremental", "dedup_incremental_neardup",
-    "corpus_admission_pipeline", "corpus_filter_funnel", "table_diff",
-    "semantic_dedup_reps", "embed_neardup_blocked", "embed_neardup_bucketed",
-    "recursive_trade_reach",
-    "stream_paged_fetch", "etl_checkpoint_resume",
+    "q20_dominant_suppliers", "q21_waiting_suppliers",
+    "q22_dormant_customers", "train_split_assign", "contamination_check",
+    "doc_chunking", "doc_chunking_strided", "pii_redaction",
+    "vocab_top_tokens", "tfidf_top_term", "stream_tumbling_counts",
+    "text_stats", "simhash_neardup_pairs", "dedup_containment",
+    "dedup_sorted_neighborhood", "bm25_search", "bigram_lm_score",
+    "byte_entropy_stats", "pmi_collocations", "dedup_incremental",
+    "dedup_incremental_neardup", "corpus_admission_pipeline",
+    "corpus_filter_funnel", "table_diff", "semantic_dedup_reps",
+    "embed_neardup_blocked", "embed_neardup_bucketed",
+    "recursive_trade_reach", "stream_paged_fetch", "etl_checkpoint_resume",
     "trending_users_decayed", "stream_stateful_totals",
-    "weighted_sample_docs", "stream_dedup_within_watermark", "dataset_card_stats",
-    # training2 (LLM-corpus second wave) — judge-named for the r03 window,
-    # ahead of the analytics3-6 backlog (deferred to round 4)
-    "doc_repetition_stats", "domain_quota_sample", "seq_packing",
-    "source_mix_weights", "curriculum_phases",
-    # round-3 session additions (sub-document dedup + PQ): rank with the
-    # other never-green curation ops, ahead of the analytics3-6 backlog
-    "dedup_passages", "duplicate_spans", "ann_ivf_pq",
-    "shard_manifest", "bpe_learn_merges", "bpe_token_counts",
-    "train_order_shuffle", "hashed_doc_vectors", "remove_duplicate_spans",
-    "stratified_split_exact", "cluster_prototypes", "quality_classifier_score",
-    "ngram_novelty",
-    # round-5: the three r04-queued registrations first, then the six
-    # stale (rewritten-after-green) queries, then the round-5 additions
-    # (model-inference seam, URL curation, BPE decode); the rest of the
-    # window fills with the oldest-green r01 cohort via the green sort
+    "weighted_sample_docs", "stream_dedup_within_watermark",
+    "dataset_card_stats", "doc_repetition_stats", "domain_quota_sample",
+    "seq_packing", "source_mix_weights", "curriculum_phases",
+    "dedup_passages", "duplicate_spans", "ann_ivf_pq", "shard_manifest",
+    "bpe_learn_merges", "bpe_token_counts", "train_order_shuffle",
+    "hashed_doc_vectors", "remove_duplicate_spans", "stratified_split_exact",
+    "cluster_prototypes", "quality_classifier_score", "ngram_novelty",
     "asof_nearest_events", "bpe_encode_fingerprint", "bpe_vocab",
     "etl_paged_fetch", "asof_join_events", "asof_tolerance_events",
-    "asof_forward_events", "ngram_novelty", "remove_duplicate_spans",
-    "embed_with_model", "model_ann_topk", "url_normalize_dedup",
-    "domain_stats", "bpe_decode_roundtrip",
+    "asof_forward_events", "embed_with_model", "model_ann_topk",
+    "url_normalize_dedup", "domain_stats", "bpe_decode_roundtrip",
     "gopher_repetition_flags", "source_overlap_matrix",
-    "tokenizer_fertility", "hll_distinct_per_source", "hll_union_total",
-    # round-5 fourth set: bloom-pruned admission, OOV coverage,
-    # PQ→exact rerank, hopping-window streaming
-    "bloom_prune_incremental", "oov_rate_per_source", "ann_pq_rerank",
-    "stream_hopping_counts", "bucketed_colocated_join",
+    "tokenizer_fertility", "bloom_prune_incremental", "oov_rate_per_source",
+    "ann_pq_rerank", "stream_hopping_counts", "bucketed_colocated_join",
     "stream_upsert_foreachbatch", "kmv_user_day_overlap",
-    "triangle_cosupply", "quantile_sketch_by_flag",
-    # round-4: the analytics3-6 / vector / stateful-streaming backlog is
-    # ranked FIRST this round (judge item 1 — never driver-checked), then
-    # the new §2a seam queries (judge item 3)
-    "stream_sessions", "stream_dedup_events", "stream_stream_join",
-    "stream_static_enrich", "zscore_anomalies", "funnel_conversion",
-    "cohort_retention", "window_rank_family", "exact_percentiles",
-    "mode_per_group", "corr_exact", "gap_fill_daily", "rolling_hour_window",
-    "label_centroids", "vector_norms", "knn_classify", "kmeans_assign",
-    "scd2_user_status", "max_concurrent_events", "sample_hash_stratified",
-    "heavy_hitters", "quantize_embeddings", "text_normalize", "robust_stats",
-    "incremental_rollup_monthly", "event_transitions", "fuzzy_match_docs",
-    "linreg_exact", "table_profile", "twap_user_value",
-    "interval_overlap_events", "ewma_user_value", "pagerank_customer_supplier",
-    "locf_gap_fill", "zorder_event_cells", "join_null_safe", "ohlc_hourly",
-    "etl_retry_fetch", "etl_fetch_limit", "etl_migration_rebuild",
-    "etl_reject_sink", "etl_state_bootstrap", "etl_records_to_table",
-    "etl_indicator_projection", "etl_json_interchange", "etl_pipeline_e2e",
-    "perplexity_buckets", "dedup_cluster_best", "corpus_dedup_report",
+    "quantile_sketch_by_flag", "stream_sessions", "stream_dedup_events",
+    "stream_stream_join", "stream_static_enrich", "zscore_anomalies",
+    "funnel_conversion", "cohort_retention", "window_rank_family",
+    "exact_percentiles", "mode_per_group", "corr_exact", "gap_fill_daily",
+    "rolling_hour_window", "label_centroids", "vector_norms", "knn_classify",
+    "kmeans_assign", "scd2_user_status", "max_concurrent_events",
+    "sample_hash_stratified", "heavy_hitters", "quantize_embeddings",
+    "text_normalize", "robust_stats", "incremental_rollup_monthly",
+    "event_transitions", "fuzzy_match_docs", "linreg_exact", "table_profile",
+    "twap_user_value", "interval_overlap_events", "ewma_user_value",
+    "pagerank_customer_supplier", "locf_gap_fill", "zorder_event_cells",
+    "join_null_safe", "ohlc_hourly", "etl_retry_fetch", "etl_fetch_limit",
+    "etl_migration_rebuild", "etl_reject_sink", "etl_state_bootstrap",
+    "etl_records_to_table", "etl_indicator_projection",
+    "etl_json_interchange", "etl_pipeline_e2e", "perplexity_buckets",
+    "dedup_cluster_best", "corpus_dedup_report",
 ]
 
 
