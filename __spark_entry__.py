@@ -284,9 +284,13 @@ _PRIORITY = [
 # and prints the queries that belong here; run it before each round's
 # final commit, annotate, then `--update` the baseline.
 _STALE_SINCE: dict[str, int] = {
-    # (all six r06 entries re-earned green rows in CORRECTNESS_r06 —
-    # pruned per the ledger's self-clearing rule, which
-    # tools/round_close.py now enforces at round close)
+    # r11: the CDC oracle chars CTE went bound-free (lateral
+    # generate_series replaced range(2000)) and crossmodal's text side
+    # gained the _XM_DF_CAP discriminative-chunk filter — all three
+    # share _cdc_spans_sql, so all three must re-earn a green row
+    "cdc_chunk_stats": 11,
+    "cdc_shared_chunks": 11,
+    "crossmodal_dedup_union": 11,
 }
 
 

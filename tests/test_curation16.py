@@ -126,6 +126,77 @@ def test_crossmodal_dedup_union_matches_oracle(spark):
     assert not (img_planted & twins)
 
 
+def test_text_containment_df_cap_bounds_hot_chunk(spark):
+    """The discriminative-chunk df cap: a chunk shared by MORE than
+    _XM_DF_CAP documents must be dropped before the inverted-index
+    self-join (no d^2 pair blowup on one hot boilerplate key), while
+    full twin pairs — even ones whose shared text includes the hot
+    chunk — still pair at 100% containment."""
+    from data_pipeline_who_gho_spark.plans.curation16 import (
+        _XM_DF_CAP,
+        _text_containment_pairs,
+    )
+
+    n_hot = _XM_DF_CAP + 150  # hot chunk df: far past the cap
+    rows = []
+    for d in range(n_hot):
+        rows.append((d, "HOT"))          # the shared boilerplate chunk
+        rows.append((d, f"u{d}"))        # otherwise unique content
+        rows.append((d, f"v{d}"))
+    # one planted twin pair that ALSO carries the hot chunk
+    rows += [(9001, "HOT"), (9001, "tw1"), (9001, "tw2"),
+             (9002, "HOT"), (9002, "tw1"), (9002, "tw2")]
+    ch = spark.createDataFrame(rows, "doc_id BIGINT, chunk_md5 STRING")
+    got = {(a, b) for a, b in _text_containment_pairs(ch).collect()}
+    # without the cap the hot chunk alone yields C(n_hot+2, 2) >= 20k
+    # candidate pairs; with it, only the twins (who share ALL their
+    # discriminative chunks) survive
+    assert got == {(9001, 9002)}
+    # and a corpus where the cap is not hit behaves as plain containment
+    small = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "z")],
+        "doc_id BIGINT, chunk_md5 STRING",
+    )
+    assert {(a, b) for a, b in _text_containment_pairs(small).collect()} == {
+        (1, 2)
+    }
+
+
+def test_cdc_oracle_unbounded_long_doc():
+    """The oracle's chars CTE derives its bound from each text (no
+    static range cap): a >2000-char doc — the exact shape that silently
+    truncated and hash-diverged under the old range(2000) — must chunk
+    identically to the engine's convolution."""
+    import duckdb
+    import hashlib
+
+    from data_pipeline_who_gho_spark.plans.curation16 import (
+        _cdc_spans_sql,
+        _chunk_spans,
+    )
+
+    import random
+
+    rng = random.Random(1611)
+    words = "rain roof quiet grey falls river bend old house cat dog".split()
+    text = " ".join(rng.choice(words) for _ in range(700))[:3100]
+    assert len(text) > 2000
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES (1, ?)", [text])
+    sql = _cdc_spans_sql() + """
+    SELECT doc_id, s, e, md5(ctext) AS h FROM chunks ORDER BY s"""
+    got = con.execute(sql).fetchall()
+    want = [
+        (1, s, e, hashlib.md5(text[s : e + 1].encode()).hexdigest())
+        for s, e in _chunk_spans(text)
+    ]
+    # the corpus CTE also injects the %7 twin; doc 1 is not a multiple
+    # of 7 so exactly the original rows come back
+    assert got == want
+    assert len(want) > 30  # genuinely multi-chunk at this length
+
+
 def test_chunk_spans_fuzz_vs_naive():
     """The vectorized convolution chunker must agree with a
     character-at-a-time naive reference on random inputs (including
