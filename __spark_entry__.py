@@ -291,6 +291,10 @@ _STALE_SINCE: dict[str, int] = {
     "cdc_chunk_stats": 11,
     "cdc_shared_chunks": 11,
     "crossmodal_dedup_union": 11,
+    # r11: strip_gps's serializer changed (ASCII count recompute +
+    # dangling-IFD1-pointer drop) — plan hash can't see UDF bodies, so
+    # restale manually even though fixture behavior is unchanged
+    "exif_gps_strip_stats": 11,
 }
 
 

@@ -246,6 +246,12 @@ def _serialize_tiff(
                 )
             else:
                 data = encode_value(typ, value)
+            if typ == 2 and isinstance(value, str):
+                # parse rstripped NUL padding from ASCII text, so the
+                # original cnt can exceed the re-encoded length
+                # (multi-string or padded tags) — recompute so the
+                # declared count never overruns the emitted bytes
+                cnt = len(data)
             table += pack(tag, 2) + pack(typ, 2) + pack(cnt, 4)
             if len(data) <= 4:
                 table += data.ljust(4, b"\x00")
@@ -385,6 +391,17 @@ def strip_gps(payload: bytes) -> bytes:
             links.append(None)
     if meta["ifd1"]:
         ifd1 = dict(meta["ifd1"])
+        # pointer tags whose payload _thumbnail_blobs could NOT capture
+        # (JPEGInterchangeFormat without 0x0202, StripOffsets without
+        # StripByteCounts) would re-emit numeric offsets into the OLD
+        # TIFF layout — drop the dangling pointer and its companion
+        if TAG_JPEG_IF in ifd1 and TAG_JPEG_IF not in meta["thumbnail"]:
+            ifd1.pop(TAG_JPEG_IF, None)
+            ifd1.pop(TAG_JPEG_IF_LENGTH, None)
+        if TAG_STRIP_OFFSETS in ifd1 \
+                and TAG_STRIP_OFFSETS not in meta["thumbnail"]:
+            ifd1.pop(TAG_STRIP_OFFSETS, None)
+            ifd1.pop(TAG_STRIP_BYTE_COUNTS, None)
         for tag, blob in meta["thumbnail"].items():
             btyp, bcnt, _ = ifd1[tag]
             sentinel = ("blobs", blob) if isinstance(blob, list) \

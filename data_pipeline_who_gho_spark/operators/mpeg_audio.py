@@ -154,6 +154,14 @@ def parse_layer1_frame(frame: bytes) -> dict:
         raise NotImplementedError("only single-channel Layer I implemented")
     br_idx = (h >> 12) & 0xF
     sr_idx = (h >> 10) & 3
+    # reserved/free-format header codes: keep the module's ValueError
+    # contract for malformed input (a hostile frame must not surface a
+    # KeyError/IndexError from the rate tables)
+    if sr_idx == 3:
+        raise ValueError("reserved sample-rate index 3")
+    if br_idx in (0, 15):
+        raise ValueError(f"unsupported bitrate index {br_idx} "
+                         "(free-format / forbidden)")
     r = _BitReader(frame)
     r.pos = 32
     alloc = [r.read(4) for _ in range(32)]

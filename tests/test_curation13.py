@@ -915,3 +915,78 @@ def test_exif_all_twelve_tiff_types_roundtrip():
     assert m2["thumbnail"][TAG_STRIP_OFFSETS] == [strip_a, strip_b]
     assert stripped.endswith(b"\xff\xd9")
     assert strip_gps(stripped) == stripped             # idempotent
+
+
+def test_exif_ascii_count_recomputed_on_rebuild():
+    """A NUL-padded ASCII tag (declared count > re-encoded length —
+    common in real camera firmware) must re-serialize with the count
+    recomputed from the emitted bytes, never a declared count that
+    overruns them (r10 ADVICE)."""
+    from data_pipeline_who_gho_spark.operators.exif import (
+        TAG_GPS_LAT_REF,
+        TAG_GPS_IFD,
+        _serialize_tiff,
+        parse_exif_jpeg,
+        strip_gps,
+    )
+
+    padded = b"2026:01:01 00:00:00\x00" + b"\x00" * 10  # count 30, text 19
+    ifd0 = {
+        0x0132: (2, len(padded), padded),
+        TAG_GPS_IFD: (4, 1, ("ifd", 1)),
+    }
+    gps_ifd = {TAG_GPS_LAT_REF: (2, 2, "N")}
+    tiff = _serialize_tiff("II", [ifd0, gps_ifd], [None, None])
+    body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + (len(body) + 2).to_bytes(2, "big") + body
+    jpeg = b"\xff\xd8" + app1 + b"\xff\xd9"
+    meta = parse_exif_jpeg(jpeg)
+    assert meta["ifd0"][0x0132] == (2, 30, "2026:01:01 00:00:00")
+
+    stripped = strip_gps(jpeg)
+    m2 = parse_exif_jpeg(stripped)
+    typ, cnt, val = m2["ifd0"][0x0132]
+    assert val == "2026:01:01 00:00:00"
+    assert cnt == len(val) + 1  # recomputed: count matches emitted bytes
+
+
+def test_exif_dangling_ifd1_pointers_dropped_on_rebuild():
+    """IFD1 pointer tags whose payload could not be captured
+    (JPEGInterchangeFormat without 0x0202; StripOffsets without
+    StripByteCounts) must be DROPPED by strip_gps, not re-emitted as
+    numeric offsets into the old TIFF layout (r10 ADVICE)."""
+    from data_pipeline_who_gho_spark.operators.exif import (
+        TAG_GPS_LAT_REF,
+        TAG_GPS_IFD,
+        TAG_JPEG_IF,
+        TAG_JPEG_IF_LENGTH,
+        TAG_ORIENTATION,
+        TAG_STRIP_BYTE_COUNTS,
+        TAG_STRIP_OFFSETS,
+        _serialize_tiff,
+        parse_exif_jpeg,
+        strip_gps,
+    )
+
+    for ifd1 in (
+        {TAG_JPEG_IF: (4, 1, 9999), 0x0103: (3, 1, 6)},
+        {TAG_STRIP_OFFSETS: (4, 2, (100, 200)), 0x0103: (3, 1, 6)},
+    ):
+        ifd0 = {
+            TAG_ORIENTATION: (3, 1, 3),
+            TAG_GPS_IFD: (4, 1, ("ifd", 1)),
+        }
+        gps_ifd = {TAG_GPS_LAT_REF: (2, 2, "N")}
+        tiff = _serialize_tiff("II", [ifd0, gps_ifd, dict(ifd1)], [2, None, None])
+        body = b"Exif\x00\x00" + tiff
+        app1 = b"\xff\xe1" + (len(body) + 2).to_bytes(2, "big") + body
+        jpeg = b"\xff\xd8" + app1 + b"\xff\xd9"
+        meta = parse_exif_jpeg(jpeg)
+        assert meta["ifd1"] and not meta["thumbnail"]  # dangling pointers
+
+        m2 = parse_exif_jpeg(strip_gps(jpeg))
+        assert not m2["gps"]
+        for ptr in (TAG_JPEG_IF, TAG_JPEG_IF_LENGTH,
+                    TAG_STRIP_OFFSETS, TAG_STRIP_BYTE_COUNTS):
+            assert ptr not in m2["ifd1"]
+        assert m2["ifd1"][0x0103] == (3, 1, 6)  # descriptive tags survive

@@ -110,3 +110,25 @@ def test_mpeg1_layer1_subband_stats_matches_oracle(spark):
         # every requant numerator 2c+1-2^nb is odd; 12*n_active of them
         # sum to an even number
         assert num_sum % 2 == 0
+
+
+def test_layer1_reserved_header_codes_raise_valueerror():
+    """Hostile headers with reserved sample-rate index 3 or bitrate
+    index 0/15 must raise ValueError (the module's malformed-input
+    contract), not leak KeyError/IndexError from the rate tables
+    (r10 ADVICE)."""
+    from data_pipeline_who_gho_spark.operators.mpeg_audio import (
+        parse_layer1_frame,
+    )
+
+    def header(br_idx, sr_idx):
+        h = ((0x7FF << 21) | (3 << 19) | (3 << 17) | (1 << 16)
+             | (br_idx << 12) | (sr_idx << 10) | (3 << 6))
+        return h.to_bytes(4, "big") + bytes(64)
+
+    for br_idx, sr_idx in ((8, 3), (15, 0), (0, 0)):
+        with pytest.raises(ValueError):
+            parse_layer1_frame(header(br_idx, sr_idx))
+    # a valid header still parses
+    got = parse_layer1_frame(header(8, 0))
+    assert got["sr"] == 44100 and got["kbps"] == 256
