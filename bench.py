@@ -4,10 +4,28 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 Each query is forced end-to-end with the noop sink (full execution, no
 driver-side collect bottleneck), mirroring how a cluster job would sink.
+
+FAST-PHASE PROTOCOL (r11): this host swings between invisible speed
+phases (the same fixed Python loop measured 0.32 s and 0.95 s hours
+apart with zero guest-visible steal — r10's committed artifact landed
+in a slow phase and was incomparable to other rounds' without trusting
+prose).  The bench therefore (a) runs a Spark-independent calibration
+before AND between the three interleaved passes, (b) if any reading
+falls outside the established fast band, re-runs the whole measurement
+(<= $SPARK_GRAFT_BENCH_ATTEMPTS attempts, default 3, spaced
+$SPARK_GRAFT_BENCH_SPACING s, default 300), and (c) records EVERY
+attempt's per-query timings plus a frozen Spark-JVM canary in the
+artifact, so the committed JSON is judgeable on its own: the headline
+is the first fast-phase attempt, and the canary — a plan-pinned
+trivial JVM aggregation whose slowdown sensitivity matches the Spark
+workload, unlike r10's single-thread Python loop-units metric, which
+overcorrected (loop slowed 1.94x while Spark queries slowed ~1.25x)
+and was removed — lets any two rounds' artifacts be compared directly.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -53,6 +71,14 @@ HEADLINE = [
 _REBASED_R09 = {"media_decode_png_stats"}
 _REBASED_R10 = {"crawl_ingest_e2e"}
 
+# Established fast-phase band for the fixed single-core Python loop
+# (seconds): readings across r07-r10 fast phases were 0.31-0.41.  The
+# 8-process parallel loop reads ~= the single-core loop when the host
+# is uncapped; 0.65 allows pool fork/teardown overhead while still
+# catching the observed 2-3x capped phases.
+_FAST_LOOP_BAND = (0.28, 0.43)
+_FAST_MP8_MAX = 0.65
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -67,41 +93,108 @@ def _mp_spin(_):
     return y
 
 
-def _calibrate() -> dict[str, float]:
-    """Spark-independent host-speed yardstick, run before the JVM
-    starts: a fixed single-core Python loop and a fixed numpy matmul.
-    Round-over-round bench drift that tracks these numbers is the HOST
-    (steal/frequency/thermal), not the engine — the r07->r08 +20%
-    uniform drift across 17 unchanged plans motivated recording it."""
-    import time as _t
-
-    import numpy as np
-
-    t0 = _t.time()
+def _loop_calib() -> float:
+    """The fixed single-core Python loop (the cross-round yardstick)."""
+    t0 = time.time()
     x = 0
     for i in range(10_000_000):
         x += i
-    py = _t.time() - t0
-    a = np.random.default_rng(0).random((2000, 2000))
-    t0 = _t.time()
-    for _ in range(3):
-        (a @ a).sum()
-    mm = _t.time() - t0
-    # MULTI-core yardstick: 8 concurrent processes each running the
-    # same loop.  The r10 session found host phases where the
-    # single-core loop reads fast but wide parallel work is throttled
-    # (hypervisor CPU capping) — a single-thread calib cannot see that;
-    # in an uncapped phase this wall time ~= python_loop_sec.
+    return round(time.time() - t0, 3)
+
+
+def _mp8_calib() -> float:
+    """8 concurrent processes running the same loop: catches hypervisor
+    multi-core capping that a single-thread loop cannot see (observed
+    live in the r10 session)."""
     import multiprocessing as _mp
 
-    t0 = _t.time()
+    t0 = time.time()
     with _mp.Pool(8) as pool:
         pool.map(_mp_spin, range(8))
-    mp8 = _t.time() - t0
+    return round(time.time() - t0, 3)
+
+
+def _matmul_calib() -> float:
+    import numpy as np
+
+    a = np.random.default_rng(0).random((2000, 2000))
+    t0 = time.time()
+    for _ in range(3):
+        (a @ a).sum()
+    return round(time.time() - t0, 3)
+
+
+def _canary(spark):
+    """The frozen Spark-JVM canary: a constant-defined, IO-free,
+    whole-stage-codegen aggregation over 32 slices.  Its wall time
+    moves with the SAME host effects (JVM thread throttling, multi-core
+    capping) as the headline queries — the right yardstick for
+    normalizing cross-round comparisons, where a Python loop is not.
+    DO NOT change the constants: the artifact pins the normalized plan
+    hash so any drift is visible."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(0, 320_000_000, 1, 32)
+        .select(
+            F.sum((F.col("id") * 2 + 1) % 1000003).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def _canary_plan_md5(df) -> str:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return hashlib.md5(re.sub(r"#\d+", "#", plan).encode()).hexdigest()
+
+
+def _run_attempt(spark, queries, sf_dir: str) -> dict:
+    """One full measurement: calib -> (canary + pass) x3 with calib
+    between passes -> calib.  Returns every reading; ``fast_phase`` is
+    True iff all loop/mp8 calibs landed in the established band."""
+    loops = [_loop_calib()]
+    mp8s = [_mp8_calib()]
+    canary_df = _canary(spark)
+    canary_secs: list[float] = []
+    timings: dict[str, float] = {n: float("inf") for n in HEADLINE}
+    for p in range(3):
+        t0 = time.time()
+        force(canary_df)
+        canary_secs.append(round(time.time() - t0, 3))
+        for name in HEADLINE:
+            t0 = time.time()
+            force(queries[name](spark, sf_dir))
+            timings[name] = min(timings[name], time.time() - t0)
+        loops.append(_loop_calib())
+        if p < 2:
+            mp8s.append(_mp8_calib())
+    timings = {n: round(v, 3) for n, v in timings.items()}
+    legacy17 = sum(
+        v for n, v in timings.items()
+        if n not in _REBASED_R09 and n not in _REBASED_R10
+    )
+    # MEDIAN readings classify the attempt: single readings carry ±10%
+    # noise (a 0.278 edge reading must not disqualify a genuinely fast
+    # attempt, nor one lucky reading qualify a capped one)
+    med_loop = sorted(loops)[len(loops) // 2]
+    med_mp8 = sorted(mp8s)[len(mp8s) // 2]
+    fast = (
+        _FAST_LOOP_BAND[0] <= med_loop <= _FAST_LOOP_BAND[1]
+        and med_mp8 <= _FAST_MP8_MAX
+    )
     return {
-        "python_loop_sec": round(py, 3),
-        "matmul_sec": round(mm, 3),
-        "mp8_loop_sec": round(mp8, 3),
+        "queries": timings,
+        "total": round(sum(timings.values()), 3),
+        "legacy17_total": round(legacy17, 3),
+        "r09_18_total": round(
+            sum(v for n, v in timings.items() if n not in _REBASED_R10), 3
+        ),
+        "canary_sec": canary_secs,
+        "calib_loop_sec": loops,
+        "calib_mp8_sec": mp8s,
+        "calib_loop_median": med_loop,
+        "calib_mp8_median": med_mp8,
+        "fast_phase": fast,
     }
 
 
@@ -109,66 +202,79 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    spacing = float(os.environ.get("SPARK_GRAFT_BENCH_SPACING", "300"))
 
     load_start = os.getloadavg()  # BEFORE the JVM spins up: ambient load
-    calib = _calibrate()  # Spark-independent host-speed yardstick
+    matmul = _matmul_calib()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
     # warm JVM/codegen paths on the tiny sf, and the OS page cache +
-    # parquet footers for the bench tables (steady-state measurement)
+    # parquet footers for the bench tables (steady-state measurement);
+    # one canary run warms its codegen path too
     force(queries["a1_star_join_revenue"](spark, "/root/testdata/sf0.001"))
     from data_pipeline_who_gho_spark.sources.catalog import TABLES, load_table
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
+    canary_df = _canary(spark)
+    force(canary_df)
 
-    # best-of-3 per query, measured as three INTERLEAVED passes over the
-    # whole list: steady-state throughput with GC/compilation noise
-    # damped, and — unlike back-to-back repeats — a multi-second host
-    # steal burst (observed on the shared box) lands inside one pass and
-    # cannot poison every measurement of the same query
-    timings: dict[str, float] = {n: float("inf") for n in HEADLINE}
-    for _ in range(3):
-        for name in HEADLINE:
-            t0 = time.time()
-            force(queries[name](spark, sf_dir))
-            timings[name] = min(timings[name], time.time() - t0)
-    timings = {n: round(v, 3) for n, v in timings.items()}
+    # each attempt's per-query timings are best-of-3 INTERLEAVED passes:
+    # steady-state throughput with GC/compilation noise damped, and a
+    # multi-second host burst lands inside one pass rather than
+    # poisoning every measurement of the same query
+    attempts: list[dict] = []
+    for i in range(max_attempts):
+        attempts.append(_run_attempt(spark, queries, sf_dir))
+        if attempts[-1]["fast_phase"]:
+            break
+        if i < max_attempts - 1:
+            time.sleep(spacing)  # wait out the slow phase, then retry
 
-    # machine-load context: BENCH_r07 read +18% vs r06 with ZERO plan
-    # drift (judged environmental); recording the 1/5/15-min loadavg
-    # alongside lets any future drift be attributed without a rerun
-    legacy17 = sum(
-        v for n, v in timings.items()
-        if n not in _REBASED_R09 and n not in _REBASED_R10
+    fast_attempts = [a for a in attempts if a["fast_phase"]]
+    headline = min(
+        fast_attempts or attempts, key=lambda a: a["total"]
     )
-    r09_18 = sum(v for n, v in timings.items() if n not in _REBASED_R10)
+    if fast_attempts:
+        note = (
+            f"headline is attempt {attempts.index(headline) + 1} of "
+            f"{len(attempts)} (best fast-phase attempt): median calib "
+            f"readings inside the fast band {list(_FAST_LOOP_BAND)} — "
+            "totals comparable to other fast-phase rounds as-is"
+        )
+    else:
+        note = (
+            f"NO fast-phase attempt in {len(attempts)} tries (calib "
+            "readings outside the band throughout) — raw totals reflect "
+            "a slow host phase; compare via canary_sec: the frozen "
+            "Spark-JVM canary slows with the workload, so "
+            "legacy17_total / median(canary_sec) is the cross-round "
+            "comparable"
+        )
+    med_canary = sorted(headline["canary_sec"])[len(headline["canary_sec"]) // 2]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_best_of_3_sec",
-                "value": round(sum(timings.values()), 3),
+                "value": headline["total"],
                 "unit": "sec",
-                "queries": timings,
-                "legacy17_total": round(legacy17, 3),
-                "r09_18_total": round(r09_18, 3),
-                # host-normalized figure (see tools/round_close.py's
-                # history report): raw totals from different host phases
-                # are incomparable — the r10 session measured the SAME
-                # calibration loop at 0.32 s and 0.95 s hours apart with
-                # zero guest-visible steal.  Established fast-phase band:
-                # calib 0.32-0.41 s, legacy17 33-38 loop-units.
-                "legacy17_loop_units": round(
-                    legacy17 / calib["python_loop_sec"], 1
+                "queries": headline["queries"],
+                "legacy17_total": headline["legacy17_total"],
+                "r09_18_total": headline["r09_18_total"],
+                "host_phase_note": note,
+                "fast_phase": headline["fast_phase"],
+                "fast_loop_band": list(_FAST_LOOP_BAND),
+                "canary_sec": headline["canary_sec"],
+                "canary_plan_md5": _canary_plan_md5(canary_df),
+                # guard: canary is ~0.5 s by construction; if a future
+                # edit makes it sub-10ms the ratio is meaningless
+                "legacy17_per_canary": (
+                    round(headline["legacy17_total"] / med_canary, 2)
+                    if med_canary >= 0.01 else None
                 ),
-                "host_phase_note": (
-                    "calib outside the 0.32-0.41 s fast-phase band -> "
-                    "raw totals reflect a slow host phase, compare "
-                    "legacy17_loop_units instead"
-                    if not 0.30 <= calib["python_loop_sec"] <= 0.43
-                    else "calib in the fast-phase band"
-                ),
+                "attempts": attempts,
                 "rebase_note": (
                     "r09 added media_decode_png_stats, r10 added "
                     "crawl_ingest_e2e to the headline set; legacy17_total "
@@ -176,7 +282,7 @@ def main() -> None:
                     "r09-comparable one"
                 ),
                 "sf": sf,
-                "calib": calib,
+                "matmul_sec": matmul,
                 "loadavg_start": [round(v, 2) for v in load_start],
                 "loadavg_end": [round(v, 2) for v in os.getloadavg()],
                 "cpus": os.cpu_count(),
