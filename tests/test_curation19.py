@@ -1,0 +1,150 @@
+"""Round-11 PDF text extraction (operators/pdf.py,
+plans/curation19.py): writer/reader round-trip, content-stream
+tokenizer semantics, and the WARC dispatch funnel."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from data_pipeline_who_gho_spark.session import get_spark
+
+    return get_spark(app_name="test-curation19")
+
+
+def _oracle(sql):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+def test_pdf_roundtrip_and_escapes():
+    """build -> extract round-trips lines exactly, including the
+    literal-string escape set (parens, backslash, control chars),
+    nested balanced parens, and non-Latin-1 via hex strings."""
+    from data_pipeline_who_gho_spark.operators.pdf import (
+        build_pdf,
+        extract_pdf_text,
+    )
+
+    pages = [
+        ["Doc (1) \\ en", "tab\there and (nested (parens)) ok",
+         "back\\slash\\es", "café München", "中文 and \U0001f680"],
+        ["page two", "short"],
+    ]
+    res = extract_pdf_text(build_pdf(pages))
+    assert res["n_pages"] == 2
+    assert res["pages"] == ["\n".join(p) for p in pages]
+    # one show op per line
+    assert res["n_show_ops"] == sum(len(p) for p in pages)
+
+
+def test_pdf_roundtrip_fuzz():
+    """Random line content (heavy in parens/backslashes/newlines-free
+    specials) must survive the writer/reader pair byte-exactly."""
+    import random
+
+    from data_pipeline_who_gho_spark.operators.pdf import (
+        build_pdf,
+        extract_pdf_text,
+    )
+
+    rng = random.Random(1901)
+    alpha = "ab ()\\%<>[]/.#012\té中"
+    for _ in range(40):
+        pages = [
+            [
+                "".join(rng.choice(alpha)
+                        for _ in range(rng.randint(1, 60)))
+                for _ in range(rng.randint(1, 6))
+            ]
+            for _ in range(rng.randint(1, 3))
+        ]
+        got = extract_pdf_text(build_pdf(pages))["pages"]
+        assert got == ["\n".join(p) for p in pages]
+
+
+def test_pdf_content_stream_operator_semantics():
+    """Direct tokenizer pins: ' starts a new line then shows, T* breaks
+    lines, TJ concatenates string elements ignoring kern numbers,
+    octal escapes and line continuations decode, Td with zero vertical
+    move does NOT break the line."""
+    import zlib
+
+    from data_pipeline_who_gho_spark.operators.pdf import (
+        extract_stream_text,
+    )
+
+    ops = (
+        b"BT /F1 12 Tf 72 720 Td (first) Tj"
+        b" 10 0 Td (-same-line) Tj"
+        b" 0 -14 TD [(a) -250 (b) 120 (c)] TJ"
+        b" (third) '"
+        b" T* (fou\\162th \\(q\\)) Tj"
+        b" (conti\\\nnued) Tj"
+        b" ET"
+    )
+    lines, n = extract_stream_text(zlib.decompress(zlib.compress(ops)))
+    assert lines == ["first-same-line", "abc", "third",
+                     "fourth (q)continued"]
+    assert n == 6
+
+
+def test_pdf_error_contracts():
+    """Honest boundaries: non-PDF, non-Flate filters, and object
+    streams fail loudly with the documented exception types."""
+    from data_pipeline_who_gho_spark.operators.pdf import (
+        _stream_data,
+        build_pdf,
+        extract_pdf_text,
+    )
+
+    with pytest.raises(ValueError):
+        extract_pdf_text(b"GIF89a not a pdf")
+    with pytest.raises(NotImplementedError):
+        _stream_data(
+            b"<< /Length 4 /Filter /LZWDecode >>\nstream\nXXXX\nendstream"
+        )
+    objstm = (
+        b"%PDF-1.5\n1 0 obj\n<< /Type /ObjStm /Length 2 >>\n"
+        b"stream\nxx\nendstream\nendobj\n"
+    )
+    with pytest.raises(NotImplementedError):
+        extract_pdf_text(objstm)
+    # truncated stream
+    pdf = bytearray(build_pdf([["hello there"]]))
+    with pytest.raises(ValueError):
+        extract_pdf_text(bytes(pdf).replace(b"endstream", b"endstreXm"))
+
+
+def test_pdf_text_extract_stats_matches_oracle(spark):
+    from data_pipeline_who_gho_spark.plans.curation19 import (
+        PDF_TEXT_EXTRACT_STATS_SQL,
+        pdf_text_extract_stats,
+    )
+
+    got = sorted(
+        tuple(r) for r in pdf_text_extract_stats(spark, SF).collect()
+    )
+    assert got == _oracle(PDF_TEXT_EXTRACT_STATS_SQL)
+    assert all(r[1] >= 1 and r[2] >= 2 for r in got)  # multi-line docs
+
+
+def test_crawl_pdf_funnel_matches_oracle(spark):
+    from data_pipeline_who_gho_spark.plans.curation19 import (
+        CRAWL_PDF_FUNNEL_SQL,
+        crawl_pdf_funnel,
+    )
+
+    got = sorted(tuple(r) for r in crawl_pdf_funnel(spark, SF).collect())
+    assert got == _oracle(CRAWL_PDF_FUNNEL_SQL)
+    kinds = {r[2] for r in got}
+    assert kinds == {"pdf", "plain"}  # both branches exercised
