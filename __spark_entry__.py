@@ -186,6 +186,10 @@ from data_pipeline_who_gho_spark.plans.curation19 import (  # noqa: E402
     CURATION19_ORACLE_SQL,
     CURATION19_QUERIES,
 )
+from data_pipeline_who_gho_spark.plans.curation20 import (  # noqa: E402
+    CURATION20_ORACLE_SQL,
+    CURATION20_QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -205,6 +209,8 @@ _PRIORITY = [
     "orc_roundtrip_stats",
     # r11 head: PDF text extraction + WARC content-type dispatch funnel
     "pdf_text_extract_stats", "crawl_pdf_funnel",
+    # r11 head: statistical (char n-gram) language-ID
+    "lang_id_ngram_stats", "lang_id_recall_by_lang",
     # Live never-green ranking only (ties in the green sort break on
     # this order; first occurrence wins).  Per-round narrative of WHY
     # each block was head-of-window lives in COVERAGE.md's
@@ -410,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(CURATION17_QUERIES)
     out.update(CURATION18_QUERIES)
     out.update(CURATION19_QUERIES)
+    out.update(CURATION20_QUERIES)
     order = _rotated(list(out))
     return {name: out[name] for name in order}
 
@@ -417,6 +424,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted ⇒ rows-only)."""
     out: dict[str, str] = {}
-    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL, EXTRAS_ORACLE_SQL, STREAMING_ORACLE_SQL, TPCH_ORACLE_SQL, BEHAVIOR_ORACLE_SQL, TPCH2_ORACLE_SQL, TRAINING_ORACLE_SQL, ANALYTICS3_ORACLE_SQL, VECTOR_ANALYTICS_ORACLE_SQL, ANALYTICS4_ORACLE_SQL, TPCH3_ORACLE_SQL, ANALYTICS5_ORACLE_SQL, TPCH4_ORACLE_SQL, ANALYTICS6_ORACLE_SQL, TRAINING2_ORACLE_SQL, EXTENSION2_ORACLE_SQL, CURATION_ORACLE_SQL, CURATION2_ORACLE_SQL, TOKENIZER_ORACLE_SQL, CURATION3_ORACLE_SQL, ETL_SEAMS_ORACLE_SQL, CURATION4_ORACLE_SQL, CURATION5_ORACLE_SQL, CURATION6_ORACLE_SQL, SKETCH_ORACLE_SQL, SCALE_OPS_ORACLE_SQL, CURATION7_ORACLE_SQL, CURATION8_ORACLE_SQL, CURATION9_ORACLE_SQL, CURATION10_ORACLE_SQL, CURATION11_ORACLE_SQL, UNIGRAM_ORACLE_SQL, CURATION12_ORACLE_SQL, CURATION13_ORACLE_SQL, CURATION14_ORACLE_SQL, CURATION15_ORACLE_SQL, CURATION16_ORACLE_SQL, CURATION17_ORACLE_SQL, CURATION18_ORACLE_SQL, CURATION19_ORACLE_SQL):
+    for d in (ANALYTICS_ORACLE_SQL, ANALYTICS2_ORACLE_SQL, ETL_ORACLE_SQL, EXTENSION_ORACLE_SQL, EXTRAS_ORACLE_SQL, STREAMING_ORACLE_SQL, TPCH_ORACLE_SQL, BEHAVIOR_ORACLE_SQL, TPCH2_ORACLE_SQL, TRAINING_ORACLE_SQL, ANALYTICS3_ORACLE_SQL, VECTOR_ANALYTICS_ORACLE_SQL, ANALYTICS4_ORACLE_SQL, TPCH3_ORACLE_SQL, ANALYTICS5_ORACLE_SQL, TPCH4_ORACLE_SQL, ANALYTICS6_ORACLE_SQL, TRAINING2_ORACLE_SQL, EXTENSION2_ORACLE_SQL, CURATION_ORACLE_SQL, CURATION2_ORACLE_SQL, TOKENIZER_ORACLE_SQL, CURATION3_ORACLE_SQL, ETL_SEAMS_ORACLE_SQL, CURATION4_ORACLE_SQL, CURATION5_ORACLE_SQL, CURATION6_ORACLE_SQL, SKETCH_ORACLE_SQL, SCALE_OPS_ORACLE_SQL, CURATION7_ORACLE_SQL, CURATION8_ORACLE_SQL, CURATION9_ORACLE_SQL, CURATION10_ORACLE_SQL, CURATION11_ORACLE_SQL, UNIGRAM_ORACLE_SQL, CURATION12_ORACLE_SQL, CURATION13_ORACLE_SQL, CURATION14_ORACLE_SQL, CURATION15_ORACLE_SQL, CURATION16_ORACLE_SQL, CURATION17_ORACLE_SQL, CURATION18_ORACLE_SQL, CURATION19_ORACLE_SQL, CURATION20_ORACLE_SQL):
         out.update({k: v for k, v in d.items() if v})
     return out
