@@ -298,8 +298,16 @@ def _text_containment_pairs(ch: DataFrame) -> DataFrame:
         .filter(F.col("df") <= _XM_DF_CAP)
         .select("chunk_md5")
     )
-    capped = ch.join(keep, "chunk_md5").withColumn(
-        "n_chunks", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    # checkpoint the capped relation: the self-join reads it twice, and
+    # without the checkpoint each side would re-run the df aggregation,
+    # the cap join, and the n_chunks window
+    capped = (
+        ch.join(keep, "chunk_md5")
+        .withColumn(
+            "n_chunks",
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")),
+        )
+        .localCheckpoint(eager=False)
     )
     ca, cb = capped.alias("ca"), capped.alias("cb")
     return (

@@ -69,11 +69,24 @@ def bench_norm_report() -> None:
         value = rec.get("value")
         legacy = rec.get("legacy17_total", value)
         loop = (rec.get("calib") or {}).get("python_loop_sec")
-        if loop:
+        if rec.get("attempts") is not None:
+            # r11+ format: the artifact is self-interpreting — the
+            # headline is already the best fast-phase attempt, and the
+            # Spark-JVM canary (not the Python loop, whose slowdown
+            # sensitivity overcorrects) is the cross-round yardstick
+            print(
+                f"{name}: total {value} s, legacy17 {legacy} s, "
+                f"fast_phase {rec.get('fast_phase')}, "
+                f"canary {rec.get('canary_sec')} -> "
+                f"{rec.get('legacy17_per_canary')} canary-units "
+                f"({len(rec['attempts'])} attempt(s) recorded)"
+            )
+        elif loop:
             print(
                 f"{name}: total {value} s, legacy17 {legacy} s, "
                 f"python_loop {loop} s -> normalized {legacy / loop:.1f} "
-                f"loop-units"
+                f"loop-units (pre-r11 format; loop-units overcorrect in "
+                f"slow phases — see VERDICT r10)"
             )
         else:
             print(f"{name}: total {value} s (no calib recorded)")
