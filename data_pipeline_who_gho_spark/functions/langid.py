@@ -152,12 +152,16 @@ def _gram_arr(low: Column, n: int) -> Column:
 
 
 def _ngrams(col: Column) -> Column:
-    """All overlapping 1-, 2-, and 3-grams of a lowercased string
-    column (JVM transform — no Python).  Extraction is unfiltered; the
-    non-ASCII restriction on orders 1-2 lives in the WEIGHTS table
+    """All overlapping 1-, 2-, and 3-grams of an ALREADY-LOWERCASED
+    string column (JVM transform — no Python).  The caller must
+    materialize ``lower(...)`` in its own projection first: an inline
+    ``F.lower(expr)`` here would be re-evaluated for every array
+    element inside the transform lambdas (no common-subexpression
+    elimination across lambda bodies — measured 3x the whole
+    extraction cost at sf1, 21 s -> 7 s).  Extraction is unfiltered;
+    the non-ASCII restriction on orders 1-2 lives in the WEIGHTS table
     build, so n-grams outside the table simply drop in the join."""
-    low = F.lower(col)
-    return F.concat(*[_gram_arr(low, n) for n in _ORDERS])
+    return F.concat(*[_gram_arr(col, n) for n in _ORDERS])
 
 
 def classify(spark, docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -167,8 +171,15 @@ def classify(spark, docs: DataFrame, text_col: str = "text") -> DataFrame:
     weights = spark.createDataFrame(
         WEIGHTS, "tri STRING, lang STRING, wt INT"
     )
-    tris = docs.select(
-        "doc_id", F.explode(_ngrams(F.col(text_col))).alias("tri")
+    # the lowered text gets its own projection: it is referenced by
+    # every transform lambda element, and Catalyst will not collapse a
+    # multiply-referenced non-trivial alias into them (keeping lower()
+    # evaluated once per row, not once per n-gram)
+    low = docs.select(
+        "doc_id", F.lower(F.col(text_col)).alias("__low")
+    )
+    tris = low.select(
+        "doc_id", F.explode(_ngrams(F.col("__low"))).alias("tri")
     )
     scores = (
         tris.join(F.broadcast(weights), "tri")

@@ -19,9 +19,14 @@ and the shifting-V-buffer algorithm and (b) round-trip tolerance —
 float stages are deliberately kept OUT of the hash-gated query, the
 same honest boundary the FLAC/JPEG codecs draw at their lossy edges.
 
-Layer II/III and AAC sample decode remain out of scope (their
-Huffman/scalefactor-band machinery is a different order of size);
-``NotImplementedError`` marks that edge explicitly.
+Layer II's full bitstream layer is implemented too (r11, bottom of
+this module): the Table 3-B.2a allocation structure, scfsi-conditional
+scalefactor transmission, and 3/5/9-level grouped codewords — with the
+Table 3-B.4 dequant-constant multiply and the low-bitrate 3-B.2c/d
+layouts as the explicit remaining edge.  Layer III and AAC sample
+decode remain out of scope (their Huffman/scalefactor-band machinery
+is a different order of size); ``NotImplementedError`` marks every
+such edge explicitly.
 
 Public spec only (ISO/IEC 11172-3 §2.4, Annex 3-B).
 No reference-repo analog (the reference pipeline is tabular-only).
@@ -145,6 +150,10 @@ def parse_layer1_frame(frame: bytes) -> dict:
     if (h >> 19) & 3 != 3:
         raise ValueError("not MPEG-1")
     layer = 4 - ((h >> 17) & 3)
+    if layer == 2:
+        raise NotImplementedError(
+            "Layer II frame: use parse_layer2_frame"
+        )
     if layer != 1:
         raise NotImplementedError(
             f"Layer {layer} sample decode not implemented (headers only "
@@ -274,3 +283,214 @@ def synthesize_buffered(subband_frames):
         w = u * d * 512
         out[fi * 32 : (fi + 1) * 32] = w.reshape(16, 32).sum(axis=0)
     return out
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 Audio Layer II (ISO/IEC 11172-3 §2.4.1.6 / §2.4.2.6) — the
+# round-11 boundary move: the full Layer II BITSTREAM layer becomes
+# real (per-subband-group allocation tables, scfsi-conditional
+# scalefactor transmission, 3/5/9-level GROUPED sample codewords),
+# leaving only the dequantization-constant multiply (Table 3-B.4 C/D)
+# and the float synthesis outside the integer-exact surface — the same
+# honest boundary Layer I draws before its filterbank.
+#
+# Table scope: Table 3-B.2a (the 44.1/48 kHz higher-bitrate mono
+# layout, sblimit 27).  The low-bitrate tables (3-B.2c/d, sblimit
+# 12/8) select a different structure and raise NotImplementedError —
+# an explicit edge, not a silent misparse.
+# ---------------------------------------------------------------------------
+
+_BR_TABLE_L2 = [0, 32, 48, 56, 64, 80, 96, 112,
+                128, 160, 192, 224, 256, 320, 384]  # kbps, index 1..14
+# Table 3-B.2a bit-allocation structure: (allocation field width,
+# levels list indexed by allocation code - 1) per subband group.
+_L2_GROUPS = (
+    (range(0, 3), 4,
+     [3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+      16383, 32767, 65535]),
+    (range(3, 11), 4,
+     [3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+      8191, 65535]),
+    (range(11, 23), 3, [3, 5, 7, 9, 15, 31, 65535]),
+    (range(23, 27), 2, [3, 5, 65535]),
+)
+_L2_SBLIMIT = 27
+_GROUPED_BITS = {3: 5, 5: 7, 9: 10}   # one codeword carries 3 samples
+# scfsi → how many scalefactors are TRANSMITTED, and how the
+# transmitted list expands to the three 12-granule parts
+_SCFSI_EXPAND = {0: (3, (0, 1, 2)), 1: (2, (0, 0, 1)),
+                 2: (1, (0, 0, 0)), 3: (2, (0, 1, 1))}
+
+
+def _l2_group(sb: int):
+    for sbs, bits, levels in _L2_GROUPS:
+        if sb in sbs:
+            return bits, levels
+    raise ValueError(f"subband {sb} outside Table 3-B.2a (sblimit 27)")
+
+
+def _l2_sample_bits(levels: int) -> int:
+    if levels in _GROUPED_BITS:
+        return _GROUPED_BITS[levels]       # per GROUP of 3 samples
+    nb = (levels + 1).bit_length() - 1
+    if (1 << nb) - 1 != levels:
+        raise ValueError(f"ungrouped level count {levels} not 2^nb - 1")
+    return nb                              # per sample
+
+
+def build_layer2_frame(
+    alloc_idx: list[int],
+    scfsi: list[int],
+    scf: list[list[int]],
+    samples: list[list[tuple[int, int, int]]],
+    sr_idx: int = 0,
+    br_idx: int = 10,
+) -> bytes:
+    """One mono MPEG-1 Layer II frame under Table 3-B.2a.
+
+    ``alloc_idx``: 27 allocation codes (0 = subband silent; k >= 1
+    selects the k-th level count of the subband's group row).
+    ``scfsi``: one 2-bit code per ALLOCATED subband.  ``scf``: per
+    allocated subband, exactly the TRANSMITTED scalefactor indices
+    (3/2/1/2 for scfsi 0/1/2/3).  ``samples``: 12 granules × allocated
+    subbands, each a triple of sample codes < levels; triples are
+    GROUPED into one codeword where the level count is 3/5/9 (spec
+    §2.4.3.3.2: c = s0 + levels·s1 + levels²·s2)."""
+    if len(alloc_idx) != _L2_SBLIMIT:
+        raise ValueError(f"need {_L2_SBLIMIT} allocation codes")
+    active = [sb for sb, a in enumerate(alloc_idx) if a]
+    levels = []
+    for sb in active:
+        bits, lv = _l2_group(sb)
+        if not 1 <= alloc_idx[sb] <= len(lv):
+            raise ValueError(
+                f"allocation {alloc_idx[sb]} out of range for subband {sb}"
+            )
+        levels.append(lv[alloc_idx[sb] - 1])
+    if len(scfsi) != len(active) or any(not 0 <= s <= 3 for s in scfsi):
+        raise ValueError("one scfsi code (0..3) per allocated subband")
+    for j, s in enumerate(scfsi):
+        need = _SCFSI_EXPAND[s][0]
+        if len(scf[j]) != need:
+            raise ValueError(
+                f"scfsi {s} transmits {need} scalefactors, got {len(scf[j])}"
+            )
+        if any(not 0 <= v <= 62 for v in scf[j]):
+            raise ValueError("scalefactor index must be 0..62")
+    if len(samples) != 12 or any(len(row) != len(active) for row in samples):
+        raise ValueError("samples must be 12 x n_active triples")
+    for row in samples:
+        for j, tri in enumerate(row):
+            if len(tri) != 3 or any(not 0 <= v < levels[j] for v in tri):
+                raise ValueError("sample code out of range for its levels")
+
+    sr = _SR_TABLE[sr_idx]
+    kbps = _BR_TABLE_L2[br_idx]
+    frame_bytes = 144 * kbps * 1000 // sr
+    w = _BitWriter()
+    header = (
+        (0x7FF << 21) | (3 << 19) | (2 << 17) | (1 << 16)  # MPEG-1, L2
+        | (br_idx << 12) | (sr_idx << 10) | (0 << 9) | (0 << 8)
+        | (3 << 6)  # mode: single channel
+    )
+    w.write(header, 32)
+    for sb in range(_L2_SBLIMIT):
+        w.write(alloc_idx[sb], _l2_group(sb)[0])
+    for s in scfsi:
+        w.write(s, 2)
+    for j in range(len(active)):
+        for v in scf[j]:
+            w.write(v, 6)
+    for row in samples:
+        for j, tri in enumerate(row):
+            lv = levels[j]
+            if lv in _GROUPED_BITS:
+                c = tri[0] + lv * tri[1] + lv * lv * tri[2]
+                w.write(c, _GROUPED_BITS[lv])
+            else:
+                nb = _l2_sample_bits(lv)
+                for v in tri:
+                    w.write(v, nb)
+    w.pad_to_byte()
+    if len(w.buf) > frame_bytes:
+        raise ValueError(
+            f"coded fields ({len(w.buf)} B) exceed the frame budget "
+            f"({frame_bytes} B) — raise br_idx or allocate less"
+        )
+    return bytes(w.buf) + bytes(frame_bytes - len(w.buf))
+
+
+def parse_layer2_frame(frame: bytes) -> dict:
+    """→ ``{"sr", "kbps", "alloc_idx", "levels", "scfsi", "scf_parts",
+    "samples"}``: the full integer unpack.  ``scf_parts`` expands the
+    transmitted scalefactors to the three 12-granule parts per the
+    scfsi rule; ``samples`` is 12 × n_active × 3 DEGROUPED codes."""
+    if len(frame) < 4:
+        raise ValueError("not a frame")
+    h = int.from_bytes(frame[:4], "big")
+    if h >> 21 != 0x7FF:
+        raise ValueError("bad sync")
+    if (h >> 19) & 3 != 3:
+        raise ValueError("not MPEG-1")
+    layer = 4 - ((h >> 17) & 3)
+    if layer != 2:
+        raise ValueError(f"not a Layer II frame (layer {layer})")
+    if (h >> 6) & 3 != 3:
+        raise NotImplementedError("only single-channel Layer II implemented")
+    br_idx = (h >> 12) & 0xF
+    sr_idx = (h >> 10) & 3
+    if sr_idx == 3:
+        raise ValueError("reserved sample-rate index 3")
+    if br_idx in (0, 15):
+        raise ValueError(f"unsupported bitrate index {br_idx} "
+                         "(free-format / forbidden)")
+    if _BR_TABLE_L2[br_idx] < 56:
+        raise NotImplementedError(
+            "low-bitrate Layer II uses Table 3-B.2c/d (sblimit 12/8) — "
+            "only the 3-B.2a layout is implemented"
+        )
+    r = _BitReader(frame)
+    r.pos = 32
+    alloc_idx = [
+        r.read(_l2_group(sb)[0]) for sb in range(_L2_SBLIMIT)
+    ]
+    active = [sb for sb, a in enumerate(alloc_idx) if a]
+    levels = []
+    for sb in active:
+        lv = _l2_group(sb)[1]
+        if alloc_idx[sb] > len(lv):
+            raise ValueError(
+                f"allocation {alloc_idx[sb]} out of range for subband {sb}"
+            )
+        levels.append(lv[alloc_idx[sb] - 1])
+    scfsi = [r.read(2) for _ in active]
+    scf_parts = []
+    for s in scfsi:
+        need, expand = _SCFSI_EXPAND[s]
+        sent = [r.read(6) for _ in range(need)]
+        if any(v == 63 for v in sent):
+            raise ValueError("scalefactor index 63 is forbidden")
+        scf_parts.append([sent[k] for k in expand])
+    samples = []
+    for _gr in range(12):
+        row = []
+        for j, lv in enumerate(levels):
+            if lv in _GROUPED_BITS:
+                c = r.read(_GROUPED_BITS[lv])
+                tri = (c % lv, (c // lv) % lv, c // (lv * lv))
+                if tri[2] >= lv:
+                    raise ValueError("grouped codeword exceeds levels^3")
+            else:
+                nb = _l2_sample_bits(lv)
+                tri = (r.read(nb), r.read(nb), r.read(nb))
+            row.append(tri)
+        samples.append(row)
+    return {
+        "sr": _SR_TABLE[sr_idx],
+        "kbps": _BR_TABLE_L2[br_idx],
+        "alloc_idx": alloc_idx,
+        "levels": levels,
+        "scfsi": scfsi,
+        "scf_parts": scf_parts,
+        "samples": samples,
+    }
