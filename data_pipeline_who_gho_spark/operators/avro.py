@@ -1,0 +1,277 @@
+"""Avro Object Container File reader (and the matching writer used to
+synthesize fixtures) — pure stdlib, following the public Apache Avro
+1.11 specification (container format + binary encoding).
+
+Why hand-rolled: this environment ships Spark WITHOUT the external
+``spark-avro`` module jar, so ``spark.read.format("avro")`` is
+unavailable; the Spark-idiomatic fallback for a format the built-in
+readers lack is exactly what the multimodal stack does — binary
+payloads decoded in an Arrow-batched ``mapInPandas`` pass.  The
+decoder here is the real wire format: zigzag-varint primitives, the
+container magic/metadata/sync-marker framing, null and deflate codecs,
+and the schema-driven walk for records, arrays, maps, and
+null-unions.
+
+Honest boundary (same contract as the other codecs): enums, fixed,
+recursive schemas, snappy/zstandard codecs, and schema RESOLUTION
+(reader schema != writer schema) raise ``NotImplementedError``.
+
+No reference-repo analog (the reference ingests a JSON HTTP API only).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+
+_MAGIC = b"Obj\x01"
+
+
+# ---------------------------------------------------------------------------
+# binary encoding primitives (Avro spec "Binary Encoding")
+# ---------------------------------------------------------------------------
+
+
+def write_long(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    z &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+class _Reader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        if self.pos + n > len(self.data):
+            raise ValueError("Avro payload truncated")
+        out = self.data[self.pos:self.pos + n]
+        self.pos += n
+        return out
+
+    def long(self) -> int:
+        z = 0
+        shift = 0
+        while True:
+            if self.pos >= len(self.data):
+                raise ValueError("Avro varint truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            z |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+            if shift > 70:
+                raise ValueError("Avro varint too long")
+        return (z >> 1) ^ -(z & 1)
+
+    def string(self) -> str:
+        return self.read(self.long()).decode("utf-8")
+
+    def bytes_(self) -> bytes:
+        return self.read(self.long())
+
+
+def _encode_value(schema, value) -> bytes:
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if isinstance(t, list):  # union
+        for i, branch in enumerate(t):
+            bt = branch["type"] if isinstance(branch, dict) else branch
+            if (value is None) == (bt == "null"):
+                return write_long(i) + _encode_value(branch, value)
+        raise ValueError("no union branch matched")
+    if t == "null":
+        return b""
+    if t == "boolean":
+        return b"\x01" if value else b"\x00"
+    if t in ("int", "long"):
+        return write_long(int(value))
+    if t == "float":
+        return struct.pack("<f", value)
+    if t == "double":
+        return struct.pack("<d", value)
+    if t == "string":
+        data = str(value).encode("utf-8")
+        return write_long(len(data)) + data
+    if t == "bytes":
+        return write_long(len(value)) + bytes(value)
+    if t == "record":
+        return b"".join(
+            _encode_value(f["type"], value[f["name"]])
+            for f in schema["fields"]
+        )
+    if t == "array":
+        out = b""
+        if value:
+            out += write_long(len(value))
+            out += b"".join(
+                _encode_value(schema["items"], v) for v in value
+            )
+        return out + write_long(0)
+    if t == "map":
+        out = b""
+        if value:
+            out += write_long(len(value))
+            for k, v in value.items():
+                kd = k.encode("utf-8")
+                out += write_long(len(kd)) + kd
+                out += _encode_value(schema["values"], v)
+        return out + write_long(0)
+    raise NotImplementedError(f"Avro type {t!r} not implemented")
+
+
+def _decode_value(schema, r: _Reader):
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if isinstance(t, list):  # union
+        idx = r.long()
+        if not 0 <= idx < len(t):
+            raise ValueError("union branch index out of range")
+        return _decode_value(t[idx], r)
+    if t == "null":
+        return None
+    if t == "boolean":
+        return r.read(1) != b"\x00"
+    if t in ("int", "long"):
+        return r.long()
+    if t == "float":
+        return struct.unpack("<f", r.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", r.read(8))[0]
+    if t == "string":
+        return r.string()
+    if t == "bytes":
+        return r.bytes_()
+    if t == "record":
+        return {
+            f["name"]: _decode_value(f["type"], r)
+            for f in schema["fields"]
+        }
+    if t == "array":
+        out = []
+        while True:
+            n = r.long()
+            if n == 0:
+                break
+            if n < 0:  # block with byte-size prefix (spec-legal)
+                r.long()
+                n = -n
+            out.extend(
+                _decode_value(schema["items"], r) for _ in range(n)
+            )
+        return out
+    if t == "map":
+        out = {}
+        while True:
+            n = r.long()
+            if n == 0:
+                break
+            if n < 0:
+                r.long()
+                n = -n
+            for _ in range(n):
+                k = r.string()
+                out[k] = _decode_value(schema["values"], r)
+        return out
+    raise NotImplementedError(f"Avro type {t!r} not implemented")
+
+
+# ---------------------------------------------------------------------------
+# object container file framing
+# ---------------------------------------------------------------------------
+
+
+def build_avro(
+    schema: dict,
+    records: list[dict],
+    codec: str = "deflate",
+    sync: bytes = b"\x00" * 16,
+    block_records: int = 64,
+) -> bytes:
+    """An Avro Object Container File: magic, metadata map
+    (avro.schema + avro.codec), 16-byte sync marker, then blocks of
+    ``block_records`` records each (count, byte length, payload,
+    sync)."""
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"codec {codec!r} not implemented")
+    if len(sync) != 16:
+        raise ValueError("sync marker must be 16 bytes")
+    meta = {
+        "avro.schema": json.dumps(schema, sort_keys=True).encode(),
+        "avro.codec": codec.encode(),
+    }
+    out = bytearray(_MAGIC)
+    out += write_long(len(meta))
+    for k, v in sorted(meta.items()):
+        kd = k.encode()
+        out += write_long(len(kd)) + kd + write_long(len(v)) + v
+    out += write_long(0)
+    out += sync
+    for i in range(0, len(records), block_records):
+        chunk = records[i:i + block_records]
+        payload = b"".join(_encode_value(schema, rec) for rec in chunk)
+        if codec == "deflate":
+            # spec: raw deflate, no zlib header/checksum
+            payload = zlib.compress(payload, 9)[2:-4]
+        out += write_long(len(chunk)) + write_long(len(payload))
+        out += payload + sync
+    return bytes(out)
+
+
+def read_avro(payload: bytes) -> dict:
+    """→ ``{"schema", "codec", "records", "n_blocks"}`` from an Avro
+    Object Container File."""
+    r = _Reader(payload)
+    if r.read(4) != _MAGIC:
+        raise ValueError("not an Avro container: bad magic")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = r.long()
+        if n == 0:
+            break
+        if n < 0:
+            r.long()
+            n = -n
+        for _ in range(n):
+            k = r.string()
+            meta[k] = r.bytes_()
+    if "avro.schema" not in meta:
+        raise ValueError("Avro container without avro.schema metadata")
+    schema = json.loads(meta["avro.schema"].decode())
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"codec {codec!r} not implemented")
+    sync = r.read(16)
+    records = []
+    n_blocks = 0
+    while r.pos < len(r.data):
+        count = r.long()
+        size = r.long()
+        if count < 0 or size < 0:
+            raise ValueError("negative block header")
+        data = r.read(size)
+        if codec == "deflate":
+            data = zlib.decompress(data, wbits=-15)
+        br = _Reader(data)
+        for _ in range(count):
+            records.append(_decode_value(schema, br))
+        if br.pos != len(data):
+            raise ValueError("Avro block has trailing bytes")
+        if r.read(16) != sync:
+            raise ValueError("Avro sync marker mismatch")
+        n_blocks += 1
+    return {
+        "schema": schema,
+        "codec": codec,
+        "records": records,
+        "n_blocks": n_blocks,
+    }

@@ -249,3 +249,98 @@ CURATION18_QUERIES["csv_multiline_stats"] = csv_multiline_stats
 CURATION18_ORACLE_SQL["csv_multiline_stats"] = CSV_MULTILINE_STATS_SQL
 CURATION18_QUERIES["orc_roundtrip_stats"] = orc_roundtrip_stats
 CURATION18_ORACLE_SQL["orc_roundtrip_stats"] = ORC_ROUNDTRIP_STATS_SQL
+
+
+# ---------------------------------------------------------------------------
+# avro_scan_stats (r11 stretch) — Avro ingestion WITHOUT spark-avro
+# (this environment ships no external spark-avro jar): one Avro Object
+# Container File per 50-doc shard, built and decoded by the real
+# wire-format codec in operators/avro.py (zigzag varints, deflate
+# blocks, sync markers, null-union score field), inside a grouped
+# Arrow pass — the one shuffle is the shard grouping, exactly the
+# shape of a real per-file Avro writer/reader.
+# ---------------------------------------------------------------------------
+
+_AVRO_SHARD = 50
+_AVRO_BLOCK = 16
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "doc",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "lang", "type": "string"},
+        {"name": "text", "type": "string"},
+        {"name": "n_chars", "type": "long"},
+        {"name": "score", "type": ["null", "double"]},
+    ],
+}
+
+
+def avro_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.avro import build_avro, read_avro
+
+    def per_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import hashlib
+
+        recs = [
+            {
+                "doc_id": int(r.doc_id),
+                "lang": str(r.lang),
+                "text": str(r.text),
+                "n_chars": int(r.n_chars),
+                "score": None if r.doc_id % 3 == 0 else r.n_chars * 0.5,
+            }
+            for r in pdf.sort_values("doc_id").itertuples()
+        ]
+        payload = build_avro(
+            _AVRO_SCHEMA, recs, codec="deflate", block_records=_AVRO_BLOCK
+        )
+        got = read_avro(payload)
+        rows = [
+            (
+                rec["doc_id"],
+                rec["lang"],
+                hashlib.md5(rec["text"].encode("utf-8")).hexdigest(),
+                rec["score"],
+                len(got["records"]),
+                got["n_blocks"],
+            )
+            for rec in got["records"]
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=["doc_id", "lang", "text_md5", "score",
+                     "shard_docs", "shard_blocks"],
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars",
+        (F.col("doc_id") / _AVRO_SHARD).cast("long").alias("shard"),
+    )
+    return docs.groupBy("shard").applyInPandas(
+        per_shard,
+        "doc_id BIGINT, lang STRING, text_md5 STRING, score DOUBLE, "
+        "shard_docs BIGINT, shard_blocks BIGINT",
+    )
+
+
+AVRO_SCAN_STATS_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang, text, n_chars,
+         CAST(floor(doc_id / {_AVRO_SHARD}) AS BIGINT) AS shard
+  FROM documents
+),
+per AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY shard)
+SELECT d.doc_id, d.lang, md5(d.text) AS text_md5,
+       CASE WHEN d.doc_id % 3 = 0 THEN NULL
+            ELSE d.n_chars * 0.5 END AS score,
+       p.n AS shard_docs,
+       CAST(ceil(p.n / {_AVRO_BLOCK}.0) AS BIGINT) AS shard_blocks
+FROM s d JOIN per p USING (shard)
+"""
+
+
+CURATION18_QUERIES["avro_scan_stats"] = avro_scan_stats
+CURATION18_ORACLE_SQL["avro_scan_stats"] = AVRO_SCAN_STATS_SQL
