@@ -76,6 +76,12 @@ _REBASED_R10 = {"crawl_ingest_e2e"}
 # 8-process parallel loop reads ~= the single-core loop when the host
 # is uncapped; 0.65 allows pool fork/teardown overhead while still
 # catching the observed 2-3x capped phases.
+# CANARY REFERENCE (r11, 289-plan registry): three quiet-box runs read
+# legacy17_per_canary 55.1-55.6 while RAW legacy17 swung 17.2-18.1 s
+# with in-band calib (0.33-0.37 vs the 0.31-0.32 behind r10's 15.3 s
+# fast-phase reruns) — i.e. even "fast-phase" raw totals move ~15%
+# with sub-band host position, and the canary ratio is the stable
+# figure (relative spread <1%).  Compare rounds on per_canary first.
 _FAST_LOOP_BAND = (0.28, 0.43)
 _FAST_MP8_MAX = 0.65
 
