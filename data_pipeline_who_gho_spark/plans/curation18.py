@@ -126,11 +126,30 @@ def _read_csv(spark: SparkSession, path: str, multiline: bool) -> DataFrame:
     )
 
 
+def _parsed_csv(spark: SparkSession, sf_dir: str, name: str,
+                payload: F.Column, multiline: bool) -> DataFrame:
+    """The parsed dataset, MATERIALIZED once per (app, sf, variant).
+    Required, not an optimization: Spark disallows queries whose
+    column pruning leaves only `_corrupt_record` referenced from a raw
+    CSV scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) —
+    a driver-side `.count()` on the reject filter is exactly that
+    shape.  Caching/saving the parse first is the documented contract
+    (found live by the vanilla-session drive, not the oracle gate,
+    which always references every output column)."""
+    path = _write_csv_dataset(spark, sf_dir, name, payload)
+
+    def build() -> DataFrame:
+        return _read_csv(spark, path, multiline).localCheckpoint(
+            eager=True
+        )
+
+    return _memo(spark, sf_dir, f"csvparse-{name}", build)
+
+
 def csv_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _write_csv_dataset(
-        spark, sf_dir, "singleline", _csv_payload_col()
+    df = _parsed_csv(
+        spark, sf_dir, "singleline", _csv_payload_col(), multiline=False
     )
-    df = _read_csv(spark, path, multiline=False)
     return (
         df.filter(F.col("_corrupt_record").isNull())
         .select(
@@ -149,10 +168,9 @@ WHERE doc_id % 13 <> 5
 
 
 def csv_reject_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _write_csv_dataset(
-        spark, sf_dir, "singleline", _csv_payload_col()
+    df = _parsed_csv(
+        spark, sf_dir, "singleline", _csv_payload_col(), multiline=False
     )
-    df = _read_csv(spark, path, multiline=False)
     return (
         df.filter(F.col("_corrupt_record").isNotNull()
                   & F.col("doc_id").isNull())
@@ -176,8 +194,9 @@ WHERE doc_id % 13 = 5
 
 
 def csv_multiline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _write_csv_dataset(spark, sf_dir, "multiline", _ml_payload_col())
-    df = _read_csv(spark, path, multiline=True)
+    df = _parsed_csv(
+        spark, sf_dir, "multiline", _ml_payload_col(), multiline=True
+    )
     return (
         df.filter(F.col("_corrupt_record").isNull())
         .select(
