@@ -171,12 +171,18 @@ def classify(spark, docs: DataFrame, text_col: str = "text") -> DataFrame:
     weights = spark.createDataFrame(
         WEIGHTS, "tri STRING, lang STRING, wt INT"
     )
+    from ..sources.catalog import spread_for_python
+
     # the lowered text gets its own projection: it is referenced by
     # every transform lambda element, and Catalyst will not collapse a
     # multiply-referenced non-trivial alias into them (keeping lower()
-    # evaluated once per row, not once per n-gram)
-    low = docs.select(
-        "doc_id", F.lower(F.col(text_col)).alias("__low")
+    # evaluated once per row, not once per n-gram).  spread: the gram
+    # explode is ~450 rows per input row of JVM work, but it inherits
+    # the SCAN's partitioning — a small documents file scans as 1-2
+    # splits and caps the whole stage at 1-2 cores (measured: sf1 flat
+    # 11.5 s from local[4] to local[32] before the spread)
+    low = spread_for_python(
+        docs.select("doc_id", F.lower(F.col(text_col)).alias("__low"))
     )
     tris = low.select(
         "doc_id", F.explode(_ngrams(F.col("__low"))).alias("tri")
