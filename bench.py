@@ -151,7 +151,11 @@ def _canary(spark):
 
 def _canary_plan_md5(df) -> str:
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return hashlib.md5(re.sub(r"#\d+", "#", plan).encode()).hexdigest()
+    # strip expression ids AND plan ids: both are session counters that
+    # differ per build of the identical plan
+    plan = re.sub(r"#\d+", "#", plan)
+    plan = re.sub(r"plan_id=\d+", "plan_id=", plan)
+    return hashlib.md5(plan.encode()).hexdigest()
 
 
 def _run_attempt(spark, queries, sf_dir: str) -> dict:

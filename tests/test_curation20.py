@@ -121,3 +121,21 @@ def test_lang_id_recall_by_lang_matches_oracle_and_is_perfect(spark):
     assert got == _oracle(LANG_ID_RECALL_BY_LANG_SQL)
     assert {r[0] for r in got} == {"de", "en", "es", "fr", "zh"}
     assert all(r[3] == 1000000 for r in got), got  # recall 1.0 per lang
+
+
+def test_classify_spreads_past_scan_splits(spark):
+    """The gram stage must not inherit an under-partitioned scan: on a
+    1-partition input, classify's scoring stage runs on
+    defaultParallelism partitions (the sf1 flat-scaling regression)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_who_gho_spark.functions.langid import classify
+
+    df = spark.createDataFrame(
+        [(i, "All human beings are born free") for i in range(100)],
+        "doc_id BIGINT, text STRING",
+    ).coalesce(1)
+    assert df.rdd.getNumPartitions() == 1
+    plan = classify(spark, df)._jdf.queryExecution().executedPlan().toString()
+    # the round-robin spread shows up as a repartition exchange
+    assert "RoundRobinPartitioning" in plan

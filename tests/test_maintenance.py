@@ -70,3 +70,36 @@ def test_compaction_refuses_partitioned_layout(spark, tmp_path):
     ).parquet(path)
     with pytest.raises(PartitionedTableError):
         compact_table(spark, str(tmp_path), "orders_part", target_file_bytes=10**9)
+
+
+def test_bench_canary_plan_is_frozen(spark):
+    """The bench canary is the cross-round yardstick: its normalized
+    plan hash must not drift (a silent edit would make
+    legacy17_per_canary incomparable between rounds)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    from pyspark.sql import functions as F
+
+    df = bench._canary(spark)
+    md5 = bench._canary_plan_md5(df)
+    # stability: two independent builds hash identically (expression
+    # ids AND plan ids are stripped — plan_id is a session counter that
+    # made the r11 smoke artifacts' md5s differ run-to-run), and the
+    # value is pinned for this Spark build
+    assert bench._canary_plan_md5(bench._canary(spark)) == md5
+    assert md5 == "38011486145098269323eaad347c4288"
+    # sensitivity: an edited constant MUST move the hash (that is what
+    # makes the artifact's canary_plan_md5 field catch silent drift;
+    # cross-session the absolute value can shift with AQE/plan-string
+    # details, which is why the artifact records it per run)
+    variant = (
+        spark.range(0, 320_000_001, 1, 32)
+        .select(
+            F.sum((F.col("id") * 2 + 1) % 1000003).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    assert bench._canary_plan_md5(variant) != md5
