@@ -76,12 +76,14 @@ _REBASED_R10 = {"crawl_ingest_e2e"}
 # 8-process parallel loop reads ~= the single-core loop when the host
 # is uncapped; 0.65 allows pool fork/teardown overhead while still
 # catching the observed 2-3x capped phases.
-# CANARY REFERENCE (r11, 289-plan registry): three quiet-box runs read
-# legacy17_per_canary 55.1-55.6 while RAW legacy17 swung 17.2-18.1 s
-# with in-band calib (0.33-0.37 vs the 0.31-0.32 behind r10's 15.3 s
-# fast-phase reruns) — i.e. even "fast-phase" raw totals move ~15%
-# with sub-band host position, and the canary ratio is the stable
-# figure (relative spread <1%).  Compare rounds on per_canary first.
+# CANARY REFERENCE (r11, 289-plan registry): four quiet-box runs read
+# raw legacy17 15.5 / 17.2 / 18.1 s (all in-band calib 0.30-0.37) with
+# per_canary 48.8 / 55.6 / 55.1 — the 15.5 s run matches r10's
+# fast-phase 15.29-15.33 s on bit-identical plans (engine unregressed).
+# Lesson recorded honestly: the canary moves WITH the workload (unlike
+# the Python loop, which overcorrects ~2x) but is not phase-invariant
+# either; compare rounds at MATCHED calib using the per-attempt series
+# the artifact ships, and treat per_canary as a secondary signal.
 _FAST_LOOP_BAND = (0.28, 0.43)
 _FAST_MP8_MAX = 0.65
 
