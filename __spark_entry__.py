@@ -213,6 +213,7 @@ _PRIORITY = [
     "lang_id_ngram_stats", "lang_id_recall_by_lang",
     # r11 head: MPEG-1 Layer II bitstream decode; Avro container scan
     "mpeg1_layer2_bitstream_stats", "avro_scan_stats",
+    "json_scan_reject_split",
     # Live never-green ranking only (ties in the green sort break on
     # this order; first occurrence wins).  Per-round narrative of WHY
     # each block was head-of-window lives in COVERAGE.md's

@@ -363,3 +363,106 @@ FROM s d JOIN per p USING (shard)
 
 CURATION18_QUERIES["avro_scan_stats"] = avro_scan_stats
 CURATION18_ORACLE_SQL["avro_scan_stats"] = AVRO_SCAN_STATS_SQL
+
+
+# ---------------------------------------------------------------------------
+# json_scan_reject_split (r11) — the same typed-PERMISSIVE reject
+# posture on spark.read.json, the reference's actual interchange
+# format (dags/who_gho_etl_dag.py:94-96 exchanges JSON between tasks).
+# Rows with doc_id % 13 == 5 are corrupted with a truncated object
+# (unbalanced brace); good rows carry an escaped-specials payload that
+# must round-trip byte-exactly.  The parse is localCheckpointed like
+# the CSV variant (same QUERY_ONLY_CORRUPT_RECORD_COLUMN contract).
+# Output fuses both sides of the split with a status column — the V2
+# validated/rejected union in one relation.
+# ---------------------------------------------------------------------------
+
+
+def _json_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(
+        _scratch(spark), "jsonl-" + sf_dir.strip("/").replace("/", "_")
+    )
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+        payload = F.concat(
+            F.col("text"), F.lit(' "quoted" \\ tail '), F.col("lang")
+        )
+        # to_json wraps in {"p": ...}: extract just the JSON-escaped
+        # string literal so the payload's quotes/backslashes are
+        # encoded by Spark's own writer, not hand-rolled
+        good = F.concat(
+            F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
+            F.lit(', "lang": "'), F.col("lang"), F.lit('", "payload": '),
+            F.regexp_extract(
+                F.to_json(F.struct(payload.alias("p"))),
+                r'^\{"p":(.*)\}$', 1,
+            ),
+            F.lit("}"),
+        )
+        bad = F.concat(  # truncated object: unbalanced brace
+            F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
+            F.lit(', "lang": "'), F.col("lang"),
+        )
+        line = F.when(F.col("doc_id") % 13 == 5, bad).otherwise(good)
+        docs.select(line.alias("value")).write.mode("overwrite").text(path)
+        return spark.range(1)
+
+    _memo(spark, sf_dir, "jsonlwrite", build)
+
+    def parse() -> DataFrame:
+        return (
+            spark.read.schema(
+                "doc_id BIGINT, lang STRING, payload STRING, "
+                "_corrupt_record STRING"
+            )
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(path)
+            .localCheckpoint(eager=True)
+        )
+
+    return _memo(spark, sf_dir, "jsonlparse", parse)
+
+
+def json_scan_reject_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _json_dataset(spark, sf_dir)
+    good = df.filter(F.col("_corrupt_record").isNull()).select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("payload")).alias("payload_md5"),
+        F.lit("ok").alias("status"),
+    )
+    bad = df.filter(
+        F.col("_corrupt_record").isNotNull() & F.col("doc_id").isNull()
+    ).select(
+        F.regexp_extract(F.col("_corrupt_record"), r'"doc_id": (\d+),', 1)
+        .cast("bigint").alias("doc_id"),
+        F.regexp_extract(F.col("_corrupt_record"), r'"lang": "(\w*)$', 1)
+        .alias("lang"),
+        F.md5(F.col("_corrupt_record")).alias("payload_md5"),
+        F.lit("rejected").alias("status"),
+    )
+    return good.unionByName(bad)
+
+
+JSON_SCAN_REJECT_SPLIT_SQL = """
+SELECT doc_id, lang,
+       md5(text || ' "quoted" \\ tail ' || lang) AS payload_md5,
+       'ok' AS status
+FROM documents
+WHERE doc_id % 13 <> 5
+UNION ALL
+SELECT doc_id, lang,
+       md5('{"doc_id": ' || CAST(doc_id AS VARCHAR) || ', "lang": "'
+           || lang) AS payload_md5,
+       'rejected' AS status
+FROM documents
+WHERE doc_id % 13 = 5
+"""
+
+
+CURATION18_QUERIES["json_scan_reject_split"] = json_scan_reject_split
+CURATION18_ORACLE_SQL["json_scan_reject_split"] = JSON_SCAN_REJECT_SPLIT_SQL

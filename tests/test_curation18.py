@@ -195,3 +195,25 @@ def test_avro_scan_stats_matches_oracle(spark):
     assert any(r[3] is None for r in got)      # null branch exercised
     assert any(r[3] is not None for r in got)  # double branch too
     assert all(r[5] >= 2 for r in got)         # multi-block containers
+
+
+def test_json_scan_reject_split_matches_oracle(spark):
+    """spark.read.json with typed PERMISSIVE schema: good rows'
+    JSON-escaped payloads (embedded quotes + backslashes) round-trip
+    byte-exactly, truncated objects land whole in _corrupt_record with
+    diagnostics re-extracted, both sides fused with a status column."""
+    from data_pipeline_who_gho_spark.plans.curation18 import (
+        JSON_SCAN_REJECT_SPLIT_SQL,
+        json_scan_reject_split,
+    )
+
+    got = sorted(
+        tuple(r) for r in json_scan_reject_split(spark, SF).collect()
+    )
+    assert got == _oracle(JSON_SCAN_REJECT_SPLIT_SQL)
+    by_status = {}
+    for _, _, _, status in got:
+        by_status[status] = by_status.get(status, 0) + 1
+    assert by_status["rejected"] == 39 and by_status["ok"] == 461
+    # driver-shape count() works (the corrupt-record pruning contract)
+    assert json_scan_reject_split(spark, SF).count() == 500
