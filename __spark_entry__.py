@@ -307,17 +307,11 @@ _PRIORITY = [
 # and prints the queries that belong here; run it before each round's
 # final commit, annotate, then `--update` the baseline.
 _STALE_SINCE: dict[str, int] = {
-    # r11: the CDC oracle chars CTE went bound-free (lateral
-    # generate_series replaced range(2000)) and crossmodal's text side
-    # gained the _XM_DF_CAP discriminative-chunk filter — all three
-    # share _cdc_spans_sql, so all three must re-earn a green row
-    "cdc_chunk_stats": 11,
-    "cdc_shared_chunks": 11,
-    "crossmodal_dedup_union": 11,
-    # r11: strip_gps's serializer changed (ASCII count recompute +
-    # dangling-IFD1-pointer drop) — plan hash can't see UDF bodies, so
-    # restale manually even though fixture behavior is unchanged
-    "exif_gps_strip_stats": 11,
+    # (empty — r11's four entries self-cleared when CORRECTNESS_r11.json
+    # re-greened them; pruned at round-12 open per the ledger contract.
+    # `python tools/round_open.py` re-runs the registry invariants against
+    # the just-landed CORRECTNESS file so a post-commit driver artifact
+    # can never leave the suite red for a full round.)
 }
 
 
