@@ -114,6 +114,27 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    # 1a. count pin (VERDICT r11 task 7): the three artifacts that claim
+    # full-registry coverage must actually BE full-registry sized, so a
+    # stale prose count can never survive a round_close run again
+    import json
+
+    n_reg = len(entrymod.queries())
+    for fname in ("PLAN_HASHES.json", "PLAN_CENSUS.json"):
+        try:
+            with open(fname) as fh:
+                n = len(json.load(fh))
+        except (OSError, ValueError):
+            n = -1
+        if n != n_reg:
+            print(
+                f"COUNT MISMATCH: {fname} has {n} entries, registry has "
+                f"{n_reg} — re-run the census/baseline before closing",
+                flush=True,
+            )
+            rc = rc or 1
+    print(f"registry size: {n_reg} (PLAN_HASHES/PLAN_CENSUS pinned)", flush=True)
+
     # 1b. ledger liveness: a _STALE_SINCE entry whose query has since
     # re-earned a driver-green row is self-cleared — prune it so the
     # ledger always reads as live state (VERDICT r06 item 6)
