@@ -307,11 +307,19 @@ _PRIORITY = [
 # and prints the queries that belong here; run it before each round's
 # final commit, annotate, then `--update` the baseline.
 _STALE_SINCE: dict[str, int] = {
-    # (empty — r11's four entries self-cleared when CORRECTNESS_r11.json
+    # (r11's four entries self-cleared when CORRECTNESS_r11.json
     # re-greened them; pruned at round-12 open per the ledger contract.
     # `python tools/round_open.py` re-runs the registry invariants against
     # the just-landed CORRECTNESS file so a post-commit driver artifact
     # can never leave the suite red for a full round.)
+    # r12: operators/pdf.py gained the PDF 1.5+ loader (ObjStm +
+    # xref-stream) and the ADVICE hex-string/'-operator fixes; the
+    # extract query's fixture mix now alternates layouts (new `layout`
+    # column — plan + oracle changed), and the funnel's writer output
+    # changed (BOM-tagged hex, ' ops) even though its result columns
+    # are value-identical — both must re-earn a green row
+    "pdf_text_extract_stats": 12,
+    "crawl_pdf_funnel": 12,
 }
 
 

@@ -10,7 +10,13 @@ real reader — the same synthesize-encode-decode-oracle contract as
 parens-and-backslash title line plus the doc text in 64-char lines,
 5 lines per page; the query decodes it and reports page/op counts and
 the md5 of the full extracted text, all replayed exactly by the
-oracle from the construction rule.
+oracle from the construction rule.  r12: the fixture mix alternates
+LAYOUTS by doc parity — even docs are classic PDF 1.4 (xref table +
+trailer), odd docs are PDF 1.5+ (``/Type /ObjStm`` object streams +
+``/Type /XRef`` cross-reference stream under the PNG Up predictor) —
+so the r11 VERDICT gap (post-2006 PDFs rejected) is exercised through
+the same oracle: extracted text must be byte-identical across
+layouts, and the ``layout`` column pins which loader ran.
 
 ``crawl_pdf_funnel`` — the dispatch composition: a WARC per doc with
 an ``application/pdf`` response and a ``text/plain`` response; records
@@ -68,12 +74,16 @@ def pdf_text_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pdf_batch["doc_id"], pdf_batch["lang"], pdf_batch["text"]
             ):
                 d = int(doc_id)
-                payload = build_pdf(_doc_pages(d, str(lang), str(t)))
+                layout = "classic" if d % 2 == 0 else "xrefstream"
+                payload = build_pdf(
+                    _doc_pages(d, str(lang), str(t)), layout=layout
+                )
                 res = extract_pdf_text(payload)
                 full = "\n".join(res["pages"])
                 rows.append(
                     (
                         d,
+                        layout,
                         res["n_pages"],
                         res["n_show_ops"],
                         len(payload),
@@ -82,8 +92,8 @@ def pdf_text_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "n_pages", "n_show_ops", "pdf_bytes",
-                         "text_md5"],
+                columns=["doc_id", "layout", "n_pages", "n_show_ops",
+                         "pdf_bytes", "text_md5"],
             )
 
     docs = spread_for_python(
@@ -93,7 +103,7 @@ def pdf_text_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.mapInPandas(
         run,
-        "doc_id BIGINT, n_pages BIGINT, n_show_ops BIGINT, "
+        "doc_id BIGINT, layout STRING, n_pages BIGINT, n_show_ops BIGINT, "
         "pdf_bytes BIGINT, text_md5 STRING",
     ).drop("pdf_bytes")  # zlib-dependent size: useful locally, not pinned
 
@@ -114,6 +124,8 @@ body AS (
   FROM slices GROUP BY doc_id
 )
 SELECT d.doc_id,
+       CASE WHEN d.doc_id % 2 = 0 THEN 'classic' ELSE 'xrefstream' END
+           AS layout,
        CAST(ceil((1 + COALESCE(b.n_body, 0)) / {_PAGE_LINES}.0) AS BIGINT)
            AS n_pages,
        CAST(1 + COALESCE(b.n_body, 0) AS BIGINT) AS n_show_ops,

@@ -99,12 +99,14 @@ def test_pdf_content_stream_operator_semantics():
 
 
 def test_pdf_error_contracts():
-    """Honest boundaries: non-PDF, non-Flate filters, and object
-    streams fail loudly with the documented exception types."""
+    """Honest boundaries: non-PDF, non-Flate filters, incremental
+    updates, encryption, TIFF predictors, and font-encoded hex
+    strings fail loudly with the documented exception types."""
     from data_pipeline_who_gho_spark.operators.pdf import (
         _stream_data,
         build_pdf,
         extract_pdf_text,
+        extract_stream_text,
     )
 
     with pytest.raises(ValueError):
@@ -113,16 +115,104 @@ def test_pdf_error_contracts():
         _stream_data(
             b"<< /Length 4 /Filter /LZWDecode >>\nstream\nXXXX\nendstream"
         )
+    # a malformed ObjStm (no /N or /First) is a loud ValueError
     objstm = (
         b"%PDF-1.5\n1 0 obj\n<< /Type /ObjStm /Length 2 >>\n"
         b"stream\nxx\nendstream\nendobj\n"
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         extract_pdf_text(objstm)
+    modern = build_pdf([["hello there"]], layout="xrefstream")
+    with pytest.raises(NotImplementedError):  # incremental-update chain
+        extract_pdf_text(modern.replace(b"/Type /XRef", b"/Type /XRef /Prev 9"))
+    with pytest.raises(NotImplementedError):  # encryption
+        extract_pdf_text(
+            modern.replace(b"/Type /XRef", b"/Type /XRef /Encrypt 9 0 R")
+        )
+    with pytest.raises(NotImplementedError):  # TIFF predictor
+        extract_pdf_text(modern.replace(b"/Predictor 12", b"/Predictor 2"))
+    # hex strings: odd byte count / non-UTF-16BE without a BOM are the
+    # single-byte font-encoded edge (ADVICE r11), not a silent misdecode
+    with pytest.raises(NotImplementedError):
+        extract_stream_text(b"BT <414243> Tj ET")
+    with pytest.raises(NotImplementedError):
+        extract_stream_text(b"BT <d800d800> Tj ET")  # lone surrogates
     # truncated stream
     pdf = bytearray(build_pdf([["hello there"]]))
     with pytest.raises(ValueError):
         extract_pdf_text(bytes(pdf).replace(b"endstream", b"endstreXm"))
+
+
+def test_pdf_xrefstream_layout_roundtrip():
+    """The PDF 1.5+ writer/reader pair: ObjStm packing + /Type /XRef
+    W-field entries under the PNG Up predictor must reproduce the
+    exact text the classic layout yields."""
+    from data_pipeline_who_gho_spark.operators.pdf import (
+        build_pdf,
+        extract_pdf_text,
+    )
+
+    pages = [
+        ["Doc (1) \\ en", "tab\there and (nested (parens)) ok",
+         "back\\slash\\es", "café München", "中文 and \U0001f680"],
+        ["page two", "short"],
+    ]
+    classic = extract_pdf_text(build_pdf(pages, layout="classic"))
+    modern = extract_pdf_text(build_pdf(pages, layout="xrefstream"))
+    assert modern["pages"] == classic["pages"] == ["\n".join(p) for p in pages]
+    assert modern["n_pages"] == classic["n_pages"] == 2
+    assert modern["n_show_ops"] == classic["n_show_ops"]
+    # the modern file adds exactly the ObjStm + XRef stream objects
+    assert modern["n_objects"] == classic["n_objects"] + 2
+
+
+def test_png_unpredict_all_filters():
+    """Decode side of the xref-stream predictor: every PNG filter type
+    (None/Sub/Up/Average/Paeth) reverses exactly; the writer's Up
+    encoder round-trips through it."""
+    import random
+
+    from data_pipeline_who_gho_spark.operators.pdf import (
+        _png_predict_up,
+        _png_unpredict,
+    )
+
+    rng = random.Random(1912)
+    raw = bytes(rng.randrange(256) for _ in range(6 * 10))
+    assert _png_unpredict(_png_predict_up(raw, 6), 6) == raw
+
+    # hand-encode one row per filter type against a known previous row
+    def enc(ft, row, prev):
+        if ft == 0:
+            return bytes(row)
+        if ft == 1:
+            return bytes((row[i] - (row[i - 1] if i else 0)) & 0xFF
+                         for i in range(len(row)))
+        if ft == 2:
+            return bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        if ft == 3:
+            return bytes(
+                (row[i] - ((row[i - 1] if i else 0) + prev[i]) // 2) & 0xFF
+                for i in range(len(row))
+            )
+        out = []
+        for i in range(len(row)):
+            a = row[i - 1] if i else 0
+            b, c = prev[i], (prev[i - 1] if i else 0)
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out.append((row[i] - pred) & 0xFF)
+        return bytes(out)
+
+    rows = [bytes(rng.randrange(256) for _ in range(5)) for _ in range(5)]
+    data = bytearray()
+    prev = bytes(5)
+    for ft, row in enumerate(rows):
+        data.append(ft)
+        data += enc(ft, row, prev)
+        prev = row
+    assert _png_unpredict(bytes(data), 5) == b"".join(rows)
 
 
 def test_pdf_text_extract_stats_matches_oracle(spark):
@@ -135,7 +225,8 @@ def test_pdf_text_extract_stats_matches_oracle(spark):
         tuple(r) for r in pdf_text_extract_stats(spark, SF).collect()
     )
     assert got == _oracle(PDF_TEXT_EXTRACT_STATS_SQL)
-    assert all(r[1] >= 1 and r[2] >= 2 for r in got)  # multi-line docs
+    assert all(r[2] >= 1 and r[3] >= 2 for r in got)  # multi-line docs
+    assert {r[1] for r in got} == {"classic", "xrefstream"}  # both loaders
 
 
 def test_crawl_pdf_funnel_matches_oracle(spark):
