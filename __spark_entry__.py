@@ -320,6 +320,12 @@ _STALE_SINCE: dict[str, int] = {
     # are value-identical — both must re-earn a green row
     "pdf_text_extract_stats": 12,
     "crawl_pdf_funnel": 12,
+    # r12: MPEG fixtures went stereo with real §2.4.2.6 table selection
+    # (ADVICE medium — the old mono 384 kbps Layer II fixture was a
+    # spec-forbidden combo misparsed under 3-B.2a), CRC-word alignment,
+    # and new sblimit/crc_flag columns — both must re-earn a green row
+    "mpeg1_layer1_subband_stats": 12,
+    "mpeg1_layer2_bitstream_stats": 12,
 }
 
 

@@ -20,13 +20,21 @@ float stages are deliberately kept OUT of the hash-gated query, the
 same honest boundary the FLAC/JPEG codecs draw at their lossy edges.
 
 Layer II's full bitstream layer is implemented too (r11, bottom of
-this module): the Table 3-B.2a allocation structure, scfsi-conditional
-scalefactor transmission, and 3/5/9-level grouped codewords — with the
-Table 3-B.4 dequant-constant multiply and the low-bitrate 3-B.2c/d
-layouts as the explicit remaining edge.  Layer III and AAC sample
-decode remain out of scope (their Huffman/scalefactor-band machinery
-is a different order of size); ``NotImplementedError`` marks every
-such edge explicitly.
+this module): the Table 3-B.2a AND 3-B.2b allocation structures with
+the real (sampling rate, bitrate-per-channel) table selection of
+§2.4.2.6 (r12, per ADVICE — previously 3-B.2a was applied
+unconditionally), scfsi-conditional scalefactor transmission, and
+3/5/9-level grouped codewords — with the Table 3-B.4
+dequant-constant multiply and the low-bitrate 3-B.2c/d layouts as
+the explicit remaining edge.  r12 also adds TWO-CHANNEL frames
+(stereo mode 0 / dual_channel mode 2, the sb-major channel-minor
+field interleave of §2.4.1.5/§2.4.1.6) to both layers, enforces the
+§2.4.2.3 bitrate/mode legality on build and parse, and consumes (not
+verifies) the 16-bit crc_check word when protection_bit=0 so later
+fields stay aligned.  Joint stereo (intensity bound), Layer III and
+AAC sample decode remain out of scope (their Huffman/
+scalefactor-band machinery is a different order of size);
+``NotImplementedError`` marks every such edge explicitly.
 
 Public spec only (ISO/IEC 11172-3 §2.4, Annex 3-B).
 No reference-repo analog (the reference pipeline is tabular-only).
@@ -83,22 +91,23 @@ class _BitReader:
         return out
 
 
-def build_layer1_frame(
-    alloc: list[int],
-    scf_idx: list[int],
-    codes: list[list[int]],
-    sr_idx: int = 0,
-    br_idx: int = 14,
-) -> bytes:
-    """One mono MPEG-1 Layer I frame.  ``alloc`` is 32 allocation codes
-    (0 = subband silent, a in 1..14 → nb = a+1 bits per sample);
-    ``scf_idx`` one 6-bit index per ALLOCATED subband in subband order;
-    ``codes`` 12 sample groups × allocated subbands, spec order (for
-    each sample index, loop allocated subbands).  Coded fields must fit
-    the frame's byte budget; the remainder is zero ancillary bits —
-    exactly what the spec allows."""
+def _resolve_mode(mode: int) -> int:
+    """Channel count for a header mode code; joint stereo (mode 1,
+    whose intensity bound changes the allocation layout) is the
+    explicit edge."""
+    if mode == 1:
+        raise NotImplementedError(
+            "joint_stereo (intensity bound) is not implemented — "
+            "modes 0 (stereo), 2 (dual_channel), 3 (single_channel) only"
+        )
+    if mode not in (0, 2, 3):
+        raise ValueError(f"unknown mode code {mode}")
+    return 1 if mode == 3 else 2
+
+
+def _validate_l1_channel(alloc, scf_idx, codes) -> None:
     if len(alloc) != 32:
-        raise ValueError("need 32 subband allocation codes")
+        raise ValueError("need 32 subband allocation codes per channel")
     if any(a == 15 or a < 0 for a in alloc):
         raise ValueError("allocation code 15 is forbidden (and no negatives)")
     n_active = sum(1 for a in alloc if a)
@@ -109,25 +118,67 @@ def build_layer1_frame(
     if len(codes) != 12 or any(len(row) != n_active for row in codes):
         raise ValueError("codes must be 12 x n_active")
 
+
+def build_layer1_frame(
+    alloc: list,
+    scf_idx: list,
+    codes: list,
+    sr_idx: int = 0,
+    br_idx: int = 14,
+    mode: int = 3,
+    crc16: int | None = None,
+) -> bytes:
+    """One MPEG-1 Layer I frame.  Mono (``mode=3``, the default):
+    ``alloc`` is 32 allocation codes (0 = subband silent, a in 1..14 →
+    nb = a+1 bits per sample); ``scf_idx`` one 6-bit index per
+    ALLOCATED subband in subband order; ``codes`` 12 sample groups ×
+    allocated subbands.  Stereo/dual (``mode=0``/``2``): each of the
+    three is a 2-list of per-channel values, and fields interleave in
+    the spec's (subband, channel) order (§2.4.1.5).  ``crc16`` set
+    writes protection_bit=0 and the 16-bit crc_check word after the
+    header (the value is carried, not computed — CRC verification is
+    outside the integer-exact surface).  Coded fields must fit the
+    frame's byte budget; the remainder is zero ancillary bits —
+    exactly what the spec allows."""
+    nch = _resolve_mode(mode)
+    chans = [(alloc, scf_idx, codes)] if nch == 1 else list(
+        zip(alloc, scf_idx, codes)
+    )
+    if len(chans) != nch:
+        raise ValueError(f"mode {mode} needs {nch} channel(s) of fields")
+    for al, sc, co in chans:
+        _validate_l1_channel(al, sc, co)
+
     sr = _SR_TABLE[sr_idx]
     kbps = _BR_TABLE_L1[br_idx]
     frame_bytes = (12 * kbps * 1000 // sr) * 4
     w = _BitWriter()
     header = (
-        (0x7FF << 21) | (3 << 19) | (3 << 17) | (1 << 16)  # MPEG-1, L1, no CRC
+        (0x7FF << 21) | (3 << 19) | (3 << 17)
+        | ((0 if crc16 is not None else 1) << 16)
         | (br_idx << 12) | (sr_idx << 10) | (0 << 9) | (0 << 8)
-        | (3 << 6)  # mode: single channel
+        | (mode << 6)
     )
     w.write(header, 32)
-    for a in alloc:
-        w.write(a, 4)
-    for s in scf_idx:
-        w.write(s, 6)
-    active = [i for i, a in enumerate(alloc) if a]
-    for row in codes:
-        for j, sb in enumerate(active):
-            nb = alloc[sb] + 1
-            w.write(row[j], nb)
+    if crc16 is not None:
+        w.write(crc16 & 0xFFFF, 16)
+    # §2.4.1.5 field order: sb-major, channel-minor throughout
+    for sb in range(32):
+        for al, _sc, _co in chans:
+            w.write(al[sb], 4)
+    scf_at = [
+        {sb: j for j, sb in enumerate(i for i, a in enumerate(al) if a)}
+        for al, _sc, _co in chans
+    ]
+    for sb in range(32):
+        for ch, (al, sc, _co) in enumerate(chans):
+            if al[sb]:
+                w.write(sc[scf_at[ch][sb]], 6)
+    for s in range(12):
+        for sb in range(32):
+            for ch, (al, _sc, co) in enumerate(chans):
+                if al[sb]:
+                    w.write(co[s][scf_at[ch][sb]], al[sb] + 1)
     w.pad_to_byte()
     if len(w.buf) > frame_bytes:
         raise ValueError(
@@ -138,10 +189,17 @@ def build_layer1_frame(
 
 
 def parse_layer1_frame(frame: bytes) -> dict:
-    """→ ``{"sr", "kbps", "alloc", "scf_idx", "codes", "requant_num",
-    "requant_den"}``: the full integer unpack plus the exact rational
-    requantization numerators (2·code + 1 − 2^nb) and denominators
-    (2^nb − 1) in the same 12 × n_active layout as ``codes``."""
+    """→ ``{"sr", "kbps", "mode", "nch", "crc_present", "alloc",
+    "scf_idx", "codes", "requant_num", "requant_den"}``: the full
+    integer unpack plus the exact rational requantization numerators
+    (2·code + 1 − 2^nb) and denominators (2^nb − 1) in the same
+    12 × n_active layout as ``codes``.  Mono frames return flat
+    lists; stereo/dual frames return a 2-list (one per channel) for
+    each of the five field keys.  protection_bit=0 frames have their
+    16-bit crc_check word consumed (so later fields align) and
+    reported via ``crc_present`` — the CRC value is not verified
+    (ADVICE r11: previously it would have been misread as allocation
+    bits)."""
     if len(frame) < 4:
         raise ValueError("not a frame")
     h = int.from_bytes(frame[:4], "big")
@@ -159,8 +217,8 @@ def parse_layer1_frame(frame: bytes) -> dict:
             f"Layer {layer} sample decode not implemented (headers only "
             "via containers.scan_mp3_frames)"
         )
-    if (h >> 6) & 3 != 3:
-        raise NotImplementedError("only single-channel Layer I implemented")
+    mode = (h >> 6) & 3
+    nch = _resolve_mode(mode)
     br_idx = (h >> 12) & 0xF
     sr_idx = (h >> 10) & 3
     # reserved/free-format header codes: keep the module's ValueError
@@ -171,35 +229,55 @@ def parse_layer1_frame(frame: bytes) -> dict:
     if br_idx in (0, 15):
         raise ValueError(f"unsupported bitrate index {br_idx} "
                          "(free-format / forbidden)")
+    crc_present = not (h >> 16) & 1
     r = _BitReader(frame)
     r.pos = 32
-    alloc = [r.read(4) for _ in range(32)]
-    if any(a == 15 for a in alloc):
+    if crc_present:
+        r.read(16)  # crc_check: consumed for alignment, not verified
+    alloc = [[0] * 32 for _ in range(nch)]
+    for sb in range(32):
+        for ch in range(nch):
+            alloc[ch][sb] = r.read(4)
+    if any(a == 15 for al in alloc for a in al):
         raise ValueError("allocation code 15 is forbidden")
-    active = [i for i, a in enumerate(alloc) if a]
-    scf_idx = [r.read(6) for _ in active]
-    codes = []
-    nums = []
-    dens = []
-    for _ in range(12):
-        row, nrow, drow = [], [], []
-        for sb in active:
-            nb = alloc[sb] + 1
-            c = r.read(nb)
-            row.append(c)
-            nrow.append(2 * c + 1 - (1 << nb))
-            drow.append((1 << nb) - 1)
-        codes.append(row)
-        nums.append(nrow)
-        dens.append(drow)
+    active = [[sb for sb, a in enumerate(al) if a] for al in alloc]
+    scf_idx = [[0] * len(active[ch]) for ch in range(nch)]
+    at = [
+        {sb: j for j, sb in enumerate(active[ch])} for ch in range(nch)
+    ]
+    for sb in range(32):
+        for ch in range(nch):
+            if alloc[ch][sb]:
+                scf_idx[ch][at[ch][sb]] = r.read(6)
+    codes = [[] for _ in range(nch)]
+    nums = [[] for _ in range(nch)]
+    dens = [[] for _ in range(nch)]
+    for _s in range(12):
+        rows = [([], [], []) for _ in range(nch)]
+        for sb in range(32):
+            for ch in range(nch):
+                if alloc[ch][sb]:
+                    nb = alloc[ch][sb] + 1
+                    c = r.read(nb)
+                    rows[ch][0].append(c)
+                    rows[ch][1].append(2 * c + 1 - (1 << nb))
+                    rows[ch][2].append((1 << nb) - 1)
+        for ch in range(nch):
+            codes[ch].append(rows[ch][0])
+            nums[ch].append(rows[ch][1])
+            dens[ch].append(rows[ch][2])
+    flat = nch == 1
     return {
         "sr": _SR_TABLE[sr_idx],
         "kbps": _BR_TABLE_L1[br_idx],
-        "alloc": alloc,
-        "scf_idx": scf_idx,
-        "codes": codes,
-        "requant_num": nums,
-        "requant_den": dens,
+        "mode": mode,
+        "nch": nch,
+        "crc_present": crc_present,
+        "alloc": alloc[0] if flat else alloc,
+        "scf_idx": scf_idx[0] if flat else scf_idx,
+        "codes": codes[0] if flat else codes,
+        "requant_num": nums[0] if flat else nums,
+        "requant_den": dens[0] if flat else dens,
     }
 
 
@@ -294,26 +372,43 @@ def synthesize_buffered(subband_frames):
 # and the float synthesis outside the integer-exact surface — the same
 # honest boundary Layer I draws before its filterbank.
 #
-# Table scope: Table 3-B.2a (the 44.1/48 kHz higher-bitrate mono
-# layout, sblimit 27).  The low-bitrate tables (3-B.2c/d, sblimit
-# 12/8) select a different structure and raise NotImplementedError —
-# an explicit edge, not a silent misparse.
+# Table scope (corrected r12 per ADVICE): the (sampling rate, bitrate
+# per channel) pair SELECTS the allocation table, §2.4.2.6 —
+# Table 3-B.2a (sblimit 27) for 48 kHz at >= 56 kbps/ch and for
+# 44.1/32 kHz at 56..80 kbps/ch; Table 3-B.2b (sblimit 30, same group
+# rows with subbands 23..29 in the 2-bit group) for 44.1/32 kHz above
+# 80 kbps/ch.  The low-bitrate tables (3-B.2c/d, sblimit 12/8) select
+# a different row structure and raise NotImplementedError — an
+# explicit edge, not a silent misparse.  The spec's bitrate/mode
+# legality (32/48/56/80 kbps single-channel only; 224..384 kbps
+# two-channel only, §2.4.2.3) is enforced on both build and parse.
 # ---------------------------------------------------------------------------
 
 _BR_TABLE_L2 = [0, 32, 48, 56, 64, 80, 96, 112,
                 128, 160, 192, 224, 256, 320, 384]  # kbps, index 1..14
-# Table 3-B.2a bit-allocation structure: (allocation field width,
+_L2_MONO_ONLY_KBPS = {32, 48, 56, 80}
+_L2_STEREO_ONLY_KBPS = {224, 256, 320, 384}
+# Table 3-B.2a/b bit-allocation structure: (allocation field width,
 # levels list indexed by allocation code - 1) per subband group.
-_L2_GROUPS = (
-    (range(0, 3), 4,
-     [3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
-      16383, 32767, 65535]),
-    (range(3, 11), 4,
-     [3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
-      8191, 65535]),
-    (range(11, 23), 3, [3, 5, 7, 9, 15, 31, 65535]),
-    (range(23, 27), 2, [3, 5, 65535]),
-)
+# 3-B.2b shares the rows; its 2-bit group extends through subband 29.
+_LV_G0 = [3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+          16383, 32767, 65535]
+_LV_G1 = [3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+          8191, 65535]
+_LV_G2 = [3, 5, 7, 9, 15, 31, 65535]
+_LV_G3 = [3, 5, 65535]
+
+
+def _l2_groups_for(sblimit: int):
+    return (
+        (range(0, 3), 4, _LV_G0),
+        (range(3, 11), 4, _LV_G1),
+        (range(11, 23), 3, _LV_G2),
+        (range(23, sblimit), 2, _LV_G3),
+    )
+
+
+_L2_GROUPS = _l2_groups_for(27)       # Table 3-B.2a rows
 _L2_SBLIMIT = 27
 _GROUPED_BITS = {3: 5, 5: 7, 9: 10}   # one codeword carries 3 samples
 # scfsi → how many scalefactors are TRANSMITTED, and how the
@@ -322,11 +417,37 @@ _SCFSI_EXPAND = {0: (3, (0, 1, 2)), 1: (2, (0, 0, 1)),
                  2: (1, (0, 0, 0)), 3: (2, (0, 1, 1))}
 
 
-def _l2_group(sb: int):
-    for sbs, bits, levels in _L2_GROUPS:
+def _l2_check_mode_bitrate(kbps: int, nch: int) -> None:
+    """§2.4.2.3: Layer II restricts bitrate/mode combinations."""
+    if kbps in _L2_MONO_ONLY_KBPS and nch != 1:
+        raise ValueError(
+            f"Layer II {kbps} kbps is single-channel only (§2.4.2.3)"
+        )
+    if kbps in _L2_STEREO_ONLY_KBPS and nch == 1:
+        raise ValueError(
+            f"Layer II {kbps} kbps is two-channel only (§2.4.2.3)"
+        )
+
+
+def _l2_table_for(sr: int, kbps: int, nch: int) -> tuple[str, int]:
+    """(table name, sblimit) from the (sampling rate, bitrate per
+    channel) pair — §2.4.2.6, the selection libmad/mpg123 implement."""
+    per_ch = kbps // nch
+    if per_ch <= 48:
+        raise NotImplementedError(
+            "low-bitrate Layer II uses Table 3-B.2c/d (sblimit 12/8) — "
+            "only the 3-B.2a/b layouts are implemented"
+        )
+    if sr == 48000 or per_ch <= 80:
+        return "3-B.2a", 27
+    return "3-B.2b", 30
+
+
+def _l2_group(sb: int, sblimit: int = 27):
+    for sbs, bits, levels in _l2_groups_for(sblimit):
         if sb in sbs:
             return bits, levels
-    raise ValueError(f"subband {sb} outside Table 3-B.2a (sblimit 27)")
+    raise ValueError(f"subband {sb} outside the table (sblimit {sblimit})")
 
 
 def _l2_sample_bits(levels: int) -> int:
@@ -338,30 +459,15 @@ def _l2_sample_bits(levels: int) -> int:
     return nb                              # per sample
 
 
-def build_layer2_frame(
-    alloc_idx: list[int],
-    scfsi: list[int],
-    scf: list[list[int]],
-    samples: list[list[tuple[int, int, int]]],
-    sr_idx: int = 0,
-    br_idx: int = 10,
-) -> bytes:
-    """One mono MPEG-1 Layer II frame under Table 3-B.2a.
-
-    ``alloc_idx``: 27 allocation codes (0 = subband silent; k >= 1
-    selects the k-th level count of the subband's group row).
-    ``scfsi``: one 2-bit code per ALLOCATED subband.  ``scf``: per
-    allocated subband, exactly the TRANSMITTED scalefactor indices
-    (3/2/1/2 for scfsi 0/1/2/3).  ``samples``: 12 granules × allocated
-    subbands, each a triple of sample codes < levels; triples are
-    GROUPED into one codeword where the level count is 3/5/9 (spec
-    §2.4.3.3.2: c = s0 + levels·s1 + levels²·s2)."""
-    if len(alloc_idx) != _L2_SBLIMIT:
-        raise ValueError(f"need {_L2_SBLIMIT} allocation codes")
+def _validate_l2_channel(alloc_idx, scfsi, scf, samples, sblimit):
+    if len(alloc_idx) != sblimit:
+        raise ValueError(
+            f"need {sblimit} allocation codes per channel for this table"
+        )
     active = [sb for sb, a in enumerate(alloc_idx) if a]
     levels = []
     for sb in active:
-        bits, lv = _l2_group(sb)
+        _bits, lv = _l2_group(sb, sblimit)
         if not 1 <= alloc_idx[sb] <= len(lv):
             raise ValueError(
                 f"allocation {alloc_idx[sb]} out of range for subband {sb}"
@@ -383,34 +489,95 @@ def build_layer2_frame(
         for j, tri in enumerate(row):
             if len(tri) != 3 or any(not 0 <= v < levels[j] for v in tri):
                 raise ValueError("sample code out of range for its levels")
+    return active, levels
 
+
+def build_layer2_frame(
+    alloc_idx: list,
+    scfsi: list,
+    scf: list,
+    samples: list,
+    sr_idx: int = 1,
+    br_idx: int = 10,
+    mode: int = 3,
+    crc16: int | None = None,
+) -> bytes:
+    """One MPEG-1 Layer II frame under the (rate, bitrate/channel)-
+    selected allocation table (3-B.2a or 3-B.2b — see module header).
+
+    Mono (``mode=3``): ``alloc_idx`` is sblimit allocation codes
+    (0 = subband silent; k >= 1 selects the k-th level count of the
+    subband's group row); ``scfsi`` one 2-bit code per ALLOCATED
+    subband; ``scf`` per allocated subband exactly the TRANSMITTED
+    scalefactor indices (3/2/1/2 for scfsi 0/1/2/3); ``samples`` 12
+    granules × allocated subbands, each a triple of sample codes <
+    levels, GROUPED into one codeword where the level count is 3/5/9
+    (§2.4.3.3.2: c = s0 + levels·s1 + levels²·s2).  Stereo/dual
+    (``mode=0``/``2``): each of the four is a 2-list of per-channel
+    values, and fields interleave in the spec's (subband, channel)
+    order (§2.4.1.6).  The default (48 kHz, 192 kbps, mono) is a
+    spec-LEGAL combo selecting 3-B.2a (ADVICE r12: the old 44.1 kHz
+    384 kbps mono default violated §2.4.2.3)."""
+    nch = _resolve_mode(mode)
     sr = _SR_TABLE[sr_idx]
     kbps = _BR_TABLE_L2[br_idx]
+    _l2_check_mode_bitrate(kbps, nch)
+    _table, sblimit = _l2_table_for(sr, kbps, nch)
+    chans = (
+        [(alloc_idx, scfsi, scf, samples)] if nch == 1
+        else list(zip(alloc_idx, scfsi, scf, samples))
+    )
+    if len(chans) != nch:
+        raise ValueError(f"mode {mode} needs {nch} channel(s) of fields")
+    actives, levels = [], []
+    for al, si, sc, sm in chans:
+        a, lv = _validate_l2_channel(al, si, sc, sm, sblimit)
+        actives.append(a)
+        levels.append(lv)
+
     frame_bytes = 144 * kbps * 1000 // sr
     w = _BitWriter()
     header = (
-        (0x7FF << 21) | (3 << 19) | (2 << 17) | (1 << 16)  # MPEG-1, L2
+        (0x7FF << 21) | (3 << 19) | (2 << 17)
+        | ((0 if crc16 is not None else 1) << 16)
         | (br_idx << 12) | (sr_idx << 10) | (0 << 9) | (0 << 8)
-        | (3 << 6)  # mode: single channel
+        | (mode << 6)
     )
     w.write(header, 32)
-    for sb in range(_L2_SBLIMIT):
-        w.write(alloc_idx[sb], _l2_group(sb)[0])
-    for s in scfsi:
-        w.write(s, 2)
-    for j in range(len(active)):
-        for v in scf[j]:
-            w.write(v, 6)
-    for row in samples:
-        for j, tri in enumerate(row):
-            lv = levels[j]
-            if lv in _GROUPED_BITS:
-                c = tri[0] + lv * tri[1] + lv * lv * tri[2]
-                w.write(c, _GROUPED_BITS[lv])
-            else:
-                nb = _l2_sample_bits(lv)
-                for v in tri:
-                    w.write(v, nb)
+    if crc16 is not None:
+        w.write(crc16 & 0xFFFF, 16)
+    at = [
+        {sb: j for j, sb in enumerate(actives[ch])} for ch in range(nch)
+    ]
+    # §2.4.1.6 field order: sb-major, channel-minor throughout
+    for sb in range(sblimit):
+        width = _l2_group(sb, sblimit)[0]
+        for al, _si, _sc, _sm in chans:
+            w.write(al[sb], width)
+    for sb in range(sblimit):
+        for ch, (al, si, _sc, _sm) in enumerate(chans):
+            if al[sb]:
+                w.write(si[at[ch][sb]], 2)
+    for sb in range(sblimit):
+        for ch, (al, _si, sc, _sm) in enumerate(chans):
+            if al[sb]:
+                for v in sc[at[ch][sb]]:
+                    w.write(v, 6)
+    for gr in range(12):
+        for sb in range(sblimit):
+            for ch, (al, _si, _sc, sm) in enumerate(chans):
+                if not al[sb]:
+                    continue
+                j = at[ch][sb]
+                lv = levels[ch][j]
+                tri = sm[gr][j]
+                if lv in _GROUPED_BITS:
+                    c = tri[0] + lv * tri[1] + lv * lv * tri[2]
+                    w.write(c, _GROUPED_BITS[lv])
+                else:
+                    nb = _l2_sample_bits(lv)
+                    for v in tri:
+                        w.write(v, nb)
     w.pad_to_byte()
     if len(w.buf) > frame_bytes:
         raise ValueError(
@@ -421,10 +588,15 @@ def build_layer2_frame(
 
 
 def parse_layer2_frame(frame: bytes) -> dict:
-    """→ ``{"sr", "kbps", "alloc_idx", "levels", "scfsi", "scf_parts",
-    "samples"}``: the full integer unpack.  ``scf_parts`` expands the
-    transmitted scalefactors to the three 12-granule parts per the
-    scfsi rule; ``samples`` is 12 × n_active × 3 DEGROUPED codes."""
+    """→ ``{"sr", "kbps", "mode", "nch", "crc_present", "table",
+    "sblimit", "alloc_idx", "levels", "scfsi", "scf_parts",
+    "samples"}``: the full integer unpack under the (rate, bitrate/
+    channel)-selected table.  ``scf_parts`` expands the transmitted
+    scalefactors to the three 12-granule parts per the scfsi rule;
+    ``samples`` is 12 × n_active × 3 DEGROUPED codes.  Mono frames
+    return flat lists; stereo/dual frames a 2-list per channel for
+    the five field keys.  protection_bit=0 frames have the 16-bit
+    crc_check consumed (alignment) and flagged, not verified."""
     if len(frame) < 4:
         raise ValueError("not a frame")
     h = int.from_bytes(frame[:4], "big")
@@ -435,8 +607,8 @@ def parse_layer2_frame(frame: bytes) -> dict:
     layer = 4 - ((h >> 17) & 3)
     if layer != 2:
         raise ValueError(f"not a Layer II frame (layer {layer})")
-    if (h >> 6) & 3 != 3:
-        raise NotImplementedError("only single-channel Layer II implemented")
+    mode = (h >> 6) & 3
+    nch = _resolve_mode(mode)
     br_idx = (h >> 12) & 0xF
     sr_idx = (h >> 10) & 3
     if sr_idx == 3:
@@ -444,53 +616,80 @@ def parse_layer2_frame(frame: bytes) -> dict:
     if br_idx in (0, 15):
         raise ValueError(f"unsupported bitrate index {br_idx} "
                          "(free-format / forbidden)")
-    if _BR_TABLE_L2[br_idx] < 56:
-        raise NotImplementedError(
-            "low-bitrate Layer II uses Table 3-B.2c/d (sblimit 12/8) — "
-            "only the 3-B.2a layout is implemented"
-        )
+    kbps = _BR_TABLE_L2[br_idx]
+    _l2_check_mode_bitrate(kbps, nch)
+    table, sblimit = _l2_table_for(_SR_TABLE[sr_idx], kbps, nch)
+    crc_present = not (h >> 16) & 1
     r = _BitReader(frame)
     r.pos = 32
-    alloc_idx = [
-        r.read(_l2_group(sb)[0]) for sb in range(_L2_SBLIMIT)
+    if crc_present:
+        r.read(16)  # crc_check: consumed for alignment, not verified
+    alloc_idx = [[0] * sblimit for _ in range(nch)]
+    for sb in range(sblimit):
+        width = _l2_group(sb, sblimit)[0]
+        for ch in range(nch):
+            alloc_idx[ch][sb] = r.read(width)
+    actives = [
+        [sb for sb, a in enumerate(alloc_idx[ch]) if a] for ch in range(nch)
     ]
-    active = [sb for sb, a in enumerate(alloc_idx) if a]
-    levels = []
-    for sb in active:
-        lv = _l2_group(sb)[1]
-        if alloc_idx[sb] > len(lv):
-            raise ValueError(
-                f"allocation {alloc_idx[sb]} out of range for subband {sb}"
-            )
-        levels.append(lv[alloc_idx[sb] - 1])
-    scfsi = [r.read(2) for _ in active]
-    scf_parts = []
-    for s in scfsi:
-        need, expand = _SCFSI_EXPAND[s]
-        sent = [r.read(6) for _ in range(need)]
-        if any(v == 63 for v in sent):
-            raise ValueError("scalefactor index 63 is forbidden")
-        scf_parts.append([sent[k] for k in expand])
-    samples = []
+    at = [{sb: j for j, sb in enumerate(actives[ch])} for ch in range(nch)]
+    levels = [[0] * len(actives[ch]) for ch in range(nch)]
+    for ch in range(nch):
+        for j, sb in enumerate(actives[ch]):
+            lv = _l2_group(sb, sblimit)[1]
+            if alloc_idx[ch][sb] > len(lv):
+                raise ValueError(
+                    f"allocation {alloc_idx[ch][sb]} out of range for "
+                    f"subband {sb}"
+                )
+            levels[ch][j] = lv[alloc_idx[ch][sb] - 1]
+    scfsi = [[0] * len(actives[ch]) for ch in range(nch)]
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if alloc_idx[ch][sb]:
+                scfsi[ch][at[ch][sb]] = r.read(2)
+    scf_parts = [[None] * len(actives[ch]) for ch in range(nch)]
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if not alloc_idx[ch][sb]:
+                continue
+            j = at[ch][sb]
+            need, expand = _SCFSI_EXPAND[scfsi[ch][j]]
+            sent = [r.read(6) for _ in range(need)]
+            if any(v == 63 for v in sent):
+                raise ValueError("scalefactor index 63 is forbidden")
+            scf_parts[ch][j] = [sent[k] for k in expand]
+    samples = [[] for _ in range(nch)]
     for _gr in range(12):
-        row = []
-        for j, lv in enumerate(levels):
-            if lv in _GROUPED_BITS:
-                c = r.read(_GROUPED_BITS[lv])
-                tri = (c % lv, (c // lv) % lv, c // (lv * lv))
-                if tri[2] >= lv:
-                    raise ValueError("grouped codeword exceeds levels^3")
-            else:
-                nb = _l2_sample_bits(lv)
-                tri = (r.read(nb), r.read(nb), r.read(nb))
-            row.append(tri)
-        samples.append(row)
+        rows = [[] for _ in range(nch)]
+        for sb in range(sblimit):
+            for ch in range(nch):
+                if not alloc_idx[ch][sb]:
+                    continue
+                lv = levels[ch][at[ch][sb]]
+                if lv in _GROUPED_BITS:
+                    c = r.read(_GROUPED_BITS[lv])
+                    tri = (c % lv, (c // lv) % lv, c // (lv * lv))
+                    if tri[2] >= lv:
+                        raise ValueError("grouped codeword exceeds levels^3")
+                else:
+                    nb = _l2_sample_bits(lv)
+                    tri = (r.read(nb), r.read(nb), r.read(nb))
+                rows[ch].append(tri)
+        for ch in range(nch):
+            samples[ch].append(rows[ch])
+    flat = nch == 1
     return {
         "sr": _SR_TABLE[sr_idx],
-        "kbps": _BR_TABLE_L2[br_idx],
-        "alloc_idx": alloc_idx,
-        "levels": levels,
-        "scfsi": scfsi,
-        "scf_parts": scf_parts,
-        "samples": samples,
+        "kbps": kbps,
+        "mode": mode,
+        "nch": nch,
+        "crc_present": crc_present,
+        "table": table,
+        "sblimit": sblimit,
+        "alloc_idx": alloc_idx[0] if flat else alloc_idx,
+        "levels": levels[0] if flat else levels,
+        "scfsi": scfsi[0] if flat else scfsi,
+        "scf_parts": scf_parts[0] if flat else scf_parts,
+        "samples": samples[0] if flat else samples,
     }

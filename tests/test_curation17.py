@@ -1,5 +1,6 @@
-"""Round-10 fourth-set query (plans/curation17.py): MPEG-1 Layer I
-bitstream decode and the codec operators under it."""
+"""MPEG-1 audio queries (plans/curation17.py) and the bitstream codec
+under them (operators/mpeg_audio.py) — mono + stereo, Table 3-B.2a/b
+selection, bitrate/mode legality, CRC alignment."""
 
 from __future__ import annotations
 
@@ -104,12 +105,15 @@ def test_mpeg1_layer1_subband_stats_matches_oracle(spark):
         tuple(r) for r in mpeg1_layer1_subband_stats(spark, SF).collect()
     )
     assert got == _oracle(MPEG1_L1_SQL)
-    for _, n_active, alloc_sum, _, _, num_sum, _ in got:
-        assert 6 <= n_active <= 10
+    for _, n_active, alloc_sum, _, _, num_sum, crc_flag, _ in got:
+        assert 12 <= n_active <= 20          # two channels of 6..10
         assert alloc_sum >= n_active
         # every requant numerator 2c+1-2^nb is odd; 12*n_active of them
         # sum to an even number
         assert num_sum % 2 == 0
+        assert crc_flag in (0, 1)
+    # both CRC branches exercised across the corpus
+    assert {r[6] for r in got} == {0, 1}
 
 
 def test_layer1_reserved_header_codes_raise_valueerror():
@@ -162,7 +166,9 @@ def test_layer2_bitstream_roundtrip_and_errors():
         ]
         for gr in range(12)
     ]
-    frame = build_layer2_frame(alloc, scfsi, scf, samples, br_idx=14)
+    # 48 kHz mono 192 kbps: spec-legal (mono max), selects 3-B.2a
+    frame = build_layer2_frame(alloc, scfsi, scf, samples,
+                               sr_idx=1, br_idx=10)
     got = parse_layer2_frame(frame)
     assert got["alloc_idx"] == alloc
     assert got["levels"] == [3, 5, 9, 15, 65535]
@@ -171,7 +177,8 @@ def test_layer2_bitstream_roundtrip_and_errors():
     assert got["scf_parts"] == [
         [1, 2, 3], [4, 4, 5], [6, 6, 6], [7, 8, 8], [60, 61, 62]]
     assert got["samples"] == samples
-    assert got["sr"] == 44100 and got["kbps"] == 384
+    assert got["sr"] == 48000 and got["kbps"] == 192
+    assert got["table"] == "3-B.2a" and got["sblimit"] == 27
 
     # forbidden / malformed
     import pytest as _pt
@@ -195,6 +202,13 @@ def test_layer2_bitstream_roundtrip_and_errors():
     with _pt.raises(NotImplementedError):  # low-bitrate 3-B.2c/d layout
         h = ((0x7FF << 21) | (3 << 19) | (2 << 17) | (1 << 16)
              | (1 << 12) | (0 << 10) | (3 << 6))  # 32 kbps
+        parse_layer2_frame(h.to_bytes(4, "big") + bytes(200))
+    with _pt.raises(ValueError):  # 384 kbps is two-channel only
+        build_layer2_frame(alloc, scfsi, scf, samples,
+                           sr_idx=1, br_idx=14)
+    with _pt.raises(ValueError):  # 32 kbps is single-channel only
+        h = ((0x7FF << 21) | (3 << 19) | (2 << 17) | (1 << 16)
+             | (1 << 12) | (0 << 10) | (0 << 6))  # 32 kbps stereo
         parse_layer2_frame(h.to_bytes(4, "big") + bytes(200))
     # Layer I parser routes Layer II frames to the right entry point
     with _pt.raises(NotImplementedError):
@@ -229,6 +243,94 @@ def test_mpeg1_layer2_bitstream_stats_matches_oracle(spark):
     assert got == want
     # grouping is exercised across most of the corpus (a doc whose
     # closed-form allocations all land on ungrouped levels is fine),
-    # and every doc covers >= 7 subbands incl. the 2-bit group
-    assert sum(1 for r in got if r[6] >= 1) > len(got) // 2
-    assert all(r[1] >= 7 for r in got)
+    # and every doc covers >= 14 subbands (two channels of >= 7)
+    assert sum(1 for r in got if r[7] >= 1) > len(got) // 2
+    assert all(r[2] >= 14 for r in got)
+    # both allocation tables AND both CRC branches exercised
+    assert {r[1] for r in got} == {27, 30}
+    assert {r[9] for r in got} == {0, 1}
+
+
+def test_layer1_stereo_crc_roundtrip():
+    """Two-channel Layer I: the (subband, channel) interleave of
+    §2.4.1.5 must round-trip per-channel fields exactly, and a
+    protection_bit=0 frame's crc_check word must be consumed so later
+    fields stay aligned (ADVICE r11)."""
+    from data_pipeline_who_gho_spark.operators.mpeg_audio import (
+        build_layer1_frame,
+        parse_layer1_frame,
+    )
+
+    a0, a1 = [0] * 32, [0] * 32
+    for j, a in enumerate([3, 1, 6]):
+        a0[j * 7] = a
+    for j in range(5):
+        a1[j] = 2 + j % 4
+    s0, s1 = [0, 30, 62], [5, 6, 7, 8, 9]
+    act0 = [i for i, a in enumerate(a0) if a]
+    c0 = [[(s + j) % (1 << (a0[sb] + 1)) for j, sb in enumerate(act0)]
+          for s in range(12)]
+    c1 = [[(s * 3 + j) % (1 << (a1[j] + 1)) for j in range(5)]
+          for s in range(12)]
+    for crc in (None, 0xACE5):
+        frame = build_layer1_frame(
+            [a0, a1], [s0, s1], [c0, c1], mode=0, crc16=crc
+        )
+        got = parse_layer1_frame(frame)
+        assert got["nch"] == 2 and got["mode"] == 0
+        assert got["crc_present"] == (crc is not None)
+        assert got["alloc"] == [a0, a1]
+        assert got["scf_idx"] == [s0, s1]
+        assert got["codes"] == [c0, c1]
+    # joint stereo is the explicit edge
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        build_layer1_frame([a0, a1], [s0, s1], [c0, c1], mode=1)
+
+
+def test_layer2_table_selection_and_stereo():
+    """§2.4.2.6 table selection: 48 kHz >= 56 kbps/ch and 44.1/32 kHz
+    at 56-80 kbps/ch select 3-B.2a (sblimit 27); 44.1/32 kHz above 80
+    kbps/ch select 3-B.2b (sblimit 30) — previously every frame was
+    misparsed under 3-B.2a (ADVICE r11, medium).  Stereo frames
+    interleave per (subband, channel) and round-trip exactly."""
+    from data_pipeline_who_gho_spark.operators.mpeg_audio import (
+        _l2_table_for,
+        build_layer2_frame,
+        parse_layer2_frame,
+    )
+
+    assert _l2_table_for(48000, 192, 1) == ("3-B.2a", 27)
+    assert _l2_table_for(44100, 64, 1) == ("3-B.2a", 27)   # 56-80/ch
+    assert _l2_table_for(44100, 160, 2) == ("3-B.2a", 27)  # 80/ch
+    assert _l2_table_for(44100, 192, 1) == ("3-B.2b", 30)
+    assert _l2_table_for(32000, 384, 2) == ("3-B.2b", 30)  # 192/ch
+    assert _l2_table_for(48000, 384, 2) == ("3-B.2a", 27)
+
+    # stereo 44.1 @ 384 -> table b: a subband >= 27 is addressable
+    al = [0] * 30
+    al[0], al[12], al[28] = 2, 3, 1
+    scfsi = [0, 2, 3]
+    scf = [[1, 2, 3], [4], [5, 6]]
+    smp = [[(gr % 7, 0, 6), (gr % 7, 1, 2), (gr % 3, 2, 1)]
+           for gr in range(12)]
+    al2 = [0] * 30
+    al2[5], al2[29] = 4, 2
+    scfsi2 = [1, 0]
+    scf2 = [[7, 8], [9, 10, 11]]
+    smp2 = [[(gr % 9, 8, 0), (gr % 5, 4, 1)] for gr in range(12)]
+    frame = build_layer2_frame(
+        [al, al2], [scfsi, scfsi2], [scf, scf2], [smp, smp2],
+        sr_idx=0, br_idx=14, mode=0, crc16=123,
+    )
+    got = parse_layer2_frame(frame)
+    assert got["table"] == "3-B.2b" and got["sblimit"] == 30
+    assert got["nch"] == 2 and got["crc_present"]
+    assert got["alloc_idx"] == [al, al2]
+    assert got["scfsi"] == [scfsi, scfsi2]
+    assert got["samples"] == [smp, smp2]
+    assert got["scf_parts"] == [
+        [[1, 2, 3], [4, 4, 4], [5, 6, 6]],
+        [[7, 7, 8], [9, 10, 11]],
+    ]
