@@ -9,12 +9,15 @@ readers lack is exactly what the multimodal stack does — binary
 payloads decoded in an Arrow-batched ``mapInPandas`` pass.  The
 decoder here is the real wire format: zigzag-varint primitives, the
 container magic/metadata/sync-marker framing, null and deflate codecs,
-and the schema-driven walk for records, arrays, maps, and
-null-unions.
+and the schema-driven walk for records, arrays, maps, null-unions,
+and — r12 — enums (zigzag-varint symbol index) and fixed (raw
+``size`` bytes), so arrays-of-records / map-of-record values nest
+freely.
 
-Honest boundary (same contract as the other codecs): enums, fixed,
-recursive schemas, snappy/zstandard codecs, and schema RESOLUTION
-(reader schema != writer schema) raise ``NotImplementedError``.
+Honest boundary (same contract as the other codecs): recursive
+schemas / named-type REFERENCES, snappy/zstandard codecs (no public
+pure-stdlib snappy), and schema RESOLUTION (reader schema != writer
+schema) raise ``NotImplementedError``.
 
 No reference-repo analog (the reference ingests a JSON HTTP API only).
 """
@@ -127,6 +130,16 @@ def _encode_value(schema, value) -> bytes:
                 out += write_long(len(kd)) + kd
                 out += _encode_value(schema["values"], v)
         return out + write_long(0)
+    if t == "enum":
+        symbols = schema["symbols"]
+        if value not in symbols:
+            raise ValueError(f"enum value {value!r} not in symbols")
+        return write_long(symbols.index(value))
+    if t == "fixed":
+        size = schema["size"]
+        if len(value) != size:
+            raise ValueError(f"fixed value must be exactly {size} bytes")
+        return bytes(value)
     raise NotImplementedError(f"Avro type {t!r} not implemented")
 
 
@@ -182,6 +195,14 @@ def _decode_value(schema, r: _Reader):
                 k = r.string()
                 out[k] = _decode_value(schema["values"], r)
         return out
+    if t == "enum":
+        idx = r.long()
+        symbols = schema["symbols"]
+        if not 0 <= idx < len(symbols):
+            raise ValueError(f"enum index {idx} out of range")
+        return symbols[idx]
+    if t == "fixed":
+        return r.read(schema["size"])
     raise NotImplementedError(f"Avro type {t!r} not implemented")
 
 

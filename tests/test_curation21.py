@@ -1,0 +1,139 @@
+"""Round-12 ingestion additions (plans/curation21.py): Avro non-scalar
+types through the pure-stdlib container codec, and the XML rowTag scan
+with the typed reject posture."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from data_pipeline_who_gho_spark.session import get_spark
+
+    return get_spark(app_name="test-curation21")
+
+
+def _oracle(sql):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+def test_avro_enum_fixed_nested_roundtrip():
+    """Enum (varint symbol index), fixed (raw size bytes), and
+    arrays-of-records / maps nest through encode -> decode exactly,
+    under both block codecs; forbidden values fail loudly."""
+    from data_pipeline_who_gho_spark.operators.avro import (
+        build_avro,
+        read_avro,
+    )
+
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "e", "type": {"type": "enum", "name": "E",
+                                   "symbols": ["A", "B", "C"]}},
+            {"name": "f", "type": {"type": "fixed", "name": "F4",
+                                   "size": 4}},
+            {"name": "m", "type": {"type": "map", "values": {
+                "type": "record", "name": "Inner",
+                "fields": [{"name": "x", "type": "long"}]}}},
+            {"name": "a", "type": {"type": "array", "items": {
+                "type": "enum", "name": "E2", "symbols": ["P", "Q"]}}},
+        ],
+    }
+    recs = [
+        {"e": "B", "f": b"\x00\xff\x10\x20",
+         "m": {"k1": {"x": -5}, "k2": {"x": 1 << 40}},
+         "a": ["Q", "P", "Q"]},
+        {"e": "C", "f": b"abcd", "m": {}, "a": []},
+    ]
+    for codec in ("null", "deflate"):
+        got = read_avro(build_avro(schema, recs, codec=codec))
+        assert got["records"] == recs
+        assert got["codec"] == codec
+
+    with pytest.raises(ValueError):   # enum value outside symbols
+        build_avro(schema, [{**recs[0], "e": "Z"}])
+    with pytest.raises(ValueError):   # fixed with the wrong width
+        build_avro(schema, [{**recs[0], "f": b"toolong"}])
+    with pytest.raises(NotImplementedError):  # snappy boundary stated
+        build_avro(schema, recs, codec="snappy")
+    # decode-side: an enum index past the symbol list is a loud error
+    from data_pipeline_who_gho_spark.operators.avro import (
+        _Reader,
+        _decode_value,
+        write_long,
+    )
+
+    with pytest.raises(ValueError):
+        _decode_value(
+            {"type": "enum", "name": "E", "symbols": ["A"]},
+            _Reader(write_long(3)),
+        )
+
+
+def test_avro_complex_scan_stats_matches_oracle(spark):
+    from data_pipeline_who_gho_spark.plans.curation21 import (
+        AVRO_COMPLEX_SCAN_STATS_SQL,
+        avro_complex_scan_stats,
+    )
+
+    got = sorted(
+        tuple(r) for r in avro_complex_scan_stats(spark, SF).collect()
+    )
+    assert got == _oracle(AVRO_COMPLEX_SCAN_STATS_SQL)
+    # all three enum symbols, both codecs, and non-trivial spans appear
+    assert {r[1] for r in got} == {"LOW", "MED", "HIGH"}
+    assert {r[7] for r in got} == {"deflate", "null"}
+    assert any(r[5] > 0 for r in got) and any(r[5] == 0 for r in got)
+
+
+def test_xml_fragment_parse_semantics():
+    """The rowTag scan unit: entity unescaping on good fragments, a
+    mismatched inner close tag rejects THAT fragment only, and the
+    raw-fragment md5 is computed either way."""
+    import hashlib
+
+    # drive the inner parser shape directly through a fabricated file
+    good = b'<url id="7"><loc>u7</loc><lang>en</lang><note>a &lt;&amp;&gt; b</note></url>'
+    bad = b'<url id="8"><loc>u8</lo><lang>fr</lang><note>x</note></url>'
+    content = good + b"\n" + bad + b"\n"
+
+    import re
+    import xml.etree.ElementTree as ET
+
+    frags = re.findall(rb"<url\b.*?</url>", content, re.S)
+    assert len(frags) == 2
+    el = ET.fromstring(frags[0].decode())
+    assert el.findtext("note") == "a <&> b"     # entities unescaped
+    assert el.findtext("loc") == "u7"
+    with pytest.raises(ET.ParseError):
+        ET.fromstring(frags[1].decode())
+    assert hashlib.md5(frags[1]).hexdigest()    # diagnostics still keyed
+
+
+def test_xml_scan_reject_split_matches_oracle(spark):
+    from data_pipeline_who_gho_spark.plans.curation21 import (
+        XML_SCAN_REJECT_SPLIT_SQL,
+        xml_scan_reject_split,
+    )
+
+    got = sorted(
+        tuple(r) for r in xml_scan_reject_split(spark, SF).collect()
+    )
+    assert got == _oracle(XML_SCAN_REJECT_SPLIT_SQL)
+    by_status = {r[1] for r in got}
+    assert by_status == {"ok", "rejected"}      # both lanes populated
+    for r in got:
+        if r[1] == "rejected":
+            assert r[2] is None and r[3] is None and r[4] is not None
+        else:
+            assert " <&> " in r[3]              # unescape proven per row
