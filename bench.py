@@ -21,6 +21,13 @@ trivial JVM aggregation whose slowdown sensitivity matches the Spark
 workload, unlike r10's single-thread Python loop-units metric, which
 overcorrected (loop slowed 1.94x while Spark queries slowed ~1.25x)
 and was removed — lets any two rounds' artifacts be compared directly.
+
+MATCHED-CALIB COMPARISON (r12): the artifact additionally ships a
+``vs_prev`` block pairing this run's attempts with the latest
+committed BENCH_r*.json's attempts at NEAREST calib_loop_median, and
+reports the per-query ratios at that matched phase — the cross-round
+answer ("did the engine regress?") now lives in the artifact itself
+instead of in quiet-run prose.
 """
 
 from __future__ import annotations
@@ -210,6 +217,107 @@ def _run_attempt(spark, queries, sf_dir: str) -> dict:
     }
 
 
+def _vs_prev(attempts: list[dict]) -> dict | None:
+    """Matched-calib cross-round comparison (VERDICT r11 task 3): pair
+    this run's attempts with the LATEST committed BENCH_r*.json that
+    ships per-attempt series (r11+ format), at the NEAREST
+    calib_loop_median — so the reported per-query ratios compare the
+    engine at the same host phase, killing the prose dependency of
+    slow-side vs quiet-run readings (the r11 18.94-vs-15.52 ambiguity).
+    Ratio > 1 = this round slower than the previous at matched phase."""
+    import glob
+
+    root = os.path.dirname(os.path.abspath(__file__))
+
+    def round_no(path: str) -> int:
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
+    def extract_attempts(rec: dict) -> list | None:
+        if isinstance(rec.get("parsed"), dict):
+            rec = rec["parsed"]  # driver wraps bench stdout as "parsed"
+        if isinstance(rec.get("attempts"), list) and rec["attempts"]:
+            return rec["attempts"]
+        # the driver keeps only the TAIL of stdout (observed: r11's
+        # "parsed" is null and the JSON line's head is cut) — recover
+        # the attempts array by bracket-matching inside the tail
+        tail = rec.get("tail")
+        if not isinstance(tail, str):
+            return None
+        k = tail.find('"attempts": [')
+        if k < 0:
+            return None
+        s = tail[k + len('"attempts": '):]
+        depth = 0
+        for end, ch in enumerate(s):
+            if ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    try:
+                        return json.loads(s[:end + 1]) or None
+                    except ValueError:
+                        return None
+        return None
+
+    cands = []
+    for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json")),
+                       key=round_no):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        prev_attempts = extract_attempts(rec)
+        if prev_attempts:
+            cands.append((path, prev_attempts))
+    if not cands:
+        return None
+    path, prev_attempts = cands[-1]
+    rec = {"attempts": prev_attempts}
+    pairs = [
+        (abs(a["calib_loop_median"]
+             - b.get("calib_loop_median", float("inf"))), i, j)
+        for i, a in enumerate(attempts)
+        for j, b in enumerate(rec["attempts"])
+    ]
+    delta, i, j = min(pairs)
+    a, b = attempts[i], rec["attempts"][j]
+    shared = sorted(
+        n for n, v in a["queries"].items()
+        if b.get("queries", {}).get(n, 0) > 0
+    )
+    if not shared:
+        return None
+    ratios = {n: round(a["queries"][n] / b["queries"][n], 3) for n in shared}
+    vals = sorted(ratios.values())
+    prev_legacy = b.get("legacy17_total")
+    return {
+        "prev_artifact": os.path.basename(path),
+        "this_attempt": i + 1,
+        "prev_attempt": j + 1,
+        "calib_this": a["calib_loop_median"],
+        "calib_prev": b.get("calib_loop_median"),
+        "calib_delta": round(delta, 3),
+        "legacy17_ratio": (
+            round(a["legacy17_total"] / prev_legacy, 3)
+            if prev_legacy else None
+        ),
+        "per_query_ratio_median": vals[len(vals) // 2],
+        "per_query_ratio_minmax": [vals[0], vals[-1]],
+        "worst_ratios": sorted(
+            ratios.items(), key=lambda kv: -kv[1]
+        )[:3],
+        "n_shared_queries": len(shared),
+        "note": (
+            "per-query ratios at MATCHED calib phase (nearest "
+            "loop-median attempt pairing); > 1 = slower than the "
+            "previous committed round at the same host phase"
+        ),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -266,15 +374,22 @@ def main() -> None:
             "comparable"
         )
     med_canary = sorted(headline["canary_sec"])[len(headline["canary_sec"]) // 2]
+    # KEY ORDER MATTERS: the driver records only the TAIL of stdout
+    # (r11's artifact lost the line's head, including metric/value, and
+    # its "parsed" field is null).  Bulk series go FIRST so end-biased
+    # truncation always preserves the summary + vs_prev at the end.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_best_of_3_sec",
-                "value": headline["total"],
-                "unit": "sec",
+                "attempts": attempts,
+                "rebase_note": (
+                    "r09 added media_decode_png_stats, r10 added "
+                    "crawl_ingest_e2e to the headline set; legacy17_total "
+                    "is the r01-r08-comparable figure and r09_18_total the "
+                    "r09-comparable one"
+                ),
                 "queries": headline["queries"],
-                "legacy17_total": headline["legacy17_total"],
-                "r09_18_total": headline["r09_18_total"],
+                "vs_prev": _vs_prev(attempts),
                 "host_phase_note": note,
                 "fast_phase": headline["fast_phase"],
                 "fast_loop_band": list(_FAST_LOOP_BAND),
@@ -286,18 +401,16 @@ def main() -> None:
                     round(headline["legacy17_total"] / med_canary, 2)
                     if med_canary >= 0.01 else None
                 ),
-                "attempts": attempts,
-                "rebase_note": (
-                    "r09 added media_decode_png_stats, r10 added "
-                    "crawl_ingest_e2e to the headline set; legacy17_total "
-                    "is the r01-r08-comparable figure and r09_18_total the "
-                    "r09-comparable one"
-                ),
-                "sf": sf,
                 "matmul_sec": matmul,
                 "loadavg_start": [round(v, 2) for v in load_start],
                 "loadavg_end": [round(v, 2) for v in os.getloadavg()],
                 "cpus": os.cpu_count(),
+                "legacy17_total": headline["legacy17_total"],
+                "r09_18_total": headline["r09_18_total"],
+                "metric": "headline_queries_total_best_of_3_sec",
+                "value": headline["total"],
+                "unit": "sec",
+                "sf": sf,
             }
         )
     )
