@@ -44,7 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread_for_python
 from .etl_seams import _memo, _scratch
 
 CURATION21_QUERIES: dict = {}
@@ -218,7 +218,13 @@ def _write_xml_dataset(spark: SparkSession, sf_dir: str) -> str:
 
 def xml_scan_reject_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _write_xml_dataset(spark, sf_dir)
-    files = spark.read.format("binaryFile").load(path).select("content")
+    # binaryFile packs small files into few partitions (measured: 32
+    # files -> 2 tasks at sf1), capping the parse stage; spread the
+    # per-FILE rows so every core parses (no-op at production file
+    # sizes, same trap/fix as the codec family — catalog.py:122)
+    files = spread_for_python(
+        spark.read.format("binaryFile").load(path).select("content")
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
