@@ -20,13 +20,12 @@ float stages are deliberately kept OUT of the hash-gated query, the
 same honest boundary the FLAC/JPEG codecs draw at their lossy edges.
 
 Layer II's full bitstream layer is implemented too (r11, bottom of
-this module): the Table 3-B.2a AND 3-B.2b allocation structures with
-the real (sampling rate, bitrate-per-channel) table selection of
-§2.4.2.6 (r12, per ADVICE — previously 3-B.2a was applied
-unconditionally), scfsi-conditional scalefactor transmission, and
-3/5/9-level grouped codewords — with the Table 3-B.4
-dequant-constant multiply and the low-bitrate 3-B.2c/d layouts as
-the explicit remaining edge.  r12 also adds TWO-CHANNEL frames
+this module): ALL FOUR allocation tables (3-B.2a/b/c/d) with the real
+(sampling rate, bitrate-per-channel) table selection of §2.4.2.6
+(r12, per ADVICE — previously 3-B.2a was applied unconditionally),
+scfsi-conditional scalefactor transmission, and 3/5/9-level grouped
+codewords — with the Table 3-B.4 dequant-constant multiply as the
+explicit remaining edge before the float stage.  r12 also adds TWO-CHANNEL frames
 (stereo mode 0 / dual_channel mode 2, the sb-major channel-minor
 field interleave of §2.4.1.5/§2.4.1.6) to both layers, enforces the
 §2.4.2.3 bitrate/mode legality on build and parse, and consumes (not
@@ -377,9 +376,10 @@ def synthesize_buffered(subband_frames):
 # Table 3-B.2a (sblimit 27) for 48 kHz at >= 56 kbps/ch and for
 # 44.1/32 kHz at 56..80 kbps/ch; Table 3-B.2b (sblimit 30, same group
 # rows with subbands 23..29 in the 2-bit group) for 44.1/32 kHz above
-# 80 kbps/ch.  The low-bitrate tables (3-B.2c/d, sblimit 12/8) select
-# a different row structure and raise NotImplementedError — an
-# explicit edge, not a silent misparse.  The spec's bitrate/mode
+# 80 kbps/ch; Table 3-B.2c (sblimit 8, 44.1/48 kHz) and 3-B.2d
+# (sblimit 12, 32 kHz) for <= 48 kbps/ch — the FULL §2.4.2.6 family
+# (r12; c/d rows are 4-bit for subbands 0-1 and 3-bit above, over the
+# 9-bearing ladder with no 7 and no 65535).  The spec's bitrate/mode
 # legality (32/48/56/80 kbps single-channel only; 224..384 kbps
 # two-channel only, §2.4.2.3) is enforced on both build and parse.
 # ---------------------------------------------------------------------------
@@ -397,9 +397,20 @@ _LV_G1 = [3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
           8191, 65535]
 _LV_G2 = [3, 5, 7, 9, 15, 31, 65535]
 _LV_G3 = [3, 5, 65535]
+# Table 3-B.2c/d rows (low bitrate, <= 48 kbps/ch): subbands 0-1 are
+# 4-bit, the rest 3-bit, over the 9-bearing level ladder (no 7, no
+# 65535) — the layout mpg123's alloc_3 encodes
+_LV_CD_LO = [3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+             8191, 16383, 32767]
+_LV_CD_HI = [3, 5, 9, 15, 31, 63, 127]
 
 
 def _l2_groups_for(sblimit: int):
+    if sblimit in (8, 12):      # Tables 3-B.2c (8) / 3-B.2d (12)
+        return (
+            (range(0, 2), 4, _LV_CD_LO),
+            (range(2, sblimit), 3, _LV_CD_HI),
+        )
     return (
         (range(0, 3), 4, _LV_G0),
         (range(3, 11), 4, _LV_G1),
@@ -434,10 +445,7 @@ def _l2_table_for(sr: int, kbps: int, nch: int) -> tuple[str, int]:
     channel) pair — §2.4.2.6, the selection libmad/mpg123 implement."""
     per_ch = kbps // nch
     if per_ch <= 48:
-        raise NotImplementedError(
-            "low-bitrate Layer II uses Table 3-B.2c/d (sblimit 12/8) — "
-            "only the 3-B.2a/b layouts are implemented"
-        )
+        return ("3-B.2d", 12) if sr == 32000 else ("3-B.2c", 8)
     if sr == 48000 or per_ch <= 80:
         return "3-B.2a", 27
     return "3-B.2b", 30

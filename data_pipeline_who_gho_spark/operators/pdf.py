@@ -15,13 +15,18 @@ OBJECT STREAMS (``/Type /ObjStm`` with the ``/N``-pair offset table
 in the first ``/First`` bytes) are now parsed for real, and the
 writer can emit either layout so fixtures exercise both paths.
 
+``/Prev`` incremental-update chains are followed for real too
+(newest-first, first entry per object number wins — §7.5.6), so an
+in-place-updated PDF extracts its LATEST revision.
+
 Honest boundary, same contract as the other codecs in this package
 (``jpeg.py``, ``flac.py``, ``mpeg_audio.py``): encryption
-(``/Encrypt``), incremental-update chains (``/Prev``), CID fonts,
-and single-byte font-encoded hex strings (this writer emits hex
-strings as BOM-tagged UTF-16BE only) are out of scope and raise
-``NotImplementedError`` where they would change the result —
-everything implemented is the real wire format, not a stub.
+(``/Encrypt``), hybrid-reference files (a ``/Prev`` pointing at a
+classic xref TABLE), CID fonts, and single-byte font-encoded hex
+strings (this writer emits hex strings as BOM-tagged UTF-16BE only)
+are out of scope and raise ``NotImplementedError`` where they would
+change the result — everything implemented is the real wire format,
+not a stub.
 
 No reference-repo analog (the reference ingests a JSON HTTP API only,
 ``etl/extract.py:30-153``); this extends the crawl-ingest arc
@@ -425,47 +430,69 @@ def _expand_objstm(body: bytes) -> dict[int, bytes]:
 def _objects_via_xref_stream(payload: bytes, off: int) -> dict[int, bytes]:
     """The PDF 1.5+ loader: parse the ``/Type /XRef`` stream at byte
     ``off`` (``/W`` field widths, ``/Index`` subsections, PNG
-    predictors), load type-1 entries at their exact offsets, and
-    expand type-2 entries through their ObjStm containers."""
-    _num, body = _object_at(payload, off)
-    sm = re.compile(rb"\bstream\r?\n").search(body)
-    head = body[:sm.start()] if sm else body
-    if b"/XRef" not in head:
-        raise ValueError("startxref does not point at a /Type /XRef stream")
-    if b"/Encrypt" in head:
-        raise NotImplementedError("encrypted PDFs are not implemented")
-    if b"/Prev" in head:
-        raise NotImplementedError(
-            "incremental-update xref chains (/Prev) are not implemented"
-        )
-    w = _dict_int_array(head, rb"/W")
-    size = _dict_int(head, rb"/Size")
-    if not w or size is None:
-        raise ValueError("xref stream without /W or /Size")
-    index = _dict_int_array(head, rb"/Index") or [0, size]
-    data = _apply_decode_parms(head, _stream_data(body))
-    row_w = sum(w)
+    predictors), following ``/Prev`` incremental-update chains
+    (newest-first; the FIRST entry seen for an object number wins,
+    per ISO 32000-1 §7.5.6), load type-1 entries at their exact
+    offsets, and expand type-2 entries through their ObjStm
+    containers."""
     offsets: dict[int, int] = {}
     in_stm: dict[int, tuple[int, int]] = {}
-    pos = 0
-    for s in range(0, len(index), 2):
-        start, count = index[s], index[s + 1]
-        for objnum in range(start, start + count):
-            if pos + row_w > len(data):
-                raise ValueError("xref stream shorter than /Index claims")
-            fields = []
-            for width in w:
-                fields.append(
-                    int.from_bytes(data[pos:pos + width], "big") if width
-                    else None
+    seen: set[int] = set()
+    visited: set[int] = set()
+    while True:
+        if off in visited:
+            raise ValueError("cyclic /Prev xref chain")
+        visited.add(off)
+        _num, body = _object_at(payload, off)
+        sm = re.compile(rb"\bstream\r?\n").search(body)
+        head = body[:sm.start()] if sm else body
+        if b"/XRef" not in head:
+            if len(visited) > 1:
+                raise NotImplementedError(
+                    "/Prev target is not a /Type /XRef stream (hybrid-"
+                    "reference files with classic-table sections are "
+                    "not implemented)"
                 )
-                pos += width
-            ftype = fields[0] if w[0] else 1  # absent type defaults to 1
-            if ftype == 1:
-                offsets[objnum] = fields[1]
-            elif ftype == 2:
-                in_stm[objnum] = (fields[1], fields[2])
-            # type 0 (free) and reserved types: no object to load
+            raise ValueError(
+                "startxref does not point at a /Type /XRef stream"
+            )
+        if b"/Encrypt" in head:
+            raise NotImplementedError("encrypted PDFs are not implemented")
+        w = _dict_int_array(head, rb"/W")
+        size = _dict_int(head, rb"/Size")
+        if not w or size is None:
+            raise ValueError("xref stream without /W or /Size")
+        index = _dict_int_array(head, rb"/Index") or [0, size]
+        data = _apply_decode_parms(head, _stream_data(body))
+        row_w = sum(w)
+        pos = 0
+        for s in range(0, len(index), 2):
+            start, count = index[s], index[s + 1]
+            for objnum in range(start, start + count):
+                if pos + row_w > len(data):
+                    raise ValueError(
+                        "xref stream shorter than /Index claims"
+                    )
+                fields = []
+                for width in w:
+                    fields.append(
+                        int.from_bytes(data[pos:pos + width], "big")
+                        if width else None
+                    )
+                    pos += width
+                if objnum in seen:  # an older section: superseded
+                    continue
+                seen.add(objnum)
+                ftype = fields[0] if w[0] else 1  # absent type defaults to 1
+                if ftype == 1:
+                    offsets[objnum] = fields[1]
+                elif ftype == 2:
+                    in_stm[objnum] = (fields[1], fields[2])
+                # type 0 (free) and reserved types: no object to load
+        prev = _dict_int(head, rb"/Prev")
+        if prev is None:
+            break
+        off = prev
     objs: dict[int, bytes] = {}
     for objnum, at in offsets.items():
         num, obody = _object_at(payload, at)

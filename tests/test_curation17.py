@@ -199,10 +199,13 @@ def test_layer2_bitstream_roundtrip_and_errors():
         )
         l1 = build_layer1_frame([1] + [0] * 31, [0], [[0]] * 12)
         parse_layer2_frame(l1)
-    with _pt.raises(NotImplementedError):  # low-bitrate 3-B.2c/d layout
-        h = ((0x7FF << 21) | (3 << 19) | (2 << 17) | (1 << 16)
-             | (1 << 12) | (0 << 10) | (3 << 6))  # 32 kbps
-        parse_layer2_frame(h.to_bytes(4, "big") + bytes(200))
+    # low-bitrate frames now select Table 3-B.2c (r12): an all-silent
+    # 32 kbps mono frame parses under sblimit 8
+    h = ((0x7FF << 21) | (3 << 19) | (2 << 17) | (1 << 16)
+         | (1 << 12) | (0 << 10) | (3 << 6))  # 32 kbps
+    low = parse_layer2_frame(h.to_bytes(4, "big") + bytes(200))
+    assert low["table"] == "3-B.2c" and low["sblimit"] == 8
+    assert low["alloc_idx"] == [0] * 8 and low["levels"] == []
     with _pt.raises(ValueError):  # 384 kbps is two-channel only
         build_layer2_frame(alloc, scfsi, scf, samples,
                            sr_idx=1, br_idx=14)
@@ -334,3 +337,55 @@ def test_layer2_table_selection_and_stereo():
         [[1, 2, 3], [4, 4, 4], [5, 6, 6]],
         [[7, 7, 8], [9, 10, 11]],
     ]
+
+
+def test_layer2_low_bitrate_tables_c_and_d():
+    """Tables 3-B.2c (44.1/48 kHz, sblimit 8) and 3-B.2d (32 kHz,
+    sblimit 12) at <= 48 kbps/ch: 4-bit allocation for subbands 0-1
+    over the 9-bearing 15-entry ladder, 3-bit above over its 7-entry
+    prefix — full round-trip including grouped 9-level codewords
+    (previously an explicit NotImplementedError edge)."""
+    from data_pipeline_who_gho_spark.operators.mpeg_audio import (
+        _l2_table_for,
+        build_layer2_frame,
+        parse_layer2_frame,
+    )
+
+    assert _l2_table_for(44100, 32, 1) == ("3-B.2c", 8)
+    assert _l2_table_for(48000, 48, 1) == ("3-B.2c", 8)
+    assert _l2_table_for(32000, 48, 1) == ("3-B.2d", 12)
+    assert _l2_table_for(44100, 96, 2) == ("3-B.2c", 8)   # 48/ch stereo
+
+    # table c: 32 kbps mono at 44.1 kHz (104-byte frame)
+    al = [0] * 8
+    al[0], al[1], al[3] = 3, 9, 3           # levels 9, 511, 9
+    scfsi = [2, 2, 2]                       # 1 transmitted scf each
+    scf = [[10], [20], [30]]
+    smp = [[(gr % 9, 8, 0), ((gr * 37) % 511, 510, 2), ((gr * 5) % 9, 0, 4)]
+           for gr in range(12)]
+    frame = build_layer2_frame(al, scfsi, scf, smp, sr_idx=0, br_idx=1)
+    got = parse_layer2_frame(frame)
+    assert got["table"] == "3-B.2c" and got["sblimit"] == 8
+    assert got["alloc_idx"] == al
+    assert got["levels"] == [9, 511, 9]
+    assert got["samples"] == smp
+    assert len(frame) == 144 * 32000 // 44100
+
+    # table d: 48 kbps mono at 32 kHz, high subband 11 live
+    al = [0] * 12
+    al[1], al[11] = 2, 7                    # levels 5, 127
+    scfsi = [0, 3]
+    scf = [[1, 2, 3], [4, 5]]
+    smp = [[(gr % 5, 4, 0), (gr % 127, 126, 1)] for gr in range(12)]
+    frame = build_layer2_frame(al, scfsi, scf, smp, sr_idx=2, br_idx=2)
+    got = parse_layer2_frame(frame)
+    assert got["table"] == "3-B.2d" and got["sblimit"] == 12
+    assert got["levels"] == [5, 127]
+    assert got["samples"] == smp
+    # 7 is NOT on the c/d ladder: allocation index 3 on subband 2 maps
+    # to 9, never 7
+    al2 = [0] * 12
+    al2[2] = 3
+    got2 = parse_layer2_frame(build_layer2_frame(
+        al2, [1], [[6, 7]], [[(2, 8, 5)]] * 12, sr_idx=2, br_idx=2))
+    assert got2["levels"] == [9]

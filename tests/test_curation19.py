@@ -99,9 +99,10 @@ def test_pdf_content_stream_operator_semantics():
 
 
 def test_pdf_error_contracts():
-    """Honest boundaries: non-PDF, non-Flate filters, incremental
-    updates, encryption, TIFF predictors, and font-encoded hex
-    strings fail loudly with the documented exception types."""
+    """Honest boundaries: non-PDF, non-Flate filters, a /Prev that
+    points into non-object bytes, encryption, TIFF predictors, and
+    font-encoded hex strings fail loudly with the documented
+    exception types."""
     from data_pipeline_who_gho_spark.operators.pdf import (
         _stream_data,
         build_pdf,
@@ -123,7 +124,7 @@ def test_pdf_error_contracts():
     with pytest.raises(ValueError):
         extract_pdf_text(objstm)
     modern = build_pdf([["hello there"]], layout="xrefstream")
-    with pytest.raises(NotImplementedError):  # incremental-update chain
+    with pytest.raises(ValueError):  # /Prev into non-object bytes
         extract_pdf_text(modern.replace(b"/Type /XRef", b"/Type /XRef /Prev 9"))
     with pytest.raises(NotImplementedError):  # encryption
         extract_pdf_text(
@@ -239,3 +240,59 @@ def test_crawl_pdf_funnel_matches_oracle(spark):
     assert got == _oracle(CRAWL_PDF_FUNNEL_SQL)
     kinds = {r[2] for r in got}
     assert kinds == {"pdf", "plain"}  # both branches exercised
+
+
+def test_pdf_incremental_update_prev_chain():
+    """A real in-place update: append a replacement content stream and
+    a second xref stream whose /Prev points at the base xref — the
+    reader must follow the chain newest-first, so page 1 extracts the
+    REVISED text while untouched pages come from the base revision
+    (ISO 32000-1 §7.5.6 first-entry-wins)."""
+    import re
+    import zlib
+
+    from data_pipeline_who_gho_spark.operators.pdf import (
+        _show_ops,
+        build_pdf,
+        extract_pdf_text,
+    )
+
+    pages = [["original first page"], ["second page stays"]]
+    base = build_pdf(pages, layout="xrefstream")
+    base_xref_at = int(
+        re.search(rb"startxref\s+(\d+)", base[-256:]).group(1)
+    )
+    base_size = int(re.search(rb"/Size (\d+)", base).group(1))
+
+    # page 1's /Contents is object 5 (catalog 1, pages 2, font 3,
+    # page dicts 4/6, content streams 5/7 — same ids as the writer)
+    stream = zlib.compress(_show_ops(["REVISED first page"]), 9)
+    obj5 = (
+        f"<< /Length {len(stream)} /Filter /FlateDecode >>\n".encode()
+        + b"stream\n" + stream + b"\nendstream"
+    )
+    out = bytearray(base)
+    off5 = len(out)
+    out += b"5 0 obj\n" + obj5 + b"\nendobj\n"
+    xref_num = base_size            # next free object number
+    xref_at = len(out)
+    rows = bytearray()
+    for t, f2, f3 in ((1, off5, 0), (1, xref_at, 0)):
+        rows.append(t)
+        rows.extend(f2.to_bytes(3, "big"))
+        rows.extend(f3.to_bytes(2, "big"))
+    xdata = zlib.compress(bytes(rows), 9)   # no predictor: that path too
+    out += f"{xref_num} 0 obj\n".encode()
+    out += (
+        f"<< /Type /XRef /Size {xref_num + 1} /Root 1 0 R /W [1 3 2] "
+        f"/Index [5 1 {xref_num} 1] /Filter /FlateDecode "
+        f"/Prev {base_xref_at} /Length {len(xdata)} >>\n".encode()
+    )
+    out += b"stream\n" + xdata + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+
+    res = extract_pdf_text(bytes(out))
+    assert res["pages"] == ["REVISED first page", "second page stays"]
+    # base revision still extracts standalone
+    assert extract_pdf_text(base)["pages"] == [
+        "original first page", "second page stays"]
