@@ -697,28 +697,19 @@ def extract_pdf_text(payload: bytes) -> dict:
     ``pages`` is one extracted-text string per page (lines joined by
     newlines), in page-tree order."""
     objs = _load_objects(payload)
-    # page order from the /Kids array of the pages root
-    pages_root = next(
-        (b for b in objs.values()
-         if b"/Type" in b and b"/Pages" in b and b"/Kids" in b),
-        None,
-    )
-    if pages_root is None:
-        raise ValueError("no page tree")
-    kid_ids = [
-        int(m.group(1))
-        for m in re.finditer(rb"(\d+)\s+0\s+R", _kids_array(pages_root))
-    ]
+    kid_ids = _walk_page_tree(objs)
     pages = []
     n_ops = 0
     for pid in kid_ids:
-        page = objs[pid]
-        cm = re.search(rb"/Contents\s+(\d+)\s+0\s+R", page)
-        if cm is None:
+        streams = _content_stream_ids(objs[pid])
+        if not streams:
             pages.append("")
             continue
+        # multiple /Contents parts form ONE logical stream; the spec
+        # guarantees part boundaries fall between lexical tokens, so a
+        # newline join is the standard reassembly
         lines, ops = extract_stream_text(
-            _stream_data(objs[int(cm.group(1))])
+            b"\n".join(_stream_data(objs[cid]) for cid in streams)
         )
         pages.append("\n".join(lines))
         n_ops += ops
@@ -730,9 +721,56 @@ def extract_pdf_text(payload: bytes) -> dict:
     }
 
 
-def _kids_array(pages_root: bytes) -> bytes:
-    km = re.search(rb"/Kids\s*\[", pages_root)
-    if km is None:
-        raise ValueError("pages root without /Kids")
-    end = pages_root.find(b"]", km.end())
-    return pages_root[km.end():end]
+def _walk_page_tree(objs: dict[int, bytes]) -> list[int]:
+    """Leaf page object numbers in tree order, recursing through
+    intermediate ``/Pages`` nodes (real PDFs balance wide documents
+    into nested trees); the root is the catalog's ``/Pages`` ref when
+    a catalog exists, else the first ``/Kids``-bearing node."""
+    cat = next(
+        (b for b in objs.values() if b"/Type" in b and b"/Catalog" in b),
+        None,
+    )
+    root_id = None
+    if cat is not None:
+        rm = re.search(rb"/Pages\s+(\d+)\s+0\s+R", cat)
+        if rm is not None:
+            root_id = int(rm.group(1))
+    if root_id is None:
+        root_id = next(
+            (num for num, b in objs.items()
+             if b"/Type" in b and b"/Pages" in b and b"/Kids" in b),
+            None,
+        )
+    if root_id is None or root_id not in objs:
+        raise ValueError("no page tree")
+    leaves: list[int] = []
+    seen: set[int] = set()
+
+    def walk(num: int) -> None:
+        if num in seen:
+            raise ValueError("cyclic page tree")
+        seen.add(num)
+        node = objs[num]
+        km = re.search(rb"/Kids\s*\[", node)
+        if km is None:
+            leaves.append(num)
+            return
+        end = node.find(b"]", km.end())
+        for m in re.finditer(rb"(\d+)\s+0\s+R", node[km.end():end]):
+            walk(int(m.group(1)))
+
+    walk(root_id)
+    return leaves
+
+
+def _content_stream_ids(page: bytes) -> list[int]:
+    """Object numbers of the page's content stream(s): a single
+    ``N 0 R`` ref or an ARRAY of refs (both spec forms)."""
+    am = re.search(rb"/Contents\s*\[([^\]]*)\]", page)
+    if am is not None:
+        return [
+            int(m.group(1))
+            for m in re.finditer(rb"(\d+)\s+0\s+R", am.group(1))
+        ]
+    cm = re.search(rb"/Contents\s+(\d+)\s+0\s+R", page)
+    return [int(cm.group(1))] if cm is not None else []

@@ -296,3 +296,50 @@ def test_pdf_incremental_update_prev_chain():
     # base revision still extracts standalone
     assert extract_pdf_text(base)["pages"] == [
         "original first page", "second page stays"]
+
+
+def test_pdf_nested_page_tree_and_contents_array():
+    """Real-PDF structures the flat writer doesn't emit: intermediate
+    /Pages nodes (wide docs balance into trees) and a /Contents ARRAY
+    whose parts reassemble into one logical stream.  Handcrafted
+    classic file — the offset-free scan ignores xref offsets, so the
+    object graph alone defines the document."""
+    import zlib
+
+    from data_pipeline_who_gho_spark.operators.pdf import (
+        extract_pdf_text,
+    )
+
+    def stream_obj(ops: bytes) -> bytes:
+        data = zlib.compress(ops, 9)
+        return (
+            f"<< /Length {len(data)} /Filter /FlateDecode >>\n".encode()
+            + b"stream\n" + data + b"\nendstream"
+        )
+
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        # root -> two intermediate /Pages nodes -> leaves (4, then 6 7)
+        2: b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 3 >>",
+        3: b"<< /Type /Pages /Parent 2 0 R /Kids [4 0 R] /Count 1 >>",
+        5: b"<< /Type /Pages /Parent 2 0 R /Kids [6 0 R 7 0 R] /Count 2 >>",
+        # leaf with a /Contents ARRAY split mid-page (token-boundary)
+        4: b"<< /Type /Page /Parent 3 0 R /Contents [8 0 R 9 0 R] >>",
+        6: b"<< /Type /Page /Parent 5 0 R /Contents 10 0 R >>",
+        7: b"<< /Type /Page /Parent 5 0 R >>",  # page without contents
+        8: stream_obj(b"BT /F1 12 Tf 72 720 Td (part one) Tj"),
+        9: stream_obj(b"0 -14 TD (part two) Tj ET"),
+        10: stream_obj(b"BT (middle leaf) Tj ET"),
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    for num in sorted(objs):
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 1\n0000000000 65535 f \n"
+    out += b"trailer\n<< /Size 11 /Root 1 0 R >>\n"
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+
+    res = extract_pdf_text(bytes(out))
+    assert res["n_pages"] == 3
+    assert res["pages"] == ["part one\npart two", "middle leaf", ""]
+    assert res["n_show_ops"] == 3
