@@ -207,6 +207,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # _PRIORITY below), then green ones stalest-round first.  Ground truth is
 # the CORRECTNESS_r*.json files the driver leaves in the repo root.
 _PRIORITY = [
+    # r12 head: the two new registrations (Avro non-scalar types; XML
+    # rowTag reject split) ahead of the four r12 re-stales, which rank
+    # next by being never-effective-green
+    "avro_complex_scan_stats", "xml_scan_reject_split",
     # r11 head: file-format ingestion (messy CSV + reject split,
     # multiline CSV, ORC round-trip)
     "csv_scan_stats", "csv_reject_split", "csv_multiline_stats",
