@@ -10,14 +10,18 @@ payloads decoded in an Arrow-batched ``mapInPandas`` pass.  The
 decoder here is the real wire format: zigzag-varint primitives, the
 container magic/metadata/sync-marker framing, null and deflate codecs,
 and the schema-driven walk for records, arrays, maps, null-unions,
-and — r12 — enums (zigzag-varint symbol index) and fixed (raw
-``size`` bytes), so arrays-of-records / map-of-record values nest
-freely.
+and — r12 — enums (zigzag-varint symbol index), fixed (raw ``size``
+bytes), and NAMED-TYPE REFERENCES (a declared record/enum/fixed name
+reused as a type, spec "Names" — the registry is threaded through
+the walk in declaration order, which also makes recursive record
+schemas work: a linked-list/tree schema encodes and decodes through
+its null-union terminators), so arrays-of-records / map-of-record
+values nest freely.
 
-Honest boundary (same contract as the other codecs): recursive
-schemas / named-type REFERENCES, snappy/zstandard codecs (no public
-pure-stdlib snappy), and schema RESOLUTION (reader schema != writer
-schema) raise ``NotImplementedError``.
+Honest boundary (same contract as the other codecs):
+snappy/zstandard codecs (no public pure-stdlib snappy), aliases, and
+schema RESOLUTION (reader schema != writer schema) raise
+``NotImplementedError``.
 
 No reference-repo analog (the reference ingests a JSON HTTP API only).
 """
@@ -85,14 +89,46 @@ class _Reader:
         return self.read(self.long())
 
 
-def _encode_value(schema, value) -> bytes:
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double",
+               "string", "bytes"}
+_COMPLEX = {"record", "array", "map", "enum", "fixed"}
+
+
+def _register_name(schema, names, ns):
+    """Record/enum/fixed declarations enter the name registry (spec
+    "Names") under both the short and the namespace-qualified name;
+    nested declarations INHERIT the enclosing namespace unless they
+    declare their own.  Registered BEFORE walking record fields so
+    recursive schemas resolve.  Returns the effective namespace for
+    the declaration's children."""
+    if isinstance(schema, dict):
+        ns = schema.get("namespace", ns)
+        if schema.get("type") in ("record", "enum", "fixed") \
+                and "name" in schema:
+            names[schema["name"]] = schema
+            if ns:
+                names[f"{ns}.{schema['name']}"] = schema
+    return ns
+
+
+def _encode_value(schema, value, names=None, ns=None) -> bytes:
+    if names is None:
+        names = {}
     t = schema["type"] if isinstance(schema, dict) else schema
     if isinstance(t, list):  # union
         for i, branch in enumerate(t):
             bt = branch["type"] if isinstance(branch, dict) else branch
             if (value is None) == (bt == "null"):
-                return write_long(i) + _encode_value(branch, value)
+                return write_long(i) + _encode_value(
+                    branch, value, names, ns
+                )
         raise ValueError("no union branch matched")
+    if isinstance(t, str) and t not in _PRIMITIVES and t not in _COMPLEX:
+        ref = names.get(t) or (ns and names.get(f"{ns}.{t}"))
+        if ref:  # named-type reference (short or qualified)
+            return _encode_value(ref, value, names, ns)
+        raise NotImplementedError(f"Avro type {t!r} not implemented")
+    ns = _register_name(schema, names, ns)
     if t == "null":
         return b""
     if t == "boolean":
@@ -110,7 +146,7 @@ def _encode_value(schema, value) -> bytes:
         return write_long(len(value)) + bytes(value)
     if t == "record":
         return b"".join(
-            _encode_value(f["type"], value[f["name"]])
+            _encode_value(f["type"], value[f["name"]], names, ns)
             for f in schema["fields"]
         )
     if t == "array":
@@ -118,7 +154,8 @@ def _encode_value(schema, value) -> bytes:
         if value:
             out += write_long(len(value))
             out += b"".join(
-                _encode_value(schema["items"], v) for v in value
+                _encode_value(schema["items"], v, names, ns)
+                for v in value
             )
         return out + write_long(0)
     if t == "map":
@@ -128,7 +165,7 @@ def _encode_value(schema, value) -> bytes:
             for k, v in value.items():
                 kd = k.encode("utf-8")
                 out += write_long(len(kd)) + kd
-                out += _encode_value(schema["values"], v)
+                out += _encode_value(schema["values"], v, names, ns)
         return out + write_long(0)
     if t == "enum":
         symbols = schema["symbols"]
@@ -143,13 +180,21 @@ def _encode_value(schema, value) -> bytes:
     raise NotImplementedError(f"Avro type {t!r} not implemented")
 
 
-def _decode_value(schema, r: _Reader):
+def _decode_value(schema, r: _Reader, names=None, ns=None):
+    if names is None:
+        names = {}
     t = schema["type"] if isinstance(schema, dict) else schema
     if isinstance(t, list):  # union
         idx = r.long()
         if not 0 <= idx < len(t):
             raise ValueError("union branch index out of range")
-        return _decode_value(t[idx], r)
+        return _decode_value(t[idx], r, names, ns)
+    if isinstance(t, str) and t not in _PRIMITIVES and t not in _COMPLEX:
+        ref = names.get(t) or (ns and names.get(f"{ns}.{t}"))
+        if ref:  # named-type reference (short or qualified)
+            return _decode_value(ref, r, names, ns)
+        raise NotImplementedError(f"Avro type {t!r} not implemented")
+    ns = _register_name(schema, names, ns)
     if t == "null":
         return None
     if t == "boolean":
@@ -166,7 +211,7 @@ def _decode_value(schema, r: _Reader):
         return r.bytes_()
     if t == "record":
         return {
-            f["name"]: _decode_value(f["type"], r)
+            f["name"]: _decode_value(f["type"], r, names, ns)
             for f in schema["fields"]
         }
     if t == "array":
@@ -179,7 +224,8 @@ def _decode_value(schema, r: _Reader):
                 r.long()
                 n = -n
             out.extend(
-                _decode_value(schema["items"], r) for _ in range(n)
+                _decode_value(schema["items"], r, names, ns)
+                for _ in range(n)
             )
         return out
     if t == "map":
@@ -193,7 +239,7 @@ def _decode_value(schema, r: _Reader):
                 n = -n
             for _ in range(n):
                 k = r.string()
-                out[k] = _decode_value(schema["values"], r)
+                out[k] = _decode_value(schema["values"], r, names, ns)
         return out
     if t == "enum":
         idx = r.long()

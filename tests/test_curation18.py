@@ -170,20 +170,27 @@ def test_avro_container_roundtrip_and_errors():
         read_avro(b"PAR1 not avro")
     with _pt.raises(NotImplementedError):
         build_avro(schema, recs, codec="snappy")
-    # enums are IMPLEMENTED as of r12 (operators/avro.py); the moved
-    # boundary is named-type REFERENCES (reusing a declared name)
+    # enums and named-type references are IMPLEMENTED as of r12
+    # (operators/avro.py); the moved boundary is an UNDECLARED name
     got = read_avro(build_avro(
         {"type": "enum", "name": "e", "symbols": ["A", "B"]}, ["B", "A"]
     ))
     assert got["records"] == ["B", "A"]
+    got = read_avro(build_avro(
+        {"type": "record", "name": "r", "fields": [
+            {"name": "a", "type": {"type": "fixed", "name": "F2",
+                                   "size": 2}},
+            {"name": "b", "type": "F2"},   # reference by name
+        ]},
+        [{"a": b"xy", "b": b"zz"}],
+    ))
+    assert got["records"] == [{"a": b"xy", "b": b"zz"}]
     with _pt.raises(NotImplementedError):
         build_avro(
             {"type": "record", "name": "r", "fields": [
-                {"name": "a", "type": {"type": "fixed", "name": "F2",
-                                       "size": 2}},
-                {"name": "b", "type": "F2"},   # reference by name
+                {"name": "a", "type": "Mystery"},   # never declared
             ]},
-            [{"a": b"xy", "b": b"zz"}],
+            [{"a": 1}],
         )
     # corrupt a sync marker -> hard failure, not silent misparse
     payload = bytearray(build_avro(schema, recs[:5], codec="null"))

@@ -137,3 +137,35 @@ def test_xml_scan_reject_split_matches_oracle(spark):
             assert r[2] is None and r[3] is None and r[4] is not None
         else:
             assert " <&> " in r[3]              # unescape proven per row
+
+
+def test_avro_named_refs_namespace_and_recursion():
+    """Spec "Names": a declared record/enum/fixed name reused as a
+    type is a reference (short or namespace-qualified, with nested
+    declarations inheriting the enclosing namespace), and a recursive
+    record schema round-trips through its null-union terminators."""
+    from data_pipeline_who_gho_spark.operators.avro import (
+        build_avro,
+        read_avro,
+    )
+
+    schema = {
+        "type": "record", "name": "Node", "namespace": "demo",
+        "fields": [
+            {"name": "tag", "type": {"type": "enum", "name": "Tag",
+                                     "symbols": ["X", "Y"]}},
+            {"name": "tag2", "type": "Tag"},          # short-name ref
+            {"name": "tag3", "type": "demo.Tag"},     # qualified ref
+            {"name": "next", "type": ["null", "Node"]},  # recursion
+        ],
+    }
+    recs = [
+        {"tag": "X", "tag2": "Y", "tag3": "X",
+         "next": {"tag": "Y", "tag2": "Y", "tag3": "Y",
+                  "next": {"tag": "X", "tag2": "X", "tag3": "Y",
+                           "next": None}}},
+        {"tag": "Y", "tag2": "X", "tag3": "Y", "next": None},
+    ]
+    for codec in ("null", "deflate"):
+        got = read_avro(build_avro(schema, recs, codec=codec))
+        assert got["records"] == recs
