@@ -27,11 +27,13 @@ scfsi-conditional scalefactor transmission, and 3/5/9-level grouped
 codewords — with the Table 3-B.4 dequant-constant multiply as the
 explicit remaining edge before the float stage.  r12 also adds TWO-CHANNEL frames
 (stereo mode 0 / dual_channel mode 2, the sb-major channel-minor
-field interleave of §2.4.1.5/§2.4.1.6) to both layers, enforces the
-§2.4.2.3 bitrate/mode legality on build and parse, and consumes (not
-verifies) the 16-bit crc_check word when protection_bit=0 so later
-fields stay aligned.  Joint stereo (intensity bound), Layer III and
-AAC sample decode remain out of scope (their Huffman/
+field interleave of §2.4.1.5/§2.4.1.6) to both layers — INCLUDING
+joint stereo (mode 1): at and above the intensity bound
+``(mode_extension+1)*4`` allocation and samples transmit once while
+scalefactors stay per-channel — enforces the §2.4.2.3 bitrate/mode
+legality on build and parse, and consumes (not verifies) the 16-bit
+crc_check word when protection_bit=0 so later fields stay aligned.
+Layer III and AAC sample decode remain out of scope (their Huffman/
 scalefactor-band machinery is a different order of size);
 ``NotImplementedError`` marks every such edge explicitly.
 
@@ -91,17 +93,21 @@ class _BitReader:
 
 
 def _resolve_mode(mode: int) -> int:
-    """Channel count for a header mode code; joint stereo (mode 1,
-    whose intensity bound changes the allocation layout) is the
-    explicit edge."""
-    if mode == 1:
-        raise NotImplementedError(
-            "joint_stereo (intensity bound) is not implemented — "
-            "modes 0 (stereo), 2 (dual_channel), 3 (single_channel) only"
-        )
-    if mode not in (0, 2, 3):
+    """Channel count for a header mode code.  All four modes are
+    implemented (r12: joint stereo's intensity-bound layout included);
+    only an out-of-range code is an error."""
+    if mode not in (0, 1, 2, 3):
         raise ValueError(f"unknown mode code {mode}")
     return 1 if mode == 3 else 2
+
+
+def _intensity_bound(mode: int, mode_ext: int, sblimit: int) -> int:
+    """First subband of the intensity region for joint stereo
+    (§2.4.2.3: bound = (mode_extension + 1) * 4, clamped to sblimit);
+    non-joint modes have no intensity region."""
+    if mode != 1:
+        return sblimit
+    return min((mode_ext + 1) * 4, sblimit)
 
 
 def _validate_l1_channel(alloc, scf_idx, codes) -> None:
@@ -126,6 +132,7 @@ def build_layer1_frame(
     br_idx: int = 14,
     mode: int = 3,
     crc16: int | None = None,
+    mode_ext: int = 0,
 ) -> bytes:
     """One MPEG-1 Layer I frame.  Mono (``mode=3``, the default):
     ``alloc`` is 32 allocation codes (0 = subband silent, a in 1..14 →
@@ -133,13 +140,19 @@ def build_layer1_frame(
     ALLOCATED subband in subband order; ``codes`` 12 sample groups ×
     allocated subbands.  Stereo/dual (``mode=0``/``2``): each of the
     three is a 2-list of per-channel values, and fields interleave in
-    the spec's (subband, channel) order (§2.4.1.5).  ``crc16`` set
-    writes protection_bit=0 and the 16-bit crc_check word after the
-    header (the value is carried, not computed — CRC verification is
-    outside the integer-exact surface).  Coded fields must fit the
-    frame's byte budget; the remainder is zero ancillary bits —
-    exactly what the spec allows."""
+    the spec's (subband, channel) order (§2.4.1.5).  Joint stereo
+    (``mode=1``, r12): the same 2-list form with ``mode_ext`` setting
+    the intensity bound ``(mode_ext+1)*4``; at and above the bound,
+    allocation and SAMPLES are transmitted once (the channels must
+    agree there), while scalefactors stay per-channel — which is the
+    point of intensity stereo.  ``crc16`` set writes protection_bit=0
+    and the 16-bit crc_check word after the header (the value is
+    carried, not computed — CRC verification is outside the
+    integer-exact surface).  Coded fields must fit the frame's byte
+    budget; the remainder is zero ancillary bits — exactly what the
+    spec allows."""
     nch = _resolve_mode(mode)
+    bound = _intensity_bound(mode, mode_ext, 32)
     chans = [(alloc, scf_idx, codes)] if nch == 1 else list(
         zip(alloc, scf_idx, codes)
     )
@@ -147,6 +160,27 @@ def build_layer1_frame(
         raise ValueError(f"mode {mode} needs {nch} channel(s) of fields")
     for al, sc, co in chans:
         _validate_l1_channel(al, sc, co)
+    scf_at = [
+        {sb: j for j, sb in enumerate(i for i, a in enumerate(al) if a)}
+        for al, _sc, _co in chans
+    ]
+    if mode == 1:
+        a0, s0 = chans[0][0], chans[0][2]
+        a1, s1 = chans[1][0], chans[1][2]
+        for sb in range(bound, 32):
+            if a0[sb] != a1[sb]:
+                raise ValueError(
+                    "joint stereo: allocation must match at/above the "
+                    "bound (one field is transmitted)"
+                )
+            if a0[sb] and any(
+                s0[s][scf_at[0][sb]] != s1[s][scf_at[1][sb]]
+                for s in range(12)
+            ):
+                raise ValueError(
+                    "joint stereo: samples must match at/above the "
+                    "bound (one code is transmitted)"
+                )
 
     sr = _SR_TABLE[sr_idx]
     kbps = _BR_TABLE_L1[br_idx]
@@ -156,26 +190,25 @@ def build_layer1_frame(
         (0x7FF << 21) | (3 << 19) | (3 << 17)
         | ((0 if crc16 is not None else 1) << 16)
         | (br_idx << 12) | (sr_idx << 10) | (0 << 9) | (0 << 8)
-        | (mode << 6)
+        | (mode << 6) | ((mode_ext & 3) << 4)
     )
     w.write(header, 32)
     if crc16 is not None:
         w.write(crc16 & 0xFFFF, 16)
-    # §2.4.1.5 field order: sb-major, channel-minor throughout
+    # §2.4.1.5 field order: sb-major, channel-minor throughout; at and
+    # above the joint-stereo bound, allocation/samples transmit once
     for sb in range(32):
-        for al, _sc, _co in chans:
+        for al, _sc, _co in chans[:nch if sb < bound else 1]:
             w.write(al[sb], 4)
-    scf_at = [
-        {sb: j for j, sb in enumerate(i for i, a in enumerate(al) if a)}
-        for al, _sc, _co in chans
-    ]
     for sb in range(32):
         for ch, (al, sc, _co) in enumerate(chans):
             if al[sb]:
                 w.write(sc[scf_at[ch][sb]], 6)
     for s in range(12):
         for sb in range(32):
-            for ch, (al, _sc, co) in enumerate(chans):
+            for ch, (al, _sc, co) in enumerate(
+                chans[:nch if sb < bound else 1]
+            ):
                 if al[sb]:
                     w.write(co[s][scf_at[ch][sb]], al[sb] + 1)
     w.pad_to_byte()
@@ -229,14 +262,21 @@ def parse_layer1_frame(frame: bytes) -> dict:
         raise ValueError(f"unsupported bitrate index {br_idx} "
                          "(free-format / forbidden)")
     crc_present = not (h >> 16) & 1
+    mode_ext = (h >> 4) & 3
+    bound = _intensity_bound(mode, mode_ext, 32)
     r = _BitReader(frame)
     r.pos = 32
     if crc_present:
         r.read(16)  # crc_check: consumed for alignment, not verified
     alloc = [[0] * 32 for _ in range(nch)]
     for sb in range(32):
-        for ch in range(nch):
-            alloc[ch][sb] = r.read(4)
+        if sb < bound:
+            for ch in range(nch):
+                alloc[ch][sb] = r.read(4)
+        else:  # intensity region: one allocation, both channels
+            a = r.read(4)
+            for ch in range(nch):
+                alloc[ch][sb] = a
     if any(a == 15 for al in alloc for a in al):
         raise ValueError("allocation code 15 is forbidden")
     active = [[sb for sb, a in enumerate(al) if a] for al in alloc]
@@ -254,10 +294,20 @@ def parse_layer1_frame(frame: bytes) -> dict:
     for _s in range(12):
         rows = [([], [], []) for _ in range(nch)]
         for sb in range(32):
+            if not alloc[0][sb] and (nch == 1 or not alloc[1][sb]):
+                continue
+            if sb < bound:
+                per_ch = [
+                    r.read(alloc[ch][sb] + 1) if alloc[ch][sb] else None
+                    for ch in range(nch)
+                ]
+            else:  # one sample code, applied to both channels
+                c = r.read(alloc[0][sb] + 1)
+                per_ch = [c] * nch
             for ch in range(nch):
                 if alloc[ch][sb]:
                     nb = alloc[ch][sb] + 1
-                    c = r.read(nb)
+                    c = per_ch[ch]
                     rows[ch][0].append(c)
                     rows[ch][1].append(2 * c + 1 - (1 << nb))
                     rows[ch][2].append((1 << nb) - 1)
@@ -271,6 +321,8 @@ def parse_layer1_frame(frame: bytes) -> dict:
         "kbps": _BR_TABLE_L1[br_idx],
         "mode": mode,
         "nch": nch,
+        "mode_ext": mode_ext,
+        "bound": bound,
         "crc_present": crc_present,
         "alloc": alloc[0] if flat else alloc,
         "scf_idx": scf_idx[0] if flat else scf_idx,
@@ -509,6 +561,7 @@ def build_layer2_frame(
     br_idx: int = 10,
     mode: int = 3,
     crc16: int | None = None,
+    mode_ext: int = 0,
 ) -> bytes:
     """One MPEG-1 Layer II frame under the (rate, bitrate/channel)-
     selected allocation table (3-B.2a or 3-B.2b — see module header).
@@ -523,14 +576,20 @@ def build_layer2_frame(
     (§2.4.3.3.2: c = s0 + levels·s1 + levels²·s2).  Stereo/dual
     (``mode=0``/``2``): each of the four is a 2-list of per-channel
     values, and fields interleave in the spec's (subband, channel)
-    order (§2.4.1.6).  The default (48 kHz, 192 kbps, mono) is a
-    spec-LEGAL combo selecting 3-B.2a (ADVICE r12: the old 44.1 kHz
-    384 kbps mono default violated §2.4.2.3)."""
+    order (§2.4.1.6).  Joint stereo (``mode=1``, r12): the 2-list
+    form with ``mode_ext`` setting the intensity bound
+    ``(mode_ext+1)*4`` (clamped to sblimit); at and above the bound,
+    allocation and SAMPLES are transmitted once (the channels must
+    agree there), while scfsi/scalefactors stay per-channel.  The
+    default (48 kHz, 192 kbps, mono) is a spec-LEGAL combo selecting
+    3-B.2a (ADVICE r12: the old 44.1 kHz 384 kbps mono default
+    violated §2.4.2.3)."""
     nch = _resolve_mode(mode)
     sr = _SR_TABLE[sr_idx]
     kbps = _BR_TABLE_L2[br_idx]
     _l2_check_mode_bitrate(kbps, nch)
     _table, sblimit = _l2_table_for(sr, kbps, nch)
+    bound = _intensity_bound(mode, mode_ext, sblimit)
     chans = (
         [(alloc_idx, scfsi, scf, samples)] if nch == 1
         else list(zip(alloc_idx, scfsi, scf, samples))
@@ -542,6 +601,23 @@ def build_layer2_frame(
         a, lv = _validate_l2_channel(al, si, sc, sm, sblimit)
         actives.append(a)
         levels.append(lv)
+    if mode == 1:
+        at0 = {sb: j for j, sb in enumerate(actives[0])}
+        at1 = {sb: j for j, sb in enumerate(actives[1])}
+        for sb in range(bound, sblimit):
+            if chans[0][0][sb] != chans[1][0][sb]:
+                raise ValueError(
+                    "joint stereo: allocation must match at/above the "
+                    "bound (one field is transmitted)"
+                )
+            if chans[0][0][sb] and any(
+                chans[0][3][gr][at0[sb]] != chans[1][3][gr][at1[sb]]
+                for gr in range(12)
+            ):
+                raise ValueError(
+                    "joint stereo: samples must match at/above the "
+                    "bound (one codeword is transmitted)"
+                )
 
     frame_bytes = 144 * kbps * 1000 // sr
     w = _BitWriter()
@@ -549,7 +625,7 @@ def build_layer2_frame(
         (0x7FF << 21) | (3 << 19) | (2 << 17)
         | ((0 if crc16 is not None else 1) << 16)
         | (br_idx << 12) | (sr_idx << 10) | (0 << 9) | (0 << 8)
-        | (mode << 6)
+        | (mode << 6) | ((mode_ext & 3) << 4)
     )
     w.write(header, 32)
     if crc16 is not None:
@@ -557,10 +633,11 @@ def build_layer2_frame(
     at = [
         {sb: j for j, sb in enumerate(actives[ch])} for ch in range(nch)
     ]
-    # §2.4.1.6 field order: sb-major, channel-minor throughout
+    # §2.4.1.6 field order: sb-major, channel-minor throughout; at and
+    # above the joint-stereo bound, allocation/samples transmit once
     for sb in range(sblimit):
         width = _l2_group(sb, sblimit)[0]
-        for al, _si, _sc, _sm in chans:
+        for al, _si, _sc, _sm in chans[:nch if sb < bound else 1]:
             w.write(al[sb], width)
     for sb in range(sblimit):
         for ch, (al, si, _sc, _sm) in enumerate(chans):
@@ -573,7 +650,9 @@ def build_layer2_frame(
                     w.write(v, 6)
     for gr in range(12):
         for sb in range(sblimit):
-            for ch, (al, _si, _sc, sm) in enumerate(chans):
+            for ch, (al, _si, _sc, sm) in enumerate(
+                chans[:nch if sb < bound else 1]
+            ):
                 if not al[sb]:
                     continue
                 j = at[ch][sb]
@@ -627,6 +706,8 @@ def parse_layer2_frame(frame: bytes) -> dict:
     kbps = _BR_TABLE_L2[br_idx]
     _l2_check_mode_bitrate(kbps, nch)
     table, sblimit = _l2_table_for(_SR_TABLE[sr_idx], kbps, nch)
+    mode_ext = (h >> 4) & 3
+    bound = _intensity_bound(mode, mode_ext, sblimit)
     crc_present = not (h >> 16) & 1
     r = _BitReader(frame)
     r.pos = 32
@@ -635,8 +716,13 @@ def parse_layer2_frame(frame: bytes) -> dict:
     alloc_idx = [[0] * sblimit for _ in range(nch)]
     for sb in range(sblimit):
         width = _l2_group(sb, sblimit)[0]
-        for ch in range(nch):
-            alloc_idx[ch][sb] = r.read(width)
+        if sb < bound:
+            for ch in range(nch):
+                alloc_idx[ch][sb] = r.read(width)
+        else:  # intensity region: one allocation, both channels
+            a = r.read(width)
+            for ch in range(nch):
+                alloc_idx[ch][sb] = a
     actives = [
         [sb for sb, a in enumerate(alloc_idx[ch]) if a] for ch in range(nch)
     ]
@@ -671,19 +757,31 @@ def parse_layer2_frame(frame: bytes) -> dict:
     for _gr in range(12):
         rows = [[] for _ in range(nch)]
         for sb in range(sblimit):
-            for ch in range(nch):
-                if not alloc_idx[ch][sb]:
-                    continue
-                lv = levels[ch][at[ch][sb]]
+            if not alloc_idx[0][sb] and (nch == 1 or not alloc_idx[1][sb]):
+                continue
+
+            def read_tri(lv):
                 if lv in _GROUPED_BITS:
                     c = r.read(_GROUPED_BITS[lv])
                     tri = (c % lv, (c // lv) % lv, c // (lv * lv))
                     if tri[2] >= lv:
-                        raise ValueError("grouped codeword exceeds levels^3")
-                else:
-                    nb = _l2_sample_bits(lv)
-                    tri = (r.read(nb), r.read(nb), r.read(nb))
-                rows[ch].append(tri)
+                        raise ValueError(
+                            "grouped codeword exceeds levels^3"
+                        )
+                    return tri
+                nb = _l2_sample_bits(lv)
+                return (r.read(nb), r.read(nb), r.read(nb))
+
+            if sb < bound:
+                for ch in range(nch):
+                    if alloc_idx[ch][sb]:
+                        rows[ch].append(
+                            read_tri(levels[ch][at[ch][sb]])
+                        )
+            else:  # intensity region: one codeword, both channels
+                tri = read_tri(levels[0][at[0][sb]])
+                for ch in range(nch):
+                    rows[ch].append(tri)
         for ch in range(nch):
             samples[ch].append(rows[ch])
     flat = nch == 1
@@ -692,6 +790,8 @@ def parse_layer2_frame(frame: bytes) -> dict:
         "kbps": kbps,
         "mode": mode,
         "nch": nch,
+        "mode_ext": mode_ext,
+        "bound": bound,
         "crc_present": crc_present,
         "table": table,
         "sblimit": sblimit,

@@ -285,11 +285,14 @@ def test_layer1_stereo_crc_roundtrip():
         assert got["alloc"] == [a0, a1]
         assert got["scf_idx"] == [s0, s1]
         assert got["codes"] == [c0, c1]
-    # joint stereo is the explicit edge
+    # joint stereo (r12): above the intensity bound one allocation and
+    # one sample code transmit; channels must agree there.  These
+    # channels DIFFER above bound 4, so the builder rejects them
     import pytest as _pt
 
-    with _pt.raises(NotImplementedError):
-        build_layer1_frame([a0, a1], [s0, s1], [c0, c1], mode=1)
+    with _pt.raises(ValueError):
+        build_layer1_frame([a0, a1], [s0, s1], [c0, c1], mode=1,
+                           mode_ext=0)
 
 
 def test_layer2_table_selection_and_stereo():
@@ -389,3 +392,52 @@ def test_layer2_low_bitrate_tables_c_and_d():
     got2 = parse_layer2_frame(build_layer2_frame(
         al2, [1], [[6, 7]], [[(2, 8, 5)]] * 12, sr_idx=2, br_idx=2))
     assert got2["levels"] == [9]
+
+
+def test_joint_stereo_intensity_bound_both_layers():
+    """Mode 1 (joint stereo): at/above bound = (mode_ext+1)*4,
+    allocation and samples transmit ONCE while scalefactors stay
+    per-channel (the intensity-stereo wire layout, §2.4.1.5/6) —
+    round-tripped for both layers, with the bound clamped to sblimit
+    and a mismatch above the bound rejected."""
+    from data_pipeline_who_gho_spark.operators.mpeg_audio import (
+        _intensity_bound,
+        build_layer2_frame,
+        parse_layer2_frame,
+    )
+
+    assert _intensity_bound(1, 0, 32) == 4
+    assert _intensity_bound(1, 3, 32) == 16
+    assert _intensity_bound(1, 3, 8) == 8      # clamped to sblimit
+    assert _intensity_bound(0, 3, 32) == 32    # non-joint: no region
+
+    # Layer II joint at 44.1/384 (table b), bound 8
+    al0, al1 = [0] * 30, [0] * 30
+    al0[0], al1[0] = 2, 4                      # stereo region differs
+    al0[9] = al1[9] = 3                        # intensity: must match
+    scfsi0, scfsi1 = [0, 2], [1, 3]
+    scf0, scf1 = [[1, 2, 3], [4]], [[5, 6], [7, 8]]
+    lv0 = [5, 7]                               # group rows: idx2->5, idx3->7
+    lv1 = [9, 7]
+    sm0 = [[(gr % 5, 4, 0), (gr % 7, 6, 1)] for gr in range(12)]
+    sm1 = [[(gr % 9, 8, 2), (gr % 7, 6, 1)] for gr in range(12)]
+    frame = build_layer2_frame(
+        [al0, al1], [scfsi0, scfsi1], [scf0, scf1], [sm0, sm1],
+        sr_idx=0, br_idx=14, mode=1, mode_ext=1,
+    )
+    got = parse_layer2_frame(frame)
+    assert got["mode"] == 1 and got["bound"] == 8
+    assert got["alloc_idx"] == [al0, al1]
+    assert got["samples"] == [sm0, sm1]
+    assert got["scf_parts"] == [
+        [[1, 2, 3], [4, 4, 4]], [[5, 5, 6], [7, 8, 8]]]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):   # intensity samples must match
+        bad = [row[:] for row in sm1]
+        bad[0] = [bad[0][0], (0, 0, 0)]
+        build_layer2_frame(
+            [al0, al1], [scfsi0, scfsi1], [scf0, scf1], [sm0, bad],
+            sr_idx=0, br_idx=14, mode=1, mode_ext=1,
+        )
