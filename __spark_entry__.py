@@ -315,26 +315,28 @@ _PRIORITY = [
 # and prints the queries that belong here; run it before each round's
 # final commit, annotate, then `--update` the baseline.
 _STALE_SINCE: dict[str, int] = {
-    # (r11's four entries self-cleared when CORRECTNESS_r11.json
-    # re-greened them; pruned at round-12 open per the ledger contract.
-    # `python tools/round_open.py` re-runs the registry invariants against
-    # the just-landed CORRECTNESS file so a post-commit driver artifact
-    # can never leave the suite red for a full round.)
-    # r12: operators/pdf.py gained the PDF 1.5+ loader (ObjStm +
-    # xref-stream) and the ADVICE hex-string/'-operator fixes; the
-    # extract query's fixture mix now alternates layouts (new `layout`
-    # column — plan + oracle changed), and the funnel's writer output
-    # changed (BOM-tagged hex, ' ops) even though its result columns
-    # are value-identical — both must re-earn a green row
-    "pdf_text_extract_stats": 12,
-    "crawl_pdf_funnel": 12,
-    # r12: MPEG fixtures went stereo with real §2.4.2.6 table selection
-    # (ADVICE medium — the old mono 384 kbps Layer II fixture was a
-    # spec-forbidden combo misparsed under 3-B.2a), CRC-word alignment,
-    # and new sblimit/crc_flag columns — both must re-earn a green row
-    "mpeg1_layer1_subband_stats": 12,
-    "mpeg1_layer2_bitstream_stats": 12,
+    # (r12's four entries — pdf_text_extract_stats, crawl_pdf_funnel,
+    # mpeg1_layer{1,2}_* — self-cleared when CORRECTNESS_r12.json
+    # re-greened them; pruned at round-13 open.  A self-cleared entry is
+    # a SUCCESS state, not a test failure: `tests/test_registry.py`
+    # verifies only that _effective_green reads cleared entries as live
+    # green, and `python tools/round_open.py` owns the non-zero-exit
+    # "prune now" demand — VERDICT r12 task 1.)
 }
+
+
+def _ledger_split(
+    greens: dict[str, int], stale: dict[str, int]
+) -> tuple[list[str], list[str]]:
+    """Partition ``stale`` into (self-cleared, still-stale) given the
+    latest driver-green round per query.  An entry is self-cleared —
+    i.e. the driver re-greened the query at or after the round its code
+    changed, so the green row vouches for the current code — when
+    ``greens[name] >= stale[name]``.  Pure so tests can exercise the
+    post-driver-lands state without a real CORRECTNESS file."""
+    cleared = sorted(n for n, rnd in stale.items() if greens.get(n, -1) >= rnd)
+    live = sorted(n for n, rnd in stale.items() if greens.get(n, -1) < rnd)
+    return cleared, live
 
 
 def _green_rounds() -> dict[str, int]:

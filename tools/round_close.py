@@ -139,9 +139,7 @@ def main() -> None:
     # re-earned a driver-green row is self-cleared — prune it so the
     # ledger always reads as live state (VERDICT r06 item 6)
     greens = entrymod._green_rounds()
-    cleared = sorted(
-        n for n, rnd in entrymod._STALE_SINCE.items() if greens.get(n, -1) >= rnd
-    )
+    cleared, _live = entrymod._ledger_split(greens, entrymod._STALE_SINCE)
     if cleared:
         print(
             f"self-cleared _STALE_SINCE entries (re-greened): {cleared} — "

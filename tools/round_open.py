@@ -36,9 +36,7 @@ def main() -> None:
 
     # 1. ledger liveness against the just-landed CORRECTNESS file
     greens = entrymod._green_rounds()
-    cleared = sorted(
-        n for n, rnd in entrymod._STALE_SINCE.items() if greens.get(n, -1) >= rnd
-    )
+    cleared, _live = entrymod._ledger_split(greens, entrymod._STALE_SINCE)
     if cleared:
         print(
             f"PRUNE NOW — self-cleared _STALE_SINCE entries: {cleared}\n"
