@@ -322,6 +322,15 @@ _STALE_SINCE: dict[str, int] = {
     # verifies only that _effective_green reads cleared entries as live
     # green, and `python tools/round_open.py` owns the non-zero-exit
     # "prune now" demand — VERDICT r12 task 1.)
+    # r13: operators/pdf.py gained simple-font /Encoding decoding,
+    # mixed classic/stream /Prev chain hops (+/XRefStm), winner-aware
+    # ObjStm expansion (ADVICE r12 high/low), and the no-UTF-16-guess
+    # hex rule (ADVICE r12 medium); the extract fixture now cycles
+    # FOUR layouts by doc_id%4 (new simplefont/hybrid values — plan +
+    # oracle changed), and the funnel shares the changed reader —
+    # both must re-earn a green row
+    "pdf_text_extract_stats": 13,
+    "crawl_pdf_funnel": 13,
 }
 
 

@@ -10,13 +10,15 @@ real reader — the same synthesize-encode-decode-oracle contract as
 parens-and-backslash title line plus the doc text in 64-char lines,
 5 lines per page; the query decodes it and reports page/op counts and
 the md5 of the full extracted text, all replayed exactly by the
-oracle from the construction rule.  r12: the fixture mix alternates
-LAYOUTS by doc parity — even docs are classic PDF 1.4 (xref table +
-trailer), odd docs are PDF 1.5+ (``/Type /ObjStm`` object streams +
-``/Type /XRef`` cross-reference stream under the PNG Up predictor) —
-so the r11 VERDICT gap (post-2006 PDFs rejected) is exercised through
-the same oracle: extracted text must be byte-identical across
-layouts, and the ``layout`` column pins which loader ran.
+oracle from the construction rule.  r12 made the fixture mix
+alternate LAYOUTS by doc parity (classic PDF 1.4 vs PDF 1.5+
+ObjStm/xref-stream); r13 widens it to FOUR layouts by ``doc_id %%4``,
+adding ``simplefont`` (WinAnsi + /Differences single-byte hex strings
+— the common wild form, decoded through the font's /Encoding) and
+``hybrid`` (classic base + PDF 1.5 incremental update whose /Prev
+chain mixes an xref STREAM hop with a classic TABLE hop).  Extracted
+text must be byte-identical across all four, and the ``layout``
+column pins which loader/decoder ran.
 
 ``crawl_pdf_funnel`` — the dispatch composition: a WARC per doc with
 an ``application/pdf`` response and a ``text/plain`` response; records
@@ -44,6 +46,8 @@ CURATION19_ORACLE_SQL: dict = {}
 
 _LINE_W = 64   # chars of doc text per PDF line
 _PAGE_LINES = 5
+# doc_id %% 4 -> writer layout; extracted text is layout-invariant
+_LAYOUTS = ["classic", "xrefstream", "simplefont", "hybrid"]
 
 
 def _doc_lines(doc_id: int, lang: str, text: str) -> list[str]:
@@ -74,7 +78,7 @@ def pdf_text_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pdf_batch["doc_id"], pdf_batch["lang"], pdf_batch["text"]
             ):
                 d = int(doc_id)
-                layout = "classic" if d % 2 == 0 else "xrefstream"
+                layout = _LAYOUTS[d % 4]
                 payload = build_pdf(
                     _doc_pages(d, str(lang), str(t)), layout=layout
                 )
@@ -124,8 +128,8 @@ body AS (
   FROM slices GROUP BY doc_id
 )
 SELECT d.doc_id,
-       CASE WHEN d.doc_id % 2 = 0 THEN 'classic' ELSE 'xrefstream' END
-           AS layout,
+       CASE d.doc_id % 4 WHEN 0 THEN 'classic' WHEN 1 THEN 'xrefstream'
+            WHEN 2 THEN 'simplefont' ELSE 'hybrid' END AS layout,
        CAST(ceil((1 + COALESCE(b.n_body, 0)) / {_PAGE_LINES}.0) AS BIGINT)
            AS n_pages,
        CAST(1 + COALESCE(b.n_body, 0) AS BIGINT) AS n_show_ops,

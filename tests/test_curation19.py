@@ -227,7 +227,8 @@ def test_pdf_text_extract_stats_matches_oracle(spark):
     )
     assert got == _oracle(PDF_TEXT_EXTRACT_STATS_SQL)
     assert all(r[2] >= 1 and r[3] >= 2 for r in got)  # multi-line docs
-    assert {r[1] for r in got} == {"classic", "xrefstream"}  # both loaders
+    assert {r[1] for r in got} == {
+        "classic", "xrefstream", "simplefont", "hybrid"}  # all loaders
 
 
 def test_crawl_pdf_funnel_matches_oracle(spark):
@@ -343,3 +344,295 @@ def test_pdf_nested_page_tree_and_contents_array():
     assert res["n_pages"] == 3
     assert res["pages"] == ["part one\npart two", "middle leaf", ""]
     assert res["n_show_ops"] == 3
+
+
+# ---------------------------------------------------------------------------
+# round 13: simple fonts, hybrid chains, winner-aware ObjStm expansion
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_simplefont_roundtrip_and_wire_form():
+    """The simplefont layout emits UNTAGGED single-byte hex strings
+    (WinAnsi base + /Differences remapping parens/backslash to control
+    codes) — the common wild-PDF form; extraction must round-trip
+    through the font's /Encoding, and the wire must actually contain
+    the remapped codes (not BOM-tagged UTF-16)."""
+    import zlib
+
+    from data_pipeline_who_gho_spark.operators.pdf import (
+        _stream_data,
+        build_pdf,
+        extract_pdf_text,
+    )
+
+    pages = [
+        ["Doc (9) \\ fr", "plain ascii line", "café — WinAnsi €uro"],
+        ["page two (parens) again"],
+    ]
+    payload = build_pdf(pages, layout="simplefont")
+    res = extract_pdf_text(payload)
+    assert res["pages"] == ["\n".join(p) for p in pages]
+    assert res["n_show_ops"] == sum(len(p) for p in pages)
+    # wire check: the first page's content stream (obj 6 — simplefont
+    # numbering has the /Encoding dict at 4, pages from 5) holds
+    # untagged hex with the /Differences codes 01/02/03 and no BOM
+    import re as _re
+
+    m = _re.search(rb"6 0 obj\n(.*?)endobj", payload, _re.S)
+    data = _stream_data(m.group(1))
+    hexes = _re.findall(rb"<([0-9a-f]+)>", data)
+    assert hexes, "simplefont page must use hex strings"
+    first = bytes.fromhex(hexes[0].decode())
+    assert not first.startswith(b"\xfe\xff")
+    assert 1 in first and 2 in first and 3 in first  # ( ) \ remapped
+
+
+def test_pdf_simplefont_non_winansi_falls_back_to_utf16():
+    """Chars with no single-byte code (CJK) fall back to BOM-tagged
+    UTF-16BE hex inside a simplefont doc — both forms must decode in
+    one stream."""
+    from data_pipeline_who_gho_spark.operators.pdf import (
+        build_pdf,
+        extract_pdf_text,
+    )
+
+    pages = [["ascii ok", "中文行 cannot WinAnsi"]]
+    assert extract_pdf_text(build_pdf(pages, layout="simplefont"))[
+        "pages"
+    ] == ["\n".join(pages[0])]
+
+
+def test_pdf_untagged_hex_never_guessed_as_utf16():
+    """ADVICE r12 medium: <41424344> is valid UTF-16BE ('䅂䍄') — with
+    no single-byte font map in force it must raise, never silently
+    misdecode; with a font map it must decode as font codes."""
+    import pytest as _pytest
+
+    from data_pipeline_who_gho_spark.operators.pdf import (
+        extract_stream_text,
+    )
+
+    ops = b"BT /F1 12 Tf <41424344> Tj ET"
+    with _pytest.raises(NotImplementedError):
+        extract_stream_text(ops)
+    winansi = {c: chr(c) for c in range(32, 127)}
+    lines, n = extract_stream_text(ops, fonts={"F1": winansi})
+    assert lines == ["ABCD"] and n == 1
+
+
+def test_pdf_encoding_edges_raise():
+    """Unknown glyph names, non-WinAnsi base encodings, and font codes
+    with no encoding entry are explicit NotImplementedError edges."""
+    import pytest as _pytest
+
+    from data_pipeline_who_gho_spark.operators.pdf import (
+        _encoding_map,
+        extract_stream_text,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        _encoding_map(
+            {},
+            b"<< /Type /Font /Encoding << /BaseEncoding /WinAnsiEncoding"
+            b" /Differences [ 5 /glyphXYZZY ] >> >>",
+        )
+    with _pytest.raises(NotImplementedError):
+        _encoding_map(
+            {}, b"<< /Type /Font /Encoding /MacRomanEncoding >>"
+        )
+    with _pytest.raises(NotImplementedError):
+        # code 0x05 has no WinAnsi entry and no /Differences override
+        extract_stream_text(
+            b"BT /F1 12 Tf <05> Tj ET",
+            fonts={"F1": {c: chr(c) for c in range(32, 127)}},
+        )
+
+
+def test_pdf_hybrid_chain_mixed_sections():
+    """layout='hybrid': a classic base (placeholder first page) plus a
+    PDF 1.5 incremental update — the /Prev chain mixes an xref STREAM
+    hop with a classic TABLE hop, and the update's ObjStm re-emits the
+    page dict (type-2 entry in the update section).  The reader must
+    extract the REVISED first page; the base alone still extracts the
+    placeholder (r12 VERDICT task 7)."""
+    from data_pipeline_who_gho_spark.operators.pdf import (
+        build_pdf,
+        extract_pdf_text,
+    )
+
+    pages = [["real first page"], ["second page stays"]]
+    payload = build_pdf(pages, layout="hybrid")
+    assert extract_pdf_text(payload)["pages"] == [
+        "real first page", "second page stays"]
+    # the base revision (everything before the update section) still
+    # extracts standalone, showing the stale placeholder
+    base_end = payload.find(b"%%EOF") + 6
+    base = payload[:base_end]
+    assert extract_pdf_text(base)["pages"] == [
+        "SUPERSEDED stale revision", "second page stays"]
+
+
+def test_pdf_objstm_supersede_keeps_top_level_winner():
+    """ADVICE r12 high: an incremental update replacing an object that
+    was PACKED in the base ObjStm must win — a blanket ObjStm
+    expansion would resurrect the stale packed copy over the newer
+    top-level (type-1) revision."""
+    import re
+    import zlib
+
+    from data_pipeline_who_gho_spark.operators.pdf import (
+        _show_ops,
+        append_incremental_update,
+        build_pdf,
+        extract_pdf_text,
+    )
+
+    base = build_pdf(
+        [["page one"], ["old second page"]], layout="xrefstream"
+    )
+    size = max(int(x) for x in re.findall(rb"/Size (\d+)", base))
+    new_cid = size
+    stream = zlib.compress(_show_ops(["NEW second page"]), 9)
+    # page-2 dict is object 6 (catalog 1, pages 2, font 3, page dicts
+    # 4/6, content streams 5/7) and sits in the base's ObjStm
+    upd = append_incremental_update(base, top_level={
+        6: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents "
+            + str(new_cid).encode() + b" 0 R >>"),
+        new_cid: (
+            f"<< /Length {len(stream)} /Filter /FlateDecode >>\n"
+            .encode() + b"stream\n" + stream + b"\nendstream"
+        ),
+    })
+    assert extract_pdf_text(upd)["pages"] == [
+        "page one", "NEW second page"]
+    assert extract_pdf_text(base)["pages"] == [
+        "page one", "old second page"]
+
+
+def test_pdf_classic_scan_objstm_does_not_clobber_top_level():
+    """ADVICE r12 low: in a classic/hybrid incremental file the
+    offset-free scan keeps the latest top-level revision; an ObjStm
+    copy of the same object number must not overwrite it."""
+    import zlib
+
+    from data_pipeline_who_gho_spark.operators.pdf import (
+        _show_ops,
+        extract_pdf_text,
+    )
+
+    def stream_obj(ops):
+        data = zlib.compress(ops, 9)
+        return (
+            f"<< /Length {len(data)} /Filter /FlateDecode >>\n".encode()
+            + b"stream\n" + data + b"\nendstream"
+        )
+
+    # ObjStm packs a STALE copy of the page dict (obj 4) pointing at
+    # content 5; the top-level obj 4 (the live revision) points at 6
+    stale_page = (b"<< /Type /Page /Parent 2 0 R /Resources "
+                  b"<< /Font << /F1 3 0 R >> >> /Contents 5 0 R >>")
+    live_page = (b"<< /Type /Page /Parent 2 0 R /Resources "
+                 b"<< /Font << /F1 3 0 R >> >> /Contents 6 0 R >>")
+    pair = b"4 0\n"
+    stm = zlib.compress(pair + stale_page, 9)
+    objstm = (
+        f"<< /Type /ObjStm /N 1 /First {len(pair)} /Length {len(stm)} "
+        f"/Filter /FlateDecode >>\n".encode()
+        + b"stream\n" + stm + b"\nendstream"
+    )
+    body = b"%PDF-1.4\n"
+    out = bytearray(body)
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        4: live_page,
+        5: stream_obj(_show_ops(["stale content"])),
+        6: stream_obj(_show_ops(["live content"])),
+        7: objstm,
+    }
+    for num, b in objs.items():
+        out += f"{num} 0 obj\n".encode() + b + b"\nendobj\n"
+    assert extract_pdf_text(bytes(out))["pages"] == ["live content"]
+
+
+def test_pdf_xrefstm_hybrid_reference_precedence():
+    """ISO 32000-1 §7.5.8.4: a classic trailer's /XRefStm entries take
+    precedence over that section's own table entries.  Handcrafted
+    three-section file: final xref STREAM -> /Prev -> classic TABLE
+    whose trailer names an /XRefStm redirecting page-2's content to a
+    newer copy."""
+    import zlib
+
+    from data_pipeline_who_gho_spark.operators.pdf import (
+        _show_ops,
+        extract_pdf_text,
+    )
+
+    def stream_obj(ops):
+        data = zlib.compress(ops, 9)
+        return (
+            f"<< /Length {len(data)} /Filter /FlateDecode >>\n".encode()
+            + b"stream\n" + data + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [4 0 R 6 0 R] /Count 2 >>",
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        4: (b"<< /Type /Page /Parent 2 0 R /Resources "
+            b"<< /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+        5: stream_obj(_show_ops(["page one"])),
+        6: (b"<< /Type /Page /Parent 2 0 R /Resources "
+            b"<< /Font << /F1 3 0 R >> >> /Contents 7 0 R >>"),
+        7: stream_obj(_show_ops(["TABLE copy"])),
+    }
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    # newer copy of obj 7, listed only by the /XRefStm stream
+    new7_at = len(out)
+    out += b"7 0 obj\n" + stream_obj(_show_ops(["XREFSTM WINS"])) + b"\nendobj\n"
+    # the /XRefStm xref stream (obj 9): entry for obj 7 -> new copy
+    rows = bytearray()
+    for t, f2, f3 in ((1, new7_at, 0),):
+        rows.append(t)
+        rows.extend(f2.to_bytes(3, "big"))
+        rows.extend(f3.to_bytes(2, "big"))
+    xdata = zlib.compress(bytes(rows), 9)
+    xstm_at = len(out)
+    out += (
+        f"9 0 obj\n<< /Type /XRef /Size 10 /Root 1 0 R /W [1 3 2] "
+        f"/Index [7 1] /Filter /FlateDecode /Length {len(xdata)} >>\n"
+        .encode() + b"stream\n" + xdata + b"\nendstream\nendobj\n"
+    )
+    # classic TABLE section: objects 0-7 (obj 7 -> the OLD copy),
+    # trailer names the /XRefStm (whose entries must win)
+    table_at = len(out)
+    out += b"xref\n0 8\n0000000000 65535 f \n"
+    for num in range(1, 8):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size 10 /Root 1 0 R /XRefStm {xstm_at} >>\n"
+        .encode()
+    )
+    # final section: xref STREAM whose /Prev -> the classic table
+    rows2 = bytearray()
+    final_at = len(out)
+    for t, f2, f3 in ((1, final_at, 0),):
+        rows2.append(t)
+        rows2.extend(f2.to_bytes(3, "big"))
+        rows2.extend(f3.to_bytes(2, "big"))
+    x2 = zlib.compress(bytes(rows2), 9)
+    out += (
+        f"10 0 obj\n<< /Type /XRef /Size 11 /Root 1 0 R /W [1 3 2] "
+        f"/Index [10 1] /Filter /FlateDecode /Prev {table_at} "
+        f"/Length {len(x2)} >>\n".encode()
+        + b"stream\n" + x2 + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{final_at}\n%%EOF\n".encode()
+    assert extract_pdf_text(bytes(out))["pages"] == [
+        "page one", "XREFSTM WINS"]
