@@ -331,6 +331,12 @@ _STALE_SINCE: dict[str, int] = {
     # both must re-earn a green row
     "pdf_text_extract_stats": 13,
     "crawl_pdf_funnel": 13,
+    # r13: operators/avro.py gained the snappy block codec (new
+    # operators/snappy.py raw-format codec + per-block CRC32 trailer)
+    # and current-namespace-first named-type resolution (ADVICE r12);
+    # the fixture's codec now rotates by shard%3 adding 'snappy'
+    # shards (plan + oracle changed) — must re-earn a green row
+    "avro_complex_scan_stats": 13,
 }
 
 

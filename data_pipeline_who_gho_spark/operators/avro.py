@@ -18,10 +18,16 @@ schemas work: a linked-list/tree schema encodes and decodes through
 its null-union terminators), so arrays-of-records / map-of-record
 values nest freely.
 
-Honest boundary (same contract as the other codecs):
-snappy/zstandard codecs (no public pure-stdlib snappy), aliases, and
-schema RESOLUTION (reader schema != writer schema) raise
-``NotImplementedError``.
+r13 adds the SNAPPY block codec (the de-facto production default)
+via the pure-stdlib raw-format codec in ``snappy.py``, with the
+4-byte big-endian CRC32-of-uncompressed trailer the Avro spec
+requires per block; unqualified named-type references now resolve in
+the CURRENT namespace first (spec "Names"), so colliding short names
+across namespaces pick the enclosing declaration (ADVICE r12).
+
+Honest boundary (same contract as the other codecs): the zstandard
+codec (no stdlib binding), aliases, and schema RESOLUTION (reader
+schema != writer schema) raise ``NotImplementedError``.
 
 No reference-repo analog (the reference ingests a JSON HTTP API only).
 """
@@ -31,6 +37,8 @@ from __future__ import annotations
 import json
 import struct
 import zlib
+
+from . import snappy as _snappy
 
 _MAGIC = b"Obj\x01"
 
@@ -96,19 +104,34 @@ _COMPLEX = {"record", "array", "map", "enum", "fixed"}
 
 def _register_name(schema, names, ns):
     """Record/enum/fixed declarations enter the name registry (spec
-    "Names") under both the short and the namespace-qualified name;
-    nested declarations INHERIT the enclosing namespace unless they
-    declare their own.  Registered BEFORE walking record fields so
-    recursive schemas resolve.  Returns the effective namespace for
-    the declaration's children."""
+    "Names") under their FULL name (namespace-qualified when an
+    effective namespace exists, bare otherwise); nested declarations
+    INHERIT the enclosing namespace unless they declare their own.
+    Registered BEFORE walking record fields so recursive schemas
+    resolve.  Returns the effective namespace for the declaration's
+    children.  (Registering a namespaced declaration under its short
+    name too let a later same-short-name declaration in another
+    namespace hijack unqualified references — ADVICE r12.)"""
     if isinstance(schema, dict):
         ns = schema.get("namespace", ns)
         if schema.get("type") in ("record", "enum", "fixed") \
                 and "name" in schema:
-            names[schema["name"]] = schema
-            if ns:
-                names[f"{ns}.{schema['name']}"] = schema
+            name = schema["name"]
+            names[f"{ns}.{name}" if ns else name] = schema
     return ns
+
+
+def _resolve_name(t, names, ns):
+    """Spec "Names" resolution for a type reference: a dotted name is
+    absolute; an unqualified name resolves in the CURRENT (enclosing)
+    namespace first, falling back to the null namespace."""
+    if "." in t:
+        return names.get(t)
+    if ns:
+        ref = names.get(f"{ns}.{t}")
+        if ref is not None:
+            return ref
+    return names.get(t)
 
 
 def _encode_value(schema, value, names=None, ns=None) -> bytes:
@@ -124,8 +147,8 @@ def _encode_value(schema, value, names=None, ns=None) -> bytes:
                 )
         raise ValueError("no union branch matched")
     if isinstance(t, str) and t not in _PRIMITIVES and t not in _COMPLEX:
-        ref = names.get(t) or (ns and names.get(f"{ns}.{t}"))
-        if ref:  # named-type reference (short or qualified)
+        ref = _resolve_name(t, names, ns)
+        if ref:  # named-type reference (current-namespace-first)
             return _encode_value(ref, value, names, ns)
         raise NotImplementedError(f"Avro type {t!r} not implemented")
     ns = _register_name(schema, names, ns)
@@ -190,8 +213,8 @@ def _decode_value(schema, r: _Reader, names=None, ns=None):
             raise ValueError("union branch index out of range")
         return _decode_value(t[idx], r, names, ns)
     if isinstance(t, str) and t not in _PRIMITIVES and t not in _COMPLEX:
-        ref = names.get(t) or (ns and names.get(f"{ns}.{t}"))
-        if ref:  # named-type reference (short or qualified)
+        ref = _resolve_name(t, names, ns)
+        if ref:  # named-type reference (current-namespace-first)
             return _decode_value(ref, r, names, ns)
         raise NotImplementedError(f"Avro type {t!r} not implemented")
     ns = _register_name(schema, names, ns)
@@ -268,7 +291,7 @@ def build_avro(
     (avro.schema + avro.codec), 16-byte sync marker, then blocks of
     ``block_records`` records each (count, byte length, payload,
     sync)."""
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise NotImplementedError(f"codec {codec!r} not implemented")
     if len(sync) != 16:
         raise ValueError("sync marker must be 16 bytes")
@@ -289,6 +312,12 @@ def build_avro(
         if codec == "deflate":
             # spec: raw deflate, no zlib header/checksum
             payload = zlib.compress(payload, 9)[2:-4]
+        elif codec == "snappy":
+            # spec: snappy block + 4-byte BIG-ENDIAN CRC32 of the
+            # UNCOMPRESSED data
+            payload = _snappy.compress(payload) + struct.pack(
+                ">I", zlib.crc32(payload) & 0xFFFFFFFF
+            )
         out += write_long(len(chunk)) + write_long(len(payload))
         out += payload + sync
     return bytes(out)
@@ -315,7 +344,7 @@ def read_avro(payload: bytes) -> dict:
         raise ValueError("Avro container without avro.schema metadata")
     schema = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise NotImplementedError(f"codec {codec!r} not implemented")
     sync = r.read(16)
     records = []
@@ -328,6 +357,13 @@ def read_avro(payload: bytes) -> dict:
         data = r.read(size)
         if codec == "deflate":
             data = zlib.decompress(data, wbits=-15)
+        elif codec == "snappy":
+            if len(data) < 4:
+                raise ValueError("snappy block shorter than its CRC")
+            data, crc = data[:-4], struct.unpack(">I", data[-4:])[0]
+            data = _snappy.decompress(data)
+            if zlib.crc32(data) & 0xFFFFFFFF != crc:
+                raise ValueError("snappy block CRC mismatch")
         br = _Reader(data)
         for _ in range(count):
             records.append(_decode_value(schema, br))

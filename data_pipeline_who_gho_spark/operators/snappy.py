@@ -1,0 +1,161 @@
+"""Pure-stdlib Snappy (raw block format) codec, following the public
+format description (google/snappy ``format_description.txt``): a
+little-endian varint preamble carrying the uncompressed length, then a
+sequence of tagged elements — literals (tag 00, lengths >= 61 spill
+into 1-4 trailing length bytes) and back-reference copies with 1-, 2-
+or 4-byte offsets (tags 01/10/11); copies may self-overlap
+(``offset < length``), which is how Snappy encodes runs.
+
+The compressor is a greedy 4-byte-hash matcher (the same strategy as
+the reference implementation's fast path, minus its skip heuristics):
+spec-valid output on every input, real copy elements on repetitive
+data — so the decompressor's copy paths are exercised by fixtures, not
+just by handcrafted streams.
+
+Why hand-rolled: Avro's de-facto default block codec is snappy, this
+container has no python-snappy/cramjam wheel, and the format is ~100
+lines of stdlib byte-walking — the same class of work as the
+deflate/zigzag code in ``avro.py`` (r12 VERDICT task 3: the "no public
+pure-stdlib snappy" boundary was overstated).
+
+No reference-repo analog (the reference ingests a JSON HTTP API only,
+``etl/extract.py:30-153``).
+"""
+
+from __future__ import annotations
+
+_MAX_LITERAL = 1 << 32  # 4-byte length spill bound (exclusive)
+
+
+def _write_uvarint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_uvarint(data: bytes, pos: int) -> tuple[int, int]:
+    n = shift = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("snappy: truncated length preamble")
+        b = data[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+        if shift > 35:
+            raise ValueError("snappy: length preamble overflows 32 bits")
+
+
+def _emit_literal(out: bytearray, chunk: bytes) -> None:
+    n = len(chunk) - 1
+    if n < 60:
+        out.append(n << 2)
+    else:
+        nbytes = (n.bit_length() + 7) // 8
+        out.append((59 + nbytes) << 2)
+        out += n.to_bytes(nbytes, "little")
+    out += chunk
+
+
+def compress(data: bytes) -> bytes:
+    """Greedy hash-match Snappy compressor: literal runs between
+    4-byte-anchored matches, copies emitted with the smallest tag that
+    fits (1-byte offset for len 4-11 & offset < 2048, else 2-byte)."""
+    out = bytearray(_write_uvarint(len(data)))
+    n = len(data)
+    if n == 0:
+        return bytes(out)
+    table: dict[bytes, int] = {}
+    i = 0
+    lit_start = 0
+    while i + 4 <= n:
+        key = data[i:i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is None or i - cand > 0xFFFFFFFF:
+            i += 1
+            continue
+        # extend the match (spec caps one copy element at 64 bytes;
+        # longer matches simply emit consecutive copies)
+        length = 4
+        while (i + length < n and length < 64
+               and data[cand + length] == data[i + length]):
+            length += 1
+        if lit_start < i:
+            _emit_literal(out, data[lit_start:i])
+        offset = i - cand
+        if 4 <= length <= 11 and offset < 2048:
+            out.append(1 | ((length - 4) << 2) | ((offset >> 8) << 5))
+            out.append(offset & 0xFF)
+        else:
+            out.append(2 | ((length - 1) << 2))
+            out += offset.to_bytes(2, "little")
+        i += length
+        lit_start = i
+    if lit_start < n:
+        _emit_literal(out, data[lit_start:])
+    return bytes(out)
+
+
+def decompress(data: bytes) -> bytes:
+    """Decode a raw Snappy block; raises ValueError on any framing
+    violation (truncation, out-of-range offsets, length mismatch)."""
+    expected, pos = _read_uvarint(data, 0)
+    out = bytearray()
+    n = len(data)
+    while pos < n:
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            length = (tag >> 2) + 1
+            if length > 60:
+                nbytes = length - 60
+                if pos + nbytes > n:
+                    raise ValueError("snappy: truncated literal length")
+                length = int.from_bytes(data[pos:pos + nbytes], "little") + 1
+                pos += nbytes
+            if pos + length > n:
+                raise ValueError("snappy: truncated literal")
+            out += data[pos:pos + length]
+            pos += length
+            continue
+        if kind == 1:  # copy, 1-byte offset
+            if pos >= n:
+                raise ValueError("snappy: truncated copy-1")
+            length = ((tag >> 2) & 0x7) + 4
+            offset = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif kind == 2:  # copy, 2-byte offset
+            if pos + 2 > n:
+                raise ValueError("snappy: truncated copy-2")
+            length = (tag >> 2) + 1
+            offset = int.from_bytes(data[pos:pos + 2], "little")
+            pos += 2
+        else:  # copy, 4-byte offset
+            if pos + 4 > n:
+                raise ValueError("snappy: truncated copy-4")
+            length = (tag >> 2) + 1
+            offset = int.from_bytes(data[pos:pos + 4], "little")
+            pos += 4
+        if offset == 0 or offset > len(out):
+            raise ValueError("snappy: copy offset out of range")
+        if offset >= length:
+            start = len(out) - offset
+            out += out[start:start + length]
+        else:  # self-overlapping copy: the run-encoding case
+            for _ in range(length):
+                out.append(out[-offset])
+    if len(out) != expected:
+        raise ValueError(
+            f"snappy: decoded {len(out)} bytes, preamble said {expected}"
+        )
+    return bytes(out)

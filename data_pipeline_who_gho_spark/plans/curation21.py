@@ -6,11 +6,13 @@ one Object Container File per 50-doc shard whose schema nests an
 ENUM (zigzag-varint symbol index), a FIXED(8) digest, a MAP of longs,
 and an ARRAY OF RECORDS, encoded and decoded by the pure-stdlib wire
 codec in ``operators/avro.py`` (this environment ships no spark-avro
-jar — see that module's header).  The block codec alternates by shard
-parity so both ``null`` and ``deflate`` stay covered.  Every output
-column is read from the DECODE, so a one-byte drift anywhere in the
-nested layout breaks the row.  Snappy/zstandard stay out (no public
-pure-stdlib snappy) — boundary stated in the codec module.
+jar — see that module's header).  The block codec rotates by shard
+mod 3 (r13: ``deflate`` / ``null`` / ``snappy`` — the pure-stdlib
+snappy codec in ``operators/snappy.py`` with the Avro spec's per-block
+CRC32 trailer) so all three implemented codecs stay covered.  Every
+output column is read from the DECODE, so a one-byte drift anywhere
+in the nested layout breaks the row.  Zstandard stays out (no stdlib
+binding) — boundary stated in the codec module.
 
 ``xml_scan_reject_split`` — XML ingestion (VERDICT task 8, the last
 common format with zero coverage; no spark-xml in this environment).
@@ -85,7 +87,7 @@ def avro_complex_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         import hashlib
 
         shard = int(pdf["shard"].iloc[0])
-        codec = "deflate" if shard % 2 == 0 else "null"
+        codec = ("deflate", "null", "snappy")[shard % 3]
         recs = []
         for r in pdf.sort_values("doc_id").itertuples():
             d = int(r.doc_id)
@@ -155,7 +157,8 @@ SELECT d.doc_id,
        CAST(d.doc_id % 4 AS BIGINT) AS n_spans,
        CAST(4 * (d.doc_id % 4) * ((d.doc_id % 4) - 1)
             + (d.doc_id % 4) AS BIGINT) AS span_sum,
-       CASE WHEN d.shard % 2 = 0 THEN 'deflate' ELSE 'null' END AS codec,
+       CASE d.shard % 3 WHEN 0 THEN 'deflate' WHEN 1 THEN 'null'
+            ELSE 'snappy' END AS codec,
        p.n AS shard_docs,
        CAST(ceil(p.n / {_AVROC_BLOCK}.0) AS BIGINT) AS shard_blocks
 FROM s d JOIN per p USING (shard)

@@ -168,8 +168,12 @@ def test_avro_container_roundtrip_and_errors():
 
     with _pt.raises(ValueError):
         read_avro(b"PAR1 not avro")
+    # snappy is IMPLEMENTED as of r13 (operators/snappy.py + the
+    # spec's per-block big-endian CRC32 trailer); zstd is the boundary
+    got = read_avro(build_avro(schema, recs, codec="snappy"))
+    assert got["records"] == recs and got["codec"] == "snappy"
     with _pt.raises(NotImplementedError):
-        build_avro(schema, recs, codec="snappy")
+        build_avro(schema, recs, codec="zstandard")
     # enums and named-type references are IMPLEMENTED as of r12
     # (operators/avro.py); the moved boundary is an UNDECLARED name
     got = read_avro(build_avro(

@@ -64,8 +64,10 @@ def test_avro_enum_fixed_nested_roundtrip():
         build_avro(schema, [{**recs[0], "e": "Z"}])
     with pytest.raises(ValueError):   # fixed with the wrong width
         build_avro(schema, [{**recs[0], "f": b"toolong"}])
-    with pytest.raises(NotImplementedError):  # snappy boundary stated
-        build_avro(schema, recs, codec="snappy")
+    got = read_avro(build_avro(schema, recs, codec="snappy"))  # r13
+    assert got["records"] == recs
+    with pytest.raises(NotImplementedError):  # zstd boundary stated
+        build_avro(schema, recs, codec="zstandard")
     # decode-side: an enum index past the symbol list is a loud error
     from data_pipeline_who_gho_spark.operators.avro import (
         _Reader,
@@ -92,7 +94,7 @@ def test_avro_complex_scan_stats_matches_oracle(spark):
     assert got == _oracle(AVRO_COMPLEX_SCAN_STATS_SQL)
     # all three enum symbols, both codecs, and non-trivial spans appear
     assert {r[1] for r in got} == {"LOW", "MED", "HIGH"}
-    assert {r[7] for r in got} == {"deflate", "null"}
+    assert {r[7] for r in got} == {"deflate", "null", "snappy"}
     assert any(r[5] > 0 for r in got) and any(r[5] == 0 for r in got)
 
 
@@ -167,5 +169,46 @@ def test_avro_named_refs_namespace_and_recursion():
         {"tag": "Y", "tag2": "X", "tag3": "Y", "next": None},
     ]
     for codec in ("null", "deflate"):
+        got = read_avro(build_avro(schema, recs, codec=codec))
+        assert got["records"] == recs
+
+
+def test_avro_short_name_collision_resolves_in_current_namespace():
+    """ADVICE r12: two namespaces declaring the same short name must
+    not hijack each other's unqualified references — spec "Names"
+    resolves an unqualified reference in the CURRENT namespace first.
+    Here both ns1.Tag and ns2.Tag exist; the unqualified 'Tag' ref
+    inside ns2.Inner must pick ns2.Tag (a 2-byte fixed), and the
+    qualified 'ns1.Tag' ref must pick the enum, regardless of
+    declaration order."""
+    from data_pipeline_who_gho_spark.operators.avro import (
+        build_avro,
+        read_avro,
+    )
+
+    schema = {
+        "type": "record", "name": "Top", "namespace": "ns1",
+        "fields": [
+            # declares ns1.Tag (an enum)
+            {"name": "a", "type": {
+                "type": "enum", "name": "Tag", "symbols": ["X", "Y"]}},
+            # ns2.Inner declares ns2.Tag (a fixed) AFTER ns1.Tag
+            {"name": "b", "type": {
+                "type": "record", "name": "Inner", "namespace": "ns2",
+                "fields": [
+                    {"name": "t", "type": {
+                        "type": "fixed", "name": "Tag", "size": 2}},
+                    # unqualified ref inside ns2 -> ns2.Tag (fixed)
+                    {"name": "t2", "type": "Tag"},
+                    # qualified ref -> ns1.Tag (enum)
+                    {"name": "e", "type": "ns1.Tag"},
+                ]}},
+        ],
+    }
+    recs = [
+        {"a": "X", "b": {"t": b"ab", "t2": b"cd", "e": "Y"}},
+        {"a": "Y", "b": {"t": b"ef", "t2": b"gh", "e": "X"}},
+    ]
+    for codec in ("null", "snappy"):
         got = read_avro(build_avro(schema, recs, codec=codec))
         assert got["records"] == recs
