@@ -33,9 +33,15 @@ joint stereo (mode 1): at and above the intensity bound
 scalefactors stay per-channel — enforces the §2.4.2.3 bitrate/mode
 legality on build and parse, and consumes (not verifies) the 16-bit
 crc_check word when protection_bit=0 so later fields stay aligned.
-Layer III and AAC sample decode remain out of scope (their Huffman/
-scalefactor-band machinery is a different order of size);
-``NotImplementedError`` marks every such edge explicitly.
+Layer III (r13, bottom of this module) decodes to requantized
+SPECTRAL VALUES for long-block main_data_begin=0 frames: §2.4.1.7
+side info, scfsi-gated scalefactor transmission, region-split
+big-values Huffman pairs and count1 quadruples with sign bits, exact
+part2_3_length accounting — stopping before IMDCT/synthesis (float
+stages, same boundary as Layer I's filterbank).  The carried Huffman
+table DATA is tables 0/1 + count1 B; tables 2-31, count1 A, the bit
+reservoir, block switching, and AAC remain explicit
+``NotImplementedError`` edges.
 
 Public spec only (ISO/IEC 11172-3 §2.4, Annex 3-B).
 No reference-repo analog (the reference pipeline is tabular-only).
@@ -801,3 +807,428 @@ def parse_layer2_frame(frame: bytes) -> dict:
         "scf_parts": scf_parts[0] if flat else scf_parts,
         "samples": samples[0] if flat else samples,
     }
+
+
+# ---------------------------------------------------------------------------
+# Layer III (r13): side info, scalefactors, Huffman spectral decode
+# ---------------------------------------------------------------------------
+# Scope (the r12 VERDICT task 2 cut): everything from the frame header
+# to REQUANTIZED SPECTRAL VALUES for long-block (normal-window) MPEG-1
+# frames with main_data_begin=0 — side-info parse (§2.4.1.7),
+# scalefactor transmission with scfsi reuse (§2.4.2.7), region-split
+# big-values Huffman pairs with sign bits, count1 quadruples, and the
+# exact requantization exponents.  IMDCT/alias-reduction/synthesis stay
+# out (float stages, same boundary as Layer I's filterbank).
+#
+# Huffman code tables carried (Annex 3-B.7): table 0 (the zero table —
+# no bits, all values 0), table 1 (2x2, no linbits), and count1 table B
+# (the uniform 4-bit table, hcod = one's complement of the packed
+# v,w,x,y quadruple).  All other table_select values (2-31), count1
+# table A, block-type switching (windows_switching_flag=1), the bit
+# reservoir (main_data_begin != 0), and the 48/32 kHz scalefactor-band
+# tables are explicit NotImplementedError edges — the mechanism
+# (region boundaries, linbits-free pair decode, sign bits, part2_3
+# accounting) is table-generic, but this module only ships table DATA
+# it can carry faithfully.
+
+_BR_TABLE_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                160, 192, 224, 256, 320]  # kbps, index 1..14
+
+# Table 3-B.7 Huffman table 1 (2x2): (x, y) -> (hlen, hcod)
+_L3_HUFF_1 = {
+    (0, 0): (1, 0b1),
+    (0, 1): (3, 0b001),
+    (1, 0): (2, 0b01),
+    (1, 1): (3, 0b000),
+}
+_L3_HUFF_1_DEC = {(hl, hc): xy for xy, (hl, hc) in _L3_HUFF_1.items()}
+
+# scalefac_compress -> (slen1, slen2), §2.4.2.7
+_L3_SLEN = [(0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2),
+            (1, 3), (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3),
+            (4, 2), (4, 3)]
+
+# long-block scalefactor band boundaries at 44.1 kHz (Table 3-B.8);
+# 21 bands + the uncoded sfb21 region up to 576
+_L3_SFB_LONG_44100 = [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74,
+                      90, 110, 134, 162, 196, 238, 288, 342, 418, 576]
+
+# preflag pretab (§2.4.3.4.3.2), one entry per long scalefactor band
+_L3_PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+              1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0]
+
+# scfsi band groups for Layer III: long sfbs 0-5, 6-10, 11-15, 16-20
+_L3_SCFSI_GROUPS = [(0, 6), (6, 11), (11, 16), (16, 21)]
+
+
+def _l3_sfb_long(sr: int) -> list[int]:
+    if sr != 44100:
+        raise NotImplementedError(
+            f"Layer III scalefactor-band table for {sr} Hz is not "
+            "carried (44100 Hz only)"
+        )
+    return _L3_SFB_LONG_44100
+
+
+def _l3_frame_bytes(kbps: int, sr: int, padding: int = 0) -> int:
+    return 144 * kbps * 1000 // sr + padding
+
+
+class _GranuleSpec:
+    """Writer-side per-granule-per-channel content: spectral values
+    (one int per line, zeros beyond the coded region), the 21 long-band
+    scalefactors, and the side-info scalars."""
+
+    def __init__(self, values, scalefac, global_gain, scalefac_compress,
+                 big_values, scalefac_scale=0,
+                 region0_count=7, region1_count=7):
+        if len(values) != 576:
+            raise ValueError("a granule carries 576 spectral values")
+        if len(scalefac) != 21:
+            raise ValueError("long blocks carry 21 scalefactors")
+        if big_values > 288:
+            raise ValueError("big_values exceeds 288 pairs")
+        self.values = list(values)
+        self.scalefac = list(scalefac)
+        self.global_gain = global_gain
+        self.scalefac_compress = scalefac_compress
+        self.big_values = big_values
+        self.scalefac_scale = scalefac_scale
+        self.region0_count = region0_count
+        self.region1_count = region1_count
+
+
+def _l3_encode_part23(g: _GranuleSpec, skip_groups) -> tuple[bytes, int]:
+    """Scalefactor + Huffman bits for one granule-channel as (padded
+    bytes, exact bit count); ``skip_groups`` marks scfsi groups whose
+    scalefactors are NOT transmitted (granule 1 reuse)."""
+    w = _BitWriter()
+    slen1, slen2 = _L3_SLEN[g.scalefac_compress]
+    for band in range(21):
+        grp = next(
+            i for i, (lo, hi) in enumerate(_L3_SCFSI_GROUPS)
+            if lo <= band < hi
+        )
+        if grp in skip_groups:
+            continue
+        slen = slen1 if band < 11 else slen2
+        if slen:
+            w.write(g.scalefac[band], slen)
+        elif g.scalefac[band]:
+            raise ValueError("nonzero scalefactor with slen 0")
+    for pair in range(g.big_values):
+        x, y = g.values[2 * pair], g.values[2 * pair + 1]
+        ax, ay = abs(x), abs(y)
+        if ax > 1 or ay > 1:
+            raise NotImplementedError(
+                "big-values magnitude > 1 needs a Huffman table this "
+                "module does not carry (tables 2-31)"
+            )
+        hl, hc = _L3_HUFF_1[(ax, ay)]
+        w.write(hc, hl)
+        if ax:
+            w.write(1 if x < 0 else 0, 1)
+        if ay:
+            w.write(1 if y < 0 else 0, 1)
+    pos = 2 * g.big_values
+    tail = 575
+    while tail >= pos and g.values[tail] == 0:
+        tail -= 1
+    n_quads, rem = divmod(tail + 1 - pos, 4)
+    if rem:
+        n_quads += 1
+    if pos + 4 * n_quads > 576:
+        raise ValueError(
+            "count1 region would cross the 576-line granule boundary "
+            "(align the last nonzero run to a quadruple)"
+        )
+    for q in range(n_quads):
+        quad = g.values[pos + 4 * q:pos + 4 * q + 4]
+        quad += [0] * (4 - len(quad))
+        if any(abs(v) > 1 for v in quad):
+            raise ValueError("count1 values must be in {-1, 0, 1}")
+        packed = 0
+        for v in quad:
+            packed = (packed << 1) | (1 if v else 0)
+        w.write(packed ^ 0xF, 4)          # count1 table B: hcod = ~vwxy
+        for v in quad:
+            if v:
+                w.write(1 if v < 0 else 0, 1)
+    nbits = len(w.buf) * 8 + w.nbits
+    w.pad_to_byte()
+    return bytes(w.buf), nbits
+
+
+def build_layer3_frame(
+    granules,
+    mode: int = 3,
+    sr: int = 44100,
+    kbps: int = 320,
+    crc16: int | None = None,
+    scfsi=None,
+) -> bytes:
+    """One MPEG-1 Layer III frame (2 granules x 1152 samples).
+
+    ``granules`` is ``[[gr0_ch0, ...], [gr1_ch0, ...]]`` of
+    :class:`_GranuleSpec` (channel count per §2.4.1.3 ``mode``);
+    ``scfsi`` is a per-channel 4-bit group mask — set bits transmit
+    the group's scalefactors in granule 0 ONLY, granule 1 reuses them
+    (the values in granule 1's spec must match granule 0's there).
+    main_data_begin is always 0 (no bit reservoir) and the main data
+    starts immediately after the side info, padding to the frame
+    length with zero ancillary bits."""
+    nch = _resolve_mode(mode)
+    if scfsi is None:
+        scfsi = [0] * nch
+    if len(granules) != 2 or any(len(g) != nch for g in granules):
+        raise ValueError("granules must be 2 x nch _GranuleSpec")
+    _l3_sfb_long(sr)   # same carried-table gate as the reader
+    sr_idx = {v: k for k, v in _SR_TABLE.items()}[sr]
+    br_idx = _BR_TABLE_L3.index(kbps)
+    frame_len = _l3_frame_bytes(kbps, sr)
+    parts: list[list[bytes]] = []
+    nbits: list[list[int]] = []
+    for gr in range(2):
+        parts.append([])
+        nbits.append([])
+        for ch in range(nch):
+            skip = (
+                {i for i in range(4) if scfsi[ch] >> (3 - i) & 1}
+                if gr == 1 else set()
+            )
+            for grp in (skip if gr == 1 else ()):
+                lo, hi = _L3_SCFSI_GROUPS[grp]
+                if granules[1][ch].scalefac[lo:hi] != \
+                        granules[0][ch].scalefac[lo:hi]:
+                    raise ValueError(
+                        "scfsi-reused scalefactors differ across granules"
+                    )
+            data, n = _l3_encode_part23(granules[gr][ch], skip)
+            parts[gr].append(data)
+            nbits[gr].append(n)
+
+    w = _BitWriter()
+    w.write(0x7FF, 11)
+    w.write(3, 2)                     # MPEG-1
+    w.write(1, 2)                     # Layer III
+    w.write(0 if crc16 is not None else 1, 1)
+    w.write(br_idx, 4)
+    w.write(sr_idx, 2)
+    w.write(0, 1)                     # padding
+    w.write(0, 1)                     # private
+    w.write(mode, 2)
+    w.write(0, 2)                     # mode_extension
+    w.write(0, 2)                     # copyright/original
+    w.write(0, 2)                     # emphasis
+    if crc16 is not None:
+        w.write(crc16, 16)
+    # side info
+    w.write(0, 9)                     # main_data_begin: no reservoir
+    w.write(0, 5 if nch == 1 else 3)  # private_bits
+    for ch in range(nch):
+        w.write(scfsi[ch], 4)
+    for gr in range(2):
+        for ch in range(nch):
+            g = granules[gr][ch]
+            w.write(nbits[gr][ch], 12)            # part2_3_length
+            w.write(g.big_values, 9)
+            w.write(g.global_gain, 8)
+            w.write(g.scalefac_compress, 4)
+            w.write(0, 1)                         # windows_switching
+            for _region in range(3):
+                w.write(1, 5)                     # table_select: table 1
+            w.write(g.region0_count, 4)
+            w.write(g.region1_count, 3)
+            w.write(0, 1)                         # preflag
+            w.write(g.scalefac_scale, 1)
+            w.write(1, 1)                         # count1table_select: B
+    # main data: granule-major, channel-minor, bit-contiguous
+    for gr in range(2):
+        for ch in range(nch):
+            data, n = parts[gr][ch], nbits[gr][ch]
+            full, rem = divmod(n, 8)
+            for b in data[:full]:
+                w.write(b, 8)
+            if rem:
+                w.write(data[full] >> (8 - rem), rem)
+    w.pad_to_byte()
+    frame = bytes(w.buf)
+    if len(frame) > frame_len:
+        raise ValueError(
+            f"main data ({len(frame)} B) exceeds frame length "
+            f"({frame_len} B) at {kbps} kbps"
+        )
+    return frame + b"\x00" * (frame_len - len(frame))
+
+
+def parse_layer3_frame(frame: bytes) -> dict:
+    """Decode one Layer III frame to side info, effective scalefactors
+    (scfsi reuse applied), and the 576 spectral values per granule per
+    channel.  Honest edges raise NotImplementedError: bit reservoir
+    (main_data_begin != 0), window switching, Huffman tables other
+    than 0/1, count1 table A, non-44.1 kHz band tables."""
+    if len(frame) < 4:
+        raise ValueError("not a frame")
+    h = int.from_bytes(frame[:4], "big")
+    if h >> 21 != 0x7FF:
+        raise ValueError("bad sync")
+    if (h >> 19) & 3 != 3:
+        raise ValueError("not MPEG-1")
+    if (h >> 17) & 3 != 1:
+        raise ValueError("not a Layer III frame")
+    br_idx = (h >> 12) & 0xF
+    sr_idx = (h >> 10) & 3
+    if sr_idx == 3:
+        raise ValueError("reserved sample-rate index 3")
+    if br_idx in (0, 15):
+        raise ValueError(f"unsupported bitrate index {br_idx}")
+    sr = _SR_TABLE[sr_idx]
+    _l3_sfb_long(sr)
+    mode = (h >> 6) & 3
+    nch = _resolve_mode(mode)
+    crc_present = not (h >> 16) & 1
+    r = _BitReader(frame)
+    r.pos = 32
+    if crc_present:
+        r.read(16)                    # consumed, not verified
+    main_data_begin = r.read(9)
+    if main_data_begin:
+        raise NotImplementedError(
+            "bit reservoir (main_data_begin != 0) is not implemented"
+        )
+    r.read(5 if nch == 1 else 3)      # private_bits
+    scfsi = [r.read(4) for _ in range(nch)]
+    side = [[None] * nch for _ in range(2)]
+    for gr in range(2):
+        for ch in range(nch):
+            s = {
+                "part2_3_length": r.read(12),
+                "big_values": r.read(9),
+                "global_gain": r.read(8),
+                "scalefac_compress": r.read(4),
+            }
+            if r.read(1):
+                raise NotImplementedError(
+                    "windows_switching_flag=1 (block-type switching) "
+                    "is not implemented"
+                )
+            s["table_select"] = [r.read(5) for _ in range(3)]
+            s["region0_count"] = r.read(4)
+            s["region1_count"] = r.read(3)
+            s["preflag"] = r.read(1)
+            s["scalefac_scale"] = r.read(1)
+            s["count1table_select"] = r.read(1)
+            if s["big_values"] > 288:
+                raise ValueError("big_values exceeds 288 pairs")
+            side[gr][ch] = s
+
+    sfb = _l3_sfb_long(sr)
+    scalefacs = [[None] * nch for _ in range(2)]
+    values = [[None] * nch for _ in range(2)]
+    n_quads_out = [[0] * nch for _ in range(2)]
+    for gr in range(2):
+        for ch in range(nch):
+            s = side[gr][ch]
+            start = r.pos
+            slen1, slen2 = _L3_SLEN[s["scalefac_compress"]]
+            sf = [0] * 21
+            for band in range(21):
+                grp = next(
+                    i for i, (lo, hi) in enumerate(_L3_SCFSI_GROUPS)
+                    if lo <= band < hi
+                )
+                if gr == 1 and scfsi[ch] >> (3 - grp) & 1:
+                    sf[band] = scalefacs[0][ch][band]   # scfsi reuse
+                    continue
+                slen = slen1 if band < 11 else slen2
+                sf[band] = r.read(slen) if slen else 0
+            scalefacs[gr][ch] = sf
+            vals = [0] * 576
+            for t in s["table_select"]:
+                if t not in (0, 1):
+                    raise NotImplementedError(
+                        f"Huffman table {t} is not carried (tables 0 "
+                        "and 1 only)"
+                    )
+            bnd0 = sfb[min(s["region0_count"] + 1, 22)]
+            bnd1 = sfb[min(s["region0_count"] + 1
+                           + s["region1_count"] + 1, 22)]
+            for pair in range(s["big_values"]):
+                i = 2 * pair
+                t = (s["table_select"][0] if i < bnd0 else
+                     s["table_select"][1] if i < bnd1 else
+                     s["table_select"][2])
+                if t == 0:
+                    continue          # the zero table: no bits
+                hl, hc = 0, 0
+                while (hl, hc) not in _L3_HUFF_1_DEC:
+                    hc = (hc << 1) | r.read(1)
+                    hl += 1
+                    if hl > 3:
+                        raise ValueError("invalid table-1 codeword")
+                x, y = _L3_HUFF_1_DEC[(hl, hc)]
+                if x and r.read(1):
+                    x = -x
+                if y and r.read(1):
+                    y = -y
+                vals[i], vals[i + 1] = x, y
+            if s["count1table_select"] == 0:
+                raise NotImplementedError(
+                    "count1 table A is not carried (table B only)"
+                )
+            pos = 2 * s["big_values"]
+            used = r.pos - start
+            while used < s["part2_3_length"] and pos <= 572:
+                packed = r.read(4) ^ 0xF
+                quad = [(packed >> (3 - k)) & 1 for k in range(4)]
+                for k, v in enumerate(quad):
+                    if v and r.read(1):
+                        quad[k] = -v
+                vals[pos:pos + 4] = quad
+                pos += 4
+                n_quads_out[gr][ch] += 1
+                used = r.pos - start
+            if used != s["part2_3_length"]:
+                raise ValueError(
+                    f"part2_3_length mismatch: consumed {used}, side "
+                    f"info says {s['part2_3_length']}"
+                )
+            values[gr][ch] = vals
+    return {
+        "sr": sr,
+        "kbps": _BR_TABLE_L3[br_idx],
+        "mode": mode,
+        "nch": nch,
+        "crc_present": crc_present,
+        "main_data_begin": main_data_begin,
+        "scfsi": scfsi,
+        "side": side,
+        "scalefac": scalefacs,
+        "values": values,
+        "n_count1_quads": n_quads_out,
+    }
+
+
+def requantize_l3(vals, scalefac, side, sfb=None):
+    """Spec §2.4.3.4.7 long-block requantization of one granule-
+    channel: xr[i] = sign(is[i]) * |is[i]|^(4/3) * 2^(gg/4 - 52.5)
+    * 2^(-(scalefac_scale+1) * (scalefac[sfb] + preflag*pretab[sfb])).
+    Float stage — unit-tested, kept OUT of the hash-gated query (the
+    same boundary as Layer I's synthesis filterbank)."""
+    sfb = sfb or _L3_SFB_LONG_44100
+    out = []
+    band = 0
+    for i, v in enumerate(vals):
+        while band < 21 and i >= sfb[band + 1]:
+            band += 1
+        sf = scalefac[band] if band < 21 else 0
+        pre = _L3_PRETAB[band] if band < 22 else 0
+        exp = (
+            (side["global_gain"] - 210) / 4.0
+            - (side["scalefac_scale"] + 1)
+            * (sf + side["preflag"] * pre)
+        )
+        out.append(
+            (1 if v >= 0 else -1) * (abs(v) ** (4.0 / 3.0)) * 2.0 ** exp
+        )
+    return out

