@@ -211,11 +211,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # _PRIORITY below), then green ones stalest-round first.  Ground truth is
 # the CORRECTNESS_r*.json files the driver leaves in the repo root.
 _PRIORITY = [
-    # r13 head: the new Layer III spectral decode, then the four r13
-    # re-stales (PDF simple-font/hybrid layouts; funnel sharing the
-    # changed reader; Avro snappy shards), which rank next by being
-    # never-effective-green
-    "mpeg1_layer3_spectral_stats",
+    # r13 head: the new Layer III spectral decode and protobuf wire
+    # scan, then the three r13 re-stales (PDF simple-font/hybrid
+    # layouts; funnel sharing the changed reader; Avro snappy shards),
+    # which rank next by being never-effective-green
+    "mpeg1_layer3_spectral_stats", "proto_scan_stats",
     # r12 head: the two new registrations (Avro non-scalar types; XML
     # rowTag reject split) ahead of the four r12 re-stales, which rank
     # next by being never-effective-green

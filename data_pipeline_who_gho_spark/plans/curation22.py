@@ -1,6 +1,9 @@
 """Round-13: MPEG-1 Layer III spectral decode (the r12 VERDICT's #1
 named gap — MP3 is the dominant crawl audio format; Layers I/II were
-completed in r11/r12).
+completed in r11/r12) and protobuf wire-format ingestion
+(``proto_scan_stats``, bottom of this module — the r12 VERDICT's
+task 8, closing the one remaining env-gated format via the
+pure-stdlib codec in ``operators/protowire.py``).
 
 ``mpeg1_layer3_spectral_stats`` — per doc the plan synthesizes a real
 Layer III frame with the writer in ``operators/mpeg_audio.py`` (side
@@ -299,3 +302,148 @@ CURATION22_QUERIES["mpeg1_layer3_spectral_stats"] = (
     mpeg1_layer3_spectral_stats
 )
 CURATION22_ORACLE_SQL["mpeg1_layer3_spectral_stats"] = MPEG1_L3_SQL
+
+
+# ---------------------------------------------------------------------------
+# proto_scan_stats — protobuf wire-format ingestion (r12 VERDICT task 8)
+# ---------------------------------------------------------------------------
+# Per doc the plan serializes a nested proto3 message with the
+# pure-stdlib wire codec in ``operators/protowire.py`` (varints,
+# ZigZag sint, packed repeateds, repeated nested messages, fixed32/64),
+# APPENDS AN UNKNOWN FIELD (number 99) the schema does not declare,
+# and decodes — so unknown-field skipping is inside the hash gate.
+# Every output column, including the total serialized byte count, is
+# replayed by the oracle from the construction rule: a one-byte drift
+# anywhere in the tag/varint/length arithmetic breaks the row.
+
+_PROTO_SPAN = {1: ("start", "int"), 2: ("len", "int")}
+_PROTO_DOC = {
+    1: ("doc_id", "int"),
+    2: ("lang", "string"),
+    3: ("n_chars", "int"),
+    4: ("delta", "sint"),
+    5: ("tokens", "packed_int"),
+    6: ("spans", ("repeated_message", _PROTO_SPAN)),
+    7: ("check", "fixed32"),
+    8: ("big", "fixed64"),
+}
+
+
+def proto_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.protowire import (
+        decode_message,
+        encode_message,
+        write_varint,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, lang, n_chars in zip(
+                pdf["doc_id"], pdf["lang"], pdf["n_chars"]
+            ):
+                d, nc = int(doc_id), int(n_chars)
+                msg = {
+                    "doc_id": d,
+                    "lang": str(lang),
+                    "n_chars": nc,
+                    "delta": (d % 1000) - 500,
+                    "tokens": [(d * 3 + k * 5) % 100
+                               for k in range(1 + d % 7)],
+                    "spans": [{"start": i * 7, "len": i + 1}
+                              for i in range(d % 4)],
+                    "check": (d * 2654435761) % (1 << 32),
+                    "big": d * (1 << 20) + 5,
+                }
+                payload = (
+                    encode_message(_PROTO_DOC, msg)
+                    + write_varint(99 << 3) + write_varint(d % 50)
+                )
+                got = decode_message(_PROTO_DOC, payload)
+                rows.append((
+                    got["doc_id"], got["lang"], got["n_chars"],
+                    got["delta"], sum(got["tokens"]),
+                    len(got["tokens"]), len(got.get("spans", [])),
+                    sum(s["start"] + s["len"]
+                        for s in got.get("spans", [])),
+                    got["check"], got["big"], len(payload),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "lang", "n_chars", "delta", "tok_sum",
+                         "n_tokens", "n_spans", "span_sum", "check",
+                         "big", "msg_bytes"],
+            )
+
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id BIGINT, lang STRING, n_chars BIGINT, delta BIGINT, "
+        "tok_sum BIGINT, n_tokens BIGINT, n_spans BIGINT, "
+        "span_sum BIGINT, check BIGINT, big BIGINT, msg_bytes BIGINT",
+    )
+
+
+# msg_bytes replays the wire arithmetic: 1-byte tags for fields 1-8,
+# varint widths by magnitude, packed token bytes are 1 each (< 128),
+# span submessages are 6 bytes each (start<=21, len<=4), fixed32/64
+# are 5/9 with their tags, and the appended unknown field 99 is
+# 2 (tag varint, 792) + 1 (value < 50).
+PROTO_SCAN_STATS_SQL = """
+WITH base AS (
+  SELECT doc_id AS d, lang, n_chars,
+         (doc_id % 1000) - 500 AS delta,
+         1 + doc_id % 7 AS n_tokens,
+         doc_id % 4 AS n_spans
+  FROM documents
+),
+vs AS (
+  SELECT d,
+         CASE WHEN d < 128 THEN 1 WHEN d < 16384 THEN 2
+              WHEN d < 2097152 THEN 3 WHEN d < 268435456 THEN 4
+              ELSE 5 END AS vs_docid,
+         CASE WHEN n_chars < 128 THEN 1 WHEN n_chars < 16384 THEN 2
+              WHEN n_chars < 2097152 THEN 3 ELSE 4 END AS vs_nchars,
+         CASE WHEN (CASE WHEN delta >= 0 THEN 2 * delta
+                         ELSE -2 * delta - 1 END) < 128 THEN 1
+              ELSE 2 END AS vs_delta
+  FROM base
+),
+toks AS (
+  SELECT b.d,
+         CAST(SUM((b.d * 3 + k.x * 5) % 100) AS BIGINT) AS tok_sum
+  FROM base b, range(7) k(x)
+  WHERE k.x < b.n_tokens
+  GROUP BY b.d
+)
+SELECT b.d AS doc_id, b.lang,
+       CAST(b.n_chars AS BIGINT) AS n_chars,
+       CAST(b.delta AS BIGINT) AS delta,
+       t.tok_sum,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(b.n_spans AS BIGINT) AS n_spans,
+       -- span i contributes start 7i + len i+1 -> sum = 4n(n-1) + n
+       CAST(4 * b.n_spans * (b.n_spans - 1) + b.n_spans AS BIGINT)
+           AS span_sum,
+       CAST((b.d * 2654435761) % 4294967296 AS BIGINT) AS check,
+       CAST(b.d * 1048576 + 5 AS BIGINT) AS big,
+       CAST(
+         1 + v.vs_docid
+         + 1 + 1 + octet_length(encode(b.lang))
+         + 1 + v.vs_nchars
+         + 1 + v.vs_delta
+         + 1 + 1 + b.n_tokens
+         + 6 * b.n_spans
+         + 5 + 9
+         + 3
+       AS BIGINT) AS msg_bytes
+FROM base b JOIN vs v ON v.d = b.d JOIN toks t ON t.d = b.d
+"""
+
+
+CURATION22_QUERIES["proto_scan_stats"] = proto_scan_stats
+CURATION22_ORACLE_SQL["proto_scan_stats"] = PROTO_SCAN_STATS_SQL
