@@ -92,6 +92,76 @@ def bench_norm_report() -> None:
             print(f"{name}: total {value} s (no calib recorded)")
 
 
+def bench_prose_pin() -> int:
+    """VERDICT r12 finding 2: any 'legacy17 ratio X, per-query median
+    Y' sentence in a COVERAGE.md round-N evidence block must quote the
+    COMMITTED BENCH_rN.json vs_prev numbers — a pre-commit validation
+    session's numbers are not the artifact.  (Blocks whose BENCH file
+    has not landed yet — the current round's — are skipped; they
+    become checkable at the next round's open.)"""
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        text = open(os.path.join(root, "COVERAGE.md")).read()
+    except OSError:
+        return 0
+    rc = 0
+    blocks = re.split(r"(?m)^Round-(\d+) evidence", text)
+    # re.split yields [head, num, body, num, body, ...]
+    for k in range(1, len(blocks) - 1, 2):
+        rnd, body = int(blocks[k]), blocks[k + 1]
+        m = re.search(
+            r"legacy17 ratio ([0-9.]+), per-query\s+median ([0-9.]+)",
+            body,
+        )
+        if m is None:
+            continue
+        path = os.path.join(root, f"BENCH_r{rnd:02d}.json")
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except OSError:
+            continue  # artifact not landed yet (current round)
+        if isinstance(rec.get("parsed"), dict):
+            rec = rec["parsed"]
+        vp = rec.get("vs_prev")
+        if vp is None:
+            # driver artifacts often carry only a truncated stdout
+            # "tail" — bracket-match the vs_prev object out of it
+            tail = rec.get("tail") or ""
+            k = tail.find('"vs_prev": {')
+            if k < 0:
+                continue
+            s = tail[k + len('"vs_prev": '):]
+            depth = 0
+            for j, chch in enumerate(s):
+                depth += chch == "{"
+                depth -= chch == "}"
+                if depth == 0:
+                    break
+            try:
+                vp = json.loads(s[:j + 1])
+            except ValueError:
+                continue
+        want = (vp.get("legacy17_ratio"),
+                vp.get("per_query_ratio_median", vp.get("per_query_median")))
+        got = (float(m.group(1)), float(m.group(2)))
+        if None not in want and got != tuple(want):
+            print(
+                f"BENCH PROSE MISMATCH (round {rnd}): COVERAGE.md "
+                f"quotes ratio/median {got}, {os.path.basename(path)} "
+                f"says {tuple(want)} — quote the committed artifact",
+                flush=True,
+            )
+            rc = 1
+    if rc == 0:
+        print("bench prose matches committed vs_prev artifacts", flush=True)
+    return rc
+
+
 def main() -> None:
     update = "--update" in sys.argv
     skip_gate = "--skip-gate" in sys.argv
@@ -100,6 +170,9 @@ def main() -> None:
     # 0. bench history in normalized units (diagnosis by arithmetic,
     # not re-investigation, when a driver run lands in a slow host phase)
     bench_norm_report()
+
+    # 0a. bench prose pin (VERDICT r12 finding 2)
+    rc = rc or bench_prose_pin()
 
     # 1. drift report (non-zero exit = drift or errors; keep going so the
     # gate still runs, but remember the failure)
