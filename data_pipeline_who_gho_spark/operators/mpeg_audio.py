@@ -841,7 +841,6 @@ _L3_HUFF_1 = {
     (1, 0): (2, 0b01),
     (1, 1): (3, 0b000),
 }
-_L3_HUFF_1_DEC = {(hl, hc): xy for xy, (hl, hc) in _L3_HUFF_1.items()}
 
 # scalefac_compress -> (slen1, slen2), §2.4.2.7
 _L3_SLEN = [(0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2),
@@ -926,10 +925,16 @@ def _l3_encode_part23(g: _GranuleSpec, skip_groups) -> tuple[bytes, int]:
             )
         hl, hc = _L3_HUFF_1[(ax, ay)]
         w.write(hc, hl)
+        # sign bits (x first, then y), batched into one write
+        sbits = nsign = 0
         if ax:
-            w.write(1 if x < 0 else 0, 1)
+            sbits = 1 if x < 0 else 0
+            nsign = 1
         if ay:
-            w.write(1 if y < 0 else 0, 1)
+            sbits = (sbits << 1) | (1 if y < 0 else 0)
+            nsign += 1
+        if nsign:
+            w.write(sbits, nsign)
     pos = 2 * g.big_values
     tail = 575
     while tail >= pos and g.values[tail] == 0:
@@ -948,12 +953,15 @@ def _l3_encode_part23(g: _GranuleSpec, skip_groups) -> tuple[bytes, int]:
         if any(abs(v) > 1 for v in quad):
             raise ValueError("count1 values must be in {-1, 0, 1}")
         packed = 0
+        sbits = nsign = 0
         for v in quad:
             packed = (packed << 1) | (1 if v else 0)
-        w.write(packed ^ 0xF, 4)          # count1 table B: hcod = ~vwxy
-        for v in quad:
             if v:
-                w.write(1 if v < 0 else 0, 1)
+                sbits = (sbits << 1) | (1 if v < 0 else 0)
+                nsign += 1
+        w.write(packed ^ 0xF, 4)          # count1 table B: hcod = ~vwxy
+        if nsign:                          # signs in v,w,x,y order
+            w.write(sbits, nsign)
     nbits = len(w.buf) * 8 + w.nbits
     w.pad_to_byte()
     return bytes(w.buf), nbits
@@ -1160,17 +1168,24 @@ def parse_layer3_frame(frame: bytes) -> dict:
                      s["table_select"][2])
                 if t == 0:
                     continue          # the zero table: no bits
-                hl, hc = 0, 0
-                while (hl, hc) not in _L3_HUFF_1_DEC:
-                    hc = (hc << 1) | r.read(1)
-                    hl += 1
-                    if hl > 3:
-                        raise ValueError("invalid table-1 codeword")
-                x, y = _L3_HUFF_1_DEC[(hl, hc)]
-                if x and r.read(1):
-                    x = -x
-                if y and r.read(1):
-                    y = -y
+                # table 1 unrolled: 1 -> (0,0); 01 -> (1,0);
+                # 001 -> (0,1); 000 -> (1,1)  (_L3_HUFF_1)
+                if r.read(1):
+                    continue          # (0,0): no sign bits either
+                if r.read(1):
+                    x, y = 1, 0
+                elif r.read(1):
+                    x, y = 0, 1
+                else:
+                    x, y = 1, 1
+                if x and y:
+                    sb = r.read(2)
+                    if sb & 2:
+                        x = -x
+                    if sb & 1:
+                        y = -y
+                elif r.read(1):       # exactly one nonzero
+                    x, y = -x, -y
                 vals[i], vals[i + 1] = x, y
             if s["count1table_select"] == 0:
                 raise NotImplementedError(
@@ -1181,9 +1196,15 @@ def parse_layer3_frame(frame: bytes) -> dict:
             while used < s["part2_3_length"] and pos <= 572:
                 packed = r.read(4) ^ 0xF
                 quad = [(packed >> (3 - k)) & 1 for k in range(4)]
-                for k, v in enumerate(quad):
-                    if v and r.read(1):
-                        quad[k] = -v
+                nsign = (packed & 1) + (packed >> 1 & 1) \
+                    + (packed >> 2 & 1) + (packed >> 3 & 1)
+                if nsign:             # signs in v,w,x,y order
+                    sb = r.read(nsign)
+                    for k in range(3, -1, -1):
+                        if quad[3 - k]:
+                            nsign -= 1
+                            if sb >> nsign & 1:
+                                quad[3 - k] = -quad[3 - k]
                 vals[pos:pos + 4] = quad
                 pos += 4
                 n_quads_out[gr][ch] += 1
