@@ -25,9 +25,19 @@ requires per block; unqualified named-type references now resolve in
 the CURRENT namespace first (spec "Names"), so colliding short names
 across namespaces pick the enclosing declaration (ADVICE r12).
 
+r13 also implements SCHEMA RESOLUTION (spec "Schema Resolution"):
+``read_avro(payload, reader_schema=...)`` projects writer records
+onto a different reader schema — fields matched by name, writer-only
+fields dropped, reader-only fields filled from their ``default``
+(an error without one), the numeric promotions int->long/float/
+double, long->float/double, float->double, string<->bytes both ways,
+and recursive resolution through records/arrays/maps/null-unions;
+an enum symbol absent from the reader resolves to the reader's
+enum ``default`` (an error without one).
+
 Honest boundary (same contract as the other codecs): the zstandard
-codec (no stdlib binding), aliases, and schema RESOLUTION (reader
-schema != writer schema) raise ``NotImplementedError``.
+codec (no stdlib binding) and aliases raise
+``NotImplementedError``.
 
 No reference-repo analog (the reference ingests a JSON HTTP API only).
 """
@@ -323,9 +333,112 @@ def build_avro(
     return bytes(out)
 
 
-def read_avro(payload: bytes) -> dict:
+def _resolve_value(writer, reader, value, names_w=None, names_r=None):
+    """Spec "Schema Resolution": project a value decoded under the
+    WRITER schema onto the READER schema.  Operates on decoded values
+    (wire-equivalent to streaming resolution: the writer walk already
+    consumed the bytes); promotions widen, never narrow."""
+    if names_w is None:
+        names_w = {}
+    if names_r is None:
+        names_r = {}
+    wt = writer["type"] if isinstance(writer, dict) else writer
+    rt = reader["type"] if isinstance(reader, dict) else reader
+    # unwrap unions on either side: pick the branch matching the value
+    if isinstance(wt, list):
+        branch = next(
+            b for b in wt
+            if (value is None)
+            == ((b["type"] if isinstance(b, dict) else b) == "null")
+        )
+        return _resolve_value(branch, reader, value, names_w, names_r)
+    if isinstance(rt, list):
+        for b in rt:
+            bt = b["type"] if isinstance(b, dict) else b
+            if (value is None) == (bt == "null"):
+                return _resolve_value(writer, b, value, names_w, names_r)
+        raise ValueError("no reader union branch accepts the value")
+    if isinstance(wt, str) and wt not in _PRIMITIVES and wt not in _COMPLEX:
+        writer = _resolve_name(wt, names_w, None)
+        if writer is None:
+            raise ValueError(f"unresolved writer type {wt!r}")
+        return _resolve_value(writer, reader, value, names_w, names_r)
+    if isinstance(rt, str) and rt not in _PRIMITIVES and rt not in _COMPLEX:
+        reader = _resolve_name(rt, names_r, None)
+        if reader is None:
+            raise ValueError(f"unresolved reader type {rt!r}")
+        return _resolve_value(writer, reader, value, names_w, names_r)
+    _register_name(writer, names_w, None)
+    _register_name(reader, names_r, None)
+    wt = writer["type"] if isinstance(writer, dict) else writer
+    rt = reader["type"] if isinstance(reader, dict) else reader
+    _PROMOTE = {
+        ("int", "long"), ("int", "float"), ("int", "double"),
+        ("long", "float"), ("long", "double"), ("float", "double"),
+        ("string", "bytes"), ("bytes", "string"),
+    }
+    if wt in _PRIMITIVES and rt in _PRIMITIVES:
+        if wt == rt:
+            return value
+        if (wt, rt) not in _PROMOTE:
+            raise ValueError(f"cannot promote {wt} to {rt}")
+        if rt in ("float", "double"):
+            return float(value)
+        if rt == "long":
+            return int(value)
+        if rt == "bytes":
+            return value.encode("utf-8")
+        return value.decode("utf-8")          # bytes -> string
+    if wt == "record" and rt == "record":
+        wfields = {f["name"]: f for f in writer["fields"]}
+        out = {}
+        for rf in reader["fields"]:
+            name = rf["name"]
+            if name in wfields:
+                out[name] = _resolve_value(
+                    wfields[name]["type"], rf["type"], value[name],
+                    names_w, names_r,
+                )
+            elif "default" in rf:
+                out[name] = rf["default"]
+            else:
+                raise ValueError(
+                    f"reader field {name!r} absent from writer and has "
+                    "no default"
+                )
+        return out                             # writer-only fields drop
+    if wt == "enum" and rt == "enum":
+        if value in reader["symbols"]:
+            return value
+        if "default" in reader:
+            return reader["default"]
+        raise ValueError(
+            f"enum symbol {value!r} not in reader and no default"
+        )
+    if wt == "fixed" and rt == "fixed":
+        if writer.get("size") != reader.get("size"):
+            raise ValueError("fixed size mismatch")
+        return value
+    if wt == "array" and rt == "array":
+        return [
+            _resolve_value(writer["items"], reader["items"], v,
+                           names_w, names_r)
+            for v in value
+        ]
+    if wt == "map" and rt == "map":
+        return {
+            k: _resolve_value(writer["values"], reader["values"], v,
+                              names_w, names_r)
+            for k, v in value.items()
+        }
+    raise ValueError(f"cannot resolve writer {wt} against reader {rt}")
+
+
+def read_avro(payload: bytes, reader_schema: dict | None = None) -> dict:
     """→ ``{"schema", "codec", "records", "n_blocks"}`` from an Avro
-    Object Container File."""
+    Object Container File.  With ``reader_schema``, every record is
+    resolved onto it per the spec's Schema Resolution rules (name
+    matching, defaults, promotions) and ``schema`` is the reader's."""
     r = _Reader(payload)
     if r.read(4) != _MAGIC:
         raise ValueError("not an Avro container: bad magic")
@@ -372,6 +485,11 @@ def read_avro(payload: bytes) -> dict:
         if r.read(16) != sync:
             raise ValueError("Avro sync marker mismatch")
         n_blocks += 1
+    if reader_schema is not None:
+        records = [
+            _resolve_value(schema, reader_schema, rec) for rec in records
+        ]
+        schema = reader_schema
     return {
         "schema": schema,
         "codec": codec,

@@ -212,3 +212,86 @@ def test_avro_short_name_collision_resolves_in_current_namespace():
     for codec in ("null", "snappy"):
         got = read_avro(build_avro(schema, recs, codec=codec))
         assert got["records"] == recs
+
+
+def test_avro_schema_resolution():
+    """Spec "Schema Resolution" (r13): reader != writer schemas —
+    name matching with writer-only drop, reader defaults, numeric and
+    string<->bytes promotions, recursive arrays/maps/records,
+    null-union rewrap, enum default fallback, and the loud error
+    cases (no default, narrowing promotion)."""
+    from data_pipeline_who_gho_spark.operators.avro import (
+        build_avro,
+        read_avro,
+    )
+
+    writer = {"type": "record", "name": "Doc", "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "old", "type": "string"},
+        {"name": "score", "type": "float"},
+        {"name": "name_b", "type": "string"},
+        {"name": "raw", "type": "bytes"},
+        {"name": "tags", "type": {"type": "array", "items": "int"}},
+        {"name": "meta", "type": {"type": "map", "values": "int"}},
+        {"name": "q", "type": {
+            "type": "enum", "name": "Q",
+            "symbols": ["LOW", "MED", "WEIRD"]}},
+        {"name": "inner", "type": {
+            "type": "record", "name": "Inner", "fields": [
+                {"name": "x", "type": "int"}]}},
+        {"name": "maybe", "type": ["null", "int"]},
+    ]}
+    reader = {"type": "record", "name": "Doc", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "score", "type": "double"},
+        {"name": "name_b", "type": "bytes"},       # string -> bytes
+        {"name": "raw", "type": "string"},         # bytes -> string
+        {"name": "tags", "type": {"type": "array", "items": "double"}},
+        {"name": "meta", "type": {"type": "map", "values": "long"}},
+        {"name": "q", "type": {
+            "type": "enum", "name": "Q",
+            "symbols": ["LOW", "MED"], "default": "MED"}},
+        {"name": "inner", "type": {
+            "type": "record", "name": "Inner", "fields": [
+                {"name": "x", "type": "long"},
+                {"name": "y", "type": "int", "default": 9}]}},
+        {"name": "maybe", "type": ["null", "long"]},
+        {"name": "added", "type": "string", "default": "dflt"},
+    ]}
+    recs = [
+        {"id": 3, "old": "drop", "score": 1.5, "name_b": "té",
+         "raw": "ok".encode(), "tags": [1, 2], "meta": {"a": 7},
+         "q": "WEIRD", "inner": {"x": 4}, "maybe": None},
+        {"id": -9, "old": "x", "score": -0.5, "name_b": "z",
+         "raw": b"\xc3\xa9", "tags": [], "meta": {},
+         "q": "MED", "inner": {"x": 0}, "maybe": 41},
+    ]
+    got = read_avro(build_avro(writer, recs, codec="snappy"),
+                    reader_schema=reader)
+    assert got["schema"] == reader
+    assert got["records"] == [
+        {"id": 3, "score": 1.5, "name_b": "té".encode(), "raw": "ok",
+         "tags": [1.0, 2.0], "meta": {"a": 7}, "q": "MED",
+         "inner": {"x": 4, "y": 9}, "maybe": None, "added": "dflt"},
+        {"id": -9, "score": -0.5, "name_b": b"z", "raw": "é",
+         "tags": [], "meta": {}, "q": "MED",
+         "inner": {"x": 0, "y": 9}, "maybe": 41, "added": "dflt"},
+    ]
+    payload = build_avro(writer, recs)
+    # reader-only field without a default is a loud error
+    with pytest.raises(ValueError):
+        read_avro(payload, reader_schema={
+            "type": "record", "name": "Doc", "fields": [
+                {"name": "nope", "type": "int"}]})
+    # narrowing promotion (float -> int) is a loud error
+    with pytest.raises(ValueError):
+        read_avro(payload, reader_schema={
+            "type": "record", "name": "Doc", "fields": [
+                {"name": "score", "type": "int"}]})
+    # enum symbol outside reader without default is a loud error
+    with pytest.raises(ValueError):
+        read_avro(payload, reader_schema={
+            "type": "record", "name": "Doc", "fields": [
+                {"name": "q", "type": {
+                    "type": "enum", "name": "Q",
+                    "symbols": ["LOW", "MED"]}}]})
