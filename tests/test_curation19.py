@@ -436,9 +436,15 @@ def test_pdf_encoding_edges_raise():
             b"<< /Type /Font /Encoding << /BaseEncoding /WinAnsiEncoding"
             b" /Differences [ 5 /glyphXYZZY ] >> >>",
         )
+    # MacRoman is implemented (stdlib mac_roman IS the table); an
+    # unknown base encoding still raises
+    mac = _encoding_map(
+        {}, b"<< /Type /Font /Encoding /MacRomanEncoding >>"
+    )
+    assert mac[0xA5] == "\u2022"     # MacRoman bullet, not yen
     with _pytest.raises(NotImplementedError):
         _encoding_map(
-            {}, b"<< /Type /Font /Encoding /MacRomanEncoding >>"
+            {}, b"<< /Type /Font /Encoding /PDFDocEncoding >>"
         )
     with _pytest.raises(NotImplementedError):
         # code 0x05 has no WinAnsi entry and no /Differences override
@@ -636,3 +642,36 @@ def test_pdf_xrefstm_hybrid_reference_precedence():
     out += f"startxref\n{final_at}\n%%EOF\n".encode()
     assert extract_pdf_text(bytes(out))["pages"] == [
         "page one", "XREFSTM WINS"]
+
+
+def test_pdf_literal_strings_map_through_font_encoding():
+    """A literal string under a single-byte /Encoding carries font
+    codes, not Latin-1: byte 0x93 under WinAnsi is a left double
+    quote (U+201C), under MacRoman a double-quote variant — and with
+    no font in force it stays Latin-1 (U+0093).  BOM-tagged literals
+    are UTF-16BE regardless."""
+    from data_pipeline_who_gho_spark.operators.pdf import (
+        extract_stream_text,
+    )
+
+    winansi = {0x93: "“", 0x71: "q", 0x75: "u", 0x6F: "o",
+               0x74: "t", 0x65: "e"}
+    ops = b"BT /F1 12 Tf (\x93quote) Tj ET"
+    lines, _ = extract_stream_text(ops, fonts={"F1": winansi})
+    assert lines == ["“quote"]
+    # no font map: Latin-1 passthrough (the pre-encoding model)
+    lines2, _ = extract_stream_text(ops)
+    assert lines2 == ["\x93quote"]
+    # a font code with no entry is the explicit edge, not a misdecode
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        extract_stream_text(
+            b"BT /F1 12 Tf (\x05) Tj ET", fonts={"F1": {0x41: "A"}}
+        )
+    # BOM-tagged LITERAL is UTF-16BE (spec allows the BOM in either
+    # string form)
+    lines3, _ = extract_stream_text(
+        b"BT (\xfe\xff\x4e\x2d\x00o\x00k) Tj ET"
+    )
+    assert lines3 == ["中ok"]
