@@ -96,9 +96,14 @@ def _encode_simplefont(s: str) -> bytes | None:
             out.append(code)
             continue
         try:
-            out += ch.encode("cp1252")
+            enc = ch.encode("cp1252")
         except UnicodeEncodeError:
             return None
+        if enc[0] < 0x20:
+            # control chars have no WinAnsi glyph (codes below 32 are
+            # reachable only via /Differences) — fall back to UTF-16
+            return None
+        out += enc
     return bytes(out)
 
 
@@ -120,6 +125,11 @@ def _show_ops(lines: list[str], simple_encode=None) -> bytes:
             enc = simple_encode(s)
             if enc is not None:
                 return b"<" + enc.hex().encode() + b">"
+            # no single-byte codes for this text: BOM-tagged UTF-16
+            # directly — a Latin-1 LITERAL would be misread as font
+            # codes under the active /Encoding
+            raw = b"\xfe\xff" + s.encode("utf-16-be")
+            return b"<" + raw.hex().encode() + b">"
         try:
             return b"(" + _escape_literal(s) + b")"
         except ValueError:
