@@ -216,6 +216,7 @@ _PRIORITY = [
     # layouts; funnel sharing the changed reader; Avro snappy shards),
     # which rank next by being never-effective-green
     "mpeg1_layer3_spectral_stats", "proto_scan_stats",
+    "mpeg1_layer3_reservoir_stats",
     # r12 head: the two new registrations (Avro non-scalar types; XML
     # rowTag reject split) ahead of the four r12 re-stales, which rank
     # next by being never-effective-green

@@ -39,9 +39,15 @@ side info, scfsi-gated scalefactor transmission, region-split
 big-values Huffman pairs and count1 quadruples with sign bits, exact
 part2_3_length accounting — stopping before IMDCT/synthesis (float
 stages, same boundary as Layer I's filterbank).  The carried Huffman
-table DATA is tables 0/1 + count1 B; tables 2-31, count1 A, the bit
-reservoir, block switching, and AAC remain explicit
-``NotImplementedError`` edges.
+table DATA is tables 0/1 + count1 B.  The BIT RESERVOIR (§2.4.3.1)
+is implemented at the stream level: ``build_layer3_stream`` packs
+every frame's part2_3 payloads back-to-back across the concatenated
+main-data slots (main_data_begin capped at its 9-bit 511-byte reach
+with ancillary padding, as real encoders do) and
+``parse_layer3_stream`` decodes each frame from its back-pointed
+offset, with reservoir underrun a loud error.  Tables 2-31, count1 A,
+block switching, and AAC remain explicit ``NotImplementedError``
+edges.
 
 Public spec only (ISO/IEC 11172-3 §2.4, Annex 3-B).
 No reference-repo analog (the reference pipeline is tabular-only).
@@ -967,6 +973,90 @@ def _l3_encode_part23(g: _GranuleSpec, skip_groups) -> tuple[bytes, int]:
     return bytes(w.buf), nbits
 
 
+def _l3_encode_frame_parts(granules, nch, scfsi):
+    """part2_3 payloads for one frame: per granule-channel (bytes,
+    nbits), with scfsi-shared groups validated against granule 0."""
+    parts, nbits = [], []
+    for gr in range(2):
+        parts.append([])
+        nbits.append([])
+        for ch in range(nch):
+            skip = (
+                {i for i in range(4) if scfsi[ch] >> (3 - i) & 1}
+                if gr == 1 else set()
+            )
+            for grp in (skip if gr == 1 else ()):
+                lo, hi = _L3_SCFSI_GROUPS[grp]
+                if granules[1][ch].scalefac[lo:hi] != \
+                        granules[0][ch].scalefac[lo:hi]:
+                    raise ValueError(
+                        "scfsi-reused scalefactors differ across granules"
+                    )
+            data, nb = _l3_encode_part23(granules[gr][ch], skip)
+            parts[gr].append(data)
+            nbits[gr].append(nb)
+    return parts, nbits
+
+
+def _l3_header_sideinfo_bytes(
+    mode, sr_idx, br_idx, crc16, mdb, scfsi, granules, nbits
+) -> bytes:
+    """Header + optional CRC word + complete side info, byte-aligned
+    (136/256 side-info bits land exactly on the boundary)."""
+    nch = _resolve_mode(mode)
+    w = _BitWriter()
+    w.write(0x7FF, 11)
+    w.write(3, 2)                     # MPEG-1
+    w.write(1, 2)                     # Layer III
+    w.write(0 if crc16 is not None else 1, 1)
+    w.write(br_idx, 4)
+    w.write(sr_idx, 2)
+    w.write(0, 1)                     # padding
+    w.write(0, 1)                     # private
+    w.write(mode, 2)
+    w.write(0, 2)                     # mode_extension
+    w.write(0, 2)                     # copyright/original
+    w.write(0, 2)                     # emphasis
+    if crc16 is not None:
+        w.write(crc16, 16)
+    w.write(mdb, 9)                   # main_data_begin
+    w.write(0, 5 if nch == 1 else 3)  # private_bits
+    for ch in range(nch):
+        w.write(scfsi[ch], 4)
+    for gr in range(2):
+        for ch in range(nch):
+            g = granules[gr][ch]
+            w.write(nbits[gr][ch], 12)            # part2_3_length
+            w.write(g.big_values, 9)
+            w.write(g.global_gain, 8)
+            w.write(g.scalefac_compress, 4)
+            w.write(0, 1)                         # windows_switching
+            for _region in range(3):
+                w.write(1, 5)                     # table_select: table 1
+            w.write(g.region0_count, 4)
+            w.write(g.region1_count, 3)
+            w.write(0, 1)                         # preflag
+            w.write(g.scalefac_scale, 1)
+            w.write(1, 1)                         # count1table_select: B
+    assert w.nbits == 0
+    return bytes(w.buf)
+
+
+def _l3_concat_main(parts, nbits) -> bytes:
+    """Bit-contiguous concatenation of one frame's granule payloads,
+    padded to a byte."""
+    w = _BitWriter()
+    for gr in range(2):
+        for data, nb in zip(parts[gr], nbits[gr]):
+            full, rem = divmod(nb, 8)
+            for b in data[:full]:
+                w.write(b, 8)
+            if rem:
+                w.write(data[full] >> (8 - rem), rem)
+    w.pad_to_byte()
+    return bytes(w.buf)
+
+
 def build_layer3_frame(
     granules,
     mode: int = 3,
@@ -994,73 +1084,11 @@ def build_layer3_frame(
     sr_idx = {v: k for k, v in _SR_TABLE.items()}[sr]
     br_idx = _BR_TABLE_L3.index(kbps)
     frame_len = _l3_frame_bytes(kbps, sr)
-    parts: list[list[bytes]] = []
-    nbits: list[list[int]] = []
-    for gr in range(2):
-        parts.append([])
-        nbits.append([])
-        for ch in range(nch):
-            skip = (
-                {i for i in range(4) if scfsi[ch] >> (3 - i) & 1}
-                if gr == 1 else set()
-            )
-            for grp in (skip if gr == 1 else ()):
-                lo, hi = _L3_SCFSI_GROUPS[grp]
-                if granules[1][ch].scalefac[lo:hi] != \
-                        granules[0][ch].scalefac[lo:hi]:
-                    raise ValueError(
-                        "scfsi-reused scalefactors differ across granules"
-                    )
-            data, n = _l3_encode_part23(granules[gr][ch], skip)
-            parts[gr].append(data)
-            nbits[gr].append(n)
-
-    w = _BitWriter()
-    w.write(0x7FF, 11)
-    w.write(3, 2)                     # MPEG-1
-    w.write(1, 2)                     # Layer III
-    w.write(0 if crc16 is not None else 1, 1)
-    w.write(br_idx, 4)
-    w.write(sr_idx, 2)
-    w.write(0, 1)                     # padding
-    w.write(0, 1)                     # private
-    w.write(mode, 2)
-    w.write(0, 2)                     # mode_extension
-    w.write(0, 2)                     # copyright/original
-    w.write(0, 2)                     # emphasis
-    if crc16 is not None:
-        w.write(crc16, 16)
-    # side info
-    w.write(0, 9)                     # main_data_begin: no reservoir
-    w.write(0, 5 if nch == 1 else 3)  # private_bits
-    for ch in range(nch):
-        w.write(scfsi[ch], 4)
-    for gr in range(2):
-        for ch in range(nch):
-            g = granules[gr][ch]
-            w.write(nbits[gr][ch], 12)            # part2_3_length
-            w.write(g.big_values, 9)
-            w.write(g.global_gain, 8)
-            w.write(g.scalefac_compress, 4)
-            w.write(0, 1)                         # windows_switching
-            for _region in range(3):
-                w.write(1, 5)                     # table_select: table 1
-            w.write(g.region0_count, 4)
-            w.write(g.region1_count, 3)
-            w.write(0, 1)                         # preflag
-            w.write(g.scalefac_scale, 1)
-            w.write(1, 1)                         # count1table_select: B
-    # main data: granule-major, channel-minor, bit-contiguous
-    for gr in range(2):
-        for ch in range(nch):
-            data, n = parts[gr][ch], nbits[gr][ch]
-            full, rem = divmod(n, 8)
-            for b in data[:full]:
-                w.write(b, 8)
-            if rem:
-                w.write(data[full] >> (8 - rem), rem)
-    w.pad_to_byte()
-    frame = bytes(w.buf)
+    parts, nbits = _l3_encode_frame_parts(granules, nch, scfsi)
+    head = _l3_header_sideinfo_bytes(
+        mode, sr_idx, br_idx, crc16, 0, scfsi, granules, nbits
+    )
+    frame = head + _l3_concat_main(parts, nbits)
     if len(frame) > frame_len:
         raise ValueError(
             f"main data ({len(frame)} B) exceeds frame length "
@@ -1069,12 +1097,87 @@ def build_layer3_frame(
     return frame + b"\x00" * (frame_len - len(frame))
 
 
-def parse_layer3_frame(frame: bytes) -> dict:
-    """Decode one Layer III frame to side info, effective scalefactors
-    (scfsi reuse applied), and the 576 spectral values per granule per
-    channel.  Honest edges raise NotImplementedError: bit reservoir
-    (main_data_begin != 0), window switching, Huffman tables other
-    than 0/1, count1 table A, non-44.1 kHz band tables."""
+def build_layer3_stream(
+    stream_granules,
+    mode: int = 3,
+    sr: int = 44100,
+    kbps: int = 64,
+    scfsi=None,
+    crc16s=None,
+) -> bytes:
+    """A SEQUENCE of Layer III frames using the bit reservoir
+    (§2.4.3.1): every frame's part2_3 payloads are packed
+    back-to-back into the concatenated main-data slots, each frame's
+    ``main_data_begin`` recording how far its data starts inside the
+    PRECEDING frames' ancillary space (capped at the field's 511-byte
+    reach by inserting ancillary padding, exactly what real encoders
+    do).  ``stream_granules`` is a list of per-frame ``[2][nch]``
+    :class:`_GranuleSpec`; ``scfsi``/``crc16s`` are optional per-frame
+    lists.  A frame whose data cannot END within its own slot (the
+    spec's constraint) is a loud ValueError — raise ``kbps``."""
+    nch = _resolve_mode(mode)
+    n_frames = len(stream_granules)
+    if scfsi is None:
+        scfsi = [[0] * nch] * n_frames
+    if crc16s is None:
+        crc16s = [None] * n_frames
+    _l3_sfb_long(sr)
+    sr_idx = {v: k for k, v in _SR_TABLE.items()}[sr]
+    br_idx = _BR_TABLE_L3.index(kbps)
+    frame_len = _l3_frame_bytes(kbps, sr)
+
+    all_parts, all_nbits, heads_meta = [], [], []
+    slot_lens = []
+    for i, granules in enumerate(stream_granules):
+        if len(granules) != 2 or any(len(g) != nch for g in granules):
+            raise ValueError("each frame needs 2 x nch _GranuleSpec")
+        parts, nbits = _l3_encode_frame_parts(granules, nch, scfsi[i])
+        all_parts.append(parts)
+        all_nbits.append(nbits)
+        head_len = 4 + (2 if crc16s[i] is not None else 0) \
+            + (17 if nch == 1 else 32)
+        if frame_len <= head_len:
+            raise ValueError("bitrate too low for the side info")
+        slot_lens.append(frame_len - head_len)
+    slot_starts = [sum(slot_lens[:i]) for i in range(n_frames)]
+    reservoir = bytearray(sum(slot_lens))
+
+    mdbs = []
+    pos = 0
+    for i in range(n_frames):
+        gap = slot_starts[i] - pos
+        if gap > 511:
+            # the 9-bit field cannot reach further back: pad the gap
+            # down to 511 with ancillary zero bytes (already zero)
+            pos = slot_starts[i] - 511
+            gap = 511
+        mdbs.append(gap)
+        main = _l3_concat_main(all_parts[i], all_nbits[i])
+        end = pos + len(main)
+        if end > slot_starts[i] + slot_lens[i]:
+            raise ValueError(
+                f"frame {i}: main data ends {end - slot_starts[i] - slot_lens[i]} "
+                f"bytes past its own slot — the reservoir may only "
+                f"borrow BACKWARD; raise kbps"
+            )
+        reservoir[pos:end] = main
+        pos = end
+
+    out = bytearray()
+    for i in range(n_frames):
+        out += _l3_header_sideinfo_bytes(
+            mode, sr_idx, br_idx, crc16s[i], mdbs[i], scfsi[i],
+            stream_granules[i], all_nbits[i],
+        )
+        out += reservoir[slot_starts[i]:slot_starts[i] + slot_lens[i]]
+    return bytes(out)
+
+
+def _l3_parse_header_sideinfo(frame: bytes) -> dict:
+    """Header + CRC + complete side info of ONE frame (no main data):
+    returns every header-derived field, the side-info contents, and
+    ``data_off`` — the byte offset where the frame's main-data SLOT
+    starts (what the reservoir logic concatenates)."""
     if len(frame) < 4:
         raise ValueError("not a frame")
     h = int.from_bytes(frame[:4], "big")
@@ -1100,10 +1203,6 @@ def parse_layer3_frame(frame: bytes) -> dict:
     if crc_present:
         r.read(16)                    # consumed, not verified
     main_data_begin = r.read(9)
-    if main_data_begin:
-        raise NotImplementedError(
-            "bit reservoir (main_data_begin != 0) is not implemented"
-        )
     r.read(5 if nch == 1 else 3)      # private_bits
     scfsi = [r.read(4) for _ in range(nch)]
     side = [[None] * nch for _ in range(2)]
@@ -1129,8 +1228,28 @@ def parse_layer3_frame(frame: bytes) -> dict:
             if s["big_values"] > 288:
                 raise ValueError("big_values exceeds 288 pairs")
             side[gr][ch] = s
+    assert r.pos % 8 == 0
+    return {
+        "sr": sr,
+        "kbps": _BR_TABLE_L3[br_idx],
+        "padding": (h >> 9) & 1,
+        "mode": mode,
+        "nch": nch,
+        "crc_present": crc_present,
+        "main_data_begin": main_data_begin,
+        "scfsi": scfsi,
+        "side": side,
+        "data_off": r.pos // 8,
+    }
 
-    sfb = _l3_sfb_long(sr)
+
+def _l3_read_main(r: _BitReader, meta: dict):
+    """Read 2 x nch granules of main data (scalefactors + Huffman)
+    from ``r`` (positioned at this frame's main-data start — in the
+    frame itself when main_data_begin=0, in the reservoir stream
+    otherwise).  Returns (scalefacs, values, n_count1_quads)."""
+    nch, scfsi, side = meta["nch"], meta["scfsi"], meta["side"]
+    sfb = _l3_sfb_long(meta["sr"])
     scalefacs = [[None] * nch for _ in range(2)]
     values = [[None] * nch for _ in range(2)]
     n_quads_out = [[0] * nch for _ in range(2)]
@@ -1215,19 +1334,87 @@ def parse_layer3_frame(frame: bytes) -> dict:
                     f"info says {s['part2_3_length']}"
                 )
             values[gr][ch] = vals
+    return scalefacs, values, n_quads_out
+
+
+def _l3_result(meta: dict, scalefacs, values, n_quads) -> dict:
     return {
-        "sr": sr,
-        "kbps": _BR_TABLE_L3[br_idx],
-        "mode": mode,
-        "nch": nch,
-        "crc_present": crc_present,
-        "main_data_begin": main_data_begin,
-        "scfsi": scfsi,
-        "side": side,
+        "sr": meta["sr"],
+        "kbps": meta["kbps"],
+        "mode": meta["mode"],
+        "nch": meta["nch"],
+        "crc_present": meta["crc_present"],
+        "main_data_begin": meta["main_data_begin"],
+        "scfsi": meta["scfsi"],
+        "side": meta["side"],
         "scalefac": scalefacs,
         "values": values,
-        "n_count1_quads": n_quads_out,
+        "n_count1_quads": n_quads,
     }
+
+
+def parse_layer3_frame(frame: bytes) -> dict:
+    """Decode one STANDALONE Layer III frame (main_data_begin must be
+    0 — a reservoir frame is only decodable in sequence, use
+    :func:`parse_layer3_stream`) to side info, effective scalefactors
+    (scfsi reuse applied), and the 576 spectral values per granule per
+    channel.  Honest edges raise NotImplementedError: window
+    switching, Huffman tables other than 0/1, count1 table A,
+    non-44.1 kHz band tables."""
+    meta = _l3_parse_header_sideinfo(frame)
+    if meta["main_data_begin"]:
+        raise NotImplementedError(
+            "main_data_begin != 0: a reservoir frame's main data "
+            "lives in PRECEDING frames — decode the sequence with "
+            "parse_layer3_stream"
+        )
+    r = _BitReader(frame)
+    r.pos = meta["data_off"] * 8
+    return _l3_result(meta, *_l3_read_main(r, meta))
+
+
+def parse_layer3_stream(data: bytes) -> list[dict]:
+    """Decode a SEQUENCE of Layer III frames with the bit reservoir
+    (§2.4.3.1 ``main_data_begin``): each frame's main data starts
+    ``main_data_begin`` bytes BEFORE its own main-data slot, inside
+    the ancillary space of preceding frames.  The walk concatenates
+    every frame's slot bytes into one reservoir stream and reads each
+    frame's granules from its back-pointed offset.  A
+    ``main_data_begin`` pointing before the start of the stream is a
+    loud reservoir underrun."""
+    metas = []
+    slot_starts = []
+    reservoir = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if n - pos < 4:
+            raise ValueError("trailing bytes too short for a header")
+        probe = _l3_parse_header_sideinfo(data[pos:pos + 4 + 64])
+        frame_len = _l3_frame_bytes(
+            probe["kbps"], probe["sr"], probe["padding"]
+        )
+        if pos + frame_len > n:
+            raise ValueError("stream truncated mid-frame")
+        frame = data[pos:pos + frame_len]
+        meta = _l3_parse_header_sideinfo(frame)
+        slot_starts.append(len(reservoir))
+        reservoir += frame[meta["data_off"]:]
+        metas.append(meta)
+        pos += frame_len
+    stream = bytes(reservoir)
+    out = []
+    for i, meta in enumerate(metas):
+        start = slot_starts[i] - meta["main_data_begin"]
+        if start < 0:
+            raise ValueError(
+                "bit-reservoir underrun: main_data_begin points "
+                "before the first frame's main data"
+            )
+        r = _BitReader(stream)
+        r.pos = start * 8
+        out.append(_l3_result(meta, *_l3_read_main(r, meta)))
+    return out
 
 
 def requantize_l3(vals, scalefac, side, sfb=None):

@@ -3,7 +3,10 @@ named gap — MP3 is the dominant crawl audio format; Layers I/II were
 completed in r11/r12) and protobuf wire-format ingestion
 (``proto_scan_stats``, bottom of this module — the r12 VERDICT's
 task 8, closing the one remaining env-gated format via the
-pure-stdlib codec in ``operators/protowire.py``).
+pure-stdlib codec in ``operators/protowire.py``).  A third
+registration, ``mpeg1_layer3_reservoir_stats`` (bottom), covers the
+Layer III BIT RESERVOIR — the stream-level main_data_begin packing of
+§2.4.3.1 — with the oracle replaying the whole packing recurrence.
 
 ``mpeg1_layer3_spectral_stats`` — per doc the plan synthesizes a real
 Layer III frame with the writer in ``operators/mpeg_audio.py`` (side
@@ -447,3 +450,255 @@ FROM base b JOIN vs v ON v.d = b.d JOIN toks t ON t.d = b.d
 
 CURATION22_QUERIES["proto_scan_stats"] = proto_scan_stats
 CURATION22_ORACLE_SQL["proto_scan_stats"] = PROTO_SCAN_STATS_SQL
+
+
+# ---------------------------------------------------------------------------
+# mpeg1_layer3_reservoir_stats — the bit reservoir (§2.4.3.1), r13
+# ---------------------------------------------------------------------------
+# Per doc: a 3-frame MONO 64 kbps stream whose frames alternate dense
+# and sparse payloads, so the reservoir actually moves — each frame's
+# main data starts main_data_begin bytes inside the PRECEDING frames'
+# ancillary space.  The oracle replays the whole packing recurrence
+# (per-frame part2_3 bit totals -> byte sizes -> slot arithmetic ->
+# the three main_data_begin values) plus the spectral values, so a
+# one-byte drift anywhere in the reservoir walk breaks the row.
+
+_L3R_FRAMES = 3
+_L3R_KBPS = 64
+# frame_len = floor(144 * 64000 / 44100) = 208; header 4 + mono side
+# info 17 = 21 -> slot 187 bytes (no CRC in this fixture; CRC-word
+# alignment is already pinned by mpeg1_layer3_spectral_stats)
+_L3R_SLOT = 144 * _L3R_KBPS * 1000 // 44100 - 21
+
+
+def _l3r_params(d: int, f: int, g: int):
+    bv = 5 + (d + 13 * f + 31 * g) % 80
+    nq = 3 + (d + 7 * f + 11 * g) % 25
+    comp = (d + f + g) % 16
+    gg = (d * 3 + 29 * f + 17 * g) % 256
+    ss = (d + f + g) % 2
+    return bv, nq, comp, gg, ss
+
+
+def _l3r_value(d: int, f: int, g: int, i: int, bv: int, nq: int) -> int:
+    if i < 2 * bv:
+        return ((d * 7 + i * 3 + 11 * f + 5 * g) % 3) - 1
+    if i < 2 * bv + 4 * nq:
+        w = (d * 5 + (i - 2 * bv) * 7 + 13 * f + 3 * g) % 4
+        return (0, 1, 0, -1)[w]
+    return 0
+
+
+def _l3r_scalefac(d: int, f: int, g: int) -> list[int]:
+    from ..operators.mpeg_audio import _L3_SCFSI_GROUPS, _L3_SLEN
+
+    out = []
+    for b in range(21):
+        grp = next(i for i, (lo, hi) in enumerate(_L3_SCFSI_GROUPS)
+                   if lo <= b < hi)
+        geff = 0 if (g == 1 and (d + grp + 5 * f) % 4 == 0) else g
+        slens = _L3_SLEN[(d + f + geff) % 16]
+        slen = slens[0] if b < 11 else slens[1]
+        out.append((d + 5 * b + 7 * geff + 19 * f) % (1 << slen)
+                   if slen else 0)
+    return out
+
+
+def mpeg1_layer3_reservoir_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.mpeg_audio import (
+        _GranuleSpec,
+        build_layer3_stream,
+        parse_layer3_stream,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                scfsi = [
+                    [sum(1 << (3 - k) for k in range(4)
+                         if (d + k + 5 * f) % 4 == 0)]
+                    for f in range(_L3R_FRAMES)
+                ]
+                frames = []
+                for f in range(_L3R_FRAMES):
+                    grs = []
+                    for g in range(2):
+                        bv, nq, comp, gg, ss = _l3r_params(d, f, g)
+                        vals = [_l3r_value(d, f, g, i, bv, nq)
+                                for i in range(576)]
+                        grs.append([_GranuleSpec(
+                            vals, _l3r_scalefac(d, f, g), gg, comp, bv,
+                            scalefac_scale=ss,
+                        )])
+                    frames.append(grs)
+                stream = build_layer3_stream(
+                    frames, mode=3, kbps=_L3R_KBPS, scfsi=scfsi
+                )
+                got = parse_layer3_stream(stream)
+                parts = []
+                p23 = nz = vsum = 0
+                for f in range(_L3R_FRAMES):
+                    for g in range(2):
+                        p23 += got[f]["side"][g][0]["part2_3_length"]
+                        for v in got[f]["values"][g][0]:
+                            parts.append(str(v))
+                            nz += v != 0
+                            vsum += v
+                rows.append((
+                    d,
+                    got[0]["main_data_begin"],
+                    got[1]["main_data_begin"],
+                    got[2]["main_data_begin"],
+                    p23, len(stream), nz, vsum,
+                    hashlib.md5(",".join(parts).encode()).hexdigest(),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mdb0", "mdb1", "mdb2", "part23_sum",
+                         "stream_bytes", "nz_count", "spec_sum",
+                         "values_md5"],
+            )
+
+    docs = spread_for_python(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return docs.mapInPandas(
+        run,
+        "doc_id BIGINT, mdb0 BIGINT, mdb1 BIGINT, mdb2 BIGINT, "
+        "part23_sum BIGINT, stream_bytes BIGINT, nz_count BIGINT, "
+        "spec_sum BIGINT, values_md5 STRING",
+    )
+
+
+# the oracle unrolls the 3-frame reservoir recurrence: per-frame main
+# bytes b_f = ceil(part23_bits_f / 8); pos_0 = b_0 (mdb0 = 0);
+# mdb_f = min(511, f*SLOT - pos_{f-1}); pos_f = pos_{f-1} + b_f
+MPEG1_L3R_SQL = f"""
+WITH slen AS (
+  SELECT * FROM (VALUES
+    (0,0,0),(1,0,1),(2,0,2),(3,0,3),(4,3,0),(5,1,1),(6,1,2),(7,1,3),
+    (8,2,1),(9,2,2),(10,2,3),(11,3,1),(12,3,2),(13,3,3),(14,4,2),(15,4,3)
+  ) t(comp, s1, s2)
+),
+fg AS (
+  SELECT d.doc_id AS d, f.x AS f, g.x AS g,
+         5 + (d.doc_id + 13 * f.x + 31 * g.x) % 80 AS bv,
+         3 + (d.doc_id + 7 * f.x + 11 * g.x) % 25 AS nq,
+         (d.doc_id + f.x + g.x) % 16 AS comp
+  FROM documents d, range({_L3R_FRAMES}) f(x), range(2) g(x)
+),
+lines AS (
+  SELECT fg.*, i.x AS i,
+         CASE
+           WHEN i.x < 2 * bv
+             THEN (d * 7 + i.x * 3 + 11 * f + 5 * g) % 3 - 1
+           WHEN i.x < 2 * bv + 4 * nq THEN
+             CASE (d * 5 + (i.x - 2 * bv) * 7 + 13 * f + 3 * g) % 4
+               WHEN 1 THEN 1 WHEN 3 THEN -1 ELSE 0 END
+           ELSE 0
+         END AS v
+  FROM fg, range(576) i(x)
+),
+quadtrim AS (
+  SELECT d, f, g, bv,
+         COALESCE(CAST(ceil((MAX(CASE WHEN v <> 0 THEN i END)
+                             + 1 - 2 * bv) / 4.0) AS BIGINT), 0)
+             AS n_quads
+  FROM lines WHERE i >= 2 * bv GROUP BY d, f, g, bv
+),
+bits AS (
+  SELECT l.d, l.f, l.g,
+         CAST(SUM(CASE
+           WHEN l.i < 2 * l.bv AND l.i % 2 = 0 THEN
+             CASE WHEN abs(l.v) = 0 AND abs(l2.v) = 0 THEN 1
+                  WHEN abs(l.v) = 0 THEN 3
+                  WHEN abs(l2.v) = 0 THEN 2
+                  ELSE 3 END
+             + CASE WHEN l.v <> 0 THEN 1 ELSE 0 END
+             + CASE WHEN l2.v <> 0 THEN 1 ELSE 0 END
+           WHEN l.i >= 2 * l.bv
+                AND l.i < 2 * l.bv + 4 * q.n_quads THEN
+             CASE WHEN (l.i - 2 * l.bv) % 4 = 0 THEN 4 ELSE 0 END
+             + CASE WHEN l.v <> 0 THEN 1 ELSE 0 END
+           ELSE 0
+         END) AS BIGINT) AS huff_bits
+  FROM lines l
+  JOIN lines l2 ON l2.d = l.d AND l2.f = l.f AND l2.g = l.g
+                AND l2.i = l.i + 1 - (l.i % 2) * 2 + (l.i % 2)
+  JOIN quadtrim q ON q.d = l.d AND q.f = l.f AND q.g = l.g
+  WHERE l.i % 2 = 0 OR l.i >= 2 * l.bv
+  GROUP BY l.d, l.f, l.g
+),
+sf AS (
+  SELECT fg.d, fg.f, fg.g, b.x AS b,
+         CASE WHEN b.x < 6 THEN 0 WHEN b.x < 11 THEN 1
+              WHEN b.x < 16 THEN 2 ELSE 3 END AS grp,
+         CASE WHEN b.x < 11 THEN s.s1 ELSE s.s2 END AS sl_own
+  FROM fg JOIN slen s ON s.comp = fg.comp, range(21) b(x)
+),
+sfv AS (
+  SELECT sf.*,
+         CASE WHEN sf.g = 1 AND (sf.d + sf.grp + 5 * sf.f) % 4 = 0
+              THEN 0 ELSE sf.g END AS geff,
+         CASE WHEN sf.g = 1 AND (sf.d + sf.grp + 5 * sf.f) % 4 = 0
+              THEN 1 ELSE 0 END AS reused
+  FROM sf
+),
+sfagg AS (
+  SELECT v.d, v.f, v.g,
+         CAST(SUM(CASE WHEN v.reused = 1 THEN 0
+                  ELSE v.sl_own END) AS BIGINT) AS sf_bits
+  FROM sfv v GROUP BY v.d, v.f, v.g
+),
+per_frame AS (
+  SELECT b.d, b.f,
+         CAST(SUM(s.sf_bits + b.huff_bits) AS BIGINT) AS p23,
+         CAST(ceil(SUM(s.sf_bits + b.huff_bits) / 8.0) AS BIGINT)
+             AS nbytes
+  FROM bits b
+  JOIN sfagg s ON s.d = b.d AND s.f = b.f AND s.g = b.g
+  GROUP BY b.d, b.f
+),
+packing AS (
+  SELECT f0.d,
+         f0.nbytes AS b0, f1.nbytes AS b1, f2.nbytes AS b2,
+         f0.p23 + f1.p23 + f2.p23 AS p23_total,
+         LEAST(511, {_L3R_SLOT} - f0.nbytes) AS mdb1,
+         LEAST(511, 2 * {_L3R_SLOT}
+               - (GREATEST(f0.nbytes, {_L3R_SLOT} - 511) + f1.nbytes))
+             AS mdb2
+  FROM per_frame f0
+  JOIN per_frame f1 ON f1.d = f0.d AND f1.f = 1
+  JOIN per_frame f2 ON f2.d = f0.d AND f2.f = 2
+  WHERE f0.f = 0
+),
+vals AS (
+  SELECT d,
+         CAST(SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS nz_count,
+         CAST(SUM(v) AS BIGINT) AS spec_sum,
+         md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY f, g, i))
+             AS values_md5
+  FROM lines GROUP BY d
+)
+SELECT p.d AS doc_id,
+       CAST(0 AS BIGINT) AS mdb0,
+       CAST(p.mdb1 AS BIGINT) AS mdb1,
+       CAST(p.mdb2 AS BIGINT) AS mdb2,
+       CAST(p.p23_total AS BIGINT) AS part23_sum,
+       CAST({_L3R_FRAMES} * ({_L3R_SLOT} + 21) AS BIGINT) AS stream_bytes,
+       v.nz_count, v.spec_sum, v.values_md5
+FROM packing p JOIN vals v ON v.d = p.d
+"""
+
+
+CURATION22_QUERIES["mpeg1_layer3_reservoir_stats"] = (
+    mpeg1_layer3_reservoir_stats
+)
+CURATION22_ORACLE_SQL["mpeg1_layer3_reservoir_stats"] = MPEG1_L3R_SQL
