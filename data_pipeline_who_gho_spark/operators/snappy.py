@@ -12,6 +12,12 @@ spec-valid output on every input, real copy elements on repetitive
 data — so the decompressor's copy paths are exercised by fixtures, not
 just by handcrafted streams.
 
+The FRAMING format (the ``.sz`` stream wrapper, bottom of this
+module) is implemented too: stream-identifier chunk, <=64 KiB
+compressed/uncompressed data chunks with MASKED CRC32C (Castagnoli)
+checksums verified on read, padding and the reserved
+skippable/unskippable ranges handled per spec.
+
 Why hand-rolled: Avro's de-facto default block codec is snappy, this
 container has no python-snappy/cramjam wheel, and the format is ~100
 lines of stdlib byte-walking — the same class of work as the
@@ -157,5 +163,107 @@ def decompress(data: bytes) -> bytes:
     if len(out) != expected:
         raise ValueError(
             f"snappy: decoded {len(out)} bytes, preamble said {expected}"
+        )
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Snappy FRAMING format (the .sz stream wrapper, r13)
+# ---------------------------------------------------------------------------
+# Public spec: google/snappy ``framing_format.txt``.  A stream is a
+# sequence of chunks — a mandatory leading stream identifier
+# (type 0xff, payload b"sNaPpY"), then compressed (0x00) /
+# uncompressed (0x01) data chunks of at most 65536 source bytes, each
+# carrying a MASKED CRC32C of the UNCOMPRESSED data, plus padding
+# (0xfe) and the reserved skippable/unskippable ranges.  CRC32C
+# (Castagnoli, reflected poly 0x82F63B78) is computed table-driven —
+# the polynomial is the spec, not memorized table data.
+
+_FRAME_MAGIC = b"sNaPpY"
+_MAX_CHUNK = 65536
+
+_CRC32C_TABLE = []
+for _n in range(256):
+    _c = _n
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
+    _CRC32C_TABLE.append(_c)
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def _mask_crc(crc: int) -> int:
+    """The framing format's checksum masking (rotate right 15, add a
+    constant) so CRCs of CRC-bearing data stay well-distributed."""
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def compress_framed(data: bytes, chunk: int = _MAX_CHUNK) -> bytes:
+    """Frame ``data`` as an .sz stream: stream identifier, then one
+    compressed chunk per <=64 KiB block — falling back to an
+    UNCOMPRESSED chunk when snappy would expand the block, exactly
+    the encoder behavior the format prescribes."""
+    if not 1 <= chunk <= _MAX_CHUNK:
+        raise ValueError("chunk size must be 1..65536")
+    out = bytearray(b"\xff\x06\x00\x00" + _FRAME_MAGIC)
+    for i in range(0, len(data), chunk):
+        block = data[i:i + chunk]
+        crc = _mask_crc(crc32c(block)).to_bytes(4, "little")
+        enc = compress(block)
+        if len(enc) < len(block):
+            body = crc + enc
+            ctype = 0x00
+        else:
+            body = crc + block
+            ctype = 0x01
+        out.append(ctype)
+        out += len(body).to_bytes(3, "little")
+        out += body
+    return bytes(out)
+
+
+def decompress_framed(data: bytes) -> bytes:
+    """Decode an .sz stream, verifying each chunk's masked CRC32C;
+    padding and reserved SKIPPABLE chunks are skipped, reserved
+    UNSKIPPABLE chunk types are a loud error (both per spec)."""
+    if data[:4] != b"\xff\x06\x00\x00" or data[4:10] != _FRAME_MAGIC:
+        raise ValueError("not a framed snappy stream (bad identifier)")
+    out = bytearray()
+    pos = 10
+    n = len(data)
+    while pos < n:
+        if n - pos < 4:
+            raise ValueError("truncated chunk header")
+        ctype = data[pos]
+        ln = int.from_bytes(data[pos + 1:pos + 4], "little")
+        pos += 4
+        if pos + ln > n:
+            raise ValueError("chunk payload overruns stream")
+        body = data[pos:pos + ln]
+        pos += ln
+        if ctype == 0xFF:
+            if body != _FRAME_MAGIC:
+                raise ValueError("mid-stream identifier mismatch")
+            continue
+        if ctype in (0x00, 0x01):
+            if ln < 4:
+                raise ValueError("data chunk shorter than its CRC")
+            want = int.from_bytes(body[:4], "little")
+            block = decompress(body[4:]) if ctype == 0x00 else body[4:]
+            if len(block) > _MAX_CHUNK:
+                raise ValueError("chunk exceeds 65536 uncompressed bytes")
+            if _mask_crc(crc32c(block)) != want:
+                raise ValueError("chunk CRC32C mismatch")
+            out += block
+            continue
+        if ctype == 0xFE or 0x80 <= ctype <= 0xFD:
+            continue                   # padding / reserved skippable
+        raise ValueError(
+            f"reserved unskippable chunk type 0x{ctype:02x}"
         )
     return bytes(out)

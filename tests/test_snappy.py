@@ -74,3 +74,61 @@ def test_avro_snappy_crc_is_checked():
     corrupt[sync_at + 20] ^= 0xFF
     with pytest.raises(ValueError):
         read_avro(bytes(corrupt))
+
+
+def test_framed_stream_roundtrip_and_chunking():
+    import random
+
+    rng = random.Random(131)
+    for n in (0, 1, 100, 65536, 65537, 200001):
+        data = bytes(rng.randrange(256) for _ in range(min(n, 3000))) \
+            * (1 if n <= 3000 else (n // 3000 + 1))
+        data = data[:n]
+        enc = snappy.compress_framed(data, chunk=4096)
+        assert enc[:10] == b"\xff\x06\x00\x00sNaPpY"
+        assert snappy.decompress_framed(enc) == data
+
+
+def test_framed_incompressible_uses_uncompressed_chunks():
+    import random
+
+    rng = random.Random(137)
+    data = bytes(rng.randrange(256) for _ in range(5000))
+    enc = snappy.compress_framed(data, chunk=1000)
+    # chunk type 0x01 (uncompressed) must appear for random bytes
+    pos, types = 10, set()
+    while pos < len(enc):
+        types.add(enc[pos])
+        ln = int.from_bytes(enc[pos + 1:pos + 4], "little")
+        pos += 4 + ln
+    assert 0x01 in types
+    assert snappy.decompress_framed(enc) == data
+
+
+def test_framed_crc_and_reserved_chunks():
+    data = b"the quick brown fox " * 200
+    enc = bytearray(snappy.compress_framed(data))
+    # flip a payload byte: masked CRC32C must catch it
+    enc[-1] ^= 0xFF
+    with pytest.raises(ValueError):
+        snappy.decompress_framed(bytes(enc))
+    # padding chunk (0xfe) and reserved skippable (0x80) are skipped
+    ok = snappy.compress_framed(data)
+    padded = (ok[:10]
+              + bytes([0xFE]) + (3).to_bytes(3, "little") + b"xxx"
+              + bytes([0x80]) + (1).to_bytes(3, "little") + b"y"
+              + ok[10:])
+    assert snappy.decompress_framed(padded) == data
+    # reserved UNSKIPPABLE (0x02-0x7f) is a loud error
+    bad = (ok[:10]
+           + bytes([0x02]) + (1).to_bytes(3, "little") + b"z" + ok[10:])
+    with pytest.raises(ValueError):
+        snappy.decompress_framed(bad)
+
+
+def test_crc32c_public_vectors():
+    # the widely published check value for the Castagnoli polynomial
+    assert snappy.crc32c(b"123456789") == 0xE3069283
+    assert snappy.crc32c(b"") == 0
+    # 32 bytes of zeros -> 0x8A9136AA (RFC 7143 appendix test pattern)
+    assert snappy.crc32c(b"\x00" * 32) == 0x8A9136AA
