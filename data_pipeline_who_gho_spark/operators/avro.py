@@ -35,9 +35,11 @@ and recursive resolution through records/arrays/maps/null-unions;
 an enum symbol absent from the reader resolves to the reader's
 enum ``default`` (an error without one).
 
+Field ALIASES resolve too (a renamed reader
+field matches the writer under its listed old names).
+
 Honest boundary (same contract as the other codecs): the zstandard
-codec (no stdlib binding) and aliases raise
-``NotImplementedError``.
+codec (no stdlib binding) and named-TYPE aliases stay out.
 
 No reference-repo analog (the reference ingests a JSON HTTP API only).
 """
@@ -394,9 +396,14 @@ def _resolve_value(writer, reader, value, names_w=None, names_r=None):
         out = {}
         for rf in reader["fields"]:
             name = rf["name"]
-            if name in wfields:
+            # field ALIASES (spec "Aliases"): a renamed reader field
+            # matches the writer under any of its listed old names
+            wname = name if name in wfields else next(
+                (a for a in rf.get("aliases", ()) if a in wfields), None
+            )
+            if wname is not None:
                 out[name] = _resolve_value(
-                    wfields[name]["type"], rf["type"], value[name],
+                    wfields[wname]["type"], rf["type"], value[wname],
                     names_w, names_r,
                 )
             elif "default" in rf:

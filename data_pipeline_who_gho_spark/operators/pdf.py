@@ -922,19 +922,42 @@ def _encoding_map(objs: dict[int, bytes], font: bytes) -> dict[int, str] | None:
 def _page_font_maps(
     objs: dict[int, bytes], page: bytes
 ) -> dict[str, dict[int, str] | None]:
-    """Resource-name -> encoding map for the page's /Resources /Font
-    dict (``/F1 3 0 R`` entries).  Resources inherited from ancestor
-    /Pages nodes are out of scope for this writer's output; a page
-    without its own dict simply gets no maps (default string rules)."""
-    rm = re.search(rb"/Font\s*<<(.*?)>>", page, re.S)
-    if rm is None:
+    """Resource-name -> encoding map for a node's /Resources /Font
+    dict (``/F1 3 0 R`` entries); an indirect ``/Resources N 0 R``
+    reference is resolved first."""
+    rm = re.search(rb"/Resources\s+(\d+)\s+0\s+R", page)
+    if rm is not None:
+        page = objs.get(int(rm.group(1)), b"")
+    fm = re.search(rb"/Font\s*<<(.*?)>>", page, re.S)
+    if fm is None:
         return {}
     out: dict[str, dict[int, str] | None] = {}
-    for m in re.finditer(rb"/([A-Za-z0-9]+)\s+(\d+)\s+0\s+R", rm.group(1)):
+    for m in re.finditer(rb"/([A-Za-z0-9]+)\s+(\d+)\s+0\s+R", fm.group(1)):
         font = objs.get(int(m.group(2)))
         if font is not None:
             out[m.group(1).decode("latin-1")] = _encoding_map(objs, font)
     return out
+
+
+def _effective_font_maps(
+    objs: dict[int, bytes], pid: int
+) -> dict[str, dict[int, str] | None]:
+    """§7.7.3.4 resource INHERITANCE: a page without its own
+    /Resources entry takes the nearest ancestor /Pages node's (the
+    attribute inherits wholesale — a page that declares /Resources,
+    even without /Font, does NOT merge the ancestor's fonts)."""
+    seen: set[int] = set()
+    num: int | None = pid
+    while num is not None and num not in seen:
+        seen.add(num)
+        body = objs.get(num)
+        if body is None:
+            break
+        if re.search(rb"/Resources[ </]", body):
+            return _page_font_maps(objs, body)
+        pm = re.search(rb"/Parent\s+(\d+)\s+0\s+R", body)
+        num = int(pm.group(1)) if pm else None
+    return {}
 
 
 def _tokenize_content(data: bytes):
@@ -1169,7 +1192,7 @@ def extract_pdf_text(payload: bytes) -> dict:
         # newline join is the standard reassembly
         lines, ops = extract_stream_text(
             b"\n".join(_stream_data(objs[cid]) for cid in streams),
-            fonts=_page_font_maps(objs, objs[pid]),
+            fonts=_effective_font_maps(objs, pid),
         )
         pages.append("\n".join(lines))
         n_ops += ops

@@ -675,3 +675,53 @@ def test_pdf_literal_strings_map_through_font_encoding():
         b"BT (\xfe\xff\x4e\x2d\x00o\x00k) Tj ET"
     )
     assert lines3 == ["中ok"]
+
+
+def test_pdf_resources_inheritance_from_pages_node():
+    """§7.7.3.4: a page with no /Resources of its own inherits the
+    nearest ancestor /Pages node's — including through an INDIRECT
+    /Resources reference; a page that declares /Resources (even
+    without /Font) does NOT merge the ancestor's fonts."""
+    import zlib
+
+    from data_pipeline_who_gho_spark.operators.pdf import (
+        _SIMPLEFONT_ENCODING,
+        extract_pdf_text,
+    )
+
+    def stream_obj(ops):
+        data = zlib.compress(ops, 9)
+        return (
+            f"<< /Length {len(data)} /Filter /FlateDecode >>\n".encode()
+            + b"stream\n" + data + b"\nendstream"
+        )
+
+    # <41> under the WinAnsi simple font = 'A'; page 1 inherits the
+    # font from the Pages node (indirect /Resources), page 2 declares
+    # its own EMPTY /Resources so the untagged hex must raise
+    ops = b"BT /F1 12 Tf <41> Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (b"<< /Type /Pages /Kids [4 0 R] /Count 1 "
+            b"/Resources 8 0 R >>"),
+        3: (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding 9 0 R >>"),
+        4: b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+        5: stream_obj(ops),
+        8: b"<< /Font << /F1 3 0 R >> >>",
+        9: _SIMPLEFONT_ENCODING,
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    for num, b in objs.items():
+        out += f"{num} 0 obj\n".encode() + b + b"\nendobj\n"
+    assert extract_pdf_text(bytes(out))["pages"] == ["A"]
+
+    # wholesale (non-merging) inheritance: own /Resources without
+    # /Font blocks the ancestor's
+    objs[4] = (b"<< /Type /Page /Parent 2 0 R /Resources << >> "
+               b"/Contents 5 0 R >>")
+    out2 = bytearray(b"%PDF-1.4\n")
+    for num, b in objs.items():
+        out2 += f"{num} 0 obj\n".encode() + b + b"\nendobj\n"
+    with pytest.raises(NotImplementedError):
+        extract_pdf_text(bytes(out2))

@@ -295,3 +295,31 @@ def test_avro_schema_resolution():
                 {"name": "q", "type": {
                     "type": "enum", "name": "Q",
                     "symbols": ["LOW", "MED"]}}]})
+
+
+def test_avro_field_aliases_resolve_renames():
+    """Spec "Aliases": a reader field renamed from the writer matches
+    under its alias list; an alias that matches nothing still falls
+    back to the default/error path."""
+    from data_pipeline_who_gho_spark.operators.avro import (
+        build_avro,
+        read_avro,
+    )
+
+    writer = {"type": "record", "name": "R", "fields": [
+        {"name": "old_name", "type": "int"},
+        {"name": "kept", "type": "string"},
+    ]}
+    reader = {"type": "record", "name": "R", "fields": [
+        {"name": "new_name", "type": "long",
+         "aliases": ["ancient_name", "old_name"]},
+        {"name": "kept", "type": "string"},
+        {"name": "ghost", "type": "int",
+         "aliases": ["never_existed"], "default": -1},
+    ]}
+    recs = [{"old_name": 5, "kept": "a"}, {"old_name": -3, "kept": "b"}]
+    got = read_avro(build_avro(writer, recs), reader_schema=reader)
+    assert got["records"] == [
+        {"new_name": 5, "kept": "a", "ghost": -1},
+        {"new_name": -3, "kept": "b", "ghost": -1},
+    ]
