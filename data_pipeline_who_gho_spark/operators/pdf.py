@@ -28,10 +28,14 @@ untagged hex is never guessed as UTF-16BE (ADVICE r12 medium), and a
 literal string under a single-byte /Encoding maps through it rather
 than assuming Latin-1 (cp1252's 0x80-0x9F rows differ).
 
+Both predictor families decode (PNG filters 10-15 AND TIFF
+horizontal differencing /Predictor 2, 8 bits/component with /Colors).
+
 Honest boundary, same contract as the other codecs in this package
 (``jpeg.py``, ``flac.py``, ``mpeg_audio.py``): encryption
 (``/Encrypt``), CID/composite fonts, other base encodings
-(Standard's upper rows, PDFDoc, Expert), and glyph names outside the
+(Standard's upper rows, PDFDoc, Expert), sub-8-bpc predictor data,
+and glyph names outside the
 ``_AGL`` subset are out of scope and raise ``NotImplementedError``
 where they would change the result — everything implemented is the
 real wire format, not a stub.
@@ -545,6 +549,20 @@ def _png_unpredict(data: bytes, columns: int) -> bytes:
     return bytes(out)
 
 
+def _tiff_unpredict(data: bytes, columns: int, colors: int) -> bytes:
+    """Reverse TIFF Predictor 2 (horizontal differencing) at
+    8 bits/component: within each row of ``columns`` pixels, each
+    component is a delta from the same component one pixel left —
+    no per-row filter-type byte, unlike the PNG predictors."""
+    out = bytearray(data)
+    row_w = columns * colors
+    for r0 in range(0, len(out), row_w):
+        row_end = min(r0 + row_w, len(out))
+        for i in range(r0 + colors, row_end):
+            out[i] = (out[i] + out[i - colors]) & 0xFF
+    return bytes(out)
+
+
 def _apply_decode_parms(head: bytes, data: bytes) -> bytes:
     m = re.search(rb"/DecodeParms\s*<<(.*?)>>", head, re.S)
     if m is None:
@@ -553,11 +571,18 @@ def _apply_decode_parms(head: bytes, data: bytes) -> bytes:
     pred = _dict_int(parms, rb"/Predictor") or 1
     if pred == 1:
         return data
+    bpc = _dict_int(parms, rb"/BitsPerComponent") or 8
+    if bpc != 8:
+        raise NotImplementedError(
+            f"predictors at {bpc} bits/component are not implemented"
+        )
+    cols = _dict_int(parms, rb"/Columns") or 1
+    colors = _dict_int(parms, rb"/Colors") or 1
     if pred == 2:
-        raise NotImplementedError("TIFF Predictor 2 is not implemented")
+        return _tiff_unpredict(data, cols, colors)
     if pred < 10 or pred > 15:
         raise ValueError(f"unknown /Predictor {pred}")
-    return _png_unpredict(data, _dict_int(parms, rb"/Columns") or 1)
+    return _png_unpredict(data, cols * colors)
 
 
 def _object_at(payload: bytes, off: int) -> tuple[int, bytes]:
