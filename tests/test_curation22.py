@@ -291,3 +291,27 @@ def test_l3_reservoir_stats_matches_oracle(spark):
         assert got == _oracle(MPEG1_L3R_SQL, sf)
         # the reservoir is genuinely in use across the fixture
         assert any(r[2] > 0 for r in got) and any(r[3] > 100 for r in got)
+
+
+def test_l3_requantize_preflag_pretab():
+    """preflag=1 adds the pretab entry to the scalefactor exponent:
+    band 11 has pretab 1, so a line there gains an extra 2^-(ss+1)
+    factor relative to preflag=0."""
+    from data_pipeline_who_gho_spark.operators.mpeg_audio import (
+        _L3_SFB_LONG_44100,
+        requantize_l3,
+    )
+
+    i = _L3_SFB_LONG_44100[11]           # first line of band 11
+    vals = [0] * 576
+    vals[i] = 1
+    base = {"global_gain": 210, "scalefac_scale": 0, "preflag": 0}
+    pre = {"global_gain": 210, "scalefac_scale": 0, "preflag": 1}
+    x0 = requantize_l3(vals, [0] * 21, base)[i]
+    x1 = requantize_l3(vals, [0] * 21, pre)[i]
+    assert x0 == 1.0 and x1 == pytest.approx(0.5)   # pretab[11] == 1
+    # band 17 (pretab 3) scales by 2^-3
+    j = _L3_SFB_LONG_44100[17]
+    vals2 = [0] * 576
+    vals2[j] = 1
+    assert requantize_l3(vals2, [0] * 21, pre)[j] == pytest.approx(2.0 ** -3)
