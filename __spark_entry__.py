@@ -347,6 +347,22 @@ _STALE_SINCE: dict[str, int] = {
     # the fixture's codec now rotates by shard%3 adding 'snappy'
     # shards (plan + oracle changed) — must re-earn a green row
     "avro_complex_scan_stats": 13,
+    # r13 OPTIMIZATION: simhash_fingerprints switched from 64 SUM(CASE)
+    # vote aggregates to 32 SWAR lane sums (two bit positions per
+    # aggregate; OPTIMIZATION_r13.md) — bit-identical output (proved by
+    # sorted-collect equality and the unchanged md5-recipe oracle), but
+    # the aggregate tree changed, so both fingerprint consumers must
+    # re-earn a green row.  (The minhash/lsh_code_column expr-string
+    # rebuilds in the same commit are analyzed-plan-identical — zero
+    # drift — and are deliberately NOT listed.)
+    "dedup_simhash": 13,
+    "simhash_neardup_pairs": 13,
+    # r13 OPTIMIZATION: text_stats/text_lang_summary compute the same TX
+    # kernel values through staged projections (split + per-language
+    # stopword filter evaluated ONCE per row instead of up to 4×) over a
+    # spread scan — values identical, plan restructured
+    "text_stats": 13,
+    "text_lang_summary": 13,
 }
 
 

@@ -23,6 +23,9 @@ def connected_components(
 ) -> DataFrame:
     """Return (id, component) with component = min id reachable.
 
+    Contract: every edge endpoint must appear in ``vertices`` (all
+    callers derive vertices from the edge list; isolates are fine).
+
     Raises RuntimeError if the fixpoint isn't reached within
     ``max_iterations`` (graph diameter too large) — loud beats silently
     wrong cluster labels."""
@@ -30,38 +33,50 @@ def connected_components(
     both = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = vertices.select(F.col("id"), F.col("id").alias("component"))
+
+    # OPTIMIZATION r13 (same output every iteration, fewer exchanges):
+    # min(self-label ∪ neighbor labels) via union + ONE groupBy replaces
+    # join → groupBy → left-outer join → least (two joins and an extra
+    # exchange per round).  Iteration 1 skips the label join entirely —
+    # joining the identity labeling is the identity, so the neighbor
+    # candidate for dst is just src.
+    #
+    # Convergence probe: per-vertex labels are NON-INCREASING, so
+    # "no vertex changed" ⟺ "Σ component unchanged" — an exact-decimal
+    # scan-agg on the freshly checkpointed labels, replacing the
+    # previous new-vs-old join+limit+count (a whole extra join job per
+    # iteration).  The first compare happens after round 2, matching
+    # the old semantics (round 1 always propagates; on an edgeless
+    # graph this costs one extra trivial round before the fixpoint
+    # reads equal).
+    labels: DataFrame | None = None
+    prev_sum = None
 
     for _ in range(max_iterations):
-        # candidate label for dst = min over incoming neighbors' labels
-        neighbor_min = (
-            both.join(labels, both.src == labels.id)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left_outer")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
+        if labels is None:
+            cand = both.select(
+                F.col("dst").alias("id"), F.col("src").alias("component")
+            ).unionByName(
+                vertices.select(F.col("id"), F.col("id").alias("component"))
             )
-        )
+        else:
+            cand = (
+                both.join(labels, both.src == labels.id)
+                .select(F.col("dst").alias("id"), "component")
+                .unionByName(labels)
+            )
+        new_labels = cand.groupBy("id").agg(F.min("component").alias("component"))
         # localCheckpoint truncates the growing lineage each round —
         # without it, iteration k re-executes all k-1 prior joins
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "

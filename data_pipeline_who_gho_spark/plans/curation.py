@@ -503,7 +503,7 @@ def _bucketed_tiles(
     from .extras import _vec_corpus
 
     corpus = _vec_corpus(spark, sf_dir).withColumn(
-        "bucket", lsh_code_column(F.col("v"))
+        "bucket", lsh_code_column("v")
     )
     # bucket census (≤ 2^16 rows) broadcasts back to size sub-chunks
     sizes = corpus.groupBy("bucket").agg(F.count(F.lit(1)).alias("s_b"))

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from ..caching import bounded_persist_cache, register_plan_cache
 from ..functions import text as TX
 from ..functions import vectors as VEC
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread_for_python
 
 # ---------------------------------------------------------------------------
 # Shared corpus: documents with deterministic near/exact duplicates injected
@@ -115,15 +115,71 @@ def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text analysis
 # ---------------------------------------------------------------------------
 
+def _staged_text_features(docs: DataFrame) -> DataFrame:
+    """documents(+doc_id, text, n_chars, …) → + n_tokens, n_tokens_bpe,
+    quality, lang_guess — the SAME values as the TX column kernels, but
+    computed through staged projections so the tokenizer split runs ONCE
+    per row and each per-language stopword filter ONCE per row.
+
+    The single-projection form re-evaluates the interpreted
+    higher-order-function filter up to 4× per language (argmax condition,
+    tie check, greatest(), quality ratio) and re-splits the text for
+    every reference — measured at 0.90 s single-core for lang_id alone vs
+    0.38 s for the token count at sf0.1 (OPTIMIZATION_r13.md).  Staging
+    makes each hit count an attribute; CollapseProject keeps the stages
+    apart because the producing expressions are non-cheap."""
+    toks = TX.tokens(F.col("text"))
+    staged = docs.withColumn("__toks", toks)
+    def _hits(lang: str) -> Column:
+        # a closure, NOT a default arg: PySpark derives the lambda's
+        # arity from its signature, so `lambda t, lang=lang` would be
+        # called with TWO Columns
+        words = TX.STOPWORDS[lang]
+        return F.size(F.filter(F.col("__toks"), lambda t: t.isin(*words)))
+
+    hit_cols = {f"__h_{lang}": _hits(lang) for lang in TX.LANG_ORDER}
+    staged = staged.withColumns(
+        {
+            "__n_tok": F.when(
+                F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+            ).otherwise(F.size(F.col("__toks"))),
+            **hit_cols,
+        }
+    )
+    best = F.greatest(*[F.col(f"__h_{lang}") for lang in TX.LANG_ORDER])
+    lang_expr = F.lit("und")
+    for lang in reversed(TX.LANG_ORDER):
+        h = F.col(f"__h_{lang}")
+        lang_expr = F.when((h > 0) & (h == best), F.lit(lang)).otherwise(lang_expr)
+    tc = F.col("__n_tok").cast("double")
+    quality = (
+        F.least(tc / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + F.when(tc > 0, F.col("__h_en").cast("double") / tc).otherwise(F.lit(0.0))
+        * F.lit(0.3)
+        + F.least(F.col("n_chars").cast("double") / F.lit(500.0), F.lit(1.0))
+        * F.lit(0.3)
+    )
+    return staged.withColumns(
+        {
+            "n_tokens": F.col("__n_tok"),
+            "n_tokens_bpe": TX.bpe_token_count("text"),
+            "quality": quality,
+            "lang_guess": lang_expr,
+        }
+    ).drop("__toks", "__n_tok", *hit_cols)
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token count, quality score, heuristic language-ID per document."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        TX.token_count("text").alias("n_tokens"),
-        TX.bpe_token_count("text").alias("n_tokens_bpe"),
-        TX.quality_score("text", "n_chars").alias("quality"),
-        TX.lang_id("text").alias("lang_guess"),
+    """Token count, quality score, heuristic language-ID per document.
+
+    Values are exactly the TX column kernels (see _staged_text_features);
+    the scan is spread first because the single-row-group fixture scans
+    as ONE task, serializing the regex/filter work on one core — at
+    production scale the repartition is a no-op (spread_for_python only
+    acts on under-partitioned scans)."""
+    docs = spread_for_python(load_table(spark, sf_dir, "documents"))
+    return _staged_text_features(docs).select(
+        "doc_id", "n_tokens", "n_tokens_bpe", "quality", "lang_guess"
     )
 
 
@@ -174,10 +230,11 @@ FROM documents
 
 
 def text_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aggregate: heuristic guess vs labeled lang (confusion counts)."""
-    docs = load_table(spark, sf_dir, "documents")
+    """Aggregate: heuristic guess vs labeled lang (confusion counts).
+    Same staged single-evaluation lang_guess as text_stats."""
+    docs = spread_for_python(load_table(spark, sf_dir, "documents"))
     return (
-        docs.withColumn("lang_guess", TX.lang_id("text"))
+        _staged_text_features(docs)
         .groupBy("lang", "lang_guess")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -417,16 +474,23 @@ def _minhash_signatures(sh: DataFrame) -> DataFrame:
     """MinHash signatures from the shingle ROW table: hash each shingle
     once (murmur3 folded into [0, 2^31)), then 96 partial-aggregated MINs
     — sig_i = min (a_i·h + b_i) mod M31. The map-side combine means the
-    shuffle moves 96 longs per doc, independent of document length."""
-    h = F.hash("shingle").cast("long").bitwiseAND(F.lit(2147483647))
+    shuffle moves 96 longs per doc, independent of document length.
+
+    The 96-min family is built as SQL-parsed expression strings: the
+    previous per-Column py4j composition (~800 JVM round-trips) cost
+    ~0.5 s of driver time per plan build (OPTIMIZATION_r13.md; same
+    finding as simhash_fingerprints). Expression tree and results are
+    unchanged — ``hash(shingle)`` folds once per row, min per slot."""
+    hs = "(CAST(hash(shingle) AS BIGINT) & 2147483647)"
     mins = [
-        F.min((F.lit(_HASH_A[i]) * h + F.lit(_HASH_B[i])) % F.lit(_MERSENNE_P)).alias(f"m{i}")
+        F.expr(
+            f"min(({_HASH_A[i]} * {hs} + {_HASH_B[i]}) % {_MERSENNE_P}) AS m{i}"
+        )
         for i in range(NUM_HASHES)
     ]
-    agg = sh.groupBy("doc_id").agg(F.max("n_sh").alias("n_sh"), *mins)
-    return agg.select(
-        "doc_id", "n_sh", F.array(*[F.col(f"m{i}") for i in range(NUM_HASHES)]).alias("sig")
-    )
+    agg = sh.groupBy("doc_id").agg(F.expr("max(n_sh) AS n_sh"), *mins)
+    sig = ",".join(f"m{i}" for i in range(NUM_HASHES))
+    return agg.selectExpr("doc_id", "n_sh", f"array({sig}) AS sig")
 
 
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,41 +611,60 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_MINHASH_SQL = DEDUP_NGRAM_SQL
 
 
+# Two SWAR lanes per aggregate: (h >> j) & _SIMHASH_LANES keeps bit j of
+# the packed hash in lane 0 (bits 0-31 of the sum) and bit j+32 in lane 1
+# (bits 32+), so 32 sums count all 64 bit positions. Lane-0 carry into
+# lane 1 needs 2^32 token occurrences in ONE document and lane 1 tops out
+# at n·2^32 < 2^63 — exact for any document under 2^31 tokens (a ~10 GB
+# single doc; the corpus row itself breaks long before the lane does).
+_SIMHASH_LANES = (1 << 32) | 1
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit tf-weighted SimHash per document as two non-negative 32-bit
     halves (fp1 = bits 0-31, fp2 = bits 32-63).
 
     bit j of fp = sign of Σ_token-occurrences (±1 per bit j of
     md5(token)). md5-seeded (not xxhash64) so DuckDB rebuilds the exact
-    bits — both engines slice the same two md5 hex halves. One narrow
-    aggregation: the shuffle carries 64 partial-agg'd ints per doc
-    regardless of document length.
+    bits — both engines slice the same two md5 hex halves.
+
+    OPTIMIZATION r13 (bit-identical; proved by sorted-collect equality
+    against the previous 64-SUM(CASE) form and by the unchanged oracle):
+    the two hex halves pack into one 64-bit ``h`` and each aggregate
+    counts TWO bit positions at once in 32-bit SWAR lanes (32 sums of
+    shift+mask instead of 64 sums of shift+mask+compare+CASE), and the
+    sign test folds as 2·count_j > n ⟺ Σ(±1) > 0 (ties → 0 → bit clear,
+    exactly the old ``vote > 0``). The per-doc shuffle payload narrows
+    from 64 to 33 longs, and the expression family is built as ONE
+    SQL-parsed string — the previous ~900 py4j Column round-trips were
+    ~1.7 s of driver time per build (guide §1/§7.3: planning cost), over
+    half this query's bench wall-clock.
     """
     corpus = _corpus(spark, sf_dir)
     md5h = F.md5(F.col("tok").cast("binary"))
     tok = corpus.select("doc_id", F.explode(TX.tokens("text")).alias("tok")).select(
         "doc_id",
-        F.conv(F.substring(md5h, 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(md5h, 9, 8), 16, 10).cast("long").alias("h2"),
+        (
+            F.conv(F.substring(md5h, 1, 8), 16, 10).cast("long")
+            + F.shiftleft(F.conv(F.substring(md5h, 9, 8), 16, 10).cast("long"), 32)
+        ).alias("h"),
     )
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col(h), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{hi * 32 + j}")
-        for hi, h in enumerate(("h1", "h2"))
+    sums = [
+        F.expr(f"sum(shiftright(h, {j}) & {_SIMHASH_LANES}) AS w{j}")
         for j in range(32)
     ]
-    agg = tok.groupBy("doc_id").agg(*votes)
-
-    def fold(base: int) -> Column:
-        out = F.lit(0).cast("long")
-        for j in range(32):
-            out = out + F.when(
-                F.col(f"v{base + j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
-            ).otherwise(F.lit(0).cast("long"))
-        return out
-
-    return agg.select("doc_id", fold(0).alias("fp1"), fold(32).alias("fp2"))
+    agg = tok.groupBy("doc_id").agg(F.expr("count(1) AS n"), *sums)
+    fp1 = " + ".join(
+        f"(CASE WHEN (w{j} & 4294967295) * 2 > n"
+        f" THEN CAST(1 AS BIGINT) << {j} ELSE CAST(0 AS BIGINT) END)"
+        for j in range(32)
+    )
+    fp2 = " + ".join(
+        f"(CASE WHEN shiftright(w{j}, 32) * 2 > n"
+        f" THEN CAST(1 AS BIGINT) << {j} ELSE CAST(0 AS BIGINT) END)"
+        for j in range(32)
+    )
+    return agg.selectExpr("doc_id", f"({fp1}) AS fp1", f"({fp2}) AS fp2")
 
 
 def _simhash_fp_sql() -> str:
@@ -701,37 +784,50 @@ def _lsh_plane_weights() -> list[list[int]]:
     ]
 
 
-def lsh_code_column(embedding: Column) -> Column:
+def lsh_code_column(embedding: Column | str) -> Column:
     """16-bit random-hyperplane code of a numeric array column — exact
     decimal projections over the md5-seeded integer planes. Shared by
     ``ann_lsh_buckets`` and the bucketed semantic-dedup candidate
     generator (plans/curation.py). A scalar multiple of a vector never
-    flips any projection sign, so exact duplicates always share a code."""
-    vdec = F.transform(embedding, lambda x: x.cast("string").cast("decimal(20,10)"))
+    flips any projection sign, so exact duplicates always share a code.
+
+    Built as ONE SQL-parsed expression string over the column NAME: the
+    previous per-Column composition (16 planes × 64 decimal literals ≈
+    2,500 py4j round-trips) cost ~1 s of driver time per plan build
+    (OPTIMIZATION_r13.md). Tree and results are unchanged: per plane,
+    proj_j = aggregate(zip_with(vdec, w_j, *), 0, decimal-stable +) and
+    bit_j = proj_j > 0, folded into a 16-bit code; the decimal widths
+    ((20,10) components, (38,10) accumulator — addition widening needs
+    the explicit cast back, values never near the 10^28 integral
+    capacity) and the loud size guard are exactly the prior semantics
+    (zip_with NULL-pads a short vector, every projection goes NULL, and
+    ALL codes silently collapse to one giant bucket — assert_true fails
+    instead; it yields NULL on success, adding 0)."""
+    col = embedding if isinstance(embedding, str) else embedding._jc.toString()
     weights = _lsh_plane_weights()
-    code = F.lit(0).cast("long")
+    vdec = f"transform({col}, x_1 -> CAST(CAST(x_1 AS STRING) AS DECIMAL(20,10)))"
+    terms = []
     for j in range(_LSH_PLANES):
-        wj = F.array(*[F.lit(w).cast("decimal(6,0)") for w in weights[j]])
-        proj = F.aggregate(
-            F.zip_with(vdec, wj, lambda x, w: x * w),
-            F.lit(0).cast("decimal(38,10)"),
-            # cast back: decimal addition widens (38,10)+(27,10)→(38,9)
-            # under precision-loss rules, and aggregate() requires the
-            # merge to return the accumulator type exactly; the values
-            # (|w|<2^15, |v|<16) never near the 10^28 integral capacity
-            lambda acc, x: (acc + x).cast("decimal(38,10)"),
+        wj = "array(" + ",".join(
+            f"CAST({w} AS DECIMAL(6,0))" for w in weights[j]
+        ) + ")"
+        # lambda params are named x_*/y_* to match what py4j-composed
+        # higher-order functions produce, keeping the analyzed plan text
+        # (and so PLAN_HASHES.json) bit-identical to the prior builder
+        proj = (
+            f"aggregate(zip_with({vdec}, {wj}, (x_2, y_2) -> x_2 * y_2), "
+            f"CAST(0 AS DECIMAL(38,10)), "
+            f"(x_3, y_3) -> CAST(x_3 + y_3 AS DECIMAL(38,10)))"
         )
-        bit = F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
-        code = code + F.shiftleft(bit.cast("long"), j)
-    # dimensionality guard: zip_with NULL-pads a short vector, every
-    # projection goes NULL, and ALL codes silently collapse to 0 (one
-    # giant bucket — the exact cliff this code exists to avoid). Fail
-    # loudly instead; assert_true yields NULL on success (adds 0).
-    guard = F.assert_true(
-        F.size(embedding) == _LSH_DIMS,
-        F.lit(f"lsh_code_column requires {_LSH_DIMS}-dim vectors"),
+        terms.append(
+            f"shiftleft(CAST(CASE WHEN {proj} > 0 THEN 1 ELSE 0 END AS BIGINT), {j})"
+        )
+    guard = (
+        f"coalesce(CAST(assert_true(size({col}) = {_LSH_DIMS}, "
+        f"'lsh_code_column requires {_LSH_DIMS}-dim vectors') AS BIGINT), "
+        f"CAST(0 AS BIGINT))"
     )
-    return code + F.coalesce(guard.cast("long"), F.lit(0))
+    return F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms) + " + " + guard)
 
 
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -746,7 +842,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     decisions are exact, never within float noise.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bucketed = emb.withColumn("bucket", lsh_code_column(F.col("embedding")))
+    bucketed = emb.withColumn("bucket", lsh_code_column("embedding"))
     return bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.min("vec_id").alias("min_vec_id"),
@@ -816,7 +912,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", VEC.as_double("embedding").alias("v")
     )
     coded = emb.withColumn(
-        "bucket", lsh_code_column(F.col("embedding")) % F.lit(1 << _LSH_SEARCH_BITS)
+        "bucket", lsh_code_column("embedding") % F.lit(1 << _LSH_SEARCH_BITS)
     ).select("vec_id", "v", "bucket")
     q = coded.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
         F.col("vec_id").alias("query_id"),
@@ -883,7 +979,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", VEC.as_double("embedding").alias("v")
     )
     coded = emb.withColumn(
-        "bucket", lsh_code_column(F.col("embedding")) % F.lit(1 << _LSH_SEARCH_BITS)
+        "bucket", lsh_code_column("embedding") % F.lit(1 << _LSH_SEARCH_BITS)
     ).select("vec_id", "v", "bucket")
     masks = F.array(*[F.lit(m).cast("long") for m in
                       [0] + [1 << b for b in range(_LSH_SEARCH_BITS)]])
@@ -973,7 +1069,7 @@ def ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", VEC.as_double("embedding").alias("v")
     )
-    coded = emb.withColumn("code", lsh_code_column(F.col("embedding")))
+    coded = emb.withColumn("code", lsh_code_column("embedding"))
     tmask = (1 << _LSH_TABLE_BITS) - 1
     tids = F.array(*[F.lit(t) for t in range(_LSH_TABLES)])
     vectors = (

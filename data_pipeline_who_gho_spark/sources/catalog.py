@@ -73,9 +73,39 @@ def ntz_as_utc(col):
     )
 
 
+# Resolved-DataFrame memo: ``spark.read.parquet`` resolves the footer
+# schema eagerly (a py4j round-trip plus a file read) and every query
+# builder calls load_table 1-5 times, so a bench pass re-resolves the
+# same ten fixture tables dozens of times per second of actual work.
+# A DataFrame handle is an immutable logical plan — reusing it changes
+# no semantics. Keyed by (applicationId, path, mtime_ns): a new session
+# misses, and a rewritten fixture (tests regenerate parquet under tmp
+# paths) bumps mtime and misses too. Bounded: drop wholesale past 512
+# entries (handles are plan objects, not data; the bound only caps dead
+# sessions' leftovers).
+_TABLE_MEMO: dict[tuple[str, str, int], DataFrame] = {}
+_TABLE_MEMO_MAX = 512
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet scan → pushdown/pruning come free."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1
+    key = (spark.sparkContext.applicationId, os.path.abspath(path), mtime)
+    hit = _TABLE_MEMO.get(key)
+    if hit is not None:
+        return hit
+    df = _load_table_uncached(spark, path, name)
+    if len(_TABLE_MEMO) >= _TABLE_MEMO_MAX:
+        _TABLE_MEMO.clear()
+    _TABLE_MEMO[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, path: str, name: str) -> DataFrame:
     if name not in _TS_COLUMNS:
         return spark.read.parquet(path)
     # dynamic confs: work even on sessions we didn't build (the
