@@ -363,6 +363,16 @@ _STALE_SINCE: dict[str, int] = {
     # spread scan — values identical, plan restructured
     "text_stats": 13,
     "text_lang_summary": 13,
+    # r13 OPTIMIZATION: agg_pricing_summary spreads the filtered,
+    # projected lineitem rows past the single-row-group fixture scan so
+    # the decimal partial aggregation parallelizes (values identical;
+    # no-op at production scale via the spread_by_hash guard)
+    "agg_pricing_summary": 13,
+    # r13 OPTIMIZATION: ann_cosine_topk precomputes per-row norms before
+    # the pair join (same doubles, same operations — values identical)
+    # and spreads the probe side; ann_recall_report composes it
+    "ann_cosine_topk": 13,
+    "ann_recall_report": 13,
 }
 
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread_by_hash
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -51,6 +51,9 @@ def a1_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, orders = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
     cust, nation = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
+    # examined r13: spreading the broadcast-probe side past the
+    # single-row-group scan measured WORSE (0.54 -> 0.69 s; the exchange
+    # costs more than the one-core probe+agg saves) — left as-is
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -173,9 +176,18 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     one_minus_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
     one_plus_tax = (F.lit(1) + F.col("l_tax")).cast("decimal(8,4)")
+    # single-row-group fixture scan = one task; spread the filtered,
+    # projected rows so the decimal partial aggregation parallelizes
+    # (no-op at production scale — see catalog.spread_by_hash)
+    li = spread_by_hash(
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02")).select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        ),
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    )
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-        .groupBy("l_returnflag", "l_linestatus")
+        li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
             F.sum(price).cast("double").alias("sum_base_price"),

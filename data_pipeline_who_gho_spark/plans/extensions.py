@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from ..caching import bounded_persist_cache, register_plan_cache
 from ..functions import text as TX
 from ..functions import vectors as VEC
-from ..sources.catalog import load_table, spread_for_python
+from ..sources.catalog import load_table, spread_by_hash, spread_for_python
 
 # ---------------------------------------------------------------------------
 # Shared corpus: documents with deterministic near/exact duplicates injected
@@ -640,7 +640,9 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1.7 s of driver time per build (guide §1/§7.3: planning cost), over
     half this query's bench wall-clock.
     """
-    corpus = _corpus(spark, sf_dir)
+    # spread the corpus rows so the explode + per-token md5 parallelize
+    # past the single-row-group fixture scan (no-op at production scale)
+    corpus = spread_by_hash(_corpus(spark, sf_dir), "doc_id")
     md5h = F.md5(F.col("tok").cast("binary"))
     tok = corpus.select("doc_id", F.explode(TX.tokens("text")).alias("tok")).select(
         "doc_id",
@@ -719,14 +721,24 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cosine rounded to 6 dp for cross-engine float stability; ranking uses
     the raw value with doc-id tiebreak.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", VEC.as_double("embedding").alias("v")
+    # r13: norms precomputed ONCE per row before the pair join (the
+    # previous per-pair cosine re-derived both norms via interpreted
+    # higher-order folds — 3× the fold work), and the probe side spread
+    # past the single-row-group scan; cos = dot/(nq·nv) evaluates the
+    # same operations on the same doubles, so values are identical
+    emb = spread_by_hash(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", VEC.as_double("embedding").alias("v")
+        ).withColumn("nv", VEC.norm(F.col("v"))),
+        "vec_id",
     )
     q = emb.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
     joined = F.broadcast(q).join(emb, F.col("query_id") != F.col("vec_id"))
-    cos = VEC.cosine(F.col("qv"), F.col("v"))
+    cos = VEC.dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
         joined.withColumn("cos", cos)

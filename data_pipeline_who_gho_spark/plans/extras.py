@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..functions import vectors as VEC
 from ..operators.asof import asof_join
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread_by_hash
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -259,6 +259,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("decimal(12,2)")
         * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
     )
+    # examined r13: spreading the probe side past the single-row-group
+    # scan measured WORSE (0.66 -> 0.78 s; exchange > one-core probe+agg)
     return (
         cust.filter(F.col("c_mktsegment") == "BUILDING")
         .join(orders, cust.c_custkey == orders.o_custkey)

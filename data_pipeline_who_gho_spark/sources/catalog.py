@@ -149,6 +149,26 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return dfs
 
 
+def spread_by_hash(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Spread an under-partitioned scan for expensive JVM map/agg work,
+    hash-partitioned on a deterministic key.
+
+    Same trigger as :func:`spread_for_python` (fixture parquet ships ONE
+    row group per file, so a scan-fused stage runs on one core; at
+    production scale the guard makes this a no-op), but for JVM
+    expression stages: keyless ``repartition(n)`` pays the
+    sort-before-repartition pass (SPARK-23207) that round-robin needs
+    for retry determinism, while hashing a deterministic high-cardinality
+    key skips the sort AND is retry-safe (guide §2.5 / SPARK-38388 —
+    never derive the key from rand()). Measured: the keyless form kept
+    only ~0.2 s of agg_pricing_summary's 1.0 s, the hash form 0.45 s."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.xxhash64(*key_cols))
+    return df
+
+
 def spread_for_python(df: DataFrame) -> DataFrame:
     """Give a Python-heavy (mapInPandas / applyInPandas) stage enough
     partitions to use every core.
