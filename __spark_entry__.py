@@ -373,6 +373,26 @@ _STALE_SINCE: dict[str, int] = {
     # and spreads the probe side; ann_recall_report composes it
     "ann_cosine_topk": 13,
     "ann_recall_report": 13,
+    # r13 OPTIMIZATION: embed_neardup_pairs hoists per-row norms out of
+    # the all-pairs join and spreads the nested-loop probe side (66 s ->
+    # ~1.5 s at sf0.1); same doubles, same operations, values identical
+    "embed_neardup_pairs": 13,
+    # r13 OPTIMIZATION: LSH search family — embeddings spread past the
+    # single-row-group scan before code assignment; topk/multiprobe/
+    # multitable additionally materialize the coded relation once
+    # (localCheckpoint) instead of re-running the 16-plane decimal
+    # projection per join side; recall report checkpoints each method's
+    # ~50-row result set once (was 7 evaluations of the exact plan)
+    "ann_lsh_buckets": 13,
+    "ann_lsh_topk": 13,
+    "ann_lsh_multiprobe": 13,
+    "ann_lsh_multitable": 13,
+    # r13 OPTIMIZATION: HLL register builder — shingle stream spread,
+    # and reg/v extracted via one conv() hex parse each instead of 10
+    # instr() nibble folds per row (identical integers; oracle keeps
+    # the nibble form)
+    "hll_distinct_per_source": 13,
+    "hll_union_total": 13,
 }
 
 

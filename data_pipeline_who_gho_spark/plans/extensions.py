@@ -853,7 +853,13 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the md5-seeded planes make the whole query oracle-checkable — sign
     decisions are exact, never within float noise.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # spread past the single-row-group scan: the interpreted decimal
+    # projections (16 planes x 64 dims per vector) otherwise run on ONE
+    # task (no-op at production scale — catalog.spread_by_hash)
+    emb = spread_by_hash(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
+    )
     bucketed = emb.withColumn("bucket", lsh_code_column("embedding"))
     return bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vectors"),
@@ -920,12 +926,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     as literals); search shuffles once on the bucket id. A query with
     an empty bucket (minus self) simply yields < k rows — the honest
     LSH failure mode, visible in the recall report."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", VEC.as_double("embedding").alias("v")
+    # spread past the single-row-group scan (see ann_lsh_buckets note)
+    emb = spread_by_hash(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", VEC.as_double("embedding").alias("v")
+        ),
+        "vec_id",
     )
     coded = emb.withColumn(
         "bucket", lsh_code_column("embedding") % F.lit(1 << _LSH_SEARCH_BITS)
     ).select("vec_id", "v", "bucket")
+    # materialize the coding once: query and candidate sides both read
+    # the checkpointed blocks instead of re-running the 16-plane decimal
+    # projection per join side (r13; rows identical)
+    coded = coded.localCheckpoint(eager=True)
     q = coded.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -987,12 +1001,20 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     would nested-loop the corpus. Candidates stay disjoint across
     probes (each vector lives in exactly one bucket), so no dedup pass
     is needed before ranking."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", VEC.as_double("embedding").alias("v")
+    # spread past the single-row-group scan (see ann_lsh_buckets note)
+    emb = spread_by_hash(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", VEC.as_double("embedding").alias("v")
+        ),
+        "vec_id",
     )
     coded = emb.withColumn(
         "bucket", lsh_code_column("embedding") % F.lit(1 << _LSH_SEARCH_BITS)
     ).select("vec_id", "v", "bucket")
+    # materialize the coding once: query and candidate sides both read
+    # the checkpointed blocks instead of re-running the 16-plane decimal
+    # projection per join side (r13; rows identical)
+    coded = coded.localCheckpoint(eager=True)
     masks = F.array(*[F.lit(m).cast("long") for m in
                       [0] + [1 << b for b in range(_LSH_SEARCH_BITS)]])
     q = (
@@ -1078,10 +1100,20 @@ def ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus sizes the table bit-width b scales with log N and the
     fraction L·(1+b)/2^b collapses — the PLAN is the 100 TB path, the
     fixture numbers are the honest recall evidence."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", VEC.as_double("embedding").alias("v")
+    # spread past the single-row-group scan (see ann_lsh_buckets note)
+    emb = spread_by_hash(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", VEC.as_double("embedding").alias("v")
+        ),
+        "vec_id",
     )
-    coded = emb.withColumn("code", lsh_code_column("embedding"))
+    coded = emb.withColumn("code", lsh_code_column("embedding")).select(
+        "vec_id", "v", "code"
+    )
+    # materialize the coding once: the probe side, the index side and
+    # the scoring re-attach all read the checkpointed blocks instead of
+    # re-running the 16-plane decimal projection (r13; rows identical)
+    coded = coded.localCheckpoint(eager=True)
     tmask = (1 << _LSH_TABLE_BITS) - 1
     tids = F.array(*[F.lit(t) for t in range(_LSH_TABLES)])
     vectors = (
@@ -1120,12 +1152,12 @@ def ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.query_id", "ix.vec_id")
         .distinct()
     )
-    qv = emb.select(
+    qv = coded.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     ).filter(F.col("query_id") < N_QUERY_VECTORS)
     scored = (
         cand_ids.join(F.broadcast(qv), "query_id")
-        .join(emb.select("vec_id", "v"), "vec_id")
+        .join(coded.select("vec_id", "v"), "vec_id")
         .withColumn("cos", VEC.cosine(F.col("qv"), F.col("v")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))

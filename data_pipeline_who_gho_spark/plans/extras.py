@@ -179,11 +179,27 @@ def embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact all-pairs here (the verification baseline); ann_lsh_buckets is
     the candidate-generation scale path for the same operator.
     """
-    corpus = _vec_corpus(spark, sf_dir)
-    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    # r13: norms hoisted out of the pair join (the per-pair cosine
+    # re-derived BOTH norms through interpreted folds — 3× the fold work
+    # × C² pairs) and the nested-loop probe side spread past the
+    # single-row-group scan (it ran every pair on ONE task: 66 s at
+    # sf0.1, now ~1.5 s).  cos = dot/(na·nb) performs the same
+    # operations on the same doubles — values identical, and the
+    # per-pair dot is still the interpreted expression fold, so this
+    # stays the exact expression-tree baseline the GEMM forms are
+    # regression-tested against.
+    corpus = _vec_corpus(spark, sf_dir).withColumn("n", VEC.norm(F.col("v")))
+    a = spread_by_hash(
+        corpus.select(
+            F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+        ),
+        "id_a",
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = VEC.cosine(F.col("va"), F.col("vb"))
+    cos = VEC.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.withColumn("cos", cos)
         .filter(F.col("cos") >= NEARDUP_COS)

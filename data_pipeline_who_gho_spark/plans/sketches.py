@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread_by_hash
 from .curation6 import _ngrams, _sql_ngrams
 from .training import _nibble, _sql_nibble
 
@@ -62,8 +62,11 @@ _HLL_ALPHA = "0.718273"
 
 def _shingles(docs: DataFrame) -> DataFrame:
     """(source, word): the 5-gram shingle stream, with the token array
-    materialized as a column so the split evaluates once per doc."""
-    return docs.select(
+    materialized as a column so the split evaluates once per doc.
+    Spread first: the single-row-group fixture scan is one task, which
+    serialized the shingle+md5 stream on one core (r13; no-op at
+    production scale — catalog.spread_by_hash)."""
+    return spread_by_hash(docs.select("source", "text"), "text").select(
         "source", TX.tokens(F.col("text")).alias("toks")
     ).select("source", F.explode(_ngrams(F.col("toks"), _HLL_K)).alias("word"))
 
@@ -82,13 +85,12 @@ def _hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through lambdas) — O(doc²) per document, measured 10× slower
     toks = _shingles(docs).select("source", F.col("word"))
     h = F.md5("word")
-    reg = (_nibble("h", 1) * 16 + _nibble("h", 2)).alias("reg")
-    # fold 8 hex nibbles to the 32-bit slice as LONGs — int32 would
-    # overflow at nibble weight 16^7 * 15
-    v = sum(
-        (_nibble("h", i).cast("long") * F.lit(16 ** (10 - i)) for i in range(3, 11)),
-        start=F.lit(0).cast("long"),
-    )
+    # r13: one conv() hex parse per field instead of 10 instr()-based
+    # nibble extractions per row — identical integer values (reg = the
+    # first 2 hex nibbles, v = the next 8 as a 32-bit slice; the SQL
+    # oracle keeps the nibble form, proving value equality)
+    reg = F.conv(F.substring(F.col("h"), 1, 2), 16, 10).cast("int").alias("reg")
+    v = F.conv(F.substring(F.col("h"), 3, 8), 16, 10).cast("long")
     rho = F.when(v == 0, F.lit(_HLL_BITS + 1)).otherwise(
         F.lit(_HLL_BITS + 1) - F.length(F.bin(v))
     )

@@ -346,18 +346,27 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .extras import ann_ivf_nprobe, ann_ivf_search
 
-    exact = (
+    # r13: each method's result set is k·|Q| rows (~50); materialize it
+    # ONCE via eager localCheckpoint.  Without this the exact plan was
+    # re-executed SEVEN times (hits join of every method + possible) and
+    # every approximate index twice (hits + n_queries) — 12.6 s at
+    # sf0.1, ~4 s after.  Rows are identical; only evaluation count
+    # changes.
+    def once(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True)
+
+    exact = once(
         ann_cosine_topk(spark, sf_dir)
         .filter(F.col("rank") <= _RECALL_K)
         .select("query_id", "neighbor_id")
     )
     methods = [
         ("brute_force", exact),
-        ("ivf_nprobe1", ann_ivf_search(spark, sf_dir).select("query_id", "neighbor_id")),
-        ("ivf_nprobe2", ann_ivf_nprobe(spark, sf_dir).select("query_id", "neighbor_id")),
-        ("lsh_b64", ann_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")),
-        ("lsh_b64_mp7", ann_lsh_multiprobe(spark, sf_dir).select("query_id", "neighbor_id")),
-        ("lsh_mt4x4", ann_lsh_multitable(spark, sf_dir).select("query_id", "neighbor_id")),
+        ("ivf_nprobe1", once(ann_ivf_search(spark, sf_dir).select("query_id", "neighbor_id"))),
+        ("ivf_nprobe2", once(ann_ivf_nprobe(spark, sf_dir).select("query_id", "neighbor_id"))),
+        ("lsh_b64", once(ann_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id"))),
+        ("lsh_b64_mp7", once(ann_lsh_multiprobe(spark, sf_dir).select("query_id", "neighbor_id"))),
+        ("lsh_mt4x4", once(ann_lsh_multitable(spark, sf_dir).select("query_id", "neighbor_id"))),
     ]
     possible = exact.agg(F.count(F.lit(1)).alias("possible"))
     reports = []
