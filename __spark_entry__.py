@@ -393,6 +393,29 @@ _STALE_SINCE: dict[str, int] = {
     # the nibble form)
     "hll_distinct_per_source": 13,
     "hll_union_total": 13,
+    # r13 OPTIMIZATION: hashed_doc_vectors — norm fold staged as a
+    # column (was re-evaluated inside the per-element lambda, 16×/row)
+    # and the vector pipeline materialized before the presentation sort
+    # (the ORDER BY's range sampling re-executed it); values identical
+    "hashed_doc_vectors": 13,
+    # r13 OPTIMIZATION: tokenize-once + spread for the repetition/
+    # overlap family — gopher's five n-gram pipelines read ONE
+    # checkpointed token table (was five scan+split re-evaluations),
+    # source_overlap materializes its distinct fingerprint set once,
+    # doc_repetition spreads the one-task scan; values identical
+    "gopher_repetition_flags": 13,
+    "source_overlap_matrix": 13,
+    "doc_repetition_stats": 13,
+    # r13 OPTIMIZATION: k-gram span family — corpus spread past the
+    # one-task scan and the shared token/k-gram tables materialized once
+    # (both duplicate-mark sides re-ran the tokenize + lead-window pass);
+    # triangle_cosupply materializes its tiny strong-tie edge list once
+    # (the stats kernel references it ~6 times, each re-running the
+    # lineitem self-join). Values identical for all four.
+    "duplicate_spans": 13,
+    "remove_duplicate_spans": 13,
+    "ngram_novelty": 13,
+    "triangle_cosupply": 13,
 }
 
 

@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..functions import vectors as VEC
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread_by_hash
 
 # ---------------------------------------------------------------------------
 # Shared corpus: hybrid documents that duplicate PARTS of two base docs.
@@ -233,7 +233,13 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurs more than once corpus-wide, merge consecutive duplicated
     start positions per doc into islands (pos − row_number grouping),
     and report each island as (doc_id, start_pos, span_len)."""
-    kgrams = _kgram_rows(_token_rows(_corpus2(spark, sf_dir)))
+    # r13: spread the one-task scan, and materialize the k-gram table
+    # once — the duplicate mark references it on BOTH sides (census +
+    # join back), which re-ran the tokenize + lead-window pass twice.
+    # Values identical.
+    kgrams = _kgram_rows(
+        _token_rows(spread_by_hash(_corpus2(spark, sf_dir), "doc_id"))
+    ).localCheckpoint(eager=True)
     # duplicate mark via groupBy + join, NOT a count-over-fp window: the
     # groupBy gets map-side partial aggregation (a hot fingerprint sends
     # #partitions pre-counts, not every occurrence, to its reducer) and
@@ -324,9 +330,14 @@ def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns the per-doc audit row (token counts before/after, md5 of
     the reassembled text) — compact, hashable proof of the exact
     surviving bytes."""
-    tok = _token_rows(_corpus2(spark, sf_dir))
+    # r13: spread the one-task scan; materialize the token table once
+    # (it feeds both the k-gram build and the coverage mark) and the
+    # k-gram table once (owners + cuts sides). Values identical.
+    tok = _token_rows(
+        spread_by_hash(_corpus2(spark, sf_dir), "doc_id")
+    ).localCheckpoint(eager=True)
     w = Window.partitionBy("doc_id").orderBy("pos")
-    kgrams = _kgram_rows(tok)
+    kgrams = _kgram_rows(tok).localCheckpoint(eager=True)
     okey = _okey()
     # first occurrence per fingerprint: partial-agg'd groupBy + join
     # back (AQE-skew-splittable; same shape as duplicate_spans' mark)
@@ -639,8 +650,10 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction is undefined, and downstream thresholding can treat NULL
     explicitly instead of silently losing the doc to an inner join."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = _token_rows(docs)
-    kgrams = _kgram_rows(tok)
+    # r13: spread the one-task scan; materialize the k-gram table once
+    # (owners + the ownership join both reference it). Values identical.
+    tok = _token_rows(spread_by_hash(docs, "doc_id"))
+    kgrams = _kgram_rows(tok).localCheckpoint(eager=True)
     okey = _okey()
     owners = kgrams.groupBy("fp").agg(F.min(okey).alias("owner"))
     per_doc = (

@@ -149,6 +149,10 @@ def _hashed_doc_vectors_unsorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("counts"),
         )
     )
+    # r13: the norm fold is staged as a COLUMN before the normalizing
+    # transform — inlined, it re-evaluated the whole interpreted
+    # aggregate fold inside the per-element lambda (16× per row).
+    # Same doubles, same operations, values identical.
     norm = F.sqrt(
         F.aggregate(
             F.col("counts"),
@@ -156,15 +160,22 @@ def _hashed_doc_vectors_unsorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
     )
-    return dense.withColumn(
-        "n_tokens", F.aggregate("counts", F.lit(0).cast("long"), lambda a, x: a + x)
-    ).select(
+    staged = dense.withColumns(
+        {
+            "n_tokens": F.aggregate(
+                "counts", F.lit(0).cast("long"), lambda a, x: a + x
+            ),
+            "__norm": norm,
+        }
+    )
+    nc = F.col("__norm")
+    return staged.select(
         "doc_id",
         "n_tokens",
         F.transform(
             "counts",
             lambda x: F.round(
-                F.when(norm == 0, F.lit(0.0)).otherwise(x.cast("double") / norm),
+                F.when(nc == 0, F.lit(0.0)).otherwise(x.cast("double") / nc),
                 6,
             ),
         ).alias("vec"),
@@ -179,11 +190,15 @@ def hashed_doc_vector_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     harness canonicalizes through a pandas lexsort, where a list cell is
     unhashable (the round-3 driver error)."""
     vecs = _hashed_doc_vectors_unsorted(spark, sf_dir)
-    return vecs.select(
+    out = vecs.select(
         "doc_id",
         "n_tokens",
         F.posexplode("vec").alias("dim", "component"),
-    ).orderBy("doc_id", "dim")
+    )
+    # materialize before the presentation sort: the global ORDER BY's
+    # range-bound sampling otherwise executes the whole vector pipeline
+    # a second time (r13: 2.8 s -> 1.9 s; rows identical)
+    return out.localCheckpoint(eager=True).orderBy("doc_id", "dim")
 
 
 HASHED_DOC_VECTORS_SQL = f"""

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread_by_hash
 from .extensions import _sql_tokens
 from .tokenizer import BPE_STEPS, _bpe_blocks, _learn
 
@@ -85,7 +85,13 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     n report 0.0 for it (every-doc contract); keep = all thresholds
     pass."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    # r13: tokenize ONCE — the five n-gram pipelines below each
+    # re-evaluated the scan+split subtree (serialized on the one-task
+    # single-row-group scan); spread + checkpoint makes them all read
+    # the same parallel token blocks. Values identical.
+    toks = spread_by_hash(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=True)
     out = docs.select("doc_id")
     frac_cols: list[F.Column] = []
     for n in _TOP_FRAC_MAX:
@@ -123,7 +129,13 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep = keep & (F.col(f"top{n}_frac") <= thr)
     for n, thr in _DUP_FRAC_MAX.items():
         keep = keep & (F.col(f"dup{n}_frac") <= thr)
-    return projected.withColumn("keep", keep).orderBy("doc_id")
+    # materialize before the presentation sort: the ORDER BY's range
+    # sampling otherwise re-executes the whole 5-way join (r13)
+    return (
+        projected.withColumn("keep", keep)
+        .localCheckpoint(eager=True)
+        .orderBy("doc_id")
+    )
 
 
 def _gopher_sql() -> str:
@@ -197,7 +209,12 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     of how hot the fingerprint is — the scale-safe shape for
     set-overlap rollups."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("source", TX.tokens(F.col("text")).alias("toks"))
+    # r13: spread the one-task scan, and materialize the distinct
+    # fingerprint set ONCE — it feeds three subtrees (census + both pair
+    # sides). Values identical.
+    toks = spread_by_hash(docs.select("source", "text"), "text").select(
+        "source", TX.tokens(F.col("text")).alias("toks")
+    )
     fs = (
         toks.select(
             "source",
@@ -205,6 +222,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", F.md5("g").alias("fp"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     per_source = fs.groupBy("source").agg(F.count(F.lit(1)).alias("n_fp"))
     a = fs.select(F.col("fp"), F.col("source").alias("source_a"))

@@ -699,8 +699,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round 2 used xxhash64 (engine-specific — rows-only check); this is
     the md5-seeded recipe proven in ``simhash_neardup_pairs``, so the
     fingerprint bits themselves are oracle-checked end-to-end.
+
+    The fingerprint table is materialized before the presentation sort:
+    a global ORDER BY range-partitions, whose bound sampling executes
+    the child subtree a second time — checkpointing first makes the
+    sample read blocks instead of re-running the aggregation (r13;
+    rows identical).
     """
-    return simhash_fingerprints(spark, sf_dir).orderBy("doc_id")
+    return (
+        simhash_fingerprints(spark, sf_dir)
+        .localCheckpoint(eager=True)
+        .orderBy("doc_id")
+    )
 
 
 DEDUP_SIMHASH_SQL = _simhash_fp_sql() + "\nSELECT doc_id, fp1, fp2 FROM fp"

@@ -603,7 +603,15 @@ def triangle_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    edges = pairs.filter(F.col("shared") >= _TRI_MIN_SHARED).select("s1", "s2")
+    # r13: materialize the (tiny) strong-tie edge list once — the stats
+    # kernel references it ~6 times (degrees, three oriented-edge join
+    # sides, counts), each of which re-executed the lineitem self-join.
+    # Values identical.
+    edges = (
+        pairs.filter(F.col("shared") >= _TRI_MIN_SHARED)
+        .select("s1", "s2")
+        .localCheckpoint(eager=True)
+    )
     return triangle_stats(edges)
 
 

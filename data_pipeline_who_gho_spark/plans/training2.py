@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..operators.rank import global_rank, ntile_from_rank
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread_by_hash
 
 # ---------------------------------------------------------------------------
 # Gopher-style repetition / quality stats
@@ -51,7 +51,11 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     held by the single most common bigram, mean word length, and the
     Gopher-style keep/flag verdict. Exact integer counts, one double
     division each → bit-identical across engines."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    # spread the one-task single-row-group scan before the bigram
+    # explode (r13; no-op at production scale — catalog.spread_by_hash)
+    docs = spread_by_hash(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).select(
         "doc_id", TX.tokens(F.col("text")).alias("w")
     ).filter(F.size("w") >= 2)
     toks = docs.select(
