@@ -416,6 +416,16 @@ _STALE_SINCE: dict[str, int] = {
     "remove_duplicate_spans": 13,
     "ngram_novelty": 13,
     "triangle_cosupply": 13,
+    # r13 OPTIMIZATION: PQ family — the refined codebook (64 rows) is
+    # materialized once; both the encoding and the ADC distance table
+    # referenced it, re-running the init-assign + Lloyd chain per
+    # consumer (A/B: 2.4 -> 1.8 s). Values identical.
+    "ann_ivf_pq": 13,
+    "ann_pq_rerank": 13,
+    # r13 OPTIMIZATION: kmv — the deduped (type, user, day) universe and
+    # the union sketch are materialized once (were re-evaluated ~7×/3×
+    # by the set-algebra joins). Values identical.
+    "kmv_user_day_overlap": 13,
 }
 
 

@@ -441,6 +441,9 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_approx(spark: SparkSession, sf_dir: str, topk: int) -> DataFrame:
     """PQ retrieval, parameterized top-k (reused by ann_pq_rerank)."""
+    # (examined r13: spreading the scan measured flat here — the windowed
+    # argmin's own exchange already parallelizes the encode — so only the
+    # codebook checkpoint below is kept)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", VEC.as_double("embedding").alias("v")
     )
@@ -478,6 +481,10 @@ def _pq_approx(spark: SparkSession, sf_dir: str, topk: int) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
         ).alias("cv")
     )
+    # r13: the refined codebook (M·K = 64 rows) feeds BOTH the encoding
+    # and the distance table — materialize it once instead of re-running
+    # the init-assign + Lloyd chain per consumer. Values identical.
+    cb1 = cb1.localCheckpoint(eager=True)
 
     codes = assign(subs, cb1).select("vec_id", "m", "code")
     queries = _subvectors(emb.filter(F.col("vec_id") % _PQ_QUERY_MOD == 0)).select(

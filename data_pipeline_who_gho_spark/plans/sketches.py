@@ -444,6 +444,11 @@ def kmv_user_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).cast("long"),
     )
+    # r13: the deduped universe is referenced ~7 times below (census,
+    # pair intersection both sides, union sketch, two membership semis)
+    # — materialize it once instead of re-running the scan + dedup per
+    # reference. Values identical.
+    ded = ded.localCheckpoint(eager=True)
     exact = ded.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
 
     types = ded.select("event_type").distinct()
@@ -479,9 +484,10 @@ def kmv_user_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["type_a", "type_b", "user_id", "day"])
     )
     wu = Window.partitionBy("type_a", "type_b").orderBy("h", "user_id", "day")
+    # ≤ k·pairs rows, referenced three times — materialize once (r13)
     usk = pu.withColumn("rn", F.row_number().over(wu)).filter(
         F.col("rn") <= _KMV_K
-    )
+    ).localCheckpoint(eager=True)
     member = ded.select("event_type", "user_id", "day")
     in_a = usk.join(
         member.alias("ma"),
