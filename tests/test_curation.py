@@ -205,7 +205,7 @@ def test_lsh_code_rejects_wrong_dimensionality(spark):
 
     df = spark.createDataFrame(
         [(1, [1.0] * 16)], "vec_id long, v array<double>"
-    ).select(lsh_code_column(F.col("v")).alias("code"))
+    ).select(lsh_code_column("v").alias("code"))
     with pytest.raises(Exception, match="64-dim"):
         df.collect()
 

@@ -38,7 +38,13 @@ def test_star_join_broadcasts_dims(spark):
 def test_pricing_summary_partial_agg(spark):
     plan = _plan(agg_pricing_summary(spark, SF))
     assert "partial_sum" in plan and "partial_count" in plan
-    assert plan.count("Exchange hashpartitioning") == 1  # single shuffle
+    # two shuffles by design since r13: the deliberate spread_by_hash
+    # exchange that parallelizes the decimal partial aggregation past
+    # the single-row-group fixture scan (a no-op at production scale),
+    # plus the final groupBy exchange — anything more is a regression
+    assert plan.count("Exchange hashpartitioning") == 2
+    # the spread must hash a deterministic key, never rand()/round-robin
+    assert "xxhash64" in plan
 
 
 def test_upsert_antijoin_prunes_to_keys(spark):
