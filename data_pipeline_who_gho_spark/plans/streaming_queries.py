@@ -92,17 +92,47 @@ def _dup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(_EVENT_SCHEMA).parquet(stage)
 
 
+# State-store partition count for the stateful queries below (r13, guide
+# §2.6/§5): stateful operators pin their partitioning to
+# spark.sql.shuffle.partitions at FIRST query start and AQE never
+# coalesces stateful stages, so every micro-batch pays a constant-cost
+# store open/commit (delta-file write + fsync) PER PARTITION PER STORE —
+# a stream-stream join carries four stores per partition, i.e. 128
+# commits per batch at 32 partitions for milliseconds of actual join
+# compute. These availableNow single-batch backfills hold tiny per-key
+# state, so fewer, larger state partitions amortize that fixed cost:
+# measured (fresh JVM per config, warm passes) stream_stream_join
+# 8.8 s @ 32 -> 3.2 s @ 8 -> 2.8 s @ 4; the residual ~2.6 s is
+# StreamExecution start + commit-log floor. 8 keeps the shuffle wide
+# enough that compute still spreads; a continuous production stream
+# with real state volume raises this via env. Never raised above the
+# session's shuffle setting, so low-core bench runs keep their shape.
+_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+
+
 def _run_to_df(spark: SparkSession, out: DataFrame, mode: str = "complete") -> DataFrame:
     name = "q" + uuid.uuid4().hex[:10]
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt-{name}")
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(min(_STATE_PARTITIONS, int(prev))),
     )
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    finally:
+        # restored after start(): the partition count is captured into the
+        # query's offset/commit planning at start, and the session is
+        # driven sequentially (bench/gate), so nothing else plans under
+        # the temporary setting
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         finished = q.awaitTermination(300)
         if not finished:

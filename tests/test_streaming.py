@@ -143,3 +143,25 @@ def test_foreachbatch_upsert_idempotent_merge(spark):
     }
     got = {(r["event_type"], r["n_events"]) for r in rows}
     assert got == want
+
+
+def test_run_to_df_bounds_state_partitions_and_restores_conf(spark):
+    """r13 optimization guard: stateful queries run with the bounded
+    state-partition count (store commits are per-partition fixed cost;
+    OPTIMIZATION_r13.md) while the session conf is restored for batch
+    work, and the result is partition-count-independent."""
+    from data_pipeline_who_gho_spark.plans.streaming_queries import (
+        _STATE_PARTITIONS,
+        stream_dedup_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = stream_dedup_events(spark, sf)
+    # conf restored for subsequent batch planning
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # the memory-sink table holds the exact distinct set regardless of
+    # how many state partitions the dedup ran with
+    n = out.count()
+    assert n == out.select("event_id").distinct().count()
+    assert _STATE_PARTITIONS <= int(before) or int(before) < 8
