@@ -355,19 +355,31 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     def once(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True)
 
-    exact = once(
-        ann_cosine_topk(spark, sf_dir)
-        .filter(F.col("rank") <= _RECALL_K)
-        .select("query_id", "neighbor_id")
-    )
-    methods = [
-        ("brute_force", exact),
-        ("ivf_nprobe1", once(ann_ivf_search(spark, sf_dir).select("query_id", "neighbor_id"))),
-        ("ivf_nprobe2", once(ann_ivf_nprobe(spark, sf_dir).select("query_id", "neighbor_id"))),
-        ("lsh_b64", once(ann_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id"))),
-        ("lsh_b64_mp7", once(ann_lsh_multiprobe(spark, sf_dir).select("query_id", "neighbor_id"))),
-        ("lsh_mt4x4", once(ann_lsh_multitable(spark, sf_dir).select("query_id", "neighbor_id"))),
+    # r13 (2nd pass): the six method pipelines are INDEPENDENT jobs that
+    # each underfill the cluster (probe-expansion joins over k·|Q| rows),
+    # and eager checkpoints serialize them — the report's wall time was
+    # the SUM of six single evaluations (7.4 s at sf0.1).  Materialize
+    # them concurrently: six threads submit their Spark jobs at once and
+    # the scheduler interleaves the idle slots (guide §2.7 — concurrent
+    # independent actions, not caching).  Each method's rows are computed
+    # by exactly the same plan as before; only submission order changes,
+    # and every downstream join reads the same checkpointed sets.
+    from concurrent.futures import ThreadPoolExecutor
+
+    builders = [
+        ("brute_force", lambda: ann_cosine_topk(spark, sf_dir)
+            .filter(F.col("rank") <= _RECALL_K)
+            .select("query_id", "neighbor_id")),
+        ("ivf_nprobe1", lambda: ann_ivf_search(spark, sf_dir).select("query_id", "neighbor_id")),
+        ("ivf_nprobe2", lambda: ann_ivf_nprobe(spark, sf_dir).select("query_id", "neighbor_id")),
+        ("lsh_b64", lambda: ann_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")),
+        ("lsh_b64_mp7", lambda: ann_lsh_multiprobe(spark, sf_dir).select("query_id", "neighbor_id")),
+        ("lsh_mt4x4", lambda: ann_lsh_multitable(spark, sf_dir).select("query_id", "neighbor_id")),
     ]
+    with ThreadPoolExecutor(max_workers=len(builders)) as ex:
+        futures = [(name, ex.submit(lambda b=b: once(b()))) for name, b in builders]
+        methods = [(name, fut.result()) for name, fut in futures]
+    exact = methods[0][1]
     possible = exact.agg(F.count(F.lit(1)).alias("possible"))
     reports = []
     for name, approx in methods:
