@@ -426,6 +426,19 @@ _STALE_SINCE: dict[str, int] = {
     # the union sketch are materialized once (were re-evaluated ~7×/3×
     # by the set-algebra joins). Values identical.
     "kmv_user_day_overlap": 13,
+    # r13 OPTIMIZATION: table_profile spreads the orders scan past the
+    # single-row-group fixture packing so the 7-way COUNT(DISTINCT)
+    # Expand -> Sort -> SortAggregate chain parallelizes (4.3 -> 1.4 s;
+    # values identical; no-op at production scale via the guard)
+    "table_profile": 13,
+    # r13 OPTIMIZATION: corpus_build_e2e materializes its three
+    # independent stage inputs (fingerprinted corpus, clusters CC,
+    # gopher flags) concurrently and checkpoints each funnel stage once;
+    # dedup_cluster_best does the same for clusters + quality scores and
+    # checkpoints the doubly-consumed scored relation. Stage contracts
+    # and all values identical (oracle-proved).
+    "corpus_build_e2e": 13,
+    "dedup_cluster_best": 13,
 }
 
 

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from ..caching import bounded_persist_cache, register_plan_cache
 from ..operators.interval import interval_overlap_join
 from ..operators.layout import morton2, morton2_sql
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread_by_hash
 
 EWMA_ALPHA = 0.125  # exact binary fraction: 1/8
 
@@ -310,7 +310,12 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit as doubles; string extremes as strings; NTZ timestamp extremes
     as ISO date strings (no session-TZ dependence). The off-type slot is
     a typed NULL in both engines."""
-    orders = load_table(spark, sf_dir, "orders")
+    # r13: six COUNT(DISTINCT)s rewrite to an Expand(×7) → Sort →
+    # SortAggregate chain, and the fixture's single-row-group scan ran
+    # that entire 7× row-multiplied sort on ONE core (4.3 s at sf0.1).
+    # Spreading the scan first parallelizes the expand/sort/partial-agg
+    # stage; no-op at production scale via the spread_by_hash guard.
+    orders = spread_by_hash(load_table(spark, sf_dir, "orders"), "o_orderkey")
     num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
     str_cols = ["o_orderstatus", "o_orderpriority"]
     ts_cols = ["o_orderdate"]

@@ -152,8 +152,21 @@ def dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-best-quality rule: representative = argmax(score, then min
     doc_id) within the cluster. One partial-agg'd struct-max per
     component — skew-safe for arbitrarily large clusters."""
-    clusters = dedup_clusters(spark, sf_dir)
-    scored = clusters.join(_corpus_quality_scores(spark, sf_dir), "doc_id")
+    # r13: the clusters CC chain and the quality-score scan are
+    # independent pipelines — materialize them concurrently (guide §2.7)
+    # and checkpoint the joined scored relation once, since it feeds
+    # BOTH the per-cluster argmax and the final join. Values identical.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        clusters_f = ex.submit(
+            lambda: dedup_clusters(spark, sf_dir).localCheckpoint(eager=True)
+        )
+        scores_f = ex.submit(
+            lambda: _corpus_quality_scores(spark, sf_dir).localCheckpoint(eager=True)
+        )
+        clusters, qscores = clusters_f.result(), scores_f.result()
+    scored = clusters.join(qscores, "doc_id").localCheckpoint(eager=True)
     best = scored.groupBy("canonical_id").agg(
         F.max(F.struct(F.col("score"), (-F.col("doc_id")).alias("nid"))).alias("m")
     ).select(

@@ -71,20 +71,46 @@ def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .curation7 import gopher_quality_flags
     from .extensions import dedup_clusters
 
-    base = _corpus(spark, sf_dir).select(
-        "doc_id",
-        TX.token_count("text").cast("long").alias("n_tok"),
-        TX.fingerprint_md5("text").alias("fp"),
-    )
+    # r13: the three stage INPUTS — the fingerprinted corpus, the
+    # near-dup clusters (the expensive CC chain), and the Gopher kept
+    # flags — are independent pipelines that each underfill the cluster,
+    # and the lazy composition both re-ran them per funnel consumer and
+    # executed them back-to-back.  Materialize the three concurrently
+    # (threads submit the jobs at once; the scheduler interleaves idle
+    # slots — guide §2.7), then chain the cheap stage joins over the
+    # checkpointed few-k-row frames.  Same stage contracts, same rows.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _base() -> DataFrame:
+        return _corpus(spark, sf_dir).select(
+            "doc_id",
+            TX.token_count("text").cast("long").alias("n_tok"),
+            TX.fingerprint_md5("text").alias("fp"),
+        ).localCheckpoint(eager=True)
+
+    def _clusters() -> DataFrame:
+        return dedup_clusters(spark, sf_dir).select(
+            "doc_id", "canonical_id"
+        ).localCheckpoint(eager=True)
+
+    def _kept() -> DataFrame:
+        return gopher_quality_flags(spark, sf_dir).select(
+            "doc_id", "kept"
+        ).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        base_f, clusters_f, kept_f = ex.submit(_base), ex.submit(_clusters), ex.submit(_kept)
+        base, clusters, kept = base_f.result(), clusters_f.result(), kept_f.result()
+
     # stage 1: exact dedup (keep the first ingest of each fingerprint)
     owners = base.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
     s1 = (
         base.join(owners, "fp")
         .filter(F.col("doc_id") == F.col("keeper"))
         .select("doc_id", "n_tok")
+        .localCheckpoint(eager=True)
     )
     # stage 2: near dedup — only cluster canonicals survive
-    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "canonical_id")
     s2 = (
         s1.join(clusters, "doc_id", "left")
         .filter(
@@ -92,10 +118,15 @@ def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("canonical_id") == F.col("doc_id"))
         )
         .select("doc_id", "n_tok")
+        .localCheckpoint(eager=True)
     )
     # stage 3: Gopher quality gate (per-doc kept decision)
-    kept = gopher_quality_flags(spark, sf_dir).select("doc_id", "kept")
-    s3 = s2.join(kept, "doc_id").filter(F.col("kept")).select("doc_id", "n_tok")
+    s3 = (
+        s2.join(kept, "doc_id")
+        .filter(F.col("kept"))
+        .select("doc_id", "n_tok")
+        .localCheckpoint(eager=True)
+    )
     # stage 4: stratified split + shard assignment, then greedy packing
     # per (split, shard) stream
     h = F.md5(F.col("doc_id").cast("string").cast("binary"))
