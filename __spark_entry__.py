@@ -439,6 +439,11 @@ _STALE_SINCE: dict[str, int] = {
     # and all values identical (oracle-proved).
     "corpus_build_e2e": 13,
     "dedup_cluster_best": 13,
+    # r13 OPTIMIZATION: quantile_sketch_by_flag spreads the lineitem
+    # scan so the md5 bottom-k window and the exact-percentile witness
+    # both parallelize (2.6 -> 1.1 s; values identical; guard no-op at
+    # production scale)
+    "quantile_sketch_by_flag": 13,
 }
 
 
