@@ -407,11 +407,15 @@ _STALE_SINCE: dict[str, int] = {
     "source_overlap_matrix": 13,
     "doc_repetition_stats": 13,
     # r13 OPTIMIZATION: k-gram span family — corpus spread past the
-    # one-task scan and the shared token/k-gram tables materialized once
-    # (both duplicate-mark sides re-ran the tokenize + lead-window pass);
-    # triangle_cosupply materializes its tiny strong-tie edge list once
-    # (the stats kernel references it ~6 times, each re-running the
-    # lineitem self-join). Values identical for all four.
+    # one-task scan, the shared token/k-gram tables materialized once
+    # (both duplicate-mark sides re-ran the tokenize + lead-window pass),
+    # and the k-gram build moved to the ARRAY domain (_kgram_rows_arr:
+    # map-only transform over the token array, no window shuffle;
+    # equality with the window form test-pinned in
+    # tests/test_curation2_opt.py); triangle_cosupply materializes its
+    # tiny strong-tie edge list once (the stats kernel references it ~6
+    # times, each re-running the lineitem self-join). Values identical
+    # for all four.
     "duplicate_spans": 13,
     "remove_duplicate_spans": 13,
     "ngram_novelty": 13,

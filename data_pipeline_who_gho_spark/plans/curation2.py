@@ -215,6 +215,29 @@ def _kgram_rows(tok: DataFrame) -> DataFrame:
     )
 
 
+def _kgram_rows_arr(corpus: DataFrame) -> DataFrame:
+    """(doc_id, pos, fp) — the SAME fingerprints as :func:`_kgram_rows`
+    (md5 of each complete K-token k-gram, 0-based start pos) computed in
+    the ARRAY domain: one map-only transform over the token array
+    replaces the per-doc window (a doc_id shuffle + sort + K−1 lead
+    passes over every token row).  r13 optimization, guide §2.2: the
+    k-gram build now ships zero bytes to a shuffle; the spread corpus
+    scan is the only distribution step.  The token array is bound ONCE
+    per row via the one-element-array lambda (Catalyst's CollapseProject
+    would otherwise inline the split per reference); incomplete tail
+    k-grams are excluded by the sequence bound — exactly the
+    ``__complete`` filter.  Equality with the window form is test-pinned
+    (tests/test_curation2_opt.py)."""
+    kgs = F.expr(
+        f"""flatten(transform(array(split(trim(lower(text)), '\\\\s+')), arr ->
+          CASE WHEN size(arr) >= {_SPAN_K}
+               THEN transform(sequence(0, size(arr) - {_SPAN_K}),
+                              p -> md5(concat_ws(' ', slice(arr, p + 1, {_SPAN_K}))))
+               ELSE array() END))"""
+    )
+    return corpus.select("doc_id", F.posexplode(kgs).alias("pos", "fp"))
+
+
 _KGRAM_BLOCKS_SQL = f"""kg AS (
   SELECT doc_id, pos,
          md5(concat_ws(' ', {", ".join(
@@ -235,10 +258,10 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     and report each island as (doc_id, start_pos, span_len)."""
     # r13: spread the one-task scan, and materialize the k-gram table
     # once — the duplicate mark references it on BOTH sides (census +
-    # join back), which re-ran the tokenize + lead-window pass twice.
-    # Values identical.
-    kgrams = _kgram_rows(
-        _token_rows(spread_by_hash(_corpus2(spark, sf_dir), "doc_id"))
+    # join back).  Built in the array domain (_kgram_rows_arr): the
+    # window shuffle disappears entirely.  Values identical.
+    kgrams = _kgram_rows_arr(
+        spread_by_hash(_corpus2(spark, sf_dir), "doc_id")
     ).localCheckpoint(eager=True)
     # duplicate mark via groupBy + join, NOT a count-over-fp window: the
     # groupBy gets map-side partial aggregation (a hot fingerprint sends
@@ -330,14 +353,16 @@ def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns the per-doc audit row (token counts before/after, md5 of
     the reassembled text) — compact, hashable proof of the exact
     surviving bytes."""
-    # r13: spread the one-task scan; materialize the token table once
-    # (it feeds both the k-gram build and the coverage mark) and the
-    # k-gram table once (owners + cuts sides). Values identical.
-    tok = _token_rows(
-        spread_by_hash(_corpus2(spark, sf_dir), "doc_id")
-    ).localCheckpoint(eager=True)
+    # r13: spread the one-task scan and checkpoint the hybrid corpus
+    # once (its join feeds both row forms); the token table materializes
+    # for the coverage mark while the k-gram table is built in the ARRAY
+    # domain (_kgram_rows_arr — no window shuffle). Values identical.
+    corpus = spread_by_hash(_corpus2(spark, sf_dir), "doc_id").localCheckpoint(
+        eager=True
+    )
+    tok = _token_rows(corpus).localCheckpoint(eager=True)
     w = Window.partitionBy("doc_id").orderBy("pos")
-    kgrams = _kgram_rows(tok).localCheckpoint(eager=True)
+    kgrams = _kgram_rows_arr(corpus).localCheckpoint(eager=True)
     okey = _okey()
     # first occurrence per fingerprint: partial-agg'd groupBy + join
     # back (AQE-skew-splittable; same shape as duplicate_spans' mark)
@@ -658,9 +683,11 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicitly instead of silently losing the doc to an inner join."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # r13: spread the one-task scan; materialize the k-gram table once
-    # (owners + the ownership join both reference it). Values identical.
-    tok = _token_rows(spread_by_hash(docs, "doc_id"))
-    kgrams = _kgram_rows(tok).localCheckpoint(eager=True)
+    # (owners + the ownership join both reference it), built in the
+    # array domain (no window shuffle). Values identical.
+    kgrams = _kgram_rows_arr(spread_by_hash(docs, "doc_id")).localCheckpoint(
+        eager=True
+    )
     okey = _okey()
     owners = kgrams.groupBy("fp").agg(F.min(okey).alias("owner"))
     per_doc = (
