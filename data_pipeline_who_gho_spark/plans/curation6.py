@@ -85,56 +85,71 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     n report 0.0 for it (every-doc contract); keep = all thresholds
     pass."""
     docs = load_table(spark, sf_dir, "documents")
-    # r13: tokenize ONCE — the five n-gram pipelines below each
-    # re-evaluated the scan+split subtree (serialized on the one-task
-    # single-row-group scan); spread + checkpoint makes them all read
-    # the same parallel token blocks. Values identical.
+    # r13 (2nd pass): every one of the five repetition signals is a
+    # strictly PER-DOC statistic (top/distinct/total n-gram occurrence
+    # counts within one document), so the explode → groupBy(doc_id, g)
+    # → re-agg → 5-way join pipeline paid ~13 shuffles of the full gram
+    # stream for quantities the token array already holds.  Each signal
+    # now comes from ONE map-side sorted-run aggregate over the doc's
+    # n-gram array (_rep_stats): max consecutive run in the sorted
+    # array IS the top count, run boundaries count the distincts,
+    # O(t log t) per doc, zero gram bytes shuffled (guide §2.2/§2.3).
+    # Same doubles — full-output collect equality against the
+    # groupBy form verified, and the oracle is unchanged.  The
+    # every-doc contract holds: too-short docs aggregate an empty
+    # array (t = 0 → NULL fraction → coalesce 0.0).
     toks = spread_by_hash(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id", TX.tokens(F.col("text")).alias("toks")
-    ).localCheckpoint(eager=True)
-    out = docs.select("doc_id")
+    )
     frac_cols: list[F.Column] = []
     for n in _TOP_FRAC_MAX:
-        g = toks.select("doc_id", F.explode(_ngrams(F.col("toks"), n)).alias("g"))
-        stats = (
-            g.groupBy("doc_id", "g")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .groupBy("doc_id")
-            .agg(F.max("c").alias(f"top_{n}"), F.sum("c").alias(f"n_{n}"))
-        )
-        out = out.join(stats, "doc_id", "left")
+        s = _rep_stats("toks", n)
         frac_cols.append(
             F.coalesce(
-                F.col(f"top_{n}").cast("double") / F.col(f"n_{n}").cast("double"),
-                F.lit(0.0),
+                s["mx"].cast("double") / s["t"].cast("double"), F.lit(0.0)
             ).alias(f"top{n}_frac")
         )
     for n in _DUP_FRAC_MAX:
-        g = toks.select("doc_id", F.explode(_ngrams(F.col("toks"), n)).alias("g"))
-        stats = g.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias(f"t_{n}"),
-            F.countDistinct("g").alias(f"d_{n}"),
-        )
-        out = out.join(stats, "doc_id", "left")
+        s = _rep_stats("toks", n)
         frac_cols.append(
             F.coalesce(
-                (F.col(f"t_{n}") - F.col(f"d_{n}")).cast("double")
-                / F.col(f"t_{n}").cast("double"),
+                (s["t"] - s["d"]).cast("double") / s["t"].cast("double"),
                 F.lit(0.0),
             ).alias(f"dup{n}_frac")
         )
-    projected = out.select("doc_id", *frac_cols)
+    projected = toks.select("doc_id", *frac_cols)
     keep = F.lit(True)
     for n, thr in _TOP_FRAC_MAX.items():
         keep = keep & (F.col(f"top{n}_frac") <= thr)
     for n, thr in _DUP_FRAC_MAX.items():
         keep = keep & (F.col(f"dup{n}_frac") <= thr)
-    # materialize before the presentation sort: the ORDER BY's range
-    # sampling otherwise re-executes the whole 5-way join (r13)
-    return (
-        projected.withColumn("keep", keep)
-        .localCheckpoint(eager=True)
-        .orderBy("doc_id")
+    return projected.withColumn("keep", keep).orderBy("doc_id")
+
+
+def _rep_stats(toks_col: str, n: int) -> F.Column:
+    """Struct(mx, d, t) of a doc's word n-gram multiset — max single
+    n-gram count, distinct n-grams, total occurrences — computed in the
+    ARRAY domain: sort the n-gram array, then one aggregate() pass
+    counts the longest equal run (mx), run boundaries (d) and length
+    (t).  Exactly the numbers the exploded groupBy produced, with no
+    shuffle.  The size guard mirrors _ngrams (sequence() counts DOWN
+    for start > stop)."""
+    grams = ", ".join(f"element_at({toks_col}, i + {k})" for k in range(n))
+    return F.expr(
+        f"""aggregate(
+      array_sort(transform(
+        CASE WHEN size({toks_col}) >= {n}
+             THEN sequence(1, size({toks_col}) - {n - 1}) ELSE array() END,
+        i -> concat_ws(' ', {grams}))),
+      named_struct('prev', CAST(NULL AS STRING),
+                   'run', 0L, 'mx', 0L, 'd', 0L, 't', 0L),
+      (acc, x) -> named_struct(
+        'prev', x,
+        'run', IF(x = acc.prev, acc.run + 1, 1L),
+        'mx', greatest(acc.mx, IF(x = acc.prev, acc.run + 1, 1L)),
+        'd', acc.d + IF(x = acc.prev, 0L, 1L),
+        't', acc.t + 1L),
+      acc -> acc)"""
     )
 
 

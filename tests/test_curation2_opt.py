@@ -41,3 +41,44 @@ def test_kgram_rows_arr_short_and_blank_docs(spark):
     )
     rows = _kgram_rows_arr(df).collect()
     assert [(r.doc_id, r.pos) for r in rows] == [(3, 0)]
+
+
+def test_rep_stats_matches_exploded_groupby(spark):
+    """r13: gopher's array-domain sorted-run stats must equal the
+    exploded groupBy(doc_id, g) counts they replaced."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_who_gho_spark.functions import text as TX
+    from data_pipeline_who_gho_spark.plans.curation6 import _ngrams, _rep_stats
+    from data_pipeline_who_gho_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    )
+    for n in (2, 5):
+        s = _rep_stats("toks", n)
+        got = {
+            r["doc_id"]: (r["mx"], r["d"], r["t"])
+            for r in docs.select(
+                "doc_id", s["mx"].alias("mx"), s["d"].alias("d"), s["t"].alias("t")
+            ).collect()
+        }
+        g = docs.select("doc_id", F.explode(_ngrams(F.col("toks"), n)).alias("g"))
+        want = {
+            r["doc_id"]: (r["mx"], r["d"], r["t"])
+            for r in g.groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                F.max("c").alias("mx"),
+                F.count(F.lit(1)).alias("d"),
+                F.sum("c").alias("t"),
+            )
+            .collect()
+        }
+        for doc_id, stats in want.items():
+            assert got[doc_id] == stats, (n, doc_id, got[doc_id], stats)
+        # every-doc contract: docs absent from `want` (too short) read 0
+        for doc_id, stats in got.items():
+            if doc_id not in want:
+                assert stats == (0, 0, 0)
