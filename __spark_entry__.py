@@ -403,9 +403,14 @@ _STALE_SINCE: dict[str, int] = {
     # checkpointed token table (was five scan+split re-evaluations),
     # source_overlap materializes its distinct fingerprint set once,
     # doc_repetition spreads the one-task scan; values identical
-    "gopher_repetition_flags": 13,
+    # (gopher_repetition_flags re-annotated at 14 below)
     "source_overlap_matrix": 13,
     "doc_repetition_stats": 13,
+    # r14 (ADVICE r13 high): gopher's fraction divisions are now
+    # when(t > 0)-guarded — under the ANSI default a too-short doc's
+    # t = 0 raised DIVIDE_BY_ZERO (latent crash; the fixture has no
+    # such docs, so every value is identical and the oracle unchanged)
+    "gopher_repetition_flags": 14,
     # r13 OPTIMIZATION: k-gram span family — corpus spread past the
     # one-task scan, the shared token/k-gram tables materialized once
     # (both duplicate-mark sides re-ran the tokenize + lead-window pass),

@@ -28,7 +28,10 @@ def connected_components(
 
     Raises RuntimeError if the fixpoint isn't reached within
     ``max_iterations`` (graph diameter too large) — loud beats silently
-    wrong cluster labels."""
+    wrong cluster labels.  The sum-based convergence probe needs two
+    completed rounds to compare, so ``max_iterations`` must be >= 2
+    even for graphs already at fixpoint after round 1 (ADVICE r13;
+    every caller uses the default)."""
     converged = False
     both = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -97,7 +97,10 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same doubles — full-output collect equality against the
     # groupBy form verified, and the oracle is unchanged.  The
     # every-doc contract holds: too-short docs aggregate an empty
-    # array (t = 0 → NULL fraction → coalesce 0.0).
+    # array, and the t = 0 case is guarded with when() — under the
+    # session's ANSI default (Spark 4) a bare 0/0 division raises
+    # DIVIDE_BY_ZERO instead of yielding NULL (ADVICE r13 high; the
+    # fixture has no too-short docs, but real corpora do).
     toks = spread_by_hash(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id", TX.tokens(F.col("text")).alias("toks")
     )
@@ -105,17 +108,21 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     for n in _TOP_FRAC_MAX:
         s = _rep_stats("toks", n)
         frac_cols.append(
-            F.coalesce(
-                s["mx"].cast("double") / s["t"].cast("double"), F.lit(0.0)
-            ).alias(f"top{n}_frac")
+            F.when(
+                s["t"] > 0, s["mx"].cast("double") / s["t"].cast("double")
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"top{n}_frac")
         )
     for n in _DUP_FRAC_MAX:
         s = _rep_stats("toks", n)
         frac_cols.append(
-            F.coalesce(
+            F.when(
+                s["t"] > 0,
                 (s["t"] - s["d"]).cast("double") / s["t"].cast("double"),
-                F.lit(0.0),
-            ).alias(f"dup{n}_frac")
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"dup{n}_frac")
         )
     projected = toks.select("doc_id", *frac_cols)
     keep = F.lit(True)

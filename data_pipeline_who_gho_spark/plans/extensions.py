@@ -806,7 +806,7 @@ def _lsh_plane_weights() -> list[list[int]]:
     ]
 
 
-def lsh_code_column(embedding: Column | str) -> Column:
+def lsh_code_column(embedding: str) -> Column:
     """16-bit random-hyperplane code of a numeric array column — exact
     decimal projections over the md5-seeded integer planes. Shared by
     ``ann_lsh_buckets`` and the bucketed semantic-dedup candidate
@@ -825,7 +825,18 @@ def lsh_code_column(embedding: Column | str) -> Column:
     (zip_with NULL-pads a short vector, every projection goes NULL, and
     ALL codes silently collapse to one giant bucket — assert_true fails
     instead; it yields NULL on success, adding 0)."""
-    col = embedding if isinstance(embedding, str) else embedding._jc.toString()
+    # str-only by contract (ADVICE r13): the old Column branch round-
+    # tripped via _jc.toString(), which only survives for bare named
+    # columns — a computed Column or a resolved attribute ("v#123")
+    # would splice unparseable SQL. All callers pass names; fail loud.
+    if not isinstance(embedding, str):
+        raise TypeError(
+            "lsh_code_column requires a column NAME (str); got "
+            f"{type(embedding).__name__} — pass the name of a column "
+            "holding the vector (stage computed vectors with withColumn "
+            "first)"
+        )
+    col = embedding
     weights = _lsh_plane_weights()
     vdec = f"transform({col}, x_1 -> CAST(CAST(x_1 AS STRING) AS DECIMAL(20,10)))"
     terms = []

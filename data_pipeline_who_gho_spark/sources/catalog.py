@@ -88,7 +88,14 @@ _TABLE_MEMO_MAX = 512
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table. Parquet scan → pushdown/pruning come free."""
+    """Read one fixture table. Parquet scan → pushdown/pruning come free.
+
+    Shared-handle contract (memoized): repeated loads of the same table
+    return the IDENTICAL DataFrame object, so a self-join of two
+    load_table results must ``.alias()`` each side and join via string
+    conditions — attribute-style conditions (``a['c'] == b['c']``) on
+    the shared handle would hit AMBIGUOUS_SELF_JOIN or compare a column
+    with itself."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         mtime = os.stat(path).st_mtime_ns

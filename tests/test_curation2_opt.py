@@ -82,3 +82,32 @@ def test_rep_stats_matches_exploded_groupby(spark):
         for doc_id, stats in got.items():
             if doc_id not in want:
                 assert stats == (0, 0, 0)
+
+
+def test_gopher_fractions_guard_short_docs(spark, tmp_path):
+    """r14 (ADVICE r13 high): the array-domain fractions divide by t,
+    which is 0 for docs shorter than n tokens — under the session's
+    ANSI default that raised DIVIDE_BY_ZERO before the when() guard.
+    A corpus containing blank / one-word docs must yield 0.0 fractions
+    for them, not crash."""
+    from data_pipeline_who_gho_spark.plans.curation6 import (
+        gopher_repetition_flags,
+    )
+
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path / "sf")
+    base = spark.read.parquet(f"{src}/documents.parquet")
+    extra = spark.createDataFrame(
+        [(900001, "", "en", "synth", 0), (900002, "word", "en", "synth", 4)],
+        base.schema,
+    )
+    base.unionByName(extra).write.parquet(f"{sf}/documents.parquet")
+
+    rows = {
+        r["doc_id"]: r for r in gopher_repetition_flags(spark, sf).collect()
+    }
+    for doc_id in (900001, 900002):
+        r = rows[doc_id]
+        for c in ("top2_frac", "top3_frac", "top4_frac", "dup5_frac", "dup6_frac"):
+            assert r[c] == 0.0, (doc_id, c, r[c])
+        assert r["keep"] is True
