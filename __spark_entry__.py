@@ -429,12 +429,22 @@ _STALE_SINCE: dict[str, int] = {
     # materialized once; both the encoding and the ADC distance table
     # referenced it, re-running the init-assign + Lloyd chain per
     # consumer (A/B: 2.4 -> 1.8 s). Values identical.
-    "ann_ivf_pq": 13,
-    "ann_pq_rerank": 13,
+    # (ann_ivf_pq / ann_pq_rerank re-annotated at 14 below)
     # r13 OPTIMIZATION: kmv — the deduped (type, user, day) universe and
     # the union sketch are materialized once (were re-evaluated ~7×/3×
     # by the set-algebra joins). Values identical.
-    "kmv_user_day_overlap": 13,
+    # r14: the union-sketch checkpoint is gone again — its three
+    # consumers live in ONE job whose identical window exchanges dedupe
+    # via ReusedExchange, so the eager materialization only serialized
+    # an extra job (A/B 2.75 → 2.2-2.4 s). Values identical.
+    "kmv_user_day_overlap": 14,
+    # r14: the PQ assign/distance-table squared-L2 moved from the
+    # interpreted zip_with/aggregate fold to an unrolled 16-term sum
+    # (same left-associated IEEE order — bit-equality test-pinned in
+    # tests/test_curation2_opt.py; try_element_at keeps NULL-on-short).
+    # A/B: ann_ivf_pq 2.54 → 2.11 s, ann_pq_rerank 2.61 → 2.49 s.
+    "ann_ivf_pq": 14,
+    "ann_pq_rerank": 14,
     # r13 OPTIMIZATION: table_profile spreads the orders scan past the
     # single-row-group fixture packing so the 7-way COUNT(DISTINCT)
     # Expand -> Sort -> SortAggregate chain parallelizes (4.3 -> 1.4 s;

@@ -374,14 +374,31 @@ def main() -> None:
             "comparable"
         )
     med_canary = sorted(headline["canary_sec"])[len(headline["canary_sec"]) // 2]
-    # KEY ORDER MATTERS: the driver records only the TAIL of stdout
-    # (r11's artifact lost the line's head, including metric/value, and
-    # its "parsed" field is null).  Bulk series go FIRST so end-biased
-    # truncation always preserves the summary + vs_prev at the end.
-    print(
-        json.dumps(
+    # TRUNCATION-PROOF ARTIFACT (r14, VERDICT r13 task 2): r12's
+    # committed artifact captured only an unparseable mid-JSON tail of
+    # the ever-growing one-line record, so the driver could not compute
+    # round-over-round numbers (PERF_r13 prev_sec all null).  The
+    # stdout line is now COMPACT (guaranteed well under 4 KB): the
+    # per-attempt entries keep exactly what the matched-calib
+    # comparison needs (queries, totals, calib medians, fast_phase) and
+    # drop the raw calib/canary series, which move to a side file
+    # (.scratch/bench_detail_last.json) for humans.  Same measurements,
+    # same methodology, same keys — only the artifact emission changed.
+    # KEY ORDER still matters: bulk first, summary last, so even an
+    # end-biased truncation preserves metric/value/queries.
+    _SLIM_KEYS = (
+        "queries",
+        "total",
+        "legacy17_total",
+        "r09_18_total",
+        "calib_loop_median",
+        "calib_mp8_median",
+        "fast_phase",
+    )
+    slim_attempts = [{k: a[k] for k in _SLIM_KEYS} for a in attempts]
+    record = (
             {
-                "attempts": attempts,
+                "attempts": slim_attempts,
                 "rebase_note": (
                     "r09 added media_decode_png_stats, r10 added "
                     "crawl_ingest_e2e to the headline set; legacy17_total "
@@ -412,8 +429,19 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
             }
-        )
     )
+    print(json.dumps(record))
+    # full per-attempt series (raw calib/canary readings) for humans —
+    # never needed by the driver's comparison, so it lives off-artifact
+    try:
+        detail_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".scratch"
+        )
+        os.makedirs(detail_dir, exist_ok=True)
+        with open(os.path.join(detail_dir, "bench_detail_last.json"), "w") as fh:
+            json.dump(dict(record, attempts=attempts), fh)
+    except OSError:
+        pass  # detail file is best-effort; the stdout line is the artifact
 
 
 if __name__ == "__main__":

@@ -488,7 +488,7 @@ def _pq_approx(spark: SparkSession, sf_dir: str, topk: int) -> DataFrame:
         # sorted-collect comparison against the window form.
         return (
             cands.join(F.broadcast(cb), "m")
-            .withColumn("d2", _l2(F.col("sub"), F.col("cv")))
+            .withColumn("d2", _l2u("sub", "cv"))
             .groupBy("vec_id", "m")
             .agg(F.min(F.struct("d2", "code", "sub")).alias("w"))
             .select(
@@ -531,7 +531,7 @@ def _pq_approx(spark: SparkSession, sf_dir: str, topk: int) -> DataFrame:
     dtable = (
         queries.join(F.broadcast(cb1), "m")
         .withColumn(
-            "d2_fx", F.floor(_l2(F.col("qsub"), F.col("cv")) * _PQ_FX)
+            "d2_fx", F.floor(_l2u("qsub", "cv") * _PQ_FX)
         )
         .select("query_id", "m", "code", "d2_fx")
     )
@@ -555,6 +555,27 @@ def _l2(a, b):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def _l2u(a: str, b: str, n: int = _PQ_W) -> F.Column:
+    """Squared L2 over fixed-width array columns, UNROLLED to plain
+    arithmetic (r14, guide §1.2 per-task work): the higher-order
+    zip_with/aggregate pair in :func:`_l2` is CodegenFallback —
+    interpreted per element — and dominated the PQ assign stage (A/B on
+    the 512k-pair assign projection: 0.445 → 0.213 s).  The unrolled
+    ``0.0 + t1 + … + tn`` is the same left-associated IEEE addition
+    order as the fold, so the doubles are bit-identical (full-corpus
+    equality verified, and pinned in tests/test_curation2_opt.py);
+    ``try_element_at`` keeps zip_with's NULL-on-short-array semantics
+    under ANSI (a malformed short vector yields NULL, not an error).
+    Arrays longer than ``n`` would NULL the fold but not the unrolled
+    form — impossible here: every caller slices/collects exactly n."""
+    terms = " + ".join(
+        f"(try_element_at({a}, {i}) - try_element_at({b}, {i}))"
+        f" * (try_element_at({a}, {i}) - try_element_at({b}, {i}))"
+        for i in range(1, n + 1)
+    )
+    return F.expr(f"CAST(0.0 AS DOUBLE) + {terms}")
 
 
 _PQ_D2 = "list_sum(list_transform(list_zip({a}, {b}), x -> (x[1]-x[2])*(x[1]-x[2])))"

@@ -484,10 +484,16 @@ def kmv_user_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["type_a", "type_b", "user_id", "day"])
     )
     wu = Window.partitionBy("type_a", "type_b").orderBy("h", "user_id", "day")
-    # ≤ k·pairs rows, referenced three times — materialize once (r13)
+    # ≤ k·pairs rows, referenced three times.  r14: the r13 eager
+    # checkpoint here is GONE — all three consumers sit in the ONE
+    # final job, whose identical window exchanges dedupe via
+    # ReusedExchange off the checkpointed universe, so the blocking
+    # materialization only serialized an extra job (A/B: 2.75 →
+    # 2.2-2.4 s; the ded checkpoint above still pays for itself — its
+    # 7 references span the scan+dedup exchange)
     usk = pu.withColumn("rn", F.row_number().over(wu)).filter(
         F.col("rn") <= _KMV_K
-    ).localCheckpoint(eager=True)
+    )
     member = ded.select("event_type", "user_id", "day")
     in_a = usk.join(
         member.alias("ma"),

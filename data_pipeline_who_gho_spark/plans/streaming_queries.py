@@ -79,7 +79,9 @@ def _events_stream(
     return stream, stage
 
 
-def _dup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dup_events_stream(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, str]:
     """Events plus re-injected duplicates (every event_id % 5 == 0),
     staged as ONE file → one micro-batch; shared by both dedup demos."""
     def write(path: str) -> None:
@@ -89,50 +91,147 @@ def _dup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.unionByName(ev.filter(F.col("event_id") % 5 == 0)).coalesce(1).write.parquet(path)
 
     stage = _staged_write(spark, "dup", sf_dir, write)
-    return spark.readStream.schema(_EVENT_SCHEMA).parquet(stage)
+    return spark.readStream.schema(_EVENT_SCHEMA).parquet(stage), stage
 
 
-# State-store partition count for the stateful queries below (r13, guide
-# §2.6/§5): stateful operators pin their partitioning to
+# State-store partition count for the stateful queries below (r13/r14,
+# guide §2.6/§5): stateful operators pin their partitioning to
 # spark.sql.shuffle.partitions at FIRST query start and AQE never
 # coalesces stateful stages, so every micro-batch pays a constant-cost
 # store open/commit (delta-file write + fsync) PER PARTITION PER STORE —
 # a stream-stream join carries four stores per partition, i.e. 128
 # commits per batch at 32 partitions for milliseconds of actual join
-# compute. These availableNow single-batch backfills hold tiny per-key
-# state, so fewer, larger state partitions amortize that fixed cost:
-# measured (fresh JVM per config, warm passes) stream_stream_join
-# 8.8 s @ 32 -> 3.2 s @ 8 -> 2.8 s @ 4; the residual ~2.6 s is
-# StreamExecution start + commit-log floor. 8 keeps the shuffle wide
-# enough that compute still spreads; a continuous production stream
-# with real state volume raises this via env. Never raised above the
-# session's shuffle setting, so low-core bench runs keep their shape.
-_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+# compute (measured r13: stream_stream_join 8.8 s @ 32 -> 3.2 s @ 8).
+# r14 (VERDICT r13 task 7): the constant 8 becomes scale-adaptive — it
+# stays the LOCAL bound (an r14 interleaved partition matrix at 1/4/8
+# with the no-data batch disabled measured every family query flat
+# within ±0.2 s, so 8 keeps the r13-measured shape) but a bound DERIVED
+# FROM INPUT VOLUME raises it toward the session setting when real
+# stream volume arrives: one extra state partition per 32 MB of staged
+# batch input.  That removes the r13 skew/throughput cliff ("8 forever
+# unless the operator knows the env var"): production volume raises the
+# count automatically, the env override still wins when set, and the
+# bound never exceeds the session's shuffle setting, so low-core bench
+# runs keep their shape.
+_STATE_PARTITIONS_ENV = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+_STATE_BYTES_PER_PARTITION = 32 << 20
+_STATE_PARTITIONS_LOCAL = 8
 
 
-def _run_to_df(spark: SparkSession, out: DataFrame, mode: str = "complete") -> DataFrame:
-    name = "q" + uuid.uuid4().hex[:10]
-    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt-{name}")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(min(_STATE_PARTITIONS, int(prev))),
+def _derived_state_partitions(
+    session_parts: int, input_bytes: int | None, compute_floor: int = 1
+) -> int:
+    """``compute_floor`` keeps a parallelism floor for queries whose
+    per-batch work is real compute (the Python-stateful operator:
+    ~4.5 s of serial pandas at one partition vs 1.6 s at eight,
+    measured) — the state-commit cost argument only wins when the
+    batch work is milliseconds."""
+    if _STATE_PARTITIONS_ENV:
+        return min(int(_STATE_PARTITIONS_ENV), session_parts)
+    base = min(_STATE_PARTITIONS_LOCAL, session_parts)
+    if input_bytes is None:
+        return max(base, min(compute_floor, session_parts))
+    derived = -(-input_bytes // _STATE_BYTES_PER_PARTITION)  # ceil div
+    return max(
+        base, min(derived, session_parts), min(compute_floor, session_parts)
     )
+
+
+def _dir_bytes(path: str) -> int:
+    """Total bytes under a staging dir (flat — staging writes are flat)."""
     try:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-    finally:
-        # restored after start(): the partition count is captured into the
-        # query's offset/commit planning at start, and the session is
-        # driven sequentially (bench/gate), so nothing else plans under
-        # the temporary setting
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        with os.scandir(path) as it:
+            return sum(e.stat().st_size for e in it if e.is_file())
+    except OSError:
+        return 0
+
+
+def _ckpt_base() -> str:
+    """Checkpoint base dir for the availableNow one-shot queries.
+
+    Their checkpoints are deleted the moment the query terminates (see
+    _run_to_df) — recoverability is not part of this contract — so the
+    default prefers a RAM-backed tmpfs over disk, skipping the per-batch
+    offset/commit/state-delta fsync cost entirely (guide §6; the floor
+    decomposition showed the HDFS-backed checkpoint writes dominate
+    these ms-of-compute batches).  A continuous production stream sets
+    $SPARK_GRAFT_STREAM_CKPT_DIR to durable storage and keeps the
+    checkpoint."""
+    base = os.environ.get("SPARK_GRAFT_STREAM_CKPT_DIR")
+    if base:
+        return base
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        return "/dev/shm"
+    return tempfile.gettempdir()
+
+
+# The shuffle-partition override below mutates a session-global conf for
+# the set -> start() window; concurrent batch-plan construction on other
+# threads (the §2.7 concurrent materializations elsewhere in the repo)
+# must not plan under the reduced count (ADVICE r13 low).  All streaming
+# starts serialize on this lock; batch threads never reduce the conf, so
+# holding it only here is sufficient.
+_STREAM_CONF_LOCK = threading.Lock()
+
+
+def _run_to_df(
+    spark: SparkSession,
+    out: DataFrame,
+    mode: str = "complete",
+    input_bytes: int | None = None,
+    compute_floor: int = 1,
+    no_data_batch: bool = False,
+) -> DataFrame:
+    name = "q" + uuid.uuid4().hex[:10]
+    ckpt = os.path.join(_ckpt_base(), f"ckpt-{name}")
+    # no-data micro-batches (r14, measured): after the data batch,
+    # availableNow runs one more empty batch purely to finalize the
+    # watermark and evict state — 0.7 s of addBatch+planning on the
+    # stream-stream join for state the terminating query is about to
+    # discard.  Every registered streaming query emits its rows in the
+    # DATA batch (complete/update modes re-emit per batch; the append
+    # dedups and the inner interval join emit on arrival; nothing uses
+    # GroupStateTimeout or watermark-triggered append aggregation), so
+    # the finalize batch is pure overhead here.  A future append-mode
+    # windowed aggregation — whose output only materializes when the
+    # watermark passes — must pass no_data_batch=True.
+    confs = {
+        "spark.sql.shuffle.partitions": str(
+            _derived_state_partitions(
+                int(spark.conf.get("spark.sql.shuffle.partitions")),
+                input_bytes,
+                compute_floor,
+            )
+        ),
+        "spark.sql.streaming.noDataMicroBatches.enabled": (
+            "true" if no_data_batch else "false"
+        ),
+    }
+    with _STREAM_CONF_LOCK:
+        prev: dict[str, str | None] = {}
+        for k, v in confs.items():
+            # get(k, None) is None when the conf was never explicitly
+            # set — restore then UNSETs instead of pinning the default
+            prev[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
+        try:
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+        finally:
+            # restored after start(): the confs are captured into the
+            # query at start (StreamExecution clones the session in its
+            # constructor)
+            for k, old in prev.items():
+                if old is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, old)
     try:
         finished = q.awaitTermination(300)
         if not finished:
@@ -149,9 +248,9 @@ def _run_to_df(spark: SparkSession, out: DataFrame, mode: str = "complete") -> D
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked 1-hour tumbling windows over the event stream."""
-    stream, _ = _events_stream(spark, sf_dir)
+    stream, stage = _events_stream(spark, sf_dir)
     out = stream_event_counts(stream, window="1 hour", watermark="2 hours")
-    res = _run_to_df(spark, out)
+    res = _run_to_df(spark, out, input_bytes=_dir_bytes(stage))
     return res.select(
         "window_start",
         "window_end",
@@ -183,11 +282,11 @@ def stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked 2-hour windows hopping every hour: each event counts
     toward exactly TWO overlapping windows. Oracle: replicate the window
     assignment in batch SQL (start = hour-trunc minus 0 or 1 hours)."""
-    stream, _ = _events_stream(spark, sf_dir)
+    stream, stage = _events_stream(spark, sf_dir)
     out = _hopping_counts(
         stream, window="2 hours", slide="1 hour", watermark="2 hours"
     )
-    return _run_to_df(spark, out).select(
+    return _run_to_df(spark, out, input_bytes=_dir_bytes(stage)).select(
         "window_start", "window_end", "event_type", "n_events"
     )
 
@@ -209,9 +308,9 @@ FROM assigned GROUP BY 1, 2, 3
 def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (30-min gap) on the stream; oracle = the
     batch window-function sessionization (same gap logic in SQL)."""
-    stream, _ = _events_stream(spark, sf_dir)
+    stream, stage = _events_stream(spark, sf_dir)
     out = stream_session_windows(stream, gap="30 minutes", watermark="4 hours")
-    res = _run_to_df(spark, out)
+    res = _run_to_df(spark, out, input_bytes=_dir_bytes(stage))
     return res.select("user_id", "session_start", "session_end", "n_events")
 
 
@@ -319,7 +418,13 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .option("maxFilesPerTrigger", 3)
                 .parquet(stage)
             )
-            ckpt = os.path.join(base, f"ckpt-{replay}")
+            # ephemeral like _run_to_df's: the whole base dir is removed
+            # atexit and the replay leg deliberately starts FRESH — RAM-
+            # backed ckpt skips the per-batch offset/commit fsync cost
+            ckpt = os.path.join(
+                _ckpt_base(), f"ckpt-feb-{os.path.basename(base)}-{replay}"
+            )
+            _CLEANUP_PATHS.add(ckpt)
             q = (
                 stream.writeStream.foreachBatch(apply_batch)
                 .trigger(availableNow=True)
@@ -368,13 +473,15 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     here (one batch), but a continuous stream should either include the
     event-time column in the keys or use
     ``dropDuplicatesWithinWatermark`` to get bounded state."""
-    stream = _dup_events_stream(spark, sf_dir)
+    stream, stage = _dup_events_stream(spark, sf_dir)
     deduped = (
         stream.withWatermark("ts", "2 hours")
         .dropDuplicates(["event_id"])
         .select("event_id", "user_id", "event_type")
     )
-    return _run_to_df(spark, deduped, mode="append")
+    return _run_to_df(
+        spark, deduped, mode="append", input_bytes=_dir_bytes(stage)
+    )
 
 
 STREAM_DEDUP_SQL = """
@@ -391,13 +498,15 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     event time as their originals, so they fall inside any delay and
     the single-batch result is exactly the distinct set (same oracle
     as the unbounded form)."""
-    stream = _dup_events_stream(spark, sf_dir)
+    stream, stage = _dup_events_stream(spark, sf_dir)
     deduped = (
         stream.withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type")
     )
-    return _run_to_df(spark, deduped, mode="append")
+    return _run_to_df(
+        spark, deduped, mode="append", input_bytes=_dir_bytes(stage)
+    )
 
 
 STREAM_DEDUP_WWM_SQL = STREAM_DEDUP_SQL
@@ -412,7 +521,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     state finite). Single-file staging → one micro-batch, so no
     first-occurrence is dropped as late and the oracle is the identical
     batch interval join."""
-    stream, _ = _events_stream(spark, sf_dir)
+    stream, stage = _events_stream(spark, sf_dir)
     signups = (
         stream.filter(F.col("event_type") == "signup")
         .select(
@@ -444,7 +553,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "signup_ts",
         "purchase_ts",
     )
-    return _run_to_df(spark, joined, mode="append")
+    return _run_to_df(
+        spark, joined, mode="append", input_bytes=_dir_bytes(stage)
+    )
 
 
 STREAM_STREAM_JOIN_SQL = """
@@ -466,7 +577,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension-enrichment topology. Counts are order-independent (exact
     on the stream); the value total is re-derived batch-side in exact
     decimals like stream_tumbling_counts."""
-    stream, _ = _events_stream(spark, sf_dir)
+    stream, stage = _events_stream(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
@@ -474,7 +585,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = enriched.groupBy(
         F.window("ts", "1 day").alias("w"), F.col("c_mktsegment")
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    res = _run_to_df(spark, out).select(
+    res = _run_to_df(spark, out, input_bytes=_dir_bytes(stage)).select(
         F.col("w.start").alias("day"), "c_mktsegment", "n_events"
     )
     totals = (
@@ -515,7 +626,7 @@ def stream_paged_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("page_size", "2")
         .load()
     )
-    return _run_to_df(spark, stream, mode="append")
+    return _run_to_df(spark, stream, mode="append", input_bytes=0)
 
 
 STREAM_PAGED_SQL = """
@@ -538,8 +649,17 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_tumbling_counts."""
     from ..streaming.stateful import running_user_totals
 
-    stream, _ = _events_stream(spark, sf_dir, single_file=True)
-    res = _run_to_df(spark, running_user_totals(stream), mode="update")
+    stream, stage = _events_stream(spark, sf_dir, single_file=True)
+    res = _run_to_df(
+        spark,
+        running_user_totals(stream),
+        mode="update",
+        input_bytes=_dir_bytes(stage),
+        # per-batch work here is real Python compute (pandas per user
+        # group), not ms of JVM state commits — floor the partitions so
+        # the stateful stage parallelizes (4.7 s serial vs 1.6 s at 8)
+        compute_floor=8,
+    )
     exact_total = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")

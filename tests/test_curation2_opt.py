@@ -111,3 +111,43 @@ def test_gopher_fractions_guard_short_docs(spark, tmp_path):
         for c in ("top2_frac", "top3_frac", "top4_frac", "dup5_frac", "dup6_frac"):
             assert r[c] == 0.0, (doc_id, c, r[c])
         assert r["keep"] is True
+
+
+def test_l2_unrolled_bit_identical_to_fold(spark):
+    """r14: the unrolled squared-L2 (whole-stage-codegen-able) must
+    produce BIT-IDENTICAL values to the zip_with/aggregate fold it
+    replaced in the PQ assign — same left-associated IEEE addition
+    order.  (The 64-dim kmeans/rerank recipes KEEP the fold: the
+    unrolled form A/B'd slower in those full plans — see
+    OPTIMIZATION_r14.md.)"""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_who_gho_spark.functions import vectors as VEC
+    from data_pipeline_who_gho_spark.plans import curation2 as c2
+    from data_pipeline_who_gho_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", VEC.as_double("embedding").alias("v")
+    )
+
+    # 16-dim PQ recipe (curation2 subvectors)
+    subs = c2._subvectors(emb)
+    sother = subs.select(
+        (F.col("vec_id") + 1).alias("vec_id"), "m", F.col("sub").alias("cv")
+    )
+    spairs = subs.join(sother, ["vec_id", "m"])
+    assert spairs.count() > 100
+    bad = spairs.select(
+        (c2._l2(F.col("sub"), F.col("cv")) == c2._l2u("sub", "cv")).alias("e")
+    ).filter(~F.col("e")).count()
+    assert bad == 0
+
+    # NULL-on-short-array semantics preserved (ANSI-safe)
+    short = spark.createDataFrame(
+        [([1.0, 2.0], [1.0, 2.0, 3.0])], "a array<double>, b array<double>"
+    )
+    r = short.select(
+        c2._l2u("a", "b", n=3).alias("u"),
+        c2._l2(F.col("a"), F.col("b")).alias("f"),
+    ).collect()[0]
+    assert r["u"] is None and r["f"] is None

@@ -146,22 +146,51 @@ def test_foreachbatch_upsert_idempotent_merge(spark):
 
 
 def test_run_to_df_bounds_state_partitions_and_restores_conf(spark):
-    """r13 optimization guard: stateful queries run with the bounded
+    """r13/r14 optimization guard: stateful queries run with the bounded
     state-partition count (store commits are per-partition fixed cost;
     OPTIMIZATION_r13.md) while the session conf is restored for batch
     work, and the result is partition-count-independent."""
     from data_pipeline_who_gho_spark.plans.streaming_queries import (
-        _STATE_PARTITIONS,
         stream_dedup_events,
     )
 
     sf = "/root/testdata/sf0.001"
     before = spark.conf.get("spark.sql.shuffle.partitions")
+    nodata_before = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", None
+    )
     out = stream_dedup_events(spark, sf)
-    # conf restored for subsequent batch planning
+    # confs restored for subsequent batch planning
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert (
+        spark.conf.get(
+            "spark.sql.streaming.noDataMicroBatches.enabled", None
+        )
+        == nodata_before
+    )
     # the memory-sink table holds the exact distinct set regardless of
     # how many state partitions the dedup ran with
     n = out.count()
     assert n == out.select("event_id").distinct().count()
-    assert _STATE_PARTITIONS <= int(before) or int(before) < 8
+
+
+def test_derived_state_partitions_scale_adaptive():
+    """r14: the state-partition bound is volume-adaptive — the local
+    floor at tiny input, rising with staged bytes, never above the
+    session setting, env override wins."""
+    import data_pipeline_who_gho_spark.plans.streaming_queries as SQ
+
+    d = SQ._derived_state_partitions
+    assert d(200, 3 << 20) == SQ._STATE_PARTITIONS_LOCAL  # tiny input
+    assert d(200, 100 << 30) == 200          # huge input -> session cap
+    assert d(200, 640 << 20) == 20           # 640 MB -> 20 partitions
+    assert d(4, 640 << 20) == 4              # never above session
+    assert d(200, None, compute_floor=8) == 8
+    assert d(200, 3 << 20, compute_floor=32) == 32  # python floor wins
+    old = SQ._STATE_PARTITIONS_ENV
+    try:
+        SQ._STATE_PARTITIONS_ENV = "16"
+        assert d(200, 3 << 20) == 16         # env override
+        assert d(8, 3 << 20) == 8            # env still session-capped
+    finally:
+        SQ._STATE_PARTITIONS_ENV = old

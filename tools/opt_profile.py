@@ -1,12 +1,12 @@
-"""Round-13 optimization profiler (guide §1).
+"""Optimization-round profiler (guide §1).
 
 Times individual queries end-to-end with the noop sink (same methodology
 as bench.py: best-of-N interleaved), labels jobs, and dumps
-``explain('formatted')`` to plans/r13/<query>_<tag>.txt.
+``explain('formatted')`` to plans/<round>/<query>_<tag>.txt.
 
 Usage:
   python tools/opt_profile.py [--sf SF_DIR] [--reps N] [--tag before]
-                              [--explain-only] [query ...]
+                              [--round r14] [--explain-only] [query ...]
 
 Defaults to the bench HEADLINE set at sf0.1.
 """
@@ -34,7 +34,8 @@ def main() -> None:
     ap.add_argument("queries", nargs="*")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--tag", default=None, help="when set, write plans/r13/<q>_<tag>.txt")
+    ap.add_argument("--tag", default=None, help="when set, write plans/<round>/<q>_<tag>.txt")
+    ap.add_argument("--round", default="r14", dest="round_dir")
     ap.add_argument("--explain-only", action="store_true")
     args = ap.parse_args()
 
@@ -45,7 +46,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
-    plandir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    plandir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", args.round_dir)
     os.makedirs(plandir, exist_ok=True)
 
     # warm: page cache + parquet footers + codegen, mirroring bench.py
@@ -68,7 +69,7 @@ def main() -> None:
 
     for _ in range(args.reps):
         for name in names:
-            spark.sparkContext.setJobDescription(f"opt13:{name}")
+            spark.sparkContext.setJobDescription(f"opt:{name}")
             t0 = time.time()
             force(queries[name](spark, args.sf))
             timings[name] = min(timings[name], time.time() - t0)
