@@ -383,9 +383,26 @@ def crossmodal_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the image pass needs ids only — text stays out of its Arrow batches
     ids = spread_for_python(_corpus(spark, sf_dir).select("doc_id"))
 
-    fp = ids.mapInPandas(
-        fingerprint, "doc_id BIGINT, band INT, val BIGINT"
-    ).localCheckpoint(eager=True)
+    # r14 (guide §2.7): the image-fingerprint pass and the text-chunk
+    # pass are INDEPENDENT Python-heavy pipelines; eagerly checkpointing
+    # them back-to-back serialized two cluster-underfilling jobs.  Two
+    # threads submit both at once and the scheduler interleaves the
+    # idle slots — same plans, same rows, submission order only.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fp() -> DataFrame:
+        return ids.mapInPandas(
+            fingerprint, "doc_id BIGINT, band INT, val BIGINT"
+        ).localCheckpoint(eager=True)
+
+    def _ch() -> DataFrame:
+        return corpus.mapInPandas(
+            chunk_rows, "doc_id BIGINT, chunk_md5 STRING"
+        ).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fp_f, ch_f = ex.submit(_fp), ex.submit(_ch)
+        fp, ch = fp_f.result(), ch_f.result()
     a, b = fp.alias("a"), fp.alias("b")
     img_pairs = (
         a.join(
@@ -400,9 +417,6 @@ def crossmodal_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
 
-    ch = corpus.mapInPandas(
-        chunk_rows, "doc_id BIGINT, chunk_md5 STRING"
-    ).localCheckpoint(eager=True)
     text_pairs = _text_containment_pairs(ch)
 
     # union + one hash agg instead of a FULL OUTER join: Spark cannot

@@ -360,7 +360,12 @@ def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = spread_by_hash(_corpus2(spark, sf_dir), "doc_id").localCheckpoint(
         eager=True
     )
-    tok = _token_rows(corpus).localCheckpoint(eager=True)
+    # r14: the r13 token-table checkpoint is gone — the coverage mark is
+    # its ONLY consumer, so eagerly materializing it just serialized an
+    # extra job ahead of the final one (A/B: 3.06 → see
+    # OPTIMIZATION_r14.md); the k-gram table keeps its checkpoint (two
+    # consumers of the expensive md5-per-k-gram projection).
+    tok = _token_rows(corpus)
     w = Window.partitionBy("doc_id").orderBy("pos")
     kgrams = _kgram_rows_arr(corpus).localCheckpoint(eager=True)
     okey = _okey()

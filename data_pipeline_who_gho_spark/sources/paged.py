@@ -144,7 +144,22 @@ def fetch_with_checkpoint(
     processed = 0
     for bi in range(start_batch, len(batches)):
         kdf = spark.createDataFrame([(k,) for k in batches[bi]], "key STRING")
-        df = fetch_paged(spark, kdf, fetcher, schema, page_size=page_size)
+        # r14 (guide §4.5/§2.6): cap fetch parallelism at the batch's key
+        # count — the default spread to defaultParallelism spawned a
+        # Python worker per partition, most of them EMPTY for small
+        # batches (the fetch is one task per key at most). At scale
+        # (keys >= cores) this is the same defaultParallelism as before.
+        df = fetch_paged(
+            spark,
+            kdf,
+            fetcher,
+            schema,
+            page_size=page_size,
+            num_partitions=max(
+                1,
+                min(len(batches[bi]), spark.sparkContext.defaultParallelism),
+            ),
+        )
         if sink is not None:
             sink(df, bi)
         else:

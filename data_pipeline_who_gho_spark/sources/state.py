@@ -20,7 +20,7 @@ import shutil
 import uuid
 from datetime import datetime, timezone
 
-from pyspark.sql import Row, SparkSession
+from pyspark.sql import SparkSession
 
 
 class EtlStateRepository:
@@ -31,32 +31,73 @@ class EtlStateRepository:
         self.path = os.path.join(state_dir, "etl_state")
 
     # -- internals ---------------------------------------------------------
+    #
+    # r14 (guide §5 — the driver should do no data work, and state is
+    # O(processes), never data-sized): reads/writes go through pyarrow
+    # on the DRIVER instead of Spark jobs.  The old path paid a full
+    # createDataFrame + coalesce(1) write job per set_* call and a scan
+    # job + collect per get — ~2 cluster jobs per state touch, ~10+ per
+    # checkpointed fetch (measured: most of etl_checkpoint_resume's
+    # wall time).  Same parquet layout on disk (one directory, one
+    # part file, identical column names/types incl. the µs UTC
+    # timestamp), so Spark-side readers of the state table
+    # (etl_state_bootstrap's oracle surface) see the same schema, and
+    # the atomic directory swap keeps the single-writer guarantee.
+
+    _ARROW_SCHEMA = None  # built lazily (pyarrow import cost)
+
+    @classmethod
+    def _schema(cls):
+        import pyarrow as pa
+
+        if cls._ARROW_SCHEMA is None:
+            cls._ARROW_SCHEMA = pa.schema(
+                [
+                    pa.field("process_name", pa.string()),
+                    pa.field("last_successful_run_at", pa.timestamp("us", tz="UTC")),
+                    pa.field("checkpoint_state", pa.string()),
+                ]
+            )
+        return cls._ARROW_SCHEMA
 
     def _read_all(self) -> dict[str, dict]:
+        import pyarrow.parquet as pq
+
         if not os.path.exists(self.path):
             return {}
-        rows = self.spark.read.parquet(self.path).collect()
-        return {
-            r["process_name"]: {
-                "last_successful_run_at": r["last_successful_run_at"],
+        table = pq.read_table(self.path)
+        out: dict[str, dict] = {}
+        for r in table.to_pylist():
+            ts = r["last_successful_run_at"]
+            out[r["process_name"]] = {
+                "last_successful_run_at": ts,
                 "checkpoint_state": json.loads(r["checkpoint_state"]) if r["checkpoint_state"] else None,
             }
-            for r in rows
-        }
+        return out
 
     def _write_all(self, states: dict[str, dict]) -> None:
-        rows = [
-            Row(
-                process_name=k,
-                last_successful_run_at=v.get("last_successful_run_at"),
-                checkpoint_state=json.dumps(v["checkpoint_state"]) if v.get("checkpoint_state") else None,
-            )
-            for k, v in states.items()
-        ]
-        schema = "process_name STRING, last_successful_run_at TIMESTAMP, checkpoint_state STRING"
-        df = self.spark.createDataFrame(rows, schema)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def _utc(ts):
+            if ts is None:
+                return None
+            return ts if ts.tzinfo else ts.replace(tzinfo=timezone.utc)
+
+        table = pa.Table.from_pylist(
+            [
+                {
+                    "process_name": k,
+                    "last_successful_run_at": _utc(v.get("last_successful_run_at")),
+                    "checkpoint_state": json.dumps(v["checkpoint_state"]) if v.get("checkpoint_state") else None,
+                }
+                for k, v in states.items()
+            ],
+            schema=self._schema(),
+        )
         tmp = self.path + ".tmp-" + uuid.uuid4().hex[:8]
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
         old = self.path + ".old-" + uuid.uuid4().hex[:8]
         if os.path.exists(self.path):
             os.rename(self.path, old)
