@@ -927,7 +927,30 @@ FROM codes GROUP BY bucket
 _LSH_SEARCH_BITS = 6  # search buckets = low 6 code bits (~N/64 per cell)
 
 
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_coded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (vec_id, v, bucket) relation shared by the LSH searches:
+    spread past the single-row-group scan (see ann_lsh_buckets note),
+    16-plane code folded mod 2^bits, materialized ONCE — query and
+    candidate sides read the checkpointed blocks instead of re-running
+    the decimal projection per join side (r13; rows identical).  r14:
+    extracted so ann_recall_report can share one build across the
+    single-probe and multi-probe methods (both build the identical
+    relation)."""
+    emb = spread_by_hash(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", VEC.as_double("embedding").alias("v")
+        ),
+        "vec_id",
+    )
+    coded = emb.withColumn(
+        "bucket", lsh_code_column("embedding") % F.lit(1 << _LSH_SEARCH_BITS)
+    ).select("vec_id", "v", "bucket")
+    return coded.localCheckpoint(eager=True)
+
+
+def ann_lsh_topk(
+    spark: SparkSession, sf_dir: str, _coded: DataFrame | None = None
+) -> DataFrame:
     """LSH-bucketed approximate search — the hash-based alternative to
     the IVF cell probe: each query scans only the vectors sharing its
     low-{bits} hyperplane code (≈ N/2^bits candidates), cosine top-3.
@@ -947,20 +970,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     as literals); search shuffles once on the bucket id. A query with
     an empty bucket (minus self) simply yields < k rows — the honest
     LSH failure mode, visible in the recall report."""
-    # spread past the single-row-group scan (see ann_lsh_buckets note)
-    emb = spread_by_hash(
-        load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", "embedding", VEC.as_double("embedding").alias("v")
-        ),
-        "vec_id",
-    )
-    coded = emb.withColumn(
-        "bucket", lsh_code_column("embedding") % F.lit(1 << _LSH_SEARCH_BITS)
-    ).select("vec_id", "v", "bucket")
-    # materialize the coding once: query and candidate sides both read
-    # the checkpointed blocks instead of re-running the 16-plane decimal
-    # projection per join side (r13; rows identical)
-    coded = coded.localCheckpoint(eager=True)
+    coded = _coded if _coded is not None else _lsh_coded(spark, sf_dir)
     q = coded.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -1009,7 +1019,9 @@ QUALIFY rank <= 3
 """
 
 
-def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_lsh_multiprobe(
+    spark: SparkSession, sf_dir: str, _coded: DataFrame | None = None
+) -> DataFrame:
     """Multi-probe LSH search — the standard remedy for single-probe
     LSH's recall collapse (measured ~0.07 by ``ann_recall_report``):
     each query also probes every bucket at Hamming distance 1 from its
@@ -1022,20 +1034,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     would nested-loop the corpus. Candidates stay disjoint across
     probes (each vector lives in exactly one bucket), so no dedup pass
     is needed before ranking."""
-    # spread past the single-row-group scan (see ann_lsh_buckets note)
-    emb = spread_by_hash(
-        load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", "embedding", VEC.as_double("embedding").alias("v")
-        ),
-        "vec_id",
-    )
-    coded = emb.withColumn(
-        "bucket", lsh_code_column("embedding") % F.lit(1 << _LSH_SEARCH_BITS)
-    ).select("vec_id", "v", "bucket")
-    # materialize the coding once: query and candidate sides both read
-    # the checkpointed blocks instead of re-running the 16-plane decimal
-    # projection per join side (r13; rows identical)
-    coded = coded.localCheckpoint(eager=True)
+    coded = _coded if _coded is not None else _lsh_coded(spark, sf_dir)
     masks = F.array(*[F.lit(m).cast("long") for m in
                       [0] + [1 << b for b in range(_LSH_SEARCH_BITS)]])
     q = (
