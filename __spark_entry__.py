@@ -422,8 +422,16 @@ _STALE_SINCE: dict[str, int] = {
     # times, each re-running the lineitem self-join). Values identical
     # for all four.
     "duplicate_spans": 13,
-    "remove_duplicate_spans": 13,
+    # r14: remove_duplicate_spans drops the r13 token-table checkpoint
+    # (single consumer — the eager materialization only serialized an
+    # extra job; A/B 3.06 → 2.54 s). Values identical.
+    "remove_duplicate_spans": 14,
     "ngram_novelty": 13,
+    # r14: etl_checkpoint_resume's fetch parallelism is capped at the
+    # batch's key count (was defaultParallelism empty-worker spin-up)
+    # and the etl_state repository moved to driver-local pyarrow IO
+    # (same parquet layout; ~10 cluster jobs gone). Values identical.
+    "etl_checkpoint_resume": 14,
     "triangle_cosupply": 13,
     # r13 OPTIMIZATION: PQ family — the refined codebook (64 rows) is
     # materialized once; both the encoding and the ADC distance table
