@@ -325,152 +325,40 @@ _PRIORITY = [
 # and prints the queries that belong here; run it before each round's
 # final commit, annotate, then `--update` the baseline.
 _STALE_SINCE: dict[str, int] = {
-    # (r12's four entries — pdf_text_extract_stats, crawl_pdf_funnel,
-    # mpeg1_layer{1,2}_* — self-cleared when CORRECTNESS_r12.json
-    # re-greened them; pruned at round-13 open.  A self-cleared entry is
-    # a SUCCESS state, not a test failure: `tests/test_registry.py`
-    # verifies only that _effective_green reads cleared entries as live
-    # green, and `python tools/round_open.py` owns the non-zero-exit
-    # "prune now" demand — VERDICT r12 task 1.)
-    # r13: operators/pdf.py gained simple-font /Encoding decoding,
-    # mixed classic/stream /Prev chain hops (+/XRefStm), winner-aware
-    # ObjStm expansion (ADVICE r12 high/low), and the no-UTF-16-guess
-    # hex rule (ADVICE r12 medium); the extract fixture now cycles
-    # FOUR layouts by doc_id%4 (new simplefont/hybrid values — plan +
-    # oracle changed), and the funnel shares the changed reader —
-    # both must re-earn a green row
-    "pdf_text_extract_stats": 13,
-    "crawl_pdf_funnel": 13,
-    # r13: operators/avro.py gained the snappy block codec (new
-    # operators/snappy.py raw-format codec + per-block CRC32 trailer)
-    # and current-namespace-first named-type resolution (ADVICE r12);
-    # the fixture's codec now rotates by shard%3 adding 'snappy'
-    # shards (plan + oracle changed) — must re-earn a green row
-    "avro_complex_scan_stats": 13,
-    # r13 OPTIMIZATION: simhash_fingerprints switched from 64 SUM(CASE)
-    # vote aggregates to 32 SWAR lane sums (two bit positions per
-    # aggregate; OPTIMIZATION_r13.md) — bit-identical output (proved by
-    # sorted-collect equality and the unchanged md5-recipe oracle), but
-    # the aggregate tree changed, so both fingerprint consumers must
-    # re-earn a green row.  (The minhash/lsh_code_column expr-string
-    # rebuilds in the same commit are analyzed-plan-identical — zero
-    # drift — and are deliberately NOT listed.)
-    "dedup_simhash": 13,
-    "simhash_neardup_pairs": 13,
-    # r13 OPTIMIZATION: text_stats/text_lang_summary compute the same TX
-    # kernel values through staged projections (split + per-language
-    # stopword filter evaluated ONCE per row instead of up to 4×) over a
-    # spread scan — values identical, plan restructured
-    "text_stats": 13,
-    "text_lang_summary": 13,
-    # r13 OPTIMIZATION: agg_pricing_summary spreads the filtered,
-    # projected lineitem rows past the single-row-group fixture scan so
-    # the decimal partial aggregation parallelizes (values identical;
-    # no-op at production scale via the spread_by_hash guard)
-    "agg_pricing_summary": 13,
-    # r13 OPTIMIZATION: ann_cosine_topk precomputes per-row norms before
-    # the pair join (same doubles, same operations — values identical)
-    # and spreads the probe side; ann_recall_report composes it
-    "ann_cosine_topk": 13,
-    "ann_recall_report": 13,
-    # r13 OPTIMIZATION: embed_neardup_pairs hoists per-row norms out of
-    # the all-pairs join and spreads the nested-loop probe side (66 s ->
-    # ~1.5 s at sf0.1); same doubles, same operations, values identical
-    "embed_neardup_pairs": 13,
-    # r13 OPTIMIZATION: LSH search family — embeddings spread past the
-    # single-row-group scan before code assignment; topk/multiprobe/
-    # multitable additionally materialize the coded relation once
-    # (localCheckpoint) instead of re-running the 16-plane decimal
-    # projection per join side; recall report checkpoints each method's
-    # ~50-row result set once (was 7 evaluations of the exact plan)
-    "ann_lsh_buckets": 13,
-    "ann_lsh_topk": 13,
-    "ann_lsh_multiprobe": 13,
-    "ann_lsh_multitable": 13,
-    # r13 OPTIMIZATION: HLL register builder — shingle stream spread,
-    # and reg/v extracted via one conv() hex parse each instead of 10
-    # instr() nibble folds per row (identical integers; oracle keeps
-    # the nibble form)
-    "hll_distinct_per_source": 13,
-    "hll_union_total": 13,
-    # r13 OPTIMIZATION: hashed_doc_vectors — norm fold staged as a
-    # column (was re-evaluated inside the per-element lambda, 16×/row)
-    # and the vector pipeline materialized before the presentation sort
-    # (the ORDER BY's range sampling re-executed it); values identical
-    "hashed_doc_vectors": 13,
-    # r13 OPTIMIZATION: tokenize-once + spread for the repetition/
-    # overlap family — gopher's five n-gram pipelines read ONE
-    # checkpointed token table (was five scan+split re-evaluations),
-    # source_overlap materializes its distinct fingerprint set once,
-    # doc_repetition spreads the one-task scan; values identical
-    # (gopher_repetition_flags re-annotated at 14 below)
-    "source_overlap_matrix": 13,
-    "doc_repetition_stats": 13,
+    # (The 29 r13-optimization entries and the three r13 codec/fixture
+    # entries all SELF-CLEARED: CORRECTNESS_r13's 50-query window
+    # re-greened every one at round >= its annotation, so the green
+    # rows vouch for the current code — pruned at round-14 close per
+    # the round_close.py ledger-liveness rule.  The six entries below
+    # are the round-14 optimization drifts; each must re-earn a
+    # driver-green row.)
+    #
     # r14 (ADVICE r13 high): gopher's fraction divisions are now
     # when(t > 0)-guarded — under the ANSI default a too-short doc's
     # t = 0 raised DIVIDE_BY_ZERO (latent crash; the fixture has no
     # such docs, so every value is identical and the oracle unchanged)
     "gopher_repetition_flags": 14,
-    # r13 OPTIMIZATION: k-gram span family — corpus spread past the
-    # one-task scan, the shared token/k-gram tables materialized once
-    # (both duplicate-mark sides re-ran the tokenize + lead-window pass),
-    # and the k-gram build moved to the ARRAY domain (_kgram_rows_arr:
-    # map-only transform over the token array, no window shuffle;
-    # equality with the window form test-pinned in
-    # tests/test_curation2_opt.py); triangle_cosupply materializes its
-    # tiny strong-tie edge list once (the stats kernel references it ~6
-    # times, each re-running the lineitem self-join). Values identical
-    # for all four.
-    "duplicate_spans": 13,
+    # r14: the PQ assign/distance-table squared-L2 moved from the
+    # interpreted zip_with/aggregate fold to an unrolled 16-term sum
+    # (same left-associated IEEE order — bit-equality test-pinned in
+    # tests/test_curation2_opt.py; try_element_at keeps NULL-on-short).
+    # A/B: ann_ivf_pq 2.54 -> 2.11 s, ann_pq_rerank 2.61 -> 2.49 s.
+    "ann_ivf_pq": 14,
+    "ann_pq_rerank": 14,
+    # r14: kmv's union-sketch eager checkpoint is gone — its three
+    # consumers live in ONE job whose identical window exchanges dedupe
+    # via ReusedExchange, so the materialization only serialized an
+    # extra job (A/B 2.75 -> 2.2-2.4 s). Values identical.
+    "kmv_user_day_overlap": 14,
     # r14: remove_duplicate_spans drops the r13 token-table checkpoint
     # (single consumer — the eager materialization only serialized an
-    # extra job; A/B 3.06 → 2.54 s). Values identical.
+    # extra job; A/B 3.06 -> 2.54 s). Values identical.
     "remove_duplicate_spans": 14,
-    "ngram_novelty": 13,
     # r14: etl_checkpoint_resume's fetch parallelism is capped at the
     # batch's key count (was defaultParallelism empty-worker spin-up)
     # and the etl_state repository moved to driver-local pyarrow IO
     # (same parquet layout; ~10 cluster jobs gone). Values identical.
     "etl_checkpoint_resume": 14,
-    "triangle_cosupply": 13,
-    # r13 OPTIMIZATION: PQ family — the refined codebook (64 rows) is
-    # materialized once; both the encoding and the ADC distance table
-    # referenced it, re-running the init-assign + Lloyd chain per
-    # consumer (A/B: 2.4 -> 1.8 s). Values identical.
-    # (ann_ivf_pq / ann_pq_rerank re-annotated at 14 below)
-    # r13 OPTIMIZATION: kmv — the deduped (type, user, day) universe and
-    # the union sketch are materialized once (were re-evaluated ~7×/3×
-    # by the set-algebra joins). Values identical.
-    # r14: the union-sketch checkpoint is gone again — its three
-    # consumers live in ONE job whose identical window exchanges dedupe
-    # via ReusedExchange, so the eager materialization only serialized
-    # an extra job (A/B 2.75 → 2.2-2.4 s). Values identical.
-    "kmv_user_day_overlap": 14,
-    # r14: the PQ assign/distance-table squared-L2 moved from the
-    # interpreted zip_with/aggregate fold to an unrolled 16-term sum
-    # (same left-associated IEEE order — bit-equality test-pinned in
-    # tests/test_curation2_opt.py; try_element_at keeps NULL-on-short).
-    # A/B: ann_ivf_pq 2.54 → 2.11 s, ann_pq_rerank 2.61 → 2.49 s.
-    "ann_ivf_pq": 14,
-    "ann_pq_rerank": 14,
-    # r13 OPTIMIZATION: table_profile spreads the orders scan past the
-    # single-row-group fixture packing so the 7-way COUNT(DISTINCT)
-    # Expand -> Sort -> SortAggregate chain parallelizes (4.3 -> 1.4 s;
-    # values identical; no-op at production scale via the guard)
-    "table_profile": 13,
-    # r13 OPTIMIZATION: corpus_build_e2e materializes its three
-    # independent stage inputs (fingerprinted corpus, clusters CC,
-    # gopher flags) concurrently and checkpoints each funnel stage once;
-    # dedup_cluster_best does the same for clusters + quality scores and
-    # checkpoints the doubly-consumed scored relation. Stage contracts
-    # and all values identical (oracle-proved).
-    "corpus_build_e2e": 13,
-    "dedup_cluster_best": 13,
-    # r13 OPTIMIZATION: quantile_sketch_by_flag spreads the lineitem
-    # scan so the md5 bottom-k window and the exact-percentile witness
-    # both parallelize (2.6 -> 1.1 s; values identical; guard no-op at
-    # production scale)
-    "quantile_sketch_by_flag": 13,
 }
 
 
