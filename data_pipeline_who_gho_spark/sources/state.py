@@ -60,6 +60,14 @@ class EtlStateRepository:
             )
         return cls._ARROW_SCHEMA
 
+    # Timestamp round-trip contract (kept identical to the old Spark
+    # path): a NAIVE datetime handed to set_* is interpreted as
+    # OS-LOCAL wall time (what PySpark's TimestampType.toInternal did),
+    # and _read_all returns NAIVE OS-local datetimes (what
+    # collect() returned) — so naive writers and readers keep
+    # round-tripping on hosts whose local zone is not UTC, and
+    # consumers never see a naive/aware comparison TypeError.
+
     def _read_all(self) -> dict[str, dict]:
         import pyarrow.parquet as pq
 
@@ -69,6 +77,8 @@ class EtlStateRepository:
         out: dict[str, dict] = {}
         for r in table.to_pylist():
             ts = r["last_successful_run_at"]
+            if ts is not None and ts.tzinfo is not None:
+                ts = ts.astimezone().replace(tzinfo=None)  # aware -> OS-local naive
             out[r["process_name"]] = {
                 "last_successful_run_at": ts,
                 "checkpoint_state": json.loads(r["checkpoint_state"]) if r["checkpoint_state"] else None,
@@ -82,7 +92,13 @@ class EtlStateRepository:
         def _utc(ts):
             if ts is None:
                 return None
-            return ts if ts.tzinfo else ts.replace(tzinfo=timezone.utc)
+            # a naive ts is OS-local wall time (what PySpark collect
+            # hands back), NOT UTC — relabeling it UTC would shift the
+            # stored instant by the host's offset, and a later
+            # `ingested_at > watermark` filter would silently skip (or
+            # re-process) that window. astimezone() attaches the local
+            # zone to naive input, so one call converts both cases.
+            return ts.astimezone(timezone.utc)
 
         table = pa.Table.from_pylist(
             [

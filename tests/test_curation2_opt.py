@@ -137,8 +137,10 @@ def test_l2_unrolled_bit_identical_to_fold(spark):
     )
     spairs = subs.join(sother, ["vec_id", "m"])
     assert spairs.count() > 100
+    # eqNullSafe: plain == yields NULL (dropped by the filter) if one
+    # side ever diverges to NULL, which would pass vacuously
     bad = spairs.select(
-        (c2._l2(F.col("sub"), F.col("cv")) == c2._l2u("sub", "cv")).alias("e")
+        c2._l2(F.col("sub"), F.col("cv")).eqNullSafe(c2._l2u("sub", "cv")).alias("e")
     ).filter(~F.col("e")).count()
     assert bad == 0
 
